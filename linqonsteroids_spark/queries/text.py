@@ -1,0 +1,123 @@
+"""Text-analysis & dedup queries over the documents table.
+
+Part of the training-data-pipeline surface (north star): tokenization,
+quality scoring, fingerprinting, exact dedup. All JVM-side (split /
+higher-order functions / md5) — no Python UDFs in these paths, so they
+stay inside whole-stage codegen and scale linearly with document count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.functions.text import (
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+
+# --- flatMap/explode: token frequencies -----------------------------------
+# Reference flatMap (traversableOperators.scala:14-20) over nested text →
+# explode. Scale: explode multiplies rows ~100x; the groupBy is map-side
+# combined on a small vocabulary, so the shuffle stays tiny.
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+TOKEN_FREQUENCIES_SQL = """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+"""
+
+
+# --- exact dedup: hash-groupBy --------------------------------------------
+# Canonical-representative dedup: one row per distinct text, keeping the
+# min doc_id, with the duplicate count. At 100 TB: group on a 128-bit hash
+# of the content, never on the content itself (shuffle moves 16 bytes/row).
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- document fingerprint --------------------------------------------------
+# Normalized-content fingerprint (whitespace-collapsed, lowercased) — the
+# cheap "rolling hash" tier of the dedup ladder.
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(normalized), 1, 16).alias("fingerprint"),
+        F.length(normalized).alias("norm_len"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+         AS fingerprint,
+       length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_len
+FROM documents
+"""
+
+
+# --- quality scoring -------------------------------------------------------
+# Length / punctuation / stopword ratios — the standard pre-training
+# quality gates, all as JVM higher-order functions over the token array.
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("text_len"),
+        token_count(text).alias("n_tokens"),
+        F.round(punct_ratio(text), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text), 6).alias("stopword_ratio"),
+    )
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS text_len,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
+         AS n_tokens,
+       round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))
+             AS DOUBLE) / length(text), 6) AS punct_ratio,
+       round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> list_contains(['the','a','an','of','to','in','and','is','it','for'], t)))
+             AS DOUBLE)
+             / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        t -> t <> '')), 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+QUERIES = {
+    "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+}

@@ -1,0 +1,108 @@
+"""Embedding-similarity queries over the embeddings table.
+
+Brute-force cosine top-k is the correctness baseline (SURVEY north-star:
+similarity search); the LSH-bucketed scale path lives in
+``linqonsteroids_spark.similarity``. Dot products run as JVM higher-order
+functions (zip_with + aggregate) — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.similarity.knn import cosine_similarity
+
+
+# --- brute-force cosine top-k ---------------------------------------------
+# Queries = every 50th vector (deterministic, scale-proportional); the query
+# side is broadcast (small), the corpus side streams — at 100 TB this is a
+# broadcast-nested-loop whose cost is |corpus| × |queries|, the honest
+# baseline the IVF/LSH path is measured against.
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")
+    sim = cosine_similarity(F.col("query_vec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        queries.crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            F.col("label").alias("neighbor_label"),
+            F.round("sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+KNN_BRUTEFORCE_SQL = """
+SELECT query_id, rnk, neighbor_id, neighbor_label, cos_sim
+FROM (
+  SELECT q.vec_id AS query_id,
+         c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id ASC) AS rnk
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+)
+WHERE rnk <= 5
+"""
+
+
+# --- centroid distance per label ------------------------------------------
+# Aggregate over vector columns entirely JVM-side: element-wise mean via
+# aggregate over posexplode — demonstrates vector aggs without UDFs.
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # explode to (label, pos, val), average per (label,pos), then reassemble
+    # the centroid norm per label. Shuffle is |labels|×dim rows — tiny.
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    centroid = exploded.groupBy("label", "pos").agg(F.avg("val").alias("mean_val"))
+    return (
+        centroid.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 4).alias(
+                "centroid_norm"
+            ),
+            F.count("*").alias("dim"),
+        )
+    )
+
+
+LABEL_CENTROID_SQL = """
+SELECT label,
+       round(sqrt(sum(mean_val * mean_val)), 4) AS centroid_norm,
+       count(*) AS dim
+FROM (
+  SELECT label, pos, avg(val) AS mean_val
+  FROM (SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS val
+        FROM embeddings)
+  GROUP BY label, pos
+)
+GROUP BY label
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
+}

@@ -1,0 +1,45 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Local-mode settings mirror what we would set fleet-wide on a real cluster:
+AQE on (runtime re-planning, skew-join handling, partition coalescing),
+shuffle partitions sized to cores (not the 200 default), Arrow enabled for
+any pandas-UDF path. On a 1000-executor cluster the same config holds with
+``spark.sql.shuffle.partitions`` scaled to ~2-3x total cores and
+``spark.sql.files.maxPartitionBytes`` left at 128m so scan tasks stay
+memory-bounded regardless of total input size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "linqonsteroids_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``cpus`` controls local parallelism; defaults to ``$SPARK_GRAFT_CPUS``
+    or all cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle_parts = str(cpus if cpus else (os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,63 @@
+"""Differential correctness: every registered query vs its DuckDB oracle.
+
+Mirrors the driver's gate (CORRECTNESS_r{N}.json): row count, schema
+(column names), and order-insensitive value comparison at sf0.001. The
+reference's equivalent is set-based result comparison in its benchmark
+harness (``QueryBenchmarking.scala:78-88``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from linqonsteroids_spark.queries import ALL
+from tests.conftest import SF_SMOKE
+
+WITH_ORACLE = sorted(k for k, v in ALL.items() if v[1] is not None)
+
+
+def _canon(rows, cols):
+    """Sort columns by name, then rows canonically."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((v is None, str(v)) for v in r))
+    return [cols[i] for i in order], out
+
+
+def _values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, float) and math.isnan(a):
+            return isinstance(b, float) and math.isnan(b)
+        return a == b or math.isclose(a, b, rel_tol=0, abs_tol=1e-9)
+    return a == b
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(name, spark, duck):
+    fn, sql = ALL[name]
+    sdf = fn(spark, SF_SMOKE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: schema mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    _, s_rows = _canon(spark_rows, spark_cols)
+    _, d_rows = _canon(duck_rows, duck_cols)
+    mismatches = [
+        (i, sr, dr)
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows))
+        if not all(_values_equal(a, b) for a, b in zip(sr, dr))
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
