@@ -1,0 +1,633 @@
+"""Fluent collection-style query API — the reference's lifted-operator surface.
+
+The reference reifies for-comprehensions over collections into ``Exp[T]``
+trees (``Exp.scala:44-77``; lifted ops ``traversableOps.scala:163-255``).
+Here the DataFrame *is* the reified query — ``Lifted`` adds:
+
+- the reference's operator names (``map/filter/flat_map/index_by/exists/
+  forall/union/diff/contains/to_set/sliding/zip_with_index/fold/...``)
+  lowered to declarative DataFrame ops,
+- collection-kind semantics (bag/set/seq) — the ``CanBuildFrom``-law
+  analogue (``Unnesting.scala:23-50``): Set-typed results dedup, Seq-typed
+  results carry explicit sort keys (Spark is bag-native and unordered),
+- a thin predicate-structure record (``PredExpr``) so the index/MV rewriter
+  (``plans/``) can CNF-split filters and match constant-equalities exactly
+  like ``SubquerySharing.scala:81-108`` — without touching Catalyst
+  internals from Python.
+
+Lambdas receive a row proxy: ``books.filter(lambda b: b.publisher == "P")``;
+``b.publisher`` is a tracked column expression. Everything stays a logical
+plan until an explicit sink (``value()/to_df()``) — same laziness contract
+as the reference's ``Exp`` (and Spark's own).
+"""
+
+from __future__ import annotations
+
+import operator as _op
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Expression layer: Column wrapper that records predicate structure
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Node:
+    """Structure node: ('col', name) | ('lit', v) | ('eq', l, r) |
+    ('cmp', op, l, r) | ('and', l, r) | ('or', l, r) | ('not', x) |
+    ('opaque',)."""
+
+    kind: str
+    args: tuple = ()
+
+
+OPAQUE = Node("opaque")
+
+
+class Expr:
+    """A column expression carrying (a) the Spark Column, (b) optional
+    structure for the rewriter. Mirrors the reference's ``Exp[T]`` leaves &
+    scalar ops (``simpleOpenEncoding.scala:130-159,333-474``)."""
+
+    __slots__ = ("col", "node")
+
+    def __init__(self, col: Column, node: Node = OPAQUE):
+        self.col = col
+        self.node = node
+
+    # --- comparison (Eq.scala:3-10, LEq.scala:3-13) ---
+    def __eq__(self, other):  # type: ignore[override]
+        o = _lift(other)
+        return Expr(self.col == o.col, Node("eq", (self.node, o.node)))
+
+    def __ne__(self, other):  # type: ignore[override]
+        o = _lift(other)
+        return Expr(self.col != o.col, Node("not", (Node("eq", (self.node, o.node)),)))
+
+    def _cmp(self, other, sym, fn):
+        o = _lift(other)
+        return Expr(fn(self.col, o.col), Node("cmp", (sym, self.node, o.node)))
+
+    def __lt__(self, other):
+        return self._cmp(other, "<", _op.lt)
+
+    def __le__(self, other):
+        return self._cmp(other, "<=", _op.le)
+
+    def __gt__(self, other):
+        return self._cmp(other, ">", _op.gt)
+
+    def __ge__(self, other):
+        return self._cmp(other, ">=", _op.ge)
+
+    # --- boolean (booleanOps.scala:5-27) ---
+    def __and__(self, other):
+        o = _lift(other)
+        return Expr(self.col & o.col, Node("and", (self.node, o.node)))
+
+    def __or__(self, other):
+        o = _lift(other)
+        return Expr(self.col | o.col, Node("or", (self.node, o.node)))
+
+    def __invert__(self):
+        return Expr(~self.col, Node("not", (self.node,)))
+
+    # --- arithmetic (numericOps.scala:24-54) ---
+    def __add__(self, other):
+        return Expr(self.col + _lift(other).col)
+
+    def __radd__(self, other):
+        return Expr(_lift(other).col + self.col)
+
+    def __sub__(self, other):
+        return Expr(self.col - _lift(other).col)
+
+    def __rsub__(self, other):
+        return Expr(_lift(other).col - self.col)
+
+    def __mul__(self, other):
+        return Expr(self.col * _lift(other).col)
+
+    def __rmul__(self, other):
+        return Expr(_lift(other).col * self.col)
+
+    def __truediv__(self, other):
+        return Expr(self.col / _lift(other).col)
+
+    def __mod__(self, other):
+        return Expr(self.col % _lift(other).col)
+
+    def __neg__(self):
+        return Expr(-self.col)
+
+    # --- string ops (simpleOpenEncoding.scala:451-463) ---
+    def contains(self, s):
+        return Expr(self.col.contains(_lift(s).col))
+
+    def starts_with(self, s):
+        return Expr(self.col.startswith(_lift(s).col))
+
+    def ends_with(self, s):
+        return Expr(self.col.endswith(_lift(s).col))
+
+    def index_of(self, s):
+        return Expr(F.instr(self.col, s) - 1)  # Scala indexOf is 0-based
+
+    def to_lower(self):
+        return Expr(F.lower(self.col))
+
+    def to_upper(self):
+        return Expr(F.upper(self.col))
+
+    def length(self):
+        return Expr(F.length(self.col))
+
+    def matches(self, regex: str):
+        return Expr(self.col.rlike(regex))
+
+    def to_string(self):
+        return Expr(self.col.cast("string"))
+
+    def cast(self, t: str):
+        return Expr(self.col.cast(t))
+
+    def isin(self, *vals):
+        return Expr(self.col.isin(*vals))
+
+    # --- Option ops (Lifting.scala:39-99): null-valued columns ---
+    def is_defined(self):
+        return Expr(self.col.isNotNull())
+
+    def get_or_else(self, default):
+        return Expr(F.coalesce(self.col, _lift(default).col))
+
+    def option_map(self, f: Callable[[Expr], Expr]):
+        """map over Option: null stays null (Spark ops propagate null)."""
+        return f(Expr(self.col))
+
+    # --- array ops (nested collections, SURVEY §1.2) ---
+    def a_size(self):
+        return Expr(F.size(self.col))
+
+    def a_exists(self, p: Callable[[Expr], Expr]):
+        return Expr(F.exists(self.col, lambda c: p(Expr(c)).col))
+
+    def a_forall(self, p: Callable[[Expr], Expr]):
+        return Expr(F.forall(self.col, lambda c: p(Expr(c)).col))
+
+    def a_filter(self, p: Callable[[Expr], Expr]):
+        return Expr(F.filter(self.col, lambda c: p(Expr(c)).col))
+
+    def a_map(self, f: Callable[[Expr], Expr]):
+        return Expr(F.transform(self.col, lambda c: f(Expr(c)).col))
+
+    def a_fold(self, zero, merge: Callable[[Expr, Expr], Expr]):
+        return Expr(
+            F.aggregate(self.col, _lift(zero).col, lambda a, b: merge(Expr(a), Expr(b)).col)
+        )
+
+    def a_flatten(self):
+        return Expr(F.flatten(self.col))
+
+    def __getitem__(self, i):
+        return Expr(F.get(self.col, i) if isinstance(i, int) else self.col[i])
+
+    def field(self, name: str):
+        """Tuple/record projection (ExpSelection, WrappedClassInlined.ssp:22-45)."""
+        return Expr(self.col[name])
+
+    def alias(self, name: str):
+        return Expr(self.col.alias(name), self.node)
+
+    def __hash__(self):
+        return id(self)
+
+
+def _lift(v: Any) -> Expr:
+    if isinstance(v, Expr):
+        return v
+    if isinstance(v, Column):
+        return Expr(v)
+    return Expr(F.lit(v), Node("lit", (v,)))
+
+
+def lit(v: Any) -> Expr:
+    """``pure`` — lift a scalar constant (simpleOpenEncoding.scala:104-123)."""
+    return _lift(v)
+
+
+def if_then_else(cond: Expr, then_v: Any, else_v: Any) -> Expr:
+    """IfThenElse (simpleOpenEncoding.scala:36-57) → when/otherwise."""
+    return Expr(F.when(cond.col, _lift(then_v).col).otherwise(_lift(else_v).col))
+
+
+class RowProxy:
+    """The gensym variable of a reified lambda (``Fun.toFOAS``,
+    ``Fun.scala:163-170``): attribute access yields tracked columns."""
+
+    def __init__(self, prefix: str | None = None):
+        object.__setattr__(self, "_prefix", prefix)
+
+    def __getattr__(self, name: str) -> Expr:
+        prefix = object.__getattribute__(self, "_prefix")
+        qual = f"{prefix}.{name}" if prefix else name
+        return Expr(F.col(qual), Node("col", (name,)))
+
+    __getitem__ = __getattr__
+
+
+# ---------------------------------------------------------------------------
+# Lifted collections
+# ---------------------------------------------------------------------------
+
+_KINDS = ("bag", "set", "seq")
+
+
+@dataclass
+class PlanInfo:
+    """Thin logical description for the pre-Catalyst rewriter: base table
+    plus the filter structures applied since (project/join/etc. reset it —
+    the rewriter only matches the filter-over-scan shape, exactly the
+    pattern ``SubquerySharing.shareSubqueries`` recognizes)."""
+
+    base_table: str | None = None
+    filters: list[Node] = field(default_factory=list)
+    rewritable: bool = True
+
+
+class Lifted:
+    """A lifted collection: DataFrame + collection-kind semantics.
+
+    Construction: ``Lifted(df)`` (bag), ``Lifted(df, kind="set")``,
+    ``Lifted(df, kind="seq", order=["pos"])``. The reference's implicit
+    ``asSquopt`` (``simpleOpenEncoding.scala:99-123``).
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        kind: str = "bag",
+        order: list[str] | None = None,
+        plan: PlanInfo | None = None,
+    ):
+        if kind not in _KINDS:
+            raise ValueError(f"kind must be one of {_KINDS}")
+        if kind == "seq" and not order:
+            raise ValueError("seq semantics require explicit order columns (Spark is unordered)")
+        self.df = df
+        self.kind = kind
+        self.order = list(order or [])
+        self.plan = plan or PlanInfo()
+
+    # --- internals ---
+    def _with(self, df: DataFrame, plan: PlanInfo | None = None, **kw) -> "Lifted":
+        kind = kw.get("kind", self.kind)
+        order = kw.get("order", self.order if kind == "seq" else None)
+        return Lifted(df, kind=kind, order=order, plan=plan or PlanInfo(rewritable=False))
+
+    @staticmethod
+    def _apply(fn: Callable, n_args: int = 1, prefixes: tuple = (None,)):
+        proxies = [RowProxy(p) for p in prefixes[:n_args]]
+        return fn(*proxies)
+
+    # --- projections / filters (SURVEY §2.2) ---
+    def map(self, fn: Callable[[RowProxy], Any]) -> "Lifted":
+        """MapNode (traversableOperators.scala:22-28): per-element projection.
+        ``fn`` returns an Expr (column named 'value'), a dict name→Expr, or a
+        tuple of aliased Exprs."""
+        out = self._apply(fn)
+        if isinstance(out, dict):
+            cols = [_lift(v).col.alias(k) for k, v in out.items()]
+        elif isinstance(out, (tuple, list)):
+            cols = [_lift(v).col for v in out]
+        else:
+            cols = [_lift(out).col.alias("value")]
+        df = self.df.select(*cols)
+        if self.kind == "set":
+            df = df.dropDuplicates()
+        return self._with(df)
+
+    def filter(self, pred: Callable[[RowProxy], Expr]) -> "Lifted":
+        """Filter (traversableOperators.scala:30-35). Keeps the plan
+        rewritable: records predicate structure for index substitution."""
+        e = self._apply(pred)
+        plan = PlanInfo(
+            self.plan.base_table,
+            [*self.plan.filters, e.node],
+            self.plan.rewritable,
+        )
+        out = Lifted(self.df.filter(e.col), kind=self.kind,
+                     order=self.order or None, plan=plan)
+        return out
+
+    with_filter = filter  # withFilter ≡ filter: laziness is inherent
+
+    def flat_map(self, fn: Callable[[RowProxy], Expr], alias: str = "value") -> "Lifted":
+        """FlatMap over a nested array column (traversableOperators.scala:14-20)
+        → explode. For relational flatMap (dependent subquery) use
+        ``flat_map_join``."""
+        arr = self._apply(fn)
+        return self._with(self.df.select(F.explode(arr.col).alias(alias)))
+
+    def flat_map_join(
+        self,
+        inner: "Lifted",
+        fn: Callable[[RowProxy, RowProxy], Expr] | None = None,
+    ) -> "Lifted":
+        """flatMap over another collection = θ-join / cross product
+        (Tutorial.scala:88-94). Catalyst extracts equi-parts
+        (cartProdToJoin analogue, FoldPhysicalOperators.scala:44-56)."""
+        left = self.df.alias("l")
+        right = inner.df.alias("r")
+        if fn is None:
+            df = left.crossJoin(right)
+        else:
+            cond = fn(RowProxy("l"), RowProxy("r"))
+            df = left.join(right, cond.col)
+        kind = "set" if self.kind == "set" and inner.kind == "set" else "bag"
+        out = df
+        if kind == "set":
+            out = out.dropDuplicates()
+        return self._with(out, kind=kind)
+
+    def collect(self, fn: Callable[[RowProxy], tuple[Expr, Any]]) -> "Lifted":
+        """Partial-function collect (traversableOps.scala:176-181):
+        ``fn`` returns (guard, value); rows failing the guard are dropped."""
+        guard, value = self._apply(fn)
+        df = (
+            self.df.select(F.when(guard.col, _lift(value).col).alias("value"))
+            .filter(F.col("value").isNotNull())
+        )
+        return self._with(df)
+
+    def let(self, name: str, fn: Callable[[RowProxy], Any]) -> "Lifted":
+        """Let-binding (Lifting.scala:190-201) → named intermediate column."""
+        return self._with(self.df.withColumn(name, _lift(self._apply(fn)).col),
+                          plan=self.plan)
+
+    def select_fields(self, *names: str) -> "Lifted":
+        df = self.df.select(*names)
+        if self.kind == "set":
+            df = df.dropDuplicates()
+        return self._with(df)
+
+    # --- joins (SURVEY §2.3) ---
+    def join(
+        self,
+        inner: "Lifted",
+        outer_key: Callable[[RowProxy], Expr],
+        inner_key: Callable[[RowProxy], Expr],
+        result: Callable[[RowProxy, RowProxy], dict[str, Expr]] | None = None,
+        how: str = "inner",
+    ) -> "Lifted":
+        """LINQ-shaped equi-join (traversableOps.scala:214-219): key
+        extractors + result selector. ``how`` extends the reference with
+        outer variants (one `how=` away in Spark, SURVEY §2.3)."""
+        lk = outer_key(RowProxy("l"))
+        rk = inner_key(RowProxy("r"))
+        joined = self.df.alias("l").join(inner.df.alias("r"), lk.col == rk.col, how)
+        if result is not None:
+            out = result(RowProxy("l"), RowProxy("r"))
+            joined = joined.select(*[_lift(v).col.alias(k) for k, v in out.items()])
+        return self._with(joined)
+
+    def exists_in(
+        self, other: "Lifted", pred: Callable[[RowProxy, RowProxy], Expr]
+    ) -> "Lifted":
+        """Relational exists (Exists.scala:6-11 + existsUnnester,
+        Unnesting.scala:52-84) → left_semi."""
+        cond = pred(RowProxy("l"), RowProxy("r"))
+        return self._with(
+            self.df.alias("l").join(other.df.alias("r"), cond.col, "left_semi"),
+            plan=self.plan,
+        )
+
+    def forall_not_in(
+        self, other: "Lifted", pred: Callable[[RowProxy, RowProxy], Expr]
+    ) -> "Lifted":
+        """forall(!p) / !exists(p) (cartProdToAntiJoin,
+        FoldPhysicalOperators.scala:58-95) → left_anti; no driver-side key
+        set at any scale."""
+        cond = pred(RowProxy("l"), RowProxy("r"))
+        return self._with(
+            self.df.alias("l").join(other.df.alias("r"), cond.col, "left_anti"),
+            plan=self.plan,
+        )
+
+    # --- grouping / indexing (SURVEY §2.4) ---
+    def index_by(self, key: Callable[[RowProxy], Expr], key_name: str = "key") -> "Indexed":
+        """IndexBy (traversableOperators.scala:130-142). Distributed form:
+        a keyed grouping handle — aggregate with ``.agg_values()`` (the
+        Map[K, Coll] analogue) or register as a materialized index via
+        ``plans.IndexRepository.add_index`` (the reference's
+        ``Optimization.addIndex``)."""
+        k = self._apply(key)
+        return Indexed(self, k, key_name)
+
+    def group_by_sel(
+        self,
+        key: Callable[[RowProxy], Expr],
+        sel: Callable[[RowProxy], Expr],
+        key_name: str = "key",
+        val_name: str = "values",
+    ) -> "Lifted":
+        """groupBySel (traversableOps.scala:206-212): indexBy(f).map(vs map g)
+        → groupBy + collect_list(g)."""
+        k, v = self._apply(key), self._apply(sel)
+        df = self.df.groupBy(k.col.alias(key_name)).agg(
+            F.collect_list(v.col).alias(val_name)
+        )
+        return self._with(df)
+
+    # --- set ops (SURVEY §2.7) ---
+    def union(self, other: "Lifted") -> "Lifted":
+        df = self.df.unionByName(other.df)
+        if self.kind == "set":
+            df = df.dropDuplicates()
+        return self._with(df)
+
+    def diff(self, other: "Lifted") -> "Lifted":
+        """`--` (traversableOperators.scala:75-79): Set difference."""
+        if self.kind == "set":
+            return self._with(self.df.subtract(other.df), kind="set")
+        return self._with(self.df.exceptAll(other.df))
+
+    def intersect(self, other: "Lifted") -> "Lifted":
+        return self._with(self.df.intersect(other.df), kind="set")
+
+    def contains_row(self, **values: Any) -> "Scalar":
+        cond = None
+        for k, v in values.items():
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        return Scalar(self.df.filter(cond).limit(1), "exists")
+
+    def to_set(self) -> "Lifted":
+        return self._with(self.df.dropDuplicates(), kind="set")
+
+    def to_seq(self, order: list[str]) -> "Lifted":
+        return Lifted(self.df, kind="seq", order=order, plan=PlanInfo(rewritable=False))
+
+    def distinct(self) -> "Lifted":
+        return self.to_set()
+
+    # --- sorts / limits / windows (SURVEY §2.5-2.6: new surface) ---
+    def sort_by(self, *keys, ascending: bool = True) -> "Lifted":
+        cols = [self._apply(k).col if callable(k) else F.col(k) for k in keys]
+        cols = [c.asc() if ascending else c.desc() for c in cols]
+        names = [k if isinstance(k, str) else f"_k{i}" for i, k in enumerate(keys)]
+        return Lifted(self.df.orderBy(*cols), kind="seq", order=names,
+                      plan=PlanInfo(rewritable=False))
+
+    def take(self, n: int) -> "Lifted":
+        return self._with(self.df.limit(n))
+
+    def zip_with_index(self, order: list[str], idx_name: str = "idx") -> "Lifted":
+        """zipWithIndex (traversableOps.scala:395) — needs a declared total
+        order. Single global window: only for driver-bounded results; use
+        per-group windows at scale."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*[F.col(c) for c in order])
+        return self._with(self.df.withColumn(idx_name, F.row_number().over(w) - 1))
+
+    def sliding(self, n: int, order: list[str], group: str | None = None) -> "Lifted":
+        """sliding(n) (traversableOps.scala:396) → window collect over
+        following rows; incomplete tail windows dropped (Scala semantics)."""
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy(group) if group else Window.partitionBy()).orderBy(
+            *[F.col(c) for c in order]
+        ).rowsBetween(0, n - 1)
+        df = self.df.withColumn("window", F.collect_list(F.struct(*self.df.columns)).over(w))
+        return self._with(df.filter(F.size("window") == n))
+
+    # --- aggregates / sinks (SURVEY §2.4; sinks §2.1) ---
+    def size(self) -> "Scalar":
+        return Scalar(self.df, "count")
+
+    def is_empty(self) -> "Scalar":
+        return Scalar(self.df, "is_empty")
+
+    def non_empty(self) -> "Scalar":
+        return Scalar(self.df, "non_empty")
+
+    def sum(self, fn: Callable[[RowProxy], Expr]) -> "Scalar":
+        return Scalar(self.df.agg(F.sum(self._apply(fn).col).alias("value")), "one")
+
+    def product(self, fn: Callable[[RowProxy], Expr]) -> "Scalar":
+        return Scalar(self.df.agg(F.product(self._apply(fn).col).alias("value")), "one")
+
+    def min(self, fn: Callable[[RowProxy], Expr]) -> "Scalar":
+        return Scalar(self.df.agg(F.min(self._apply(fn).col).alias("value")), "one")
+
+    def max(self, fn: Callable[[RowProxy], Expr]) -> "Scalar":
+        return Scalar(self.df.agg(F.max(self._apply(fn).col).alias("value")), "one")
+
+    def fold(self, zero: Any, col_fn: Callable[[RowProxy], Expr], op: str) -> "Scalar":
+        """FoldLeft (Fold.scala:6-13) restricted to declared monoids
+        ('sum'|'product'|'min'|'max') — arbitrary order-sensitive folds
+        don't distribute (SURVEY §7.2); use sliding/sort_by + array a_fold
+        for ordered folds over bounded groups."""
+        agg = {"sum": F.sum, "product": F.product, "min": F.min, "max": F.max}[op]
+        base = self.df.agg(agg(self._apply(col_fn).col).alias("value"))
+        return Scalar(base.select(
+            F.coalesce(F.col("value"), F.lit(zero)).alias("value")), "one")
+
+    def exists(self, pred: Callable[[RowProxy], Expr]) -> "Scalar":
+        """coll.exists(p) (traversableOps.scala:172-174) — short-circuits via
+        limit(1)."""
+        return Scalar(self.df.filter(self._apply(pred).col).limit(1), "exists")
+
+    def forall(self, pred: Callable[[RowProxy], Expr]) -> "Scalar":
+        """forall p = isEmpty(filter !p) (traversableOps.scala:172-174)."""
+        return Scalar(self.df.filter(~self._apply(pred).col).limit(1), "not_exists")
+
+    def head(self) -> "Scalar":
+        if self.kind != "seq":
+            raise ValueError("head requires seq semantics (declared order)")
+        return Scalar(self.df.orderBy(*[F.col(c) for c in self.order]).limit(1), "row")
+
+    def to_df(self) -> DataFrame:
+        df = self.df
+        if self.kind == "seq" and self.order:
+            df = df.orderBy(*[F.col(c) for c in self.order])
+        return df
+
+    def value(self):
+        """eval/force sink (Lifting.scala:220-224) — materialize to driver.
+        Test/driver-bounded results only; big results go through
+        ``write_parquet``."""
+        return self.to_df().collect()
+
+    def write_parquet(self, path: str, partition_by: list[str] | None = None) -> None:
+        w = self.to_df().write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+
+class Indexed:
+    """Result of ``index_by``: a keyed grouping handle (the reference's
+    ``Map[K, Coll]`` without driver materialization)."""
+
+    def __init__(self, src: Lifted, key: Expr, key_name: str):
+        self.src = src
+        self.key = key
+        self.key_name = key_name
+
+    def agg_values(self, val_name: str = "values") -> Lifted:
+        """Map[K, Coll] as (key, array<struct>) rows — the literal indexBy
+        shape. At scale prefer ``agg``/bucketed MVs over value arrays."""
+        df = self.src.df.groupBy(self.key.col.alias(self.key_name)).agg(
+            F.collect_list(F.struct(*self.src.df.columns)).alias(val_name)
+        )
+        return self.src._with(df)
+
+    def agg(self, **aggs: Expr) -> Lifted:
+        df = self.src.df.groupBy(self.key.col.alias(self.key_name)).agg(
+            *[v.col.alias(k) for k, v in aggs.items()]
+        )
+        return self.src._with(df)
+
+    def count(self) -> Lifted:
+        return self.agg(n=Expr(F.count("*")))
+
+
+class Scalar:
+    """A deferred scalar result — the reference's ``Exp[T]`` for
+    non-collection T; ``value()`` is the sink."""
+
+    def __init__(self, df: DataFrame, mode: str):
+        self.df = df
+        self.mode = mode
+
+    def value(self):
+        if self.mode == "count":
+            return self.df.count()
+        if self.mode == "is_empty":
+            return self.df.isEmpty()
+        if self.mode == "non_empty":
+            return not self.df.isEmpty()
+        if self.mode == "exists":
+            return not self.df.isEmpty()
+        if self.mode == "not_exists":
+            return self.df.isEmpty()
+        if self.mode == "one":
+            return self.df.collect()[0][0]
+        if self.mode == "row":
+            rows = self.df.collect()
+            return rows[0] if rows else None
+        raise ValueError(self.mode)
+
+
+def lift(df: DataFrame, kind: str = "bag", order: list[str] | None = None,
+         table: str | None = None) -> Lifted:
+    """asSquopt (simpleOpenEncoding.scala:99-101): lift a DataFrame.
+    ``table`` names the base relation for index-rewrite matching."""
+    return Lifted(df, kind=kind, order=order, plan=PlanInfo(base_table=table))

@@ -1,0 +1,200 @@
+"""Index / materialized-view repository with filter-to-index rewriting.
+
+The reference's flagship capability (SURVEY §2.10): ``Optimization.addIndex``
+evaluates a reified ``coll.indexBy(f)`` and registers it in a precomputed-
+query repository (``Optimization.scala:26-63``); ``SubquerySharing.
+shareSubqueries`` then rewrites ``coll.filter(x => F(x) == k && rest)`` into
+``index(k).filter(rest)``: CNF-split the predicate (``BooleanOperators.
+scala:6-28``), find an equality with one constant side (``SubquerySharing.
+scala:81-95``), look the index up by normalized structural equality
+(``:42-79``), emit the lookup plus a residual filter (``:26-31``).
+
+Spark-first redesign — the index is not a driver-side Map but a
+**materialized table laid out for key access**:
+
+- storage: parquet, hash-repartitioned on the key and sorted within
+  partitions → key-equality scans prune row groups via min/max stats
+  (zone maps). On a managed cluster the same write becomes
+  ``bucketBy(key).sortBy(key).saveAsTable`` — co-located joins for free.
+- matching: our own canonical form of the key/predicate structure
+  (``api.Node``) — commutative ``==`` normalized, exactly the
+  ``normalizer`` analogue (``OptimizationTransforms.scala:123-127``);
+  we deliberately do NOT reach into Catalyst's canonicalized plans from
+  Python (SURVEY §7.2 boundary).
+- rewrite: equality conjunct on a registered (table, key) → MV scan with
+  the key filter (pushed to parquet) + rebuilt residual filter.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.api import Indexed, Lifted, Node, PlanInfo
+
+
+# --- canonical forms -------------------------------------------------------
+
+
+def canon_key(node: Node) -> str | None:
+    """Canonical string for an index key expression; None if opaque."""
+    if node.kind == "col":
+        return f"col:{node.args[0]}"
+    return None
+
+
+def split_conjuncts(node: Node) -> list[Node]:
+    """CNF top-level split (BooleanOperators.scala:6-28 analogue)."""
+    if node.kind == "and":
+        return [c for a in node.args for c in split_conjuncts(a)]
+    return [node]
+
+
+def match_key_equality(conj: Node) -> tuple[str, object] | None:
+    """Recognize col == const (either operand order — commutative Eq is
+    normalized here, the reference's ``normalizer``)."""
+    if conj.kind != "eq":
+        return None
+    l, r = conj.args
+    if l.kind == "col" and r.kind == "lit":
+        return l.args[0], r.args[0]
+    if r.kind == "col" and l.kind == "lit":
+        return r.args[0], l.args[0]
+    return None
+
+
+def node_to_column(node: Node) -> Column | None:
+    """Rebuild a Spark Column from predicate structure; None if any part is
+    opaque (then the rewrite bails — same conservatism as the reference,
+    which only rewrites recognized shapes)."""
+    k = node.kind
+    if k == "col":
+        return F.col(node.args[0])
+    if k == "lit":
+        return F.lit(node.args[0])
+    if k == "eq":
+        l, r = (node_to_column(a) for a in node.args)
+        return None if l is None or r is None else l == r
+    if k == "cmp":
+        sym, ln, rn = node.args
+        l, r = node_to_column(ln), node_to_column(rn)
+        if l is None or r is None:
+            return None
+        return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[sym]
+    if k == "and":
+        l, r = (node_to_column(a) for a in node.args)
+        return None if l is None or r is None else l & r
+    if k == "or":
+        l, r = (node_to_column(a) for a in node.args)
+        return None if l is None or r is None else l | r
+    if k == "not":
+        x = node_to_column(node.args[0])
+        return None if x is None else ~x
+    return None
+
+
+# --- repository ------------------------------------------------------------
+
+
+@dataclass
+class IndexEntry:
+    name: str
+    table: str
+    key_col: str
+    path: str
+    n_buckets: int
+
+
+class IndexRepository:
+    """Precomputed-query repository (Optimization.scala:26-63 analogue)."""
+
+    def __init__(self, spark: SparkSession, storage_dir: str, n_buckets: int = 32):
+        self.spark = spark
+        self.storage_dir = storage_dir
+        self.n_buckets = n_buckets
+        self._by_table_key: dict[tuple[str, str], IndexEntry] = {}
+        self._by_name: dict[str, IndexEntry] = {}
+
+    # -- registration (entry point C, SURVEY §3) --
+    def add_index(self, name: str, indexed: Indexed) -> IndexEntry:
+        """Materialize ``coll.index_by(key)`` now and register it.
+
+        Requires: the source is a rewritable base-table scan and the key is
+        a plain column (computed keys: register via an explicit ``let``
+        first so the key is a named column).
+        """
+        src = indexed.src
+        table = src.plan.base_table
+        if table is None or not src.plan.rewritable or src.plan.filters:
+            raise ValueError(
+                "add_index needs an unfiltered base-table scan "
+                "(lift(df, table=...).index_by(...))"
+            )
+        key = canon_key(indexed.key.node)
+        if key is None or not key.startswith("col:"):
+            raise ValueError("index key must be a plain column; use .let() for computed keys")
+        key_col = key.split(":", 1)[1]
+        path = os.path.join(self.storage_dir, f"{name}")
+        (
+            src.df.repartition(self.n_buckets, F.col(key_col))
+            .sortWithinPartitions(key_col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        entry = IndexEntry(name, table, key_col, path, self.n_buckets)
+        self._by_table_key[(table, key_col)] = entry
+        self._by_name[name] = entry
+        return entry
+
+    def refresh(self, name: str, df: DataFrame) -> None:
+        """Batch MV refresh (the incremental upgrade is streaming/, §2.8)."""
+        e = self._by_name[name]
+        (
+            df.repartition(e.n_buckets, F.col(e.key_col))
+            .sortWithinPartitions(e.key_col)
+            .write.mode("overwrite")
+            .parquet(e.path)
+        )
+
+    def lookup(self, name: str, key_value) -> DataFrame:
+        """Direct index probe: ``indexMap(k)`` (SubquerySharing.scala:26-31).
+        The key filter reaches the parquet scan (PushedFilters) and prunes
+        row groups via the sorted layout."""
+        e = self._by_name[name]
+        return self.spark.read.parquet(e.path).filter(F.col(e.key_col) == F.lit(key_value))
+
+    # -- the rewrite (shareSubqueries analogue) --
+    def optimize(self, q: Lifted) -> Lifted:
+        """Rewrite filter-over-scan to index-lookup + residual when a
+        registered index matches; otherwise return ``q`` unchanged."""
+        plan = q.plan
+        if not plan.rewritable or plan.base_table is None or not plan.filters:
+            return q
+        conjuncts: list[Node] = []
+        for f in plan.filters:
+            conjuncts.extend(split_conjuncts(f))
+        for i, conj in enumerate(conjuncts):
+            m = match_key_equality(conj)
+            if m is None:
+                continue
+            col, value = m
+            entry = self._by_table_key.get((plan.base_table, col))
+            if entry is None:
+                continue
+            residual = [c for j, c in enumerate(conjuncts) if j != i]
+            res_cols = [node_to_column(c) for c in residual]
+            if any(c is None for c in res_cols):
+                continue  # unrecognized residual: bail, don't risk wrong rewrite
+            df = self.spark.read.parquet(entry.path).filter(F.col(col) == F.lit(value))
+            for c in res_cols:
+                df = df.filter(c)
+            return Lifted(
+                df,
+                kind=q.kind,
+                order=q.order or None,
+                plan=PlanInfo(base_table=None, rewritable=False),
+            )
+        return q
