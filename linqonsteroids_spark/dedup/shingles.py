@@ -1,0 +1,50 @@
+"""Shared shingling/tokenization for the dedup family.
+
+Canonical definition (must stay in sync with the oracle SQL builders):
+tokens = non-empty pieces of whitespace-split ``lower(trim(text))``;
+shingles = space-joined 3-grams of consecutive tokens; docs with fewer
+than 3 tokens produce no shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_N = 3
+
+
+def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) — one row per non-empty token occurrence."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    return docs.select(F.col(id_col), F.explode(toks).alias("token"))
+
+
+def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) — one row per 3-gram shingle occurrence (not distinct)."""
+    base = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+        ).alias("toks"),
+    )
+    sh = F.when(
+        F.size("toks") >= SHINGLE_N,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {SHINGLE_N - 1}),"
+            f" i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+# DuckDB-side canonical fragments (used by oracle SQL builders)
+DUCK_TOKS = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+DUCK_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END"
+)

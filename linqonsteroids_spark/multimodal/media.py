@@ -1,0 +1,158 @@
+"""Multimodal column plumbing: binary payloads + typed metadata, processed
+via Arrow-batched pandas iterators.
+
+Design (north-star spec): media is an opaque ``binary`` column with a
+``struct`` of typed metadata; decode / feature-extract / resize / frame-
+sample run as ``mapInPandas`` stages — Arrow batches in, Arrow batches
+out, never row-at-a-time Python. The decode itself is STUBBED (no
+image/audio libraries in this environment): ``_decode_stub`` derives
+deterministic pseudo-stats from the bytes, and the real-library hook
+raises ``NotImplementedError`` where PIL/ffmpeg would plug in. Everything
+Spark-side — schema, partitioning, batch iteration, UDF signatures — is
+real and tested.
+
+Scale: mapInPandas streams Arrow batches per partition; payload bytes
+never transit the driver. Size partitions via
+``spark.sql.files.maxPartitionBytes`` so batches fit executor memory;
+metadata-only transforms (filtering by width, routing by format) operate
+on the struct column and never touch the payload — column pruning drops
+the binary entirely (verify with .explain: ReadSchema excludes it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media payload + metadata column pair added by attach_*
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_bytes", BinaryType()),
+        StructField(
+            "media_meta",
+            StructType(
+                [
+                    StructField("format", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                    StructField("size_bytes", LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+HAVE_REAL_DECODER = False  # PIL/ffmpeg absent in this environment
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic synthetic media column derived from the id —
+    stands in for ``spark.read.format('binaryFile')`` / a bytes column from
+    upstream storage. Real plumbing, fake payload."""
+    payload = F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
+    fmt = F.when(F.col(id_col) % 3 == 0, "png").when(F.col(id_col) % 3 == 1, "jpeg").otherwise("mp4")
+    meta = F.struct(
+        fmt.alias("format"),
+        (F.col(id_col) % 640 + 32).cast("int").alias("width"),
+        (F.col(id_col) % 480 + 32).cast("int").alias("height"),
+        F.when(fmt == "mp4", (F.col(id_col) % 120 + 1).cast("int"))
+        .otherwise(F.lit(1).cast("int"))
+        .alias("n_frames"),
+        F.length(payload).cast("long").alias("size_bytes"),
+    )
+    return df.withColumn("media_bytes", payload).withColumn("media_meta", meta)
+
+
+def _decode_stub(data: bytes) -> dict:
+    """Deterministic fake decode: pseudo pixel stats from a content hash.
+    Replace with PIL/libav when available."""
+    h = hashlib.sha256(data).digest()
+    return {
+        "mean_luma": h[0] / 255.0,
+        "edge_density": h[1] / 255.0,
+        "content_hash": h.hex()[:16],
+    }
+
+
+def _decode_real(data: bytes) -> dict:  # pragma: no cover - env lacks libs
+    raise NotImplementedError(
+        "real image decode requires PIL/opencv, not present in this environment; "
+        "swap _decode_stub for a PIL-backed implementation"
+    )
+
+
+DECODE_RESULT_SCHEMA = (
+    "doc_id long, format string, mean_luma double, edge_density double, content_hash string"
+)
+
+
+def decode_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode media → per-item stats via mapInPandas (Arrow batches).
+
+    Filter pushes down BEFORE decode: only image rows reach Python.
+    """
+    images = df.filter(F.col("media_meta.format").isin("png", "jpeg")).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_bytes"),
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_real if HAVE_REAL_DECODER else _decode_stub
+        for pdf in batches:
+            stats = [decode(bytes(b)) for b in pdf["media_bytes"]]
+            out = pd.DataFrame(stats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "format", pdf["format"].values)
+            yield out
+
+    return images.mapInPandas(decode_batches, schema=DECODE_RESULT_SCHEMA)
+
+
+FRAME_RESULT_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame.
+
+    The frame *extraction* is stubbed (hash of payload+index); the shape —
+    filter to videos, explode sampled indices JVM-side, derive per-frame
+    features in a pandas stage — is the real pipeline.
+    """
+    videos = df.filter(F.col("media_meta.format") == "mp4").select(
+        F.col(id_col).alias("doc_id"),
+        F.col("media_bytes"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+    )
+    sampled = videos.select(
+        "doc_id",
+        "media_bytes",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias(
+            "frame_idx"
+        ),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                hashlib.sha256(bytes(b) + int(i).to_bytes(4, "big")).hexdigest()[:16]
+                for b, i in zip(pdf["media_bytes"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "frame_idx": pdf["frame_idx"], "frame_hash": hashes}
+            )
+
+    return sampled.mapInPandas(extract, schema=FRAME_RESULT_SCHEMA)

@@ -1,0 +1,54 @@
+"""Dedup-family queries with exact DuckDB oracles.
+
+Every signature/pair set here is deterministic (md5 hash families), so the
+oracles reproduce them bit-for-bit — the strongest possible check for
+approximate-dedup code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.dedup.embedding import embedding_near_pairs, embedding_oracle_sql
+from linqonsteroids_spark.dedup.minhash import lsh_candidate_pairs, minhash_oracle_sql
+from linqonsteroids_spark.dedup.ngram import jaccard_pairs, jaccard_oracle_sql
+from linqonsteroids_spark.dedup.simhash import simhash_oracle_sql, simhash_signatures
+
+JACCARD_THRESHOLD = 0.2
+EMBED_THRESHOLD = 0.25
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs)
+
+
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, threshold=EMBED_THRESHOLD)
+
+
+QUERIES = {
+    "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
+    "dedup_simhash_signatures": (dedup_simhash_signatures, simhash_oracle_sql()),
+    "dedup_ngram_jaccard": (
+        dedup_ngram_jaccard,
+        jaccard_oracle_sql(threshold=JACCARD_THRESHOLD),
+    ),
+    "dedup_embedding_pairs": (
+        dedup_embedding_pairs,
+        embedding_oracle_sql(threshold=EMBED_THRESHOLD),
+    ),
+}

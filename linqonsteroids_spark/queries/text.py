@@ -115,8 +115,68 @@ FROM documents
 """
 
 
+# --- language ID (marker-word heuristic) ----------------------------------
+# Deterministic, model-free n-gram/marker heuristic (north-star text op):
+# count marker-token hits per language; predict the argmax (ties broken by
+# fixed language order, no hits → 'und'). The documents table carries a
+# ground-truth lang column for accuracy eval.
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.functions.text import LANG_MARKERS, marker_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        *[marker_hits(F.col("text"), LANG_MARKERS[lg]).alias(f"c_{lg}") for lg in _LANGS],
+    )
+    mx = F.greatest(*[F.col(f"c_{lg}") for lg in _LANGS])
+    pred = F.when(mx <= 0, F.lit("und"))
+    for lg in _LANGS:
+        pred = pred.when(F.col(f"c_{lg}") == mx, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        "actual",
+        pred.alias("predicted"),
+        (pred == F.col("actual")).alias("correct"),
+    )
+
+
+def _lang_id_sql() -> str:
+    from linqonsteroids_spark.functions.text import LANG_MARKERS
+
+    counts = ",\n       ".join(
+        "len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        " t -> t <> ''), t -> list_contains({}, t))) AS c_{}".format(
+            "[" + ",".join(f"'{m}'" for m in LANG_MARKERS[lg]) + "]", lg
+        )
+        for lg in _LANGS
+    )
+    mx = f"greatest({', '.join('c_' + lg for lg in _LANGS)})"
+    pred = "CASE WHEN {mx} <= 0 THEN 'und' {whens} END".format(
+        mx=mx,
+        whens=" ".join(f"WHEN c_{lg} = {mx} THEN '{lg}'" for lg in _LANGS),
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual,
+       {counts}
+  FROM documents
+)
+SELECT doc_id, actual, {pred} AS predicted,
+       ({pred}) = actual AS correct
+FROM scored
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),

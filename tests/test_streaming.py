@@ -1,0 +1,108 @@
+"""Structured Streaming tests: incremental results must equal batch results.
+
+The reference's own correctness idea for IVM (delta query ≡ recompute,
+``PrototypeTest.scala:13-33``) — here: a streaming query over a growing
+parquet directory, checked against the batch computation on the same data
+after each increment.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+from linqonsteroids_spark.streaming import StreamingIndex, streaming_index_by, windowed_aggregate
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", LongType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "src"),
+        "mv": str(tmp_path / "mv"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+import datetime as _dt
+
+
+def _ts(minute):
+    return _dt.datetime(2024, 1, 1, 10, minute, 0)
+
+
+BATCH1 = [(1, "click", _ts(0), 5), (1, "view", _ts(1), 3), (2, "click", _ts(2), 7)]
+BATCH2 = [(1, "click", _ts(3), 2), (3, "view", _ts(40), 9)]
+
+
+def test_streaming_index_matches_batch_recompute(spark, dirs):
+    _write_batch(spark, dirs["src"], BATCH1)
+    idx = StreamingIndex(
+        spark,
+        dirs["src"],
+        SCHEMA,
+        transform=lambda s: streaming_index_by(
+            s, "user_id", {"n": F.count("*"), "total": F.sum("value")}
+        ),
+        mv_path=dirs["mv"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    idx.refresh_available()
+    got = {(r.user_id, r.n, r.total) for r in idx.read().collect()}
+    assert got == {(1, 2, 8), (2, 1, 7)}
+
+    # increment: only the new file is processed (checkpoint), MV must equal
+    # a full batch recompute — the Δ(indexBy) ≡ recompute contract
+    _write_batch(spark, dirs["src"], BATCH2)
+    idx.refresh_available()
+    got = {(r.user_id, r.n, r.total) for r in idx.read().collect()}
+    want = {
+        (r.user_id, r.n, r.total)
+        for r in spark.read.parquet(dirs["src"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want == {(1, 3, 10), (2, 1, 7), (3, 1, 9)}
+
+
+def test_windowed_aggregate_tumbling(spark, dirs):
+    _write_batch(spark, dirs["src"], BATCH1 + BATCH2)
+    stream = spark.readStream.schema(SCHEMA).parquet(dirs["src"])
+    agg = windowed_aggregate(
+        stream,
+        "ts",
+        "5 minutes",
+        {"n": F.count("*"), "total": F.sum("value")},
+        watermark="1 minute",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.window_start.minute, r.n, r.total)
+        for r in spark.sql("SELECT * FROM win_sink").collect()
+    }
+    # 10:00-10:05 → 4 events (17); 10:40-10:45 → 1 event (9)
+    assert rows == {(0, 4, 17), (40, 1, 9)}
