@@ -1,0 +1,115 @@
+"""As-of (temporal) join and range join — operators Spark lacks as built-ins.
+
+Not in the reference either (SURVEY §2.3 "not present"), but table stakes
+for an analytics engine; both composed from existing DataFrame ops.
+
+As-of join via the union+window trick: tag left/right rows, union them,
+and per key take the last-seen right value before each left row with
+``last(..., ignorenulls=True)`` over an ordered window. ONE shuffle on
+(key, time) — versus the naive per-row subquery join which is quadratic.
+This is the standard scalable formulation; it also dodges the skewed-key
+blowup of a band-joined backward search.
+
+Range join: inequality-band join expressed so AQE can pick shuffled
+strategies; for dense ranges pre-bucket both sides on coarse bins so the
+θ-join becomes bin-equi + residual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    strict: bool = True,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: the latest right row with the same key and
+    ``right_time < left_time`` (``<=`` when strict=False). Right values
+    arrive as ``asof_<col>`` (null if no prior right row).
+    ``right_tiebreak`` names a right column breaking equal-timestamp ties
+    deterministically (max wins).
+    """
+    lcols = left.columns
+    tb_type = dict(right.dtypes).get(right_tiebreak, "long")
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(tb_type).alias("_tb"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in value_cols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(tagged_l.schema["_l"].dataType.simpleString()).alias("_l"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast(tb_type).alias("_tb"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    # right rows sort before left rows at equal timestamps iff non-strict;
+    # among equal-time right rows the max tiebreak lands nearest (last wins)
+    order = [
+        F.col("_t"),
+        F.col("_side").asc() if not strict else F.col("_side").desc(),
+        F.col("_tb").asc_nulls_first(),
+    ]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = unioned.select(
+        "_side",
+        "_l",
+        *[
+            F.last(F.col(f"_rv_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """Rows where ``right_lo <= left_point < right_hi``.
+
+    With ``bin_width``: both sides bucket to coarse bins (interval sides
+    explode over covered bins) → bin-equi join + residual predicate; the
+    cross-product is bounded per bin instead of global.
+    """
+    if bin_width is None:
+        cond = (left[left_point] >= right[right_lo]) & (left[left_point] < right[right_hi])
+        return left.join(right, cond)
+    lb = left.withColumn("_bin", (F.col(left_point) / bin_width).cast("long"))
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / bin_width).cast("long"),
+                ((F.col(right_hi) - 1) / bin_width).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, "_bin").filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    )
+    return joined.drop("_bin")

@@ -17,9 +17,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from linqonsteroids_spark.queries import core, windows, graph, text, vector, dedup
+from linqonsteroids_spark.queries import core, windows, graph, text, vector, dedup, typed
 
-_MODULES = [core, windows, graph, text, vector, dedup]
+_MODULES = [core, windows, graph, text, vector, dedup, typed]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:

@@ -1,0 +1,183 @@
+"""Type-dispatch, JSON, date/time, cube, and as-of join queries.
+
+Covers the reference's runtime type tests (SURVEY §2.9 type tests; §2.10
+TypeMapping) on the events table (event_type = the tag column), plus the
+"free parity surface" the reference lacks: JSON extraction, date
+functions, CUBE grouping sets, and the as-of temporal join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.operators.asof import asof_join
+from linqonsteroids_spark.operators.typefilter import type_case, type_filter
+
+
+# --- typeFilter over the tag column ---------------------------------------
+def typefilter_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = type_filter(events, "click", tag_col="event_type")
+    return clicks.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+TYPEFILTER_SQL = """
+SELECT event_id, user_id, round(value, 4) AS value
+FROM events WHERE event_type = 'click'
+"""
+
+
+# --- typeCase: per-tag projection, unmatched rows dropped -----------------
+def typecase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = type_case(
+        events,
+        [
+            ("click", lambda df: F.round(df["value"] * 2, 4)),
+            ("purchase", lambda df: F.round(df["value"] + 100, 4)),
+        ],
+        tag_col="event_type",
+        out_col="projected",
+    )
+    return out.select("event_id", F.col("event_type").alias("tag"), "projected")
+
+
+TYPECASE_SQL = """
+SELECT event_id, event_type AS tag,
+       CASE WHEN event_type = 'click' THEN round(value * 2, 4)
+            WHEN event_type = 'purchase' THEN round(value + 100, 4) END AS projected
+FROM events WHERE event_type IN ('click', 'purchase')
+"""
+
+
+# --- JSON scalar functions (SURVEY §2.9: "none" in reference) -------------
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --- date/timestamp functions (reference has NO temporal types, §1.3) -----
+def orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+    return (
+        orders.groupBy(month.alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def events_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 200).select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+EVENTS_TIME_SQL = """
+SELECT event_id,
+       year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events WHERE event_id < 200
+"""
+
+
+# --- CUBE (grouping sets family; rollup already covered) ------------------
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# --- as-of join (operators/asof.py) ---------------------------------------
+# For each purchase event: the user's most recent strictly-earlier click
+# (ties on ts broken by max event_id). One shuffle on (user, ts).
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        strict=True,
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 4).alias("last_click_value")
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, last_click_value FROM (
+  SELECT p.event_id, p.user_id,
+         round(c.value, 4) AS last_click_value,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY (c.ts IS NOT NULL) DESC, c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts < p.ts
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "typefilter_clicks": (typefilter_clicks, TYPEFILTER_SQL),
+    "typecase_events": (typecase_events, TYPECASE_SQL),
+    "events_json_stats": (events_json_stats, EVENTS_JSON_SQL),
+    "orders_monthly_revenue": (orders_monthly_revenue, ORDERS_MONTHLY_SQL),
+    "events_time_features": (events_time_features, EVENTS_TIME_SQL),
+    "cube_priority_status": (cube_priority_status, CUBE_SQL),
+    "asof_purchase_click": (asof_purchase_click, ASOF_SQL),
+}

@@ -1,0 +1,88 @@
+"""Unit tests for custom operators: type dispatch, as-of join, range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.operators.asof import asof_join, range_join
+from linqonsteroids_spark.operators.typefilter import if_instance_of, type_mapping
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    return spark.createDataFrame(
+        [(1, "Int", 5), (2, "Double", 7), (3, "String", 9), (4, "Int", 11)],
+        "id long, tag string, v long",
+    )
+
+
+def test_type_mapping_subtype_closure(tagged):
+    # Number <- {Int, Double}; scalars: Int, Double, String
+    mapping = type_mapping(tagged, {"Number": ["Int", "Double"]})
+    assert {r.id for r in mapping["Number"].collect()} == {1, 2, 4}
+    assert {r.id for r in mapping["Int"].collect()} == {1, 4}
+    assert {r.id for r in mapping["Double"].collect()} == {2}
+
+
+def test_if_instance_of_option_semantics(tagged):
+    out = {r.id: r.value for r in if_instance_of(
+        tagged, "Int", lambda df: df["v"] * 10
+    ).collect()}
+    assert out == {1: 50, 2: None, 3: None, 4: 110}
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 12, m)
+
+
+def test_asof_join_strict_vs_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _t(10)), (2, "u", _t(20)), (3, "v", _t(5))],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _t(10), 100), ("u", _t(15), 150), ("w", _t(1), 999)],
+        "k string, t timestamp, px long",
+    )
+    strict = {r.id: r.asof_px for r in asof_join(
+        left, right, on="k", left_time="t", right_time="t", value_cols=["px"]
+    ).collect()}
+    # id=1: right@10 NOT visible (strict); id=2 sees 15→150; id=3: no rights
+    assert strict == {1: None, 2: 150, 3: None}
+
+    inclusive = {r.id: r.asof_px for r in asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["px"], strict=False,
+    ).collect()}
+    assert inclusive == {1: 100, 2: 150, 3: None}
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, "u", _t(10))], "id long, k string, t timestamp")
+    right = spark.createDataFrame(
+        [("u", _t(5), 7, 70), ("u", _t(5), 9, 90)],
+        "k string, t timestamp, rid long, px long",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["px"], right_tiebreak="rid",
+    ).collect()
+    assert out[0].asof_px == 90  # max rid wins the equal-timestamp tie
+
+
+def test_range_join_binned_equals_naive(spark):
+    points = spark.createDataFrame([(i,) for i in range(0, 100, 7)], "p long")
+    ranges = spark.createDataFrame(
+        [(0, 10, "a"), (5, 40, "b"), (90, 200, "c")], "lo long, hi long, name string"
+    )
+    naive = {(r.p, r.name) for r in range_join(points, ranges, "p", "lo", "hi").collect()}
+    binned = {
+        (r.p, r.name)
+        for r in range_join(points, ranges, "p", "lo", "hi", bin_width=16).collect()
+    }
+    assert naive == binned
+    assert (7, "a") in naive and (7, "b") in naive and (91, "c") in naive
+    assert (10, "a") not in naive  # hi is exclusive
