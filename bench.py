@@ -17,15 +17,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-#: headline queries — a representative slice across operator families.
+#: headline queries — a representative slice across operator families:
+#: joins/aggs, top-k, windows, as-of, nested arrays, text, dedup ladder,
+#: vector search, iterative graph.
 HEADLINE = [
     "flagship_order_records",
     "pricing_summary",
     "shipping_priority",
     "customer_order_counts",
     "top_orders_per_priority",
+    "events_running_stats",
+    "asof_purchase_click",
+    "nested_array_stats",
     "token_frequencies",
     "dedup_exact",
+    "dedup_minhash_pairs",
     "knn_bruteforce",
     "nation_transitive_closure",
 ]

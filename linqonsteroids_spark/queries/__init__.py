@@ -17,9 +17,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from linqonsteroids_spark.queries import core, windows, graph, text, vector, dedup, typed
+from linqonsteroids_spark.queries import (
+    core,
+    dedup,
+    graph,
+    misc,
+    nested,
+    text,
+    typed,
+    vector,
+    windows,
+)
 
-_MODULES = [core, windows, graph, text, vector, dedup, typed]
+_MODULES = [core, windows, graph, text, vector, dedup, typed, nested, misc]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:

