@@ -1,0 +1,60 @@
+"""Skew mitigation: salted join and salted two-stage aggregation.
+
+AQE's skew-join handling (on by default in session.py) covers sort-merge
+skew at runtime; salting is the declarative fallback for the cases AQE
+can't fix — extreme hot keys in shuffled hash joins and skewed groupBys.
+
+Salted join: replicate the small side R times, scatter the big side's hot
+keys across R salt buckets → hot-key work spreads over R tasks.
+Salted aggregation: pre-aggregate on (key, salt), then finish on key —
+two small shuffles instead of one skewed one. Only monoid aggregates
+(sum/count/min/max) distribute this way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated
+    ``n_salts``×. Correct for inner/left joins keyed on the big side."""
+    big_salted = big.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    small_rep = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = big_salted.join(
+        small_rep,
+        (big_salted[big_key] == small_rep[small_key]) & (big_salted["_salt"] == small_rep["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys.
+
+    ``aggs``: out_name → (final_op, partial Column), where final_op ∈
+    {'sum','min','max'} recombines the partials (count recombines as sum).
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(key, "_salt").agg(
+        *[v.alias(f"_p_{n}") for n, (_, v) in aggs.items()]
+    )
+    final_ops = {"sum": F.sum, "min": F.min, "max": F.max}
+    return partial.groupBy(key).agg(
+        *[final_ops[op](F.col(f"_p_{n}")).alias(n) for n, (op, _) in aggs.items()]
+    )

@@ -1,0 +1,81 @@
+"""IVF (inverted-file) approximate nearest neighbor — the clustered scale path.
+
+Standard IVF: k-means the corpus into ``n_lists`` cells; at query time
+probe only the ``n_probe`` nearest cells. Candidate work drops from
+|corpus| to ~|corpus| × n_probe / n_lists per query, at a recall cost
+that shrinks as n_probe grows; n_probe = n_lists degenerates to exact
+brute force (the invariant our tests pin).
+
+Spark-first: training is distributed (pyspark.ml KMeans over the corpus),
+cell assignment is a model transform, and the probe phase is an equi-join
+on cell id — shuffle partitions by cell, never an all-pairs cross join.
+Centroids (n_lists × dim floats) are the only driver-side state and are
+shipped as plan literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.similarity.knn import cosine_similarity, dot
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF cell probing.
+
+    Returns (query_id, rnk, neighbor_id, cos_sim).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)
+    ).withColumn("_v", array_to_vector(F.col(corpus_vec).cast("array<double>")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell").fit(
+        corpus_v
+    )
+    assigned = model.transform(corpus_v).drop("_v")
+
+    # per-query distance to every centroid, JVM-side; keep n_probe nearest.
+    # centroids are a tiny literal array — no shuffle, no UDF.
+    centers = [
+        F.struct(
+            F.lit(i).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+        )
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    q = queries.select(query_id, query_vec).withColumn("_c", F.explode(F.array(*centers)))
+    # squared L2 to centroid: |q|² is constant per query → rank by -2q·c + |c|²
+    score = -2 * dot(F.col(query_vec), F.col("_c.cvec")) + dot(
+        F.col("_c.cvec"), F.col("_c.cvec")
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.asc("score"), F.asc("cell"))
+    probes = (
+        q.select(query_id, query_vec, F.col("_c.cell").alias("cell"), score.alias("score"))
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select(query_id, query_vec, "cell")
+    )
+
+    sim = cosine_similarity(F.col(query_vec), F.col(corpus_vec))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        probes.join(assigned.withColumnRenamed("_cell", "cell"), "cell")
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, "rnk", "neighbor_id", F.col("sim").alias("cos_sim"))
+    )

@@ -1,0 +1,103 @@
+"""Sources/sinks and skew-mitigation tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.operators.skew import salted_aggregate, salted_join
+from linqonsteroids_spark.sources import register_views, write_bucketed_table, write_parquet
+from tests.conftest import SF_SMOKE
+
+
+def test_sql_surface_via_views(spark):
+    register_views(spark, SF_SMOKE)
+    out = spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    want = (
+        load_table(spark, SF_SMOKE, "supplier")
+        .join(
+            load_table(spark, SF_SMOKE, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .count()
+    )
+    assert {(r[0], r[1]) for r in out.collect()} == {
+        (r["n_name"], r["count"]) for r in want.collect()
+    }
+
+
+def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    write_parquet(orders, path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: the filter becomes a PartitionFilter on the scan
+    one = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1-URGENT" in plan.split("PartitionFilters")[1][:200]
+    assert one.count() == load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+
+
+def test_bucketed_table_join_has_no_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed_table(orders, "b_orders", ["o_custkey"], n_buckets=8)
+    write_bucketed_table(customer, "b_customer", ["c_custkey"], n_buckets=8)
+    a = spark.table("b_orders")
+    b = spark.table("b_customer")
+    joined = a.join(b, a.o_custkey == b.c_custkey)
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-bucketed tables: SortMergeJoin with NO Exchange on either side
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    salted = salted_join(orders, customer, "o_custkey", "c_custkey", n_salts=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_aggregate_equals_plain(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    plain = {
+        (r[0], r[1], round(r[2], 2))
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r[0], r[1], round(r[2], 2))
+        for r in salted_aggregate(
+            orders,
+            "o_orderpriority",
+            {
+                "n": ("sum", F.count("*")),
+                "total": ("sum", F.sum("o_totalprice")),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == plain
