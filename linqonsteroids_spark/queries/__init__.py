@@ -23,13 +23,14 @@ from linqonsteroids_spark.queries import (
     graph,
     misc,
     nested,
+    scale,
     text,
     typed,
     vector,
     windows,
 )
 
-_MODULES = [core, windows, graph, text, vector, dedup, typed, nested, misc]
+_MODULES = [core, windows, graph, text, vector, dedup, typed, nested, misc, scale]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:
