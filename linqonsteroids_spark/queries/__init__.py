@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from linqonsteroids_spark.queries import (
     core,
     dedup,
+    engine,
     graph,
     misc,
     nested,
@@ -30,7 +31,7 @@ from linqonsteroids_spark.queries import (
     windows,
 )
 
-_MODULES = [core, windows, graph, text, vector, dedup, typed, nested, misc, scale]
+_MODULES = [core, windows, graph, text, vector, dedup, typed, nested, misc, scale, engine]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:

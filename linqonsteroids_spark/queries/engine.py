@@ -1,0 +1,171 @@
+"""Engine-capability queries under the differential gate: the index/MV
+rewrite (the reference's flagship SubquerySharing feature), the named
+pandas-UDAF surface (fmap/foldLeft contract), and the multimodal
+mapInPandas pipeline.
+
+Each is oracle-backed: the MV rewrite is semantics-preserving by
+construction (oracle = the unrewritten filter); the fake-media decode stub
+is a deterministic hash, so even the Arrow-batched Python stage is
+bit-reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.api import lift
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.functions.udf import fmap, register, registered
+from linqonsteroids_spark.multimodal.media import (
+    attach_fake_media,
+    decode_image_stats,
+    sample_video_frames,
+)
+from linqonsteroids_spark.plans.registry import IndexRepository
+
+
+# --- index/MV rewrite (SURVEY §2.10; SubquerySharing.scala:20-455) --------
+# addIndex materializes customer keyed by segment (hash-layout parquet);
+# optimize() rewrites filter(segment == k && rest) into an MV scan with the
+# key filter pushed to parquet + the residual rebuilt. The query RAISES if
+# the rewrite did not fire — the gate then verifies the rewritten plan
+# against the plain-filter oracle (the reference's indexingTest discipline,
+# SubquerySharingTests.scala:43-62).
+def indexed_segment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    storage = tempfile.mkdtemp(prefix="squopt_idx_")
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_index(
+        "customer_by_segment",
+        lift(customer, table="customer").index_by(lambda c: c.c_mktsegment),
+    )
+    q = lift(customer, table="customer").filter(
+        lambda c: (c.c_mktsegment == "BUILDING") & (c.c_acctbal > 1000.0)
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("customer_by_segment" in f for f in files):
+        raise RuntimeError("index rewrite did not fire — scanning base table")
+    return opt.df.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+INDEXED_LOOKUP_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+"""
+
+
+# --- pandas UDAF (fmap contract + foldLeft, SURVEY §2.11) -----------------
+# An arbitrary fold the built-in aggregates don't provide as one function:
+# quantity-weighted mean price. Registered under a stable name (fmap
+# identity contract, Call.scala:18-35); Arrow-vectorized grouped-agg — one
+# shuffle on the group key, pandas sees each group as Series batches.
+if not registered("wavg_price"):
+
+    @register("wavg_price", returns="double")
+    def _wavg_price(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+
+# Spark disallows mixing grouped-agg pandas UDFs with built-in aggregates
+# in one agg() — the row count rides along as a second pandas UDAF.
+if not registered("n_rows"):
+
+    @register("n_rows", returns="long")
+    def _n_rows(v: pd.Series) -> int:
+        return len(v)
+
+
+def udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        fmap("wavg_price")(F.col("l_extendedprice"), F.col("l_quantity")).alias("_w"),
+        fmap("n_rows")(F.col("l_orderkey")).alias("n_rows"),
+    )
+    return out.select(
+        "l_returnflag", F.round("_w", 4).alias("wavg_price"), "n_rows"
+    )
+
+
+UDAF_WAVG_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- multimodal decode via mapInPandas (north-star spec) ------------------
+# Payload = sha2(doc_id) hex cast to binary (64 ASCII bytes); the decode
+# stub's "pixel stats" are bytes of sha256(payload) — so the whole Arrow-
+# batched Python stage is reproducible in SQL via nested sha256. Only
+# image-format rows (doc_id % 3 in 0,1) reach Python: the format filter
+# pushes down before the decode stage.
+_HEX = "0123456789abcdef"
+
+
+def _hex_byte_sql(h: str, pos: int) -> str:
+    """SQL for byte value at 1-based hex position ``pos`` of expression h."""
+    return (
+        f"((instr('{_HEX}', substr({h}, {pos}, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substr({h}, {pos + 1}, 1)) - 1)"
+    )
+
+
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs)
+    stats = decode_image_stats(media)
+    return stats.select(
+        "doc_id",
+        "format",
+        "content_hash",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("edge_density", 6).alias("edge_density"),
+    )
+
+
+MULTIMODAL_STATS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       substr(h, 1, 16) AS content_hash,
+       round({_hex_byte_sql('h', 1)} / 255.0, 6) AS mean_luma,
+       round({_hex_byte_sql('h', 3)} / 255.0, 6) AS edge_density
+FROM (
+  SELECT doc_id, sha256(sha256(CAST(doc_id AS VARCHAR))) AS h
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+)
+"""
+
+
+# --- multimodal frame sampling (explode JVM-side, features in pandas) -----
+# Videos (doc_id % 3 = 2) carry n_frames = doc_id % 120 + 1; sampling every
+# 30th frame yields (n_frames - 1) // 30 + 1 rows — the closed form the
+# oracle checks. The explode happens JVM-side; only sampled frames reach
+# the pandas feature stage.
+def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs)
+    frames = sample_video_frames(media, every_n=30)
+    return frames.groupBy("doc_id").agg(F.count("*").alias("n_sampled"))
+
+
+FRAME_COUNTS_SQL = """
+SELECT doc_id, CAST((doc_id % 120) // 30 + 1 AS BIGINT) AS n_sampled
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+QUERIES = {
+    "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
+    "udaf_weighted_price": (udaf_weighted_price, UDAF_WAVG_SQL),
+    "multimodal_image_stats": (multimodal_image_stats, MULTIMODAL_STATS_SQL),
+    "multimodal_frame_counts": (multimodal_frame_counts, FRAME_COUNTS_SQL),
+}
