@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linqonsteroids_spark.similarity.knn import cosine_similarity
+from linqonsteroids_spark.similarity.knn import cosine_from_norms, l2_norm
 
 
 def embedding_near_pairs(
@@ -23,17 +23,22 @@ def embedding_near_pairs(
     block_col: str = "label",
 ) -> DataFrame:
     """(id_a < id_b, cos_sim) within-block pairs above threshold."""
+    # norms precomputed per row (O(n)), not per pair (O(pairs)); the sqrt-
+    # per-side-then-multiply float ops are identical, so round-6 oracle
+    # parity is unaffected.
     a = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("_na"),
     )
     b = emb.select(
         F.col(block_col).alias("blk_b"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
     )
-    sim = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    sim = cosine_from_norms(F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb"))
     return (
         a.join(b, (a.blk == b.blk_b) & (a.id_a < b.id_b))
         .withColumn("sim", sim)

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linqonsteroids_spark.catalog import load_table
-from linqonsteroids_spark.similarity.knn import cosine_similarity
+from linqonsteroids_spark.similarity.knn import cosine_from_norms, l2_norm
 
 
 # --- brute-force cosine top-k ---------------------------------------------
@@ -23,12 +23,16 @@ from linqonsteroids_spark.similarity.knn import cosine_similarity
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = F.broadcast(
-        emb.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .withColumn("_qn", l2_norm(F.col("query_vec")))
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")
-    sim = cosine_similarity(F.col("query_vec"), F.col("embedding"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "label"
+    ).withColumn("_cn", l2_norm(F.col("embedding")))
+    sim = cosine_from_norms(
+        F.col("query_vec"), F.col("embedding"), F.col("_qn"), F.col("_cn")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         queries.crossJoin(corpus)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from linqonsteroids_spark.similarity.knn import cosine_similarity, dot
+from linqonsteroids_spark.similarity.knn import cosine_from_norms, dot, l2_norm
 
 
 def ivf_topk(
@@ -40,9 +40,11 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus_v = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)
-    ).withColumn("_v", array_to_vector(F.col(corpus_vec).cast("array<double>")))
+    corpus_v = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        .withColumn("_v", array_to_vector(F.col(corpus_vec).cast("array<double>")))
+        .withColumn("_cn", l2_norm(F.col(corpus_vec)))
+    )
     model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell").fit(
         corpus_v
     )
@@ -57,20 +59,28 @@ def ivf_topk(
         )
         for i, c in enumerate(model.clusterCenters())
     ]
-    q = queries.select(query_id, query_vec).withColumn("_c", F.explode(F.array(*centers)))
+    q = (
+        queries.select(query_id, query_vec)
+        .withColumn("_qn", l2_norm(F.col(query_vec)))
+        .withColumn("_c", F.explode(F.array(*centers)))
+    )
     # squared L2 to centroid: |q|² is constant per query → rank by -2q·c + |c|²
     score = -2 * dot(F.col(query_vec), F.col("_c.cvec")) + dot(
         F.col("_c.cvec"), F.col("_c.cvec")
     )
     wq = Window.partitionBy(query_id).orderBy(F.asc("score"), F.asc("cell"))
     probes = (
-        q.select(query_id, query_vec, F.col("_c.cell").alias("cell"), score.alias("score"))
+        q.select(
+            query_id, query_vec, "_qn", F.col("_c.cell").alias("cell"), score.alias("score")
+        )
         .withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
-        .select(query_id, query_vec, "cell")
+        .select(query_id, query_vec, "_qn", "cell")
     )
 
-    sim = cosine_similarity(F.col(query_vec), F.col(corpus_vec))
+    sim = cosine_from_norms(
+        F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         probes.join(assigned.withColumnRenamed("_cell", "cell"), "cell")

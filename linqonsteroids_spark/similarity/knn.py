@@ -33,6 +33,13 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_from_norms(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """Cosine with norms precomputed per side BEFORE the pairing join —
+    O(|A|+|B|) norm work instead of O(|A|x|B|); only the dot product runs
+    per pair."""
+    return dot(a, b) / (a_norm * b_norm)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -47,9 +54,15 @@ def brute_force_topk(
     The query side is broadcast (callers keep it small); the corpus
     streams through. Result: (query_id, rnk, neighbor_id, cos_sim).
     """
-    q = F.broadcast(queries.select(query_id, query_vec))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
-    sim = cosine_similarity(F.col(query_vec), F.col(corpus_vec))
+    q = F.broadcast(
+        queries.select(query_id, query_vec).withColumn("_qn", l2_norm(F.col(query_vec)))
+    )
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)).withColumn(
+        "_cn", l2_norm(F.col(corpus_vec))
+    )
+    sim = cosine_from_norms(
+        F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         q.crossJoin(c)
@@ -99,13 +112,19 @@ def lsh_topk(
     is tunable via n_planes (fewer planes → bigger buckets → higher recall).
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    q = queries.select(query_id, query_vec).withColumn(
-        "bucket", lsh_bucket(F.col(query_vec), planes)
+    q = (
+        queries.select(query_id, query_vec)
+        .withColumn("bucket", lsh_bucket(F.col(query_vec), planes))
+        .withColumn("_qn", l2_norm(F.col(query_vec)))
     )
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)).withColumn(
-        "bucket", lsh_bucket(F.col(corpus_vec), planes)
+    c = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        .withColumn("bucket", lsh_bucket(F.col(corpus_vec), planes))
+        .withColumn("_cn", l2_norm(F.col(corpus_vec)))
     )
-    sim = cosine_similarity(F.col(query_vec), F.col(corpus_vec))
+    sim = cosine_from_norms(
+        F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         q.join(c, "bucket")
