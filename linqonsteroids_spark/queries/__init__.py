@@ -24,6 +24,7 @@ from linqonsteroids_spark.queries import (
     graph,
     misc,
     nested,
+    parity,
     scale,
     text,
     typed,
@@ -31,7 +32,10 @@ from linqonsteroids_spark.queries import (
     windows,
 )
 
-_MODULES = [core, windows, graph, text, vector, dedup, typed, nested, misc, scale, engine]
+_MODULES = [
+    core, windows, graph, text, vector, dedup, typed, nested, misc,
+    scale, engine, parity,
+]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:

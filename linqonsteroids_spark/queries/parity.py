@@ -1,0 +1,135 @@
+"""Closing SURVEY §2 parity corners: full-outer join, order-sensitive
+array folds, and the partial-function ``collect`` desugaring.
+
+- Full outer join: not in the reference (§2.3 "not present" — one ``how=``
+  away in Spark); exposed as first-class surface.
+- foldLeft (Fold.scala:6-13): the order-sensitive case needs an explicit
+  sort key (Spark is unordered) — the array is assembled in declared order
+  and folded with ``F.aggregate``, the distributed analogue the reference
+  runs sequentially.
+- collect (traversableOps.scala:176-181): partial function = Option-valued
+  map + IsDefinedAt filter; lowered to a null-returning CASE + IS NOT NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+
+
+# --- full outer join with Option semantics on both sides ------------------
+# Per-nation customer counts ⟗ supplier counts; the key-range filters
+# guarantee left-only, overlap, and right-only rows all occur. Aggregate
+# BEFORE joining: the join inputs are |nations|-sized whatever the SF.
+def nation_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = (
+        customer.filter(F.col("c_nationkey") < 15)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        supplier.filter(F.col("s_nationkey") >= 10)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    joined = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        (F.col("n_cust").isNotNull() & F.col("n_supp").isNotNull()).alias("both_sides"),
+    )
+
+
+FULL_OUTER_SQL = """
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp,
+       (n_cust IS NOT NULL AND n_supp IS NOT NULL) AS both_sides
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+      WHERE c_nationkey < 15 GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+      WHERE s_nationkey >= 10 GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
+# --- order-sensitive foldLeft over a declared order -----------------------
+# Polynomial hash of each order's quantities in (line-number, quantity)
+# order: the result changes if the fold order changes, so it pins Spark's
+# array_sort(collect_list(struct)) + F.aggregate against DuckDB's
+# list(x ORDER BY k) + list_reduce. The sort key is the FULL struct —
+# l_linenumber alone is not unique within an order in this dataset, and an
+# order-sensitive fold over a tie-broken-differently list diverges.
+# Bounded: ≤7 items x qty ≤ 50 → < 2^63.
+def order_qty_foldhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity"))),
+        lambda s: s.l_quantity.cast("long"),
+    )
+    per_order = (
+        li.filter(F.col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(arr.alias("qtys"))
+    )
+    fold = F.aggregate(
+        "qtys", F.lit(0).cast("long"), lambda acc, x: acc * F.lit(31) + x
+    )
+    return per_order.select(
+        "l_orderkey", F.size("qtys").alias("n_items"), fold.alias("qty_hash")
+    )
+
+
+FOLDHASH_SQL = """
+SELECT l_orderkey,
+       len(qtys) AS n_items,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), qtys),
+                   (acc, x) -> acc * 31 + x) AS qty_hash
+FROM (
+  SELECT l_orderkey,
+         list(CAST(l_quantity AS BIGINT)
+              ORDER BY l_linenumber, l_quantity) AS qtys
+  FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey
+)
+"""
+
+
+# --- collect: partial function as null-returning map + IsDefinedAt --------
+# Defined only on URGENT/HIGH orders (priority → numeric score scaled by
+# price); undefined elsewhere → null → filtered, the IsDefinedAt + App
+# desugaring of PartialFuncExp.
+def collect_urgency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    score = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 2).when(
+        F.col("o_orderpriority") == "2-HIGH", F.col("o_totalprice")
+    )  # no otherwise → null where undefined
+    return (
+        orders.select("o_orderkey", F.round(score, 2).alias("urgency_score"))
+        .where(F.col("urgency_score").isNotNull())
+    )
+
+
+COLLECT_SQL = """
+SELECT o_orderkey, urgency_score
+FROM (
+  SELECT o_orderkey,
+         round(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+                    WHEN o_orderpriority = '2-HIGH' THEN o_totalprice
+               END, 2) AS urgency_score
+  FROM orders
+)
+WHERE urgency_score IS NOT NULL
+"""
+
+
+QUERIES = {
+    "nation_full_outer_counts": (nation_full_outer_counts, FULL_OUTER_SQL),
+    "order_qty_foldhash": (order_qty_foldhash, FOLDHASH_SQL),
+    "collect_urgency_scores": (collect_urgency_scores, COLLECT_SQL),
+}

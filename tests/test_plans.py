@@ -130,3 +130,23 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     orders = load_table(spark, SF_SMOKE, "orders")
     df = orders.orderBy(F.desc("o_totalprice")).limit(5)
     assert "TakeOrderedAndProject" in _physical(df)
+
+
+def test_minhash_plan_shape(spark):
+    # the three hard-won physical properties of the minhash pipeline:
+    # (1) numeric minima keep the aggregation hash-based (min(string)
+    #     silently degrades to SortAggregate + two sorts of the shingle
+    #     table); (2) md5 runs once per shingle row (in a Project), not
+    #     16x inside the aggregate; (3) no self-join — the documents
+    #     table is scanned exactly once.
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.dedup.minhash import lsh_candidate_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _physical(lsh_candidate_pairs(docs))
+    assert "SortAggregate" not in plan
+    # no md5 inside any aggregate function list (it lives in the
+    # once-per-row Project below the aggregation)
+    for chunk in plan.split("functions=[")[1:]:
+        assert "md5" not in chunk.split("]", 1)[0]
+    assert plan.count("FileScan parquet") == 1
