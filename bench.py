@@ -18,8 +18,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: headline queries — a representative slice across operator families:
-#: joins/aggs, top-k, windows, as-of, nested arrays, text, dedup ladder,
-#: vector search, iterative graph.
+#: joins/aggs, top-k, windows, as-of/range, nested arrays, text, dedup
+#: ladder, vector search (exact + IVF), iterative graph, skew mitigation,
+#: index rewrite, pandas UDAF, multimodal, streaming.
 HEADLINE = [
     "flagship_order_records",
     "pricing_summary",
@@ -28,12 +29,19 @@ HEADLINE = [
     "top_orders_per_priority",
     "events_running_stats",
     "asof_purchase_click",
+    "events_value_bands",
     "nested_array_stats",
     "token_frequencies",
     "dedup_exact",
     "dedup_minhash_pairs",
     "knn_bruteforce",
+    "knn_ivf_exact",
     "nation_transitive_closure",
+    "salted_status_stats",
+    "indexed_segment_lookup",
+    "udaf_weighted_price",
+    "multimodal_image_stats",
+    "streaming_hourly_events",
 ]
 
 

@@ -20,7 +20,10 @@ from linqonsteroids_spark.catalog import load_table
 from linqonsteroids_spark.operators.asof import range_join
 from linqonsteroids_spark.operators.skew import salted_aggregate, salted_join
 from linqonsteroids_spark.similarity.ivf import ivf_topk
-from linqonsteroids_spark.streaming.incremental import windowed_aggregate
+from linqonsteroids_spark.streaming.incremental import (
+    sessionized_counts,
+    windowed_aggregate,
+)
 
 
 # --- salted join (skew.py): hot-key fact-dim join -------------------------
@@ -196,10 +199,68 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- streaming session windows (gap-based sessionization) -----------------
+# Spark merges an event into the current session iff gap_to_previous <
+# gap (window end is exclusive), which is exactly the SQL islands
+# algorithm with a new-session mark at diff >= gap — the oracle below.
+# session_end is last-event + gap by definition of session_window.
+_SESSION_GAP = "2 hours"
+
+
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = sessionized_counts(stream, ts_col="ts", gap=_SESSION_GAP, key="user_id")
+    name = f"mv_sessions_{next(_MV_IDS)}"
+    (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+STREAMING_SESSIONS_SQL = """
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+grouped AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM grouped GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
     "knn_ivf_exact": (knn_ivf_exact, KNN_IVF_SQL),
     "events_value_bands": (events_value_bands, VALUE_BANDS_SQL),
     "streaming_hourly_events": (streaming_hourly_events, STREAMING_HOURLY_SQL),
+    "streaming_user_sessions": (streaming_user_sessions, STREAMING_SESSIONS_SQL),
 }

@@ -28,6 +28,8 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 8,
+    train_cap: int = 100_000,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     corpus_id: str = "vec_id",
@@ -45,9 +47,24 @@ def ivf_topk(
         .withColumn("_v", array_to_vector(F.col(corpus_vec).cast("array<double>")))
         .withColumn("_cn", l2_norm(F.col(corpus_vec)))
     )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell").fit(
-        corpus_v
+    # Train on a bounded sample with random init and capped iterations:
+    # centroid quality only shifts the recall/probe balance (and is
+    # irrelevant when n_probe = n_lists). At 100 TB a full-corpus pass per
+    # k-means iteration is the difference between minutes and hours.
+    n = corpus_v.count()
+    train = (
+        corpus_v.sample(fraction=min(1.0, train_cap / n), seed=seed)
+        if n > train_cap
+        else corpus_v
     )
+    model = KMeans(
+        k=n_lists,
+        seed=seed,
+        maxIter=max_iter,
+        initMode="random",
+        featuresCol="_v",
+        predictionCol="_cell",
+    ).fit(train)
     assigned = model.transform(corpus_v).drop("_v")
 
     # per-query distance to every centroid, JVM-side; keep n_probe nearest.

@@ -150,3 +150,14 @@ def test_minhash_plan_shape(spark):
     for chunk in plan.split("functions=[")[1:]:
         assert "md5" not in chunk.split("]", 1)[0]
     assert plan.count("FileScan parquet") == 1
+
+
+def test_binned_range_join_is_not_cartesian(spark):
+    # range_join with bin_width must join on the bin key (equi), not fall
+    # back to BroadcastNestedLoop/CartesianProduct — the property that
+    # bounds per-bin work at scale.
+    from linqonsteroids_spark.queries.scale import events_value_bands
+
+    plan = _physical(events_value_bands(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
