@@ -39,32 +39,90 @@ def ivf_topk(
 
     Returns (query_id, rnk, neighbor_id, cos_sim).
     """
+    corpus_base = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)
+    ).withColumn("_cn", l2_norm(F.col(corpus_vec)))
+
+    if n_probe >= n_lists:
+        # Exact configuration: every cell is probed, so the partition can
+        # never drop a true neighbor and centroid quality is irrelevant —
+        # training would be pure wasted passes over the corpus (at 100 TB,
+        # hours of them). Hash-assign cells instead; the probe phase and
+        # the equi-join on cell (the plan shape that bounds per-cell work)
+        # are identical to the trained path.
+        assigned = corpus_base.withColumn(
+            "cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_lists)).cast("int")
+        )
+        probes = (
+            queries.select(query_id, query_vec)
+            .withColumn("_qn", l2_norm(F.col(query_vec)))
+            .withColumn(
+                "cell", F.explode(F.sequence(F.lit(0), F.lit(n_lists - 1)))
+            )
+        )
+    else:
+        assigned, probes = _kmeans_probes(
+            queries, corpus_base, n_lists, n_probe, seed, max_iter, train_cap,
+            query_id, query_vec, corpus_vec,
+        )
+
+    sim = cosine_from_norms(
+        F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        probes.join(assigned, "cell")
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, "rnk", "neighbor_id", F.col("sim").alias("cos_sim"))
+    )
+
+
+def _kmeans_probes(
+    queries: DataFrame,
+    corpus_base: DataFrame,
+    n_lists: int,
+    n_probe: int,
+    seed: int,
+    max_iter: int,
+    train_cap: int,
+    query_id: str,
+    query_vec: str,
+    corpus_vec: str,
+):
+    """Trained IVF path: k-means cells + per-query nearest-cell probe list.
+
+    Returns (assigned corpus with ``cell``, probe list with ``cell``).
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus_v = (
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
-        .withColumn("_v", array_to_vector(F.col(corpus_vec).cast("array<double>")))
-        .withColumn("_cn", l2_norm(F.col(corpus_vec)))
+    corpus_v = corpus_base.withColumn(
+        "_v", array_to_vector(F.col(corpus_vec).cast("array<double>"))
     )
-    # Train on a bounded sample with random init and capped iterations:
-    # centroid quality only shifts the recall/probe balance (and is
-    # irrelevant when n_probe = n_lists). At 100 TB a full-corpus pass per
-    # k-means iteration is the difference between minutes and hours.
+    # Train on a bounded, cached sample with random init and capped
+    # iterations: centroid quality only shifts the recall/probe balance.
+    # At 100 TB a full-corpus pass per k-means iteration is the difference
+    # between minutes and hours; the cache stops MLlib re-reading the
+    # sample once per iteration.
     n = corpus_v.count()
     train = (
         corpus_v.sample(fraction=min(1.0, train_cap / n), seed=seed)
         if n > train_cap
         else corpus_v
-    )
-    model = KMeans(
-        k=n_lists,
-        seed=seed,
-        maxIter=max_iter,
-        initMode="random",
-        featuresCol="_v",
-        predictionCol="_cell",
-    ).fit(train)
+    ).cache()
+    try:
+        model = KMeans(
+            k=n_lists,
+            seed=seed,
+            maxIter=max_iter,
+            initMode="random",
+            featuresCol="_v",
+            predictionCol="cell",
+        ).fit(train)
+    finally:
+        train.unpersist()
     assigned = model.transform(corpus_v).drop("_v")
 
     # per-query distance to every centroid, JVM-side; keep n_probe nearest.
@@ -94,15 +152,4 @@ def ivf_topk(
         .filter(F.col("_pr") <= n_probe)
         .select(query_id, query_vec, "_qn", "cell")
     )
-
-    sim = cosine_from_norms(
-        F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        probes.join(assigned.withColumnRenamed("_cell", "cell"), "cell")
-        .withColumn("sim", sim)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id, "rnk", "neighbor_id", F.col("sim").alias("cos_sim"))
-    )
+    return assigned, probes
