@@ -249,15 +249,32 @@ _KINDS = ("bag", "set", "seq")
 
 
 @dataclass
+class JoinInfo:
+    """Equi-join of two filtered base-table scans, for join-MV matching
+    (the nested-scope variant of the reference's rewrite,
+    ``SubquerySharing.scala:110-343``: indexes over flatMap-nested tuple
+    scopes ≅ indexes over a join)."""
+
+    left_table: str
+    right_table: str
+    left_key: str
+    right_key: str
+    left_filters: list[Node]
+    right_filters: list[Node]
+
+
+@dataclass
 class PlanInfo:
     """Thin logical description for the pre-Catalyst rewriter: base table
-    plus the filter structures applied since (project/join/etc. reset it —
-    the rewriter only matches the filter-over-scan shape, exactly the
-    pattern ``SubquerySharing.shareSubqueries`` recognizes)."""
+    plus the filter structures applied since (project/etc. reset it — the
+    rewriter only matches the filter-over-scan and filter-over-equi-join
+    shapes, exactly the patterns ``SubquerySharing.shareSubqueries``
+    recognizes)."""
 
     base_table: str | None = None
     filters: list[Node] = field(default_factory=list)
     rewritable: bool = True
+    join: "JoinInfo | None" = None
 
 
 class Lifted:
@@ -320,6 +337,7 @@ class Lifted:
             self.plan.base_table,
             [*self.plan.filters, e.node],
             self.plan.rewritable,
+            self.plan.join,
         )
         out = Lifted(self.df.filter(e.col), kind=self.kind,
                      order=self.order or None, plan=plan)
@@ -391,10 +409,34 @@ class Lifted:
         lk = outer_key(RowProxy("l"))
         rk = inner_key(RowProxy("r"))
         joined = self.df.alias("l").join(inner.df.alias("r"), lk.col == rk.col, how)
+        plan = None
+        if (
+            result is None
+            and how == "inner"
+            and self.plan.rewritable
+            and inner.plan.rewritable
+            and self.plan.base_table is not None
+            and inner.plan.base_table is not None
+            and lk.node.kind == "col"
+            and rk.node.kind == "col"
+        ):
+            # both sides are (filtered) base-table scans joined on plain
+            # columns — the shape the join-MV rewrite can match.
+            plan = PlanInfo(
+                base_table=None,
+                join=JoinInfo(
+                    self.plan.base_table,
+                    inner.plan.base_table,
+                    lk.node.args[0],
+                    rk.node.args[0],
+                    list(self.plan.filters),
+                    list(inner.plan.filters),
+                ),
+            )
         if result is not None:
             out = result(RowProxy("l"), RowProxy("r"))
             joined = joined.select(*[_lift(v).col.alias(k) for k, v in out.items()])
-        return self._with(joined)
+        return self._with(joined, plan=plan)
 
     def exists_in(
         self, other: "Lifted", pred: Callable[[RowProxy, RowProxy], Expr]

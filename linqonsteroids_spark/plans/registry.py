@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linqonsteroids_spark.api import Indexed, Lifted, Node, PlanInfo
+from linqonsteroids_spark.api import Indexed, JoinInfo, Lifted, Node, PlanInfo
 
 
 # --- canonical forms -------------------------------------------------------
@@ -106,6 +106,21 @@ class IndexEntry:
     key_col: str
     path: str
     n_buckets: int
+    layout: str = "hash"  # "hash" (repartition+sort) | "dir" (partitionBy)
+    #: original column order — partitionBy moves the key column to the end
+    #: on read-back; the rewrite restores this so the MV is a drop-in scan
+    columns: tuple[str, ...] = ()
+
+
+@dataclass
+class JoinIndexEntry:
+    name: str
+    left_table: str
+    right_table: str
+    left_key: str
+    right_key: str
+    path: str
+    n_buckets: int
 
 
 class IndexRepository:
@@ -117,6 +132,7 @@ class IndexRepository:
         self.n_buckets = n_buckets
         self._by_table_key: dict[tuple[str, str], IndexEntry] = {}
         self._by_name: dict[str, IndexEntry] = {}
+        self._joins: dict[tuple[str, str, str, str], JoinIndexEntry] = {}
 
     # -- registration (entry point C, SURVEY §3) --
     def add_index(self, name: str, indexed: Indexed) -> IndexEntry:
@@ -149,29 +165,96 @@ class IndexRepository:
         self._by_name[name] = entry
         return entry
 
+    def add_partitioned_index(self, name: str, indexed: Indexed) -> IndexEntry:
+        """Type-index variant (TypeMapping, SubquerySharing.scala:345-448):
+        materialize with directory partitioning on the key, so a key
+        equality prunes whole partition directories (PartitionFilters),
+        not just row groups. Right layout for low-cardinality keys — tag/
+        type columns; use ``add_index`` for high-cardinality keys (one
+        directory per distinct key does not scale)."""
+        src = indexed.src
+        table = src.plan.base_table
+        if table is None or not src.plan.rewritable or src.plan.filters:
+            raise ValueError(
+                "add_partitioned_index needs an unfiltered base-table scan"
+            )
+        key = canon_key(indexed.key.node)
+        if key is None or not key.startswith("col:"):
+            raise ValueError("index key must be a plain column")
+        key_col = key.split(":", 1)[1]
+        path = os.path.join(self.storage_dir, f"{name}")
+        src.df.write.mode("overwrite").partitionBy(key_col).parquet(path)
+        entry = IndexEntry(
+            name, table, key_col, path, 0, layout="dir",
+            columns=tuple(src.df.columns),
+        )
+        self._by_table_key[(table, key_col)] = entry
+        self._by_name[name] = entry
+        return entry
+
+    def add_join_index(self, name: str, joined: Lifted) -> JoinIndexEntry:
+        """Materialize an equi-join of two base tables as an MV (the
+        nested-scope index of SubquerySharing.scala:110-343, in relational
+        form). Requires ``left.join(right, key, key)`` of two unfiltered
+        base-table scans; stored hash-partitioned on the left key so later
+        key lookups prune row groups."""
+        ji = joined.plan.join
+        if ji is None or joined.plan.filters or ji.left_filters or ji.right_filters:
+            raise ValueError(
+                "add_join_index needs an unfiltered equi-join of two "
+                "base-table scans (lift(a, table=..).join(lift(b, table=..), ..))"
+            )
+        cols = joined.df.columns
+        if len(cols) != len(set(cols)):
+            raise ValueError("join MV columns must be unique; project/rename first")
+        path = os.path.join(self.storage_dir, f"{name}")
+        (
+            joined.df.repartition(self.n_buckets, F.col(ji.left_key))
+            .sortWithinPartitions(ji.left_key)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        entry = JoinIndexEntry(
+            name, ji.left_table, ji.right_table, ji.left_key, ji.right_key,
+            path, self.n_buckets,
+        )
+        self._joins[(ji.left_table, ji.right_table, ji.left_key, ji.right_key)] = entry
+        return entry
+
     def refresh(self, name: str, df: DataFrame) -> None:
         """Batch MV refresh (the incremental upgrade is streaming/, §2.8)."""
         e = self._by_name[name]
-        (
-            df.repartition(e.n_buckets, F.col(e.key_col))
-            .sortWithinPartitions(e.key_col)
-            .write.mode("overwrite")
-            .parquet(e.path)
-        )
+        if e.layout == "dir":
+            df.write.mode("overwrite").partitionBy(e.key_col).parquet(e.path)
+        else:
+            (
+                df.repartition(e.n_buckets, F.col(e.key_col))
+                .sortWithinPartitions(e.key_col)
+                .write.mode("overwrite")
+                .parquet(e.path)
+            )
 
     def lookup(self, name: str, key_value) -> DataFrame:
         """Direct index probe: ``indexMap(k)`` (SubquerySharing.scala:26-31).
         The key filter reaches the parquet scan (PushedFilters) and prunes
         row groups via the sorted layout."""
         e = self._by_name[name]
-        return self.spark.read.parquet(e.path).filter(F.col(e.key_col) == F.lit(key_value))
+        df = self.spark.read.parquet(e.path).filter(F.col(e.key_col) == F.lit(key_value))
+        return df.select(*e.columns) if e.columns else df
 
     # -- the rewrite (shareSubqueries analogue) --
     def optimize(self, q: Lifted) -> Lifted:
-        """Rewrite filter-over-scan to index-lookup + residual when a
-        registered index matches; otherwise return ``q`` unchanged."""
+        """Rewrite filter-over-scan to index-lookup + residual, or
+        filter-over-equi-join to a join-MV scan, when a registered entry
+        matches; otherwise return ``q`` unchanged."""
         plan = q.plan
-        if not plan.rewritable or plan.base_table is None or not plan.filters:
+        if not plan.rewritable:
+            return q
+        if plan.join is not None:
+            out = self._optimize_join(q, plan.join, plan.filters)
+            if out is not None:
+                return out
+        if plan.base_table is None or not plan.filters:
             return q
         conjuncts: list[Node] = []
         for f in plan.filters:
@@ -189,6 +272,8 @@ class IndexRepository:
             if any(c is None for c in res_cols):
                 continue  # unrecognized residual: bail, don't risk wrong rewrite
             df = self.spark.read.parquet(entry.path).filter(F.col(col) == F.lit(value))
+            if entry.columns:
+                df = df.select(*entry.columns)
             for c in res_cols:
                 df = df.filter(c)
             return Lifted(
@@ -198,3 +283,31 @@ class IndexRepository:
                 plan=PlanInfo(base_table=None, rewritable=False),
             )
         return q
+
+    def _optimize_join(
+        self, q: Lifted, ji: JoinInfo, post_filters: list[Node]
+    ) -> Lifted | None:
+        """Substitute a registered join MV: all side- and post-join filters
+        become residuals over the MV scan (its column space is the union of
+        both sides, so every recognized conjunct rebuilds directly). Bails
+        to None — never a wrong rewrite — on any opaque predicate."""
+        entry = self._joins.get(
+            (ji.left_table, ji.right_table, ji.left_key, ji.right_key)
+        )
+        if entry is None:
+            return None
+        residual: list[Node] = []
+        for f in [*ji.left_filters, *ji.right_filters, *post_filters]:
+            residual.extend(split_conjuncts(f))
+        res_cols = [node_to_column(c) for c in residual]
+        if any(c is None for c in res_cols):
+            return None
+        df = self.spark.read.parquet(entry.path)
+        for c in res_cols:
+            df = df.filter(c)
+        return Lifted(
+            df,
+            kind=q.kind,
+            order=q.order or None,
+            plan=PlanInfo(base_table=None, rewritable=False),
+        )

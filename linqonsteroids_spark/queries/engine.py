@@ -62,6 +62,52 @@ WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
 """
 
 
+# --- join-MV substitution (the nested-scope variant of SubquerySharing,
+# SubquerySharing.scala:110-343 in relational form): the repository holds a
+# materialized customer⋈orders; a filtered re-statement of that join
+# rewrites to ONE MV scan (no Join in the plan) with every side- and
+# post-join filter preserved as a residual. RAISES if a Join survives.
+def indexed_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    storage = tempfile.mkdtemp(prefix="squopt_jidx_")
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_join_index(
+        "cust_orders",
+        lift(customer, table="customer").join(
+            lift(orders, table="orders"),
+            lambda c: c.c_custkey,
+            lambda o: o.o_custkey,
+        ),
+    )
+    q = (
+        lift(customer, table="customer")
+        .filter(lambda c: c.c_mktsegment == "AUTOMOBILE")
+        .join(
+            lift(orders, table="orders").filter(lambda o: o.o_totalprice > 50000.0),
+            lambda c: c.c_custkey,
+            lambda o: o.o_custkey,
+        )
+        .filter(lambda r: r.o_orderpriority == "1-URGENT")
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("cust_orders" in f for f in files):
+        raise RuntimeError("join-MV rewrite did not fire — still joining base tables")
+    return opt.df.select(
+        "c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+INDEXED_JOIN_SQL = """
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+  AND o_totalprice > 50000.0
+  AND o_orderpriority = '1-URGENT'
+"""
+
+
 # --- pandas UDAF (fmap contract + foldLeft, SURVEY §2.11) -----------------
 # An arbitrary fold the built-in aggregates don't provide as one function:
 # quantity-weighted mean price. Registered under a stable name (fmap
@@ -165,6 +211,7 @@ FROM documents WHERE doc_id % 3 = 2
 
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
+    "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "udaf_weighted_price": (udaf_weighted_price, UDAF_WAVG_SQL),
     "multimodal_image_stats": (multimodal_image_stats, MULTIMODAL_STATS_SQL),
     "multimodal_frame_counts": (multimodal_frame_counts, FRAME_COUNTS_SQL),

@@ -105,3 +105,112 @@ def test_add_index_rejects_filtered_source(spark, repo):
             .filter(lambda c: c.c_acctbal > 0)
             .index_by(lambda c: c.c_mktsegment),
         )
+
+# --- join-MV substitution (SubquerySharing.scala:110-343 relational form) --
+
+
+@pytest.fixture(scope="module")
+def join_repo(spark, tmp_path_factory):
+    storage = str(tmp_path_factory.mktemp("join_indexes"))
+    r = IndexRepository(spark, storage, n_buckets=4)
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    joined = lift(customer, table="customer").join(
+        lift(orders, table="orders"),
+        lambda c: c.c_custkey,
+        lambda o: o.o_custkey,
+    )
+    r.add_join_index("cust_orders", joined)
+    return r
+
+
+def _cust_orders_query(spark):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    return (
+        lift(customer, table="customer")
+        .filter(lambda c: c.c_mktsegment == "BUILDING")
+        .join(
+            lift(orders, table="orders").filter(lambda o: o.o_totalprice > 1000.0),
+            lambda c: c.c_custkey,
+            lambda o: o.o_custkey,
+        )
+        .filter(lambda r: r.o_orderpriority == "1-URGENT")
+    )
+
+
+def test_join_mv_rewrite_fires_and_matches(spark, join_repo):
+    q = _cust_orders_query(spark)
+    opt = join_repo.optimize(q)
+    files = opt.df.inputFiles()
+    # the join disappeared: one MV scan, no Join operator in the plan
+    assert files and all("cust_orders" in f for f in files)
+    plan = opt.df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # side-filters and post-join filter all survive as residuals
+    assert _sorted_rows(opt.df) == _sorted_rows(q.df)
+
+
+def test_join_mv_no_match_on_different_keys(spark, join_repo):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    q = lift(customer, table="customer").join(
+        lift(nation, table="nation"),
+        lambda c: c.c_nationkey,
+        lambda n: n.n_nationkey,
+    )
+    opt = join_repo.optimize(q)
+    assert opt is q
+
+
+def test_join_mv_bails_on_opaque_side_filter(spark, join_repo):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    q = lift(customer, table="customer").filter(
+        lambda c: c.c_name.contains("1")
+    ).join(
+        lift(orders, table="orders"),
+        lambda c: c.c_custkey,
+        lambda o: o.o_custkey,
+    )
+    opt = join_repo.optimize(q)
+    assert opt is q
+
+
+def test_add_join_index_rejects_filtered_sides(spark, join_repo):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    joined = lift(customer, table="customer").filter(
+        lambda c: c.c_acctbal > 0
+    ).join(
+        lift(orders, table="orders"),
+        lambda c: c.c_custkey,
+        lambda o: o.o_custkey,
+    )
+    with pytest.raises(ValueError):
+        join_repo.add_join_index("bad_join", joined)
+
+
+# --- partitioned type-index (TypeMapping, SubquerySharing.scala:345-448) ---
+
+
+def test_partitioned_index_prunes_directories(spark, tmp_path_factory):
+    storage = str(tmp_path_factory.mktemp("part_indexes"))
+    r = IndexRepository(spark, storage)
+    events = load_table(spark, SF_SMOKE, "events")
+    r.add_partitioned_index(
+        "events_by_type",
+        lift(events, table="events").index_by(lambda e: e.event_type),
+    )
+    q = lift(events, table="events").filter(
+        lambda e: (e.event_type == "click") & (e.value > 10.0)
+    )
+    opt = r.optimize(q)
+    files = opt.df.inputFiles()
+    assert files and all("events_by_type" in f for f in files)
+    # directory pruning: the key equality lands in PartitionFilters (whole
+    # partition directories skipped), not just row-group stats
+    plan = opt.df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf and "click" in pf
+    assert _sorted_rows(opt.df) == _sorted_rows(q.df)
