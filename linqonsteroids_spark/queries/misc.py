@@ -143,8 +143,50 @@ LEFT OUTER JOIN (SELECT o_custkey, max(o_totalprice) AS max_price
 """
 
 
+# --- file-format round-trip (sources/formats.py; new surface, SURVEY §2.1
+# "no file formats in the reference") ---------------------------------------
+# supplier → CSV + JSON + ORC → read back (explicit schema, FAILFAST; no
+# inference pass) → union → per-nation aggregate. Counts come out exactly
+# 3× the base table iff every format preserved every row and value.
+def format_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from linqonsteroids_spark.sources import (
+        read_csv,
+        read_json,
+        read_orc,
+        write_csv,
+        write_json,
+        write_orc,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    base = tempfile.mkdtemp(prefix="squopt_fmt_")
+    write_csv(sup, f"{base}/csv")
+    write_json(sup, f"{base}/json")
+    write_orc(sup, f"{base}/orc")
+    together = (
+        read_csv(spark, f"{base}/csv", sup)
+        .unionByName(read_json(spark, f"{base}/json", sup))
+        .unionByName(read_orc(spark, f"{base}/orc"))
+    )
+    return together.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_rows_3x"),
+        F.round(F.sum("s_acctbal"), 2).alias("acctbal_3x"),
+    )
+
+
+FORMAT_ROUNDTRIP_SQL = """
+SELECT s_nationkey,
+       3 * count(*) AS n_rows_3x,
+       round(3 * sum(s_acctbal), 2) AS acctbal_3x
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 QUERIES = {
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
+    "format_roundtrip_supplier": (format_roundtrip_supplier, FORMAT_ROUNDTRIP_SQL),
     "first_last_order_per_customer": (
         first_last_order_per_customer,
         FIRST_LAST_SQL,

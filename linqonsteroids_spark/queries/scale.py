@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linqonsteroids_spark.catalog import load_table
@@ -22,6 +22,7 @@ from linqonsteroids_spark.operators.skew import salted_aggregate, salted_join
 from linqonsteroids_spark.similarity.ivf import ivf_topk
 from linqonsteroids_spark.streaming.incremental import (
     sessionized_counts,
+    stateful_running_totals,
     windowed_aggregate,
 )
 
@@ -256,6 +257,53 @@ FROM grouped GROUP BY user_id, sid
 """
 
 
+# --- custom stateful streaming op (applyInPandasWithState) ----------------
+# Per-user running (count, sum, max) maintained in partitioned state — the
+# live form of the reference's dead incremental folds
+# (FoldOperators.scala:58-72). Update mode emits a row per key per batch;
+# the max-n_events row per key is the final cumulative state, which must
+# equal the batch recompute (the oracle).
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    totals = stateful_running_totals(stream, key="user_id", value_col="value")
+    name = f"mv_totals_{next(_MV_IDS)}"
+    (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total", 4).alias("total"),
+            F.round("max_value", 4).alias("max_value"),
+        )
+    )
+
+
+STREAMING_TOTALS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
@@ -263,4 +311,5 @@ QUERIES = {
     "events_value_bands": (events_value_bands, VALUE_BANDS_SQL),
     "streaming_hourly_events": (streaming_hourly_events, STREAMING_HOURLY_SQL),
     "streaming_user_sessions": (streaming_user_sessions, STREAMING_SESSIONS_SQL),
+    "streaming_user_totals": (streaming_user_totals, STREAMING_TOTALS_SQL),
 }

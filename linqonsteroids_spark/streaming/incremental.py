@@ -77,6 +77,54 @@ def sessionized_counts(
     )
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    key: str,
+    value_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, max) maintained across micro-batches — the
+    streaming form of the reference's incremental folds
+    (``FoldOperators.scala:58-72``, dead code there; live here).
+
+    Built-in streaming aggregates already cover these monoids; this is the
+    ESCAPE HATCH pattern for folds they don't cover (the state struct and
+    the pandas update fn are arbitrary). State is partitioned by key
+    across executors; use a real timeout (e.g. ``"EventTimeTimeout"`` +
+    watermark) in production so idle keys are evicted — state size is the
+    scaling limit of any stateful operator.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} long, n_events long, total double, max_value double"
+    state_schema = "n long, total double, mx double"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            batch_max = float(pdf[value_col].max()) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total": [total], "max_value": [mx]}
+        )
+
+    timeouts = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
+    }
+    return stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeouts[timeout]
+    )
+
+
 class StreamingIndex:
     """A streaming-maintained materialized view — ``Optimization.addIndex``
     upgraded from batch refresh to continuous maintenance.

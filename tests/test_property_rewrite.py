@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the index/MV rewrite.
+
+The reference's optimizer discipline (SURVEY §5): semantic equivalence of
+optimized vs unoptimized queries on every rewrite, plus a runtime
+idempotence check of the whole pipeline (``Optimization.scala:67-76``).
+Here hypothesis generates random filter predicates — mixes of indexed-key
+equalities, range comparisons, non-indexed equalities, and opaque string
+predicates — and asserts the rewrite NEVER changes results, whether or
+not it fires.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from linqonsteroids_spark.api import Lifted, lift
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.plans import IndexRepository
+from tests.conftest import SF_SMOKE
+
+SEGMENTS = ["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE", "NOPE"]
+
+#: predicate atoms as (label, lambda) — labels make failures readable
+ATOMS = [
+    ("seg_eq", lambda c, seg, bal: c.c_mktsegment == seg),
+    ("seg_eq_flip", lambda c, seg, bal: __import__(
+        "linqonsteroids_spark.api", fromlist=["lit"]
+    ).lit(seg) == c.c_mktsegment),
+    ("bal_gt", lambda c, seg, bal: c.c_acctbal > bal),
+    ("bal_le", lambda c, seg, bal: c.c_acctbal <= bal),
+    ("key_eq", lambda c, seg, bal: c.c_custkey == 7),
+    ("name_contains", lambda c, seg, bal: c.c_name.contains("1")),
+    ("not_seg", lambda c, seg, bal: ~(c.c_mktsegment == seg)),
+]
+
+
+@pytest.fixture(scope="module")
+def prop_repo(spark, tmp_path_factory):
+    storage = str(tmp_path_factory.mktemp("prop_indexes"))
+    r = IndexRepository(spark, storage, n_buckets=4)
+    customer = load_table(spark, SF_SMOKE, "customer")
+    r.add_index(
+        "customer_by_segment",
+        lift(customer, table="customer").index_by(lambda c: c.c_mktsegment),
+    )
+    return r
+
+
+def _build_query(spark, picks, seg, bal) -> Lifted:
+    customer = load_table(spark, SF_SMOKE, "customer")
+    q = lift(customer, table="customer")
+    for _, fn in picks:
+        q = q.filter(lambda c, fn=fn: fn(c, seg, bal))
+    return q
+
+
+@st.composite
+def predicates(draw):
+    picks = draw(st.lists(st.sampled_from(ATOMS), min_size=1, max_size=3))
+    seg = draw(st.sampled_from(SEGMENTS))
+    bal = draw(st.sampled_from([-1000.0, 0.0, 2500.0, 9999.0]))
+    return picks, seg, bal
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicates())
+def test_rewrite_preserves_semantics(spark, prop_repo, pred):
+    picks, seg, bal = pred
+    q = _build_query(spark, picks, seg, bal)
+    opt = prop_repo.optimize(q)
+    got = sorted(tuple(r) for r in opt.df.collect())
+    want = sorted(tuple(r) for r in q.df.collect())
+    labels = [label for label, _ in picks]
+    assert got == want, f"rewrite changed results for {labels} seg={seg} bal={bal}"
+    # pipeline idempotence (Optimization.scala:67-76): a second optimize
+    # pass must be a no-op on an already-optimized query
+    assert prop_repo.optimize(opt) is opt

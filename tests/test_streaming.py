@@ -106,3 +106,38 @@ def test_windowed_aggregate_tumbling(spark, dirs):
     }
     # 10:00-10:05 → 4 events (17); 10:40-10:45 → 1 event (9)
     assert rows == {(0, 4, 17), (40, 1, 9)}
+
+
+def test_stateful_running_totals_across_microbatches(spark, dirs):
+    # two files + maxFilesPerTrigger=1 → two micro-batches; state must
+    # carry (count, sum, max) across them (FoldOperators.scala:58-72
+    # semantics, live via applyInPandasWithState)
+    from linqonsteroids_spark.streaming import stateful_running_totals
+
+    _write_batch(spark, dirs["src"], BATCH1)
+    _write_batch(spark, dirs["src"], BATCH2)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["src"])
+    )
+    out = stateful_running_totals(stream, key="user_id", value_col="value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per key per batch; the LAST row per key is
+    # the cumulative state — must equal the batch recompute over all data
+    rows = spark.sql(
+        """SELECT user_id, n_events, total, max_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n_events DESC) AS rn
+             FROM state_sink) WHERE rn = 1"""
+    ).collect()
+    got = {(r.user_id, r.n_events, r.total, r.max_value) for r in rows}
+    assert got == {(1, 3, 10.0, 5.0), (2, 1, 7.0, 7.0), (3, 1, 9.0, 9.0)}
