@@ -38,29 +38,38 @@ FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey
 # min_by/max_by (arg_min/arg_max) — single shuffle, no global sort.
 def first_last_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    # composite sort key as a lexicographically-ordered string (DuckDB's
-    # arg_min/arg_max lack struct keys; the string form is engine-neutral)
-    sort_key = F.concat(
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
-        F.lit("|"),
-        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    # composite (date, orderkey) sort key packed into ONE long:
+    # days-since-epoch * 10^12 + orderkey (orderkey < 10^12 at any TPC-H
+    # SF; product < 2^63). min/max over longs keep HashAggregate —
+    # min_by/max_by over a string key silently degrade to SortAggregate
+    # (immutable agg buffer), two extra sorts of the orders table.
+    packed = (
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+        * F.lit(1_000_000_000_000)
+        + F.col("o_orderkey")
     )
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.min_by("o_orderkey", sort_key).alias("first_order"),
-            F.max_by("o_orderkey", sort_key).alias("last_order"),
+            F.min(packed).alias("_first"),
+            F.max(packed).alias("_last"),
             F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_custkey",
+            (F.col("_first") % 1_000_000_000_000).alias("first_order"),
+            (F.col("_last") % 1_000_000_000_000).alias("last_order"),
+            "n_orders",
         )
     )
 
 
 FIRST_LAST_SQL = """
 SELECT o_custkey,
-       arg_min(o_orderkey, strftime(o_orderdate, '%Y-%m-%d') || '|' ||
-               lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS first_order,
-       arg_max(o_orderkey, strftime(o_orderdate, '%Y-%m-%d') || '|' ||
-               lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS last_order,
+       min(datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+           * 1000000000000 + o_orderkey) % 1000000000000 AS first_order,
+       max(datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+           * 1000000000000 + o_orderkey) % 1000000000000 AS last_order,
        count(*) AS n_orders
 FROM orders GROUP BY o_custkey
 """

@@ -161,3 +161,20 @@ def test_binned_range_join_is_not_cartesian(spark):
     plan = _physical(events_value_bands(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_audit_headline_queries(spark):
+    # the scale red-flag sweep (tools/plan_audit.py) over the headline
+    # suite: no cartesian/nested-loop joins (outside the allowlist), no
+    # row-at-a-time Python UDFs, no silent SortAggregate degradation
+    import bench
+    from linqonsteroids_spark.queries import ALL
+    from tools.plan_audit import audit
+
+    fatal = {}
+    for name in bench.HEADLINE:
+        df = ALL[name][0](spark, SF_SMOKE)
+        fatals, _warns = audit(name, df)
+        if fatals:
+            fatal[name] = fatals
+    assert not fatal, f"plan regressions: {fatal}"

@@ -1,0 +1,84 @@
+"""Physical-plan audit: sweep every registered query for scale red flags.
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001)
+
+For each query in the registry, renders the executed plan and flags:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — unbounded per-row
+  work; fatal at 100 TB unless the query is allowlisted as intentionally
+  all-pairs (brute-force kNN is the oracle baseline by design).
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan; the
+  engine's contract is Arrow-batched pandas (`ArrowEvalPython` /
+  `MapInPandas` / `FlatMapGroupsInPandas`) or pure JVM.
+- ``SortAggregate`` — HashAggregate silently degrades to sort-based when
+  an aggregate buffer type is immutable (e.g. min/max over strings);
+  two extra sorts per aggregation at scale. Flagged as WARN.
+
+Exit code 1 on any non-allowlisted fatal flag — wired into tests so plan
+regressions fail CI, the same way the reference pins optimizer output
+structurally (SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+#: queries where an all-pairs or nested-loop join is the intended
+#: semantics (exact baselines / tiny bounded sides), with the reason.
+ALLOW_ALL_PAIRS = {
+    "knn_bruteforce": "exact top-k baseline is all-pairs by definition",
+    "dedup_ngram_jaccard": "pairwise Jaccard over a blocked candidate set",
+    "dedup_embedding_pairs": "pairwise cosine over a blocked candidate set",
+    "nation_pairs_same_region": "25-row dimension self-pairing (bounded)",
+}
+
+FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
+WARN = ("SortAggregate",)
+
+
+def audit(name: str, df) -> tuple[list[str], list[str]]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fatals, warns = [], []
+    for marker in FATAL:
+        if marker in plan:
+            (warns if name in ALLOW_ALL_PAIRS else fatals).append(marker)
+    for marker in WARN:
+        if marker in plan:
+            warns.append(marker)
+    if re.search(r"\bBatchEvalPython\b", plan):
+        fatals.append("BatchEvalPython (row-at-a-time Python UDF)")
+    return fatals, warns
+
+
+def main(sf_dir: str) -> int:
+    from linqonsteroids_spark.queries import ALL
+    from linqonsteroids_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    n_fatal = 0
+    for name, (fn, _sql) in sorted(ALL.items()):
+        try:
+            df = fn(spark, sf_dir)
+            fatals, warns = audit(name, df)
+        except Exception as e:  # pragma: no cover - surfaced for the report
+            print(f"  ERROR {name}: {type(e).__name__}: {e}")
+            n_fatal += 1
+            continue
+        if fatals:
+            n_fatal += 1
+            print(f"  FATAL {name}: {', '.join(fatals)}")
+        elif warns:
+            note = ALLOW_ALL_PAIRS.get(name)
+            suffix = f" (allowed: {note})" if note else ""
+            print(f"  warn  {name}: {', '.join(warns)}{suffix}")
+        else:
+            print(f"  ok    {name}")
+    print("ALL CLEAN" if n_fatal == 0 else f"{n_fatal} FATAL PLANS")
+    return 0 if n_fatal == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
