@@ -128,8 +128,103 @@ WHERE urgency_score IS NOT NULL
 """
 
 
+# --- explicit GROUPING SETS (cube/rollup generalization) ------------------
+# SURVEY §2.4 "not present in the reference … all Spark built-ins": cube
+# and rollup are gated elsewhere (typed.py); this is the general form —
+# per-priority totals, per-status totals, and a grand total in ONE pass
+# (one shuffle, partial aggregation map-side), not a UNION of three
+# aggregates (three scans). grouping() markers disambiguate real NULL keys
+# from superaggregate rows.
+def grouping_sets_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       grouping(o_orderpriority) AS g_priority,
+       grouping(o_orderstatus) AS g_status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# --- exact quantiles (order statistics as named aggregates) ---------------
+# The reference can only express order statistics as a foldLeft over a
+# sorted Seq; here they are single-pass named aggregates. F.percentile is
+# the EXACT interpolating variant (matches DuckDB quantile_cont) — NOT
+# percentile_approx, which is sketch-based and would never hash-match an
+# oracle. Oracle casts to DOUBLE so DuckDB doesn't quantize to the input
+# decimal scale.
+def quartile_prices_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("q1_price"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("q3_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+QUARTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS q1_price,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS med_price,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS q3_price,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- pivot (long → wide reshaping) ----------------------------------------
+# groupBy().pivot(col, values): explicit value list keeps the plan a
+# single-shuffle hash aggregate (no extra distinct-values job, and the
+# output schema is static — required at 100 TB where a values scan is a
+# full pass). Spark leaves never-seen (priority, status) cells NULL while
+# a filtered count gives 0 — coalesce pins the disagreement down.
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "nation_full_outer_counts": (nation_full_outer_counts, FULL_OUTER_SQL),
     "order_qty_foldhash": (order_qty_foldhash, FOLDHASH_SQL),
     "collect_urgency_scores": (collect_urgency_scores, COLLECT_SQL),
+    "grouping_sets_order_totals": (grouping_sets_order_totals, GROUPING_SETS_SQL),
+    "quartile_prices_by_flag": (quartile_prices_by_flag, QUARTILE_SQL),
+    "pivot_status_counts": (pivot_status_counts, PIVOT_SQL),
 }

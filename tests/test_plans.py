@@ -178,3 +178,26 @@ def test_plan_audit_headline_queries(spark):
         if fatals:
             fatal[name] = fatals
     assert not fatal, f"plan regressions: {fatal}"
+
+
+def test_pivot_explicit_values_single_pass(spark):
+    # pivot with an explicit value list must stay ONE hash aggregate over
+    # one scan — no distinct-values job, no per-value scan fan-out. At
+    # 100 TB an implicit pivot(col) would cost a full extra pass just to
+    # learn the output schema.
+    from linqonsteroids_spark.queries.parity import pivot_status_counts
+
+    plan = _physical(pivot_status_counts(spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") == 1
+    assert "SortAggregate" not in plan
+
+
+def test_grouping_sets_single_shuffle(spark):
+    # GROUPING SETS ((a),(b),()) compiles to Expand + one partial/final
+    # HashAggregate pair — one shuffle — not a UNION of three aggregates
+    # (three scans, three shuffles).
+    from linqonsteroids_spark.queries.parity import grouping_sets_order_totals
+
+    plan = _physical(grouping_sets_order_totals(spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
