@@ -29,6 +29,8 @@ HEADLINE = [
     "pricing_summary",
     "shipping_priority",
     "customer_order_counts",
+    "grouping_sets_order_totals",
+    "pivot_status_counts",
     "top_orders_per_priority",
     "events_running_stats",
     "asof_purchase_click",

@@ -220,6 +220,35 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --- unpivot / melt (wide → long, inverse of pivot) -----------------------
+# Narrow aggregate first (|returnflags| rows), then unpivot — the melt is
+# driver-cheap metadata reshaping of an already-reduced result, never a
+# row-explosion of the base table. Value columns share one type (double),
+# a Spark unpivot requirement.
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_base_price"], "metric", "value"
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_returnflag, metric, CAST(value AS DOUBLE) AS value
+FROM (
+  UNPIVOT (
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price
+    FROM lineitem GROUP BY l_returnflag
+  ) ON sum_qty, sum_base_price INTO NAME metric VALUE value
+)
+"""
+
+
 QUERIES = {
     "nation_full_outer_counts": (nation_full_outer_counts, FULL_OUTER_SQL),
     "order_qty_foldhash": (order_qty_foldhash, FOLDHASH_SQL),
@@ -227,4 +256,5 @@ QUERIES = {
     "grouping_sets_order_totals": (grouping_sets_order_totals, GROUPING_SETS_SQL),
     "quartile_prices_by_flag": (quartile_prices_by_flag, QUARTILE_SQL),
     "pivot_status_counts": (pivot_status_counts, PIVOT_SQL),
+    "unpivot_flag_metrics": (unpivot_flag_metrics, UNPIVOT_SQL),
 }
