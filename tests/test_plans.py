@@ -201,3 +201,18 @@ def test_grouping_sets_single_shuffle(spark):
     plan = _physical(grouping_sets_order_totals(spark, SF_SMOKE))
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan
+
+
+def test_unpivot_expands_after_aggregation(spark):
+    # unpivot (melt) must run on the already-reduced aggregate — Expand
+    # appears exactly once, AFTER the final HashAggregate, so at 100 TB
+    # the 2x row fan-out applies to |groups| rows, not the base table.
+    # One scan, one shuffle, no SortAggregate degradation.
+    from linqonsteroids_spark.queries.parity import unpivot_flag_metrics
+
+    plan = _physical(unpivot_flag_metrics(spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Expand") == 1
+    assert "SortAggregate" not in plan
+    # Expand node sits above the aggregate in the plan tree (printed first)
+    assert plan.index("Expand") < plan.index("HashAggregate")
