@@ -248,19 +248,30 @@ class RowProxy:
 _KINDS = ("bag", "set", "seq")
 
 
-@dataclass
+@dataclass(frozen=True)
 class JoinInfo:
-    """Equi-join of two filtered base-table scans, for join-MV matching
+    """Chained equi-join of filtered base-table scans, for join-MV matching
     (the nested-scope variant of the reference's rewrite,
     ``SubquerySharing.scala:110-343``: indexes over flatMap-nested tuple
-    scopes ≅ indexes over a join)."""
+    scopes ≅ indexes over a join; the reference handles up to 3 nesting
+    levels — ``SubquerySharingTests.scala:186-253`` — which here is the
+    n-table chain).
 
-    left_table: str
-    right_table: str
-    left_key: str
-    right_key: str
-    left_filters: list[Node]
-    right_filters: list[Node]
+    ``tables[0] ⋈ tables[1] ⋈ … ⋈ tables[n-1]`` left-deep, where
+    ``keys[i] = (left_key, right_key)`` joins the accumulated prefix to
+    ``tables[i+1]``. ``filters`` holds every side/post filter applied so
+    far — all residual over the joined column space (which is the union of
+    all tables' columns, enforced unique at MV registration)."""
+
+    tables: tuple[str, ...]
+    keys: tuple[tuple[str, str], ...]
+    filters: tuple[Node, ...]
+
+    @property
+    def signature(self) -> tuple:
+        """Structural identity for repository lookup (the reference's
+        normalized-plan equality, ``SubquerySharing.scala:42-79``)."""
+        return (self.tables, self.keys)
 
 
 @dataclass
@@ -305,6 +316,12 @@ class Lifted:
     def _with(self, df: DataFrame, plan: PlanInfo | None = None, **kw) -> "Lifted":
         kind = kw.get("kind", self.kind)
         order = kw.get("order", self.order if kind == "seq" else None)
+        if kind == "seq" and order and not set(order) <= set(df.columns):
+            # the projection dropped the declared order columns — the result
+            # can no longer honour seq semantics; downgrade to bag here
+            # rather than raising an unresolved-column error at a distant
+            # to_df()/head() call. Re-declare with .to_seq() if ordered.
+            kind, order = "bag", None
         return Lifted(df, kind=kind, order=order, plan=plan or PlanInfo(rewritable=False))
 
     @staticmethod
@@ -384,9 +401,13 @@ class Lifted:
         return self._with(df)
 
     def let(self, name: str, fn: Callable[[RowProxy], Any]) -> "Lifted":
-        """Let-binding (Lifting.scala:190-201) → named intermediate column."""
-        return self._with(self.df.withColumn(name, _lift(self._apply(fn)).col),
-                          plan=self.plan)
+        """Let-binding (Lifting.scala:190-201) → named intermediate column.
+
+        Deliberately NOT rewritable: PlanInfo cannot reproduce the computed
+        column, so an index-MV substitution after a let would drop it
+        (the reference's SubquerySharing is equally conservative about
+        scopes it cannot restate)."""
+        return self._with(self.df.withColumn(name, _lift(self._apply(fn)).col))
 
     def select_fields(self, *names: str) -> "Lifted":
         df = self.df.select(*names)
@@ -415,24 +436,32 @@ class Lifted:
             and how == "inner"
             and self.plan.rewritable
             and inner.plan.rewritable
-            and self.plan.base_table is not None
             and inner.plan.base_table is not None
             and lk.node.kind == "col"
             and rk.node.kind == "col"
         ):
-            # both sides are (filtered) base-table scans joined on plain
-            # columns — the shape the join-MV rewrite can match.
-            plan = PlanInfo(
-                base_table=None,
-                join=JoinInfo(
-                    self.plan.base_table,
-                    inner.plan.base_table,
-                    lk.node.args[0],
-                    rk.node.args[0],
-                    list(self.plan.filters),
-                    list(inner.plan.filters),
-                ),
-            )
+            # the left side is a (filtered) base-table scan OR an existing
+            # rewritable join chain; the right side a (filtered) base-table
+            # scan; keys are plain columns — the shapes the join-MV rewrite
+            # can match. Chaining gives the reference's multi-level nested
+            # scopes (SubquerySharing.scala:110-343).
+            left: tuple | None = None
+            if self.plan.base_table is not None:
+                left = ((self.plan.base_table,), (), tuple(self.plan.filters))
+            elif self.plan.join is not None:
+                j = self.plan.join
+                # post-filters applied between joins are residuals too
+                left = (j.tables, j.keys, (*j.filters, *self.plan.filters))
+            if left is not None:
+                tables, keys, filters = left
+                plan = PlanInfo(
+                    base_table=None,
+                    join=JoinInfo(
+                        tables=(*tables, inner.plan.base_table),
+                        keys=(*keys, (lk.node.args[0], rk.node.args[0])),
+                        filters=(*filters, *inner.plan.filters),
+                    ),
+                )
         if result is not None:
             out = result(RowProxy("l"), RowProxy("r"))
             joined = joined.select(*[_lift(v).col.alias(k) for k, v in out.items()])
@@ -444,9 +473,11 @@ class Lifted:
         """Relational exists (Exists.scala:6-11 + existsUnnester,
         Unnesting.scala:52-84) → left_semi."""
         cond = pred(RowProxy("l"), RowProxy("r"))
+        # NOT rewritable: PlanInfo has no semi-join representation, so a
+        # later optimize() rebuilding from (base_table, filters) would
+        # silently drop the semi-join and return a superset of rows.
         return self._with(
             self.df.alias("l").join(other.df.alias("r"), cond.col, "left_semi"),
-            plan=self.plan,
         )
 
     def forall_not_in(
@@ -456,9 +487,9 @@ class Lifted:
         FoldPhysicalOperators.scala:58-95) → left_anti; no driver-side key
         set at any scale."""
         cond = pred(RowProxy("l"), RowProxy("r"))
+        # NOT rewritable, same reasoning as exists_in (anti-join variant).
         return self._with(
             self.df.alias("l").join(other.df.alias("r"), cond.col, "left_anti"),
-            plan=self.plan,
         )
 
     # --- grouping / indexing (SURVEY §2.4) ---
@@ -576,10 +607,19 @@ class Lifted:
         ('sum'|'product'|'min'|'max') — arbitrary order-sensitive folds
         don't distribute (SURVEY §7.2); use sliding/sort_by + array a_fold
         for ordered folds over bounded groups."""
-        agg = {"sum": F.sum, "product": F.product, "min": F.min, "max": F.max}[op]
+        # foldLeft always incorporates `zero` (it need not be the monoid
+        # identity): fold(10, f, 'sum') over [1,2] is 13, not 3. Combine the
+        # distributed aggregate with zero via the op itself; the identity
+        # coalesce handles the empty collection.
+        agg, ident, comb = {
+            "sum": (F.sum, F.lit(0), lambda z, v: z + v),
+            "product": (F.product, F.lit(1), lambda z, v: z * v),
+            "min": (F.min, F.lit(zero), F.least),
+            "max": (F.max, F.lit(zero), F.greatest),
+        }[op]
         base = self.df.agg(agg(self._apply(col_fn).col).alias("value"))
         return Scalar(base.select(
-            F.coalesce(F.col("value"), F.lit(zero)).alias("value")), "one")
+            comb(F.lit(zero), F.coalesce(F.col("value"), ident)).alias("value")), "one")
 
     def exists(self, pred: Callable[[RowProxy], Expr]) -> "Scalar":
         """coll.exists(p) (traversableOps.scala:172-174) — short-circuits via

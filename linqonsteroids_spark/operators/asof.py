@@ -39,21 +39,30 @@ def asof_join(
     """
     lcols = left.columns
     tb_type = dict(right.dtypes).get(right_tiebreak, "long")
+    # all right value columns travel in ONE struct so the matched right row
+    # is atomic: filling each column independently would mix columns from
+    # different right rows whenever the latest prior row holds a NULL in one
+    # of them (and resurrect a stale non-null instead of that row's NULL).
+    l_type = left.select(F.struct(*lcols).alias("s")).schema["s"].dataType.simpleString()
+    rv_type = (
+        right.select(F.struct(*[F.col(c) for c in value_cols]).alias("s"))
+        .schema["s"].dataType.simpleString()
+    )
     tagged_l = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_l"),
         F.lit(None).cast(tb_type).alias("_tb"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     tagged_r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(tagged_l.schema["_l"].dataType.simpleString()).alias("_l"),
+        F.lit(None).cast(l_type).alias("_l"),
         (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast(tb_type).alias("_tb"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
     unioned = tagged_l.unionByName(tagged_r)
     # right rows sort before left rows at equal timestamps iff non-strict;
@@ -71,14 +80,11 @@ def asof_join(
     filled = unioned.select(
         "_side",
         "_l",
-        *[
-            F.last(F.col(f"_rv_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_asof"),
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
-        *[F.col(f"asof_{c}") for c in value_cols],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 
@@ -99,13 +105,19 @@ def range_join(
     if bin_width is None:
         cond = (left[left_point] >= right[right_lo]) & (left[left_point] < right[right_hi])
         return left.join(right, cond)
-    lb = left.withColumn("_bin", (F.col(left_point) / bin_width).cast("long"))
+    # floor(), not cast-truncate: correct for negative values too. The upper
+    # bin is floor(hi/width) — NOT floor((hi-1)/width), which skips the final
+    # partial bin for fractional hi (e.g. hi=100.5, width=50 must cover bin 2
+    # or rows with value in [100, 100.5) silently vanish). When hi lands
+    # exactly on a boundary this emits one empty extra bin; the residual
+    # predicate discards it.
+    lb = left.withColumn("_bin", F.floor(F.col(left_point) / bin_width))
     rb = right.withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                (F.col(right_lo) / bin_width).cast("long"),
-                ((F.col(right_hi) - 1) / bin_width).cast("long"),
+                F.floor(F.col(right_lo) / bin_width),
+                F.floor(F.col(right_hi) / bin_width),
             )
         ),
     )

@@ -26,7 +26,14 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated
-    ``n_salts``×. Correct for inner/left joins keyed on the big side."""
+    ``n_salts``×. Correct for inner/left joins keyed on the big side ONLY:
+    right/full would emit the replicated small side's unmatched copies
+    n_salts times, and semi/anti flip which side must be replicated."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): the "
+            "replicated small side makes right/full/semi/anti incorrect"
+        )
     big_salted = big.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     small_rep = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -115,10 +115,8 @@ class IndexEntry:
 @dataclass
 class JoinIndexEntry:
     name: str
-    left_table: str
-    right_table: str
-    left_key: str
-    right_key: str
+    tables: tuple[str, ...]
+    keys: tuple[tuple[str, str], ...]
     path: str
     n_buckets: int
 
@@ -132,7 +130,7 @@ class IndexRepository:
         self.n_buckets = n_buckets
         self._by_table_key: dict[tuple[str, str], IndexEntry] = {}
         self._by_name: dict[str, IndexEntry] = {}
-        self._joins: dict[tuple[str, str, str, str], JoinIndexEntry] = {}
+        self._joins: dict[tuple, JoinIndexEntry] = {}
 
     # -- registration (entry point C, SURVEY §3) --
     def add_index(self, name: str, indexed: Indexed) -> IndexEntry:
@@ -193,32 +191,32 @@ class IndexRepository:
         return entry
 
     def add_join_index(self, name: str, joined: Lifted) -> JoinIndexEntry:
-        """Materialize an equi-join of two base tables as an MV (the
-        nested-scope index of SubquerySharing.scala:110-343, in relational
-        form). Requires ``left.join(right, key, key)`` of two unfiltered
-        base-table scans; stored hash-partitioned on the left key so later
+        """Materialize a left-deep equi-join chain of base tables as an MV
+        (the nested-scope index of SubquerySharing.scala:110-343, in
+        relational form; n tables ≅ the reference's n nesting levels,
+        SubquerySharingTests.scala:186-253). Requires a chain of unfiltered
+        base-table scans ``lift(a, table=..).join(lift(b, table=..), ..)
+        .join(...)``; stored hash-partitioned on the first join key so later
         key lookups prune row groups."""
         ji = joined.plan.join
-        if ji is None or joined.plan.filters or ji.left_filters or ji.right_filters:
+        if ji is None or joined.plan.filters or ji.filters:
             raise ValueError(
-                "add_join_index needs an unfiltered equi-join of two "
+                "add_join_index needs an unfiltered equi-join chain of "
                 "base-table scans (lift(a, table=..).join(lift(b, table=..), ..))"
             )
         cols = joined.df.columns
         if len(cols) != len(set(cols)):
             raise ValueError("join MV columns must be unique; project/rename first")
         path = os.path.join(self.storage_dir, f"{name}")
+        first_key = ji.keys[0][0]
         (
-            joined.df.repartition(self.n_buckets, F.col(ji.left_key))
-            .sortWithinPartitions(ji.left_key)
+            joined.df.repartition(self.n_buckets, F.col(first_key))
+            .sortWithinPartitions(first_key)
             .write.mode("overwrite")
             .parquet(path)
         )
-        entry = JoinIndexEntry(
-            name, ji.left_table, ji.right_table, ji.left_key, ji.right_key,
-            path, self.n_buckets,
-        )
-        self._joins[(ji.left_table, ji.right_table, ji.left_key, ji.right_key)] = entry
+        entry = JoinIndexEntry(name, ji.tables, ji.keys, path, self.n_buckets)
+        self._joins[ji.signature] = entry
         return entry
 
     def refresh(self, name: str, df: DataFrame) -> None:
@@ -289,15 +287,14 @@ class IndexRepository:
     ) -> Lifted | None:
         """Substitute a registered join MV: all side- and post-join filters
         become residuals over the MV scan (its column space is the union of
-        both sides, so every recognized conjunct rebuilds directly). Bails
-        to None — never a wrong rewrite — on any opaque predicate."""
-        entry = self._joins.get(
-            (ji.left_table, ji.right_table, ji.left_key, ji.right_key)
-        )
+        every chained table, so every recognized conjunct rebuilds
+        directly). Bails to None — never a wrong rewrite — on any opaque
+        predicate."""
+        entry = self._joins.get(ji.signature)
         if entry is None:
             return None
         residual: list[Node] = []
-        for f in [*ji.left_filters, *ji.right_filters, *post_filters]:
+        for f in [*ji.filters, *post_filters]:
             residual.extend(split_conjuncts(f))
         res_cols = [node_to_column(c) for c in residual]
         if any(c is None for c in res_cols):

@@ -11,8 +11,6 @@ bit-reproducible in SQL.
 
 from __future__ import annotations
 
-import tempfile
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +24,7 @@ from linqonsteroids_spark.multimodal.media import (
     sample_video_frames,
 )
 from linqonsteroids_spark.plans.registry import IndexRepository
+from linqonsteroids_spark.session import scratch_dir
 
 
 # --- index/MV rewrite (SURVEY §2.10; SubquerySharing.scala:20-455) --------
@@ -37,7 +36,7 @@ from linqonsteroids_spark.plans.registry import IndexRepository
 # SubquerySharingTests.scala:43-62).
 def indexed_segment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    storage = tempfile.mkdtemp(prefix="squopt_idx_")
+    storage = scratch_dir(prefix="squopt_idx_")
     repo = IndexRepository(spark, storage, n_buckets=8)
     repo.add_index(
         "customer_by_segment",
@@ -70,7 +69,7 @@ WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
 def indexed_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    storage = tempfile.mkdtemp(prefix="squopt_jidx_")
+    storage = scratch_dir(prefix="squopt_jidx_")
     repo = IndexRepository(spark, storage, n_buckets=8)
     repo.add_join_index(
         "cust_orders",
@@ -105,6 +104,76 @@ FROM customer JOIN orders ON c_custkey = o_custkey
 WHERE c_mktsegment = 'AUTOMOBILE'
   AND o_totalprice > 50000.0
   AND o_orderpriority = '1-URGENT'
+"""
+
+
+# --- multi-level nested index substitution (SubquerySharing.scala:110-343;
+# the reference rewrites indexes over flatMap-nested tuple scopes up to 3
+# levels deep, SubquerySharingTests.scala:186-253). Relational form: a
+# 3-table left-deep chain customer⋈orders⋈lineitem registered as ONE MV;
+# a filtered re-statement of the same chain — side filters on all three
+# tables plus a between-joins filter — substitutes to a single MV scan with
+# every filter rebuilt as a residual. RAISES unless zero Joins survive.
+def indexed_chain_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    storage = scratch_dir(prefix="squopt_cidx_")
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_join_index(
+        "cust_orders_items",
+        lift(customer, table="customer")
+        .join(lift(orders, table="orders"),
+              lambda c: c.c_custkey, lambda o: o.o_custkey)
+        .join(lift(lineitem, table="lineitem"),
+              lambda co: co.o_orderkey, lambda li: li.l_orderkey),
+    )
+    q = (
+        lift(customer, table="customer")
+        .filter(lambda c: c.c_mktsegment == "BUILDING")
+        .join(
+            lift(orders, table="orders").filter(lambda o: o.o_totalprice > 20000.0),
+            lambda c: c.c_custkey,
+            lambda o: o.o_custkey,
+        )
+        .filter(lambda co: co.o_orderpriority == "2-HIGH")  # between joins
+        .join(
+            lift(lineitem, table="lineitem").filter(lambda li: li.l_quantity >= 25.0),
+            lambda co: co.o_orderkey,
+            lambda li: li.l_orderkey,
+        )
+        .filter(lambda r: r.l_returnflag == "R")  # post-join
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("cust_orders_items" in f for f in files):
+        raise RuntimeError("chain-MV rewrite did not fire — still joining base tables")
+    if "Join" in opt.df._jdf.queryExecution().executedPlan().toString():
+        raise RuntimeError("chain-MV rewrite left a Join in the physical plan")
+    return opt.df.select(
+        "c_custkey",
+        "o_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("quantity"),
+    )
+
+
+INDEXED_CHAIN_SQL = """
+SELECT c_custkey, o_orderkey, l_linenumber, round(l_quantity, 2) AS quantity
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_totalprice > 20000.0
+  AND o_orderpriority = '2-HIGH'
+  AND l_quantity >= 25.0
+  AND l_returnflag = 'R'
 """
 
 
@@ -212,6 +281,7 @@ FROM documents WHERE doc_id % 3 = 2
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
+    "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),
     "udaf_weighted_price": (udaf_weighted_price, UDAF_WAVG_SQL),
     "multimodal_image_stats": (multimodal_image_stats, MULTIMODAL_STATS_SQL),
     "multimodal_frame_counts": (multimodal_frame_counts, FRAME_COUNTS_SQL),

@@ -158,8 +158,6 @@ LEFT OUTER JOIN (SELECT o_custkey, max(o_totalprice) AS max_price
 # inference pass) → union → per-nation aggregate. Counts come out exactly
 # 3× the base table iff every format preserved every row and value.
 def format_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from linqonsteroids_spark.sources import (
         read_csv,
         read_json,
@@ -169,8 +167,10 @@ def format_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_orc,
     )
 
+    from linqonsteroids_spark.session import scratch_dir
+
     sup = load_table(spark, sf_dir, "supplier")
-    base = tempfile.mkdtemp(prefix="squopt_fmt_")
+    base = scratch_dir(prefix="squopt_fmt_")
     write_csv(sup, f"{base}/csv")
     write_json(sup, f"{base}/json")
     write_orc(sup, f"{base}/orc")

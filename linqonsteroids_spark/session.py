@@ -12,8 +12,28 @@ memory-bounded regardless of total input size.
 from __future__ import annotations
 
 import os
+import tempfile
+import uuid
 
 from pyspark.sql import SparkSession
+
+
+def scratch_dir(prefix: str = "squopt_") -> str:
+    """Scratch root for MV / index / format-roundtrip intermediates.
+
+    Defaults to a driver-local tempdir (fine on local[*]). On a real
+    cluster a driver-local path is NOT visible to executors — set
+    ``$SPARK_GRAFT_SCRATCH`` to a shared filesystem or object-store URI
+    (e.g. ``hdfs:///tmp/squopt``) and every write lands under it in a
+    unique per-call subdirectory.
+    """
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if not root:
+        return tempfile.mkdtemp(prefix=prefix)
+    path = f"{root.rstrip('/')}/{prefix}{uuid.uuid4().hex[:12]}"
+    if "://" not in root:  # local shared mount: create eagerly; remote
+        os.makedirs(path, exist_ok=True)  # stores create on first write
+    return path
 
 
 def get_spark(app_name: str = "linqonsteroids_spark", cpus: int | None = None) -> SparkSession:

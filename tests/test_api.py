@@ -251,3 +251,20 @@ def test_flat_map_join_theta(t):
         lift(t["nation"]), lambda a, b: (a.n_regionkey == b.n_regionkey) & (a.n_name < b.n_name)
     )
     assert got.size().value() == 50  # 5 regions x C(5,2)
+
+
+def test_fold_incorporates_non_identity_zero(t):
+    cust = lift(t["customer"])
+    n = t["customer"].count()
+    # fold(10)(+) = 10 + sum(1 per row)
+    assert cust.fold(10, lambda c: c.c_custkey * 0 + 1, "sum").value() == 10 + n
+    # zero participates in max: max(custkey) < huge zero → zero wins
+    assert cust.fold(10**9, lambda c: c.c_custkey, "max").value() == 10**9
+
+
+def test_seq_projection_without_order_cols_downgrades(t):
+    q = lift(t["customer"], kind="seq", order=["c_custkey"]).map(
+        lambda c: {"name": c.c_name}
+    )
+    assert q.kind == "bag" and q.order == []
+    q.to_df().limit(1).collect()  # must not raise unresolved-column

@@ -214,3 +214,139 @@ def test_partitioned_index_prunes_directories(spark, tmp_path_factory):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in pf and "click" in pf
     assert _sorted_rows(opt.df) == _sorted_rows(q.df)
+
+
+# --- unsound-rewrite regressions (semi/anti joins and let must block the
+# MV substitution: PlanInfo cannot reproduce them, so a rewrite would
+# silently return a superset / drop the computed column) ---------------------
+
+
+def test_exists_in_blocks_rewrite(spark, repo):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    q = (
+        lift(customer, table="customer")
+        .filter(lambda c: c.c_mktsegment == "BUILDING")
+        .exists_in(lift(orders), lambda c, o: c.c_custkey == o.o_custkey)
+    )
+    opt = repo.optimize(q)
+    assert opt is q  # NOT rewritten: the semi-join is not in PlanInfo
+    assert not q.plan.rewritable
+
+
+def test_forall_not_in_blocks_rewrite(spark, repo):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    q = (
+        lift(customer, table="customer")
+        .filter(lambda c: c.c_mktsegment == "BUILDING")
+        .forall_not_in(lift(orders), lambda c, o: c.c_custkey == o.o_custkey)
+    )
+    assert repo.optimize(q) is q
+
+
+def test_let_blocks_rewrite(spark, repo):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    q = (
+        lift(customer, table="customer")
+        .filter(lambda c: c.c_mktsegment == "BUILDING")
+        .let("bal2", lambda c: c.c_acctbal * 2)
+    )
+    opt = repo.optimize(q)
+    assert opt is q
+    assert "bal2" in opt.df.columns  # the computed column survives
+
+
+# --- multi-level (3-table) chain-MV substitution ----------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_repo(spark, tmp_path_factory):
+    storage = str(tmp_path_factory.mktemp("chain_indexes"))
+    r = IndexRepository(spark, storage, n_buckets=4)
+    customer = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    chain = (
+        lift(customer, table="customer")
+        .join(lift(orders, table="orders"),
+              lambda c: c.c_custkey, lambda o: o.o_custkey)
+        .join(lift(lineitem, table="lineitem"),
+              lambda co: co.o_orderkey, lambda li: li.l_orderkey)
+    )
+    assert chain.plan.join is not None
+    assert chain.plan.join.tables == ("customer", "orders", "lineitem")
+    r.add_join_index("coi", chain)
+    return r
+
+
+def _chain_query(spark):
+    customer = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return (
+        lift(customer, table="customer")
+        .filter(lambda c: c.c_mktsegment == "BUILDING")
+        .join(lift(orders, table="orders"),
+              lambda c: c.c_custkey, lambda o: o.o_custkey)
+        .filter(lambda co: co.o_orderpriority == "2-HIGH")
+        .join(lift(lineitem, table="lineitem").filter(lambda li: li.l_quantity >= 25.0),
+              lambda co: co.o_orderkey, lambda li: li.l_orderkey)
+    )
+
+
+def test_chain_mv_rewrite_fires_and_matches(spark, chain_repo):
+    q = _chain_query(spark)
+    opt = chain_repo.optimize(q)
+    files = opt.df.inputFiles()
+    assert files and all("coi" in f for f in files)
+    plan = opt.df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # both joins disappeared
+    assert _sorted_rows(opt.df) == _sorted_rows(q.df)
+
+
+def test_chain_mv_prefix_does_not_match(spark, chain_repo):
+    # the 2-table prefix has a different signature than the 3-table MV
+    customer = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    q = lift(customer, table="customer").join(
+        lift(orders, table="orders"), lambda c: c.c_custkey, lambda o: o.o_custkey
+    )
+    assert chain_repo.optimize(q) is q
+
+
+def test_chain_mv_different_key_does_not_match(spark, chain_repo):
+    # same 3 tables, different second join key → different signature
+    customer = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    q = (
+        lift(customer, table="customer")
+        .join(lift(orders, table="orders"),
+              lambda c: c.c_custkey, lambda o: o.o_custkey)
+        .join(lift(lineitem, table="lineitem"),
+              lambda co: co.o_orderkey, lambda li: li.l_suppkey)
+    )
+    assert chain_repo.optimize(q) is q

@@ -86,3 +86,51 @@ def test_range_join_binned_equals_naive(spark):
     assert naive == binned
     assert (7, "a") in naive and (7, "b") in naive and (91, "c") in naive
     assert (10, "a") not in naive  # hi is exclusive
+
+
+def test_asof_join_matched_right_row_is_atomic(spark):
+    # the latest prior right row holds NULL in one value column: the output
+    # must take BOTH columns from that row (px=None, qty=9) — not resurrect
+    # the stale px=70 from the earlier row (per-column fill bug).
+    left = spark.createDataFrame([(1, "u", _t(10))], "id long, k string, t timestamp")
+    right = spark.createDataFrame(
+        [("u", _t(5), 70, 7), ("u", _t(8), None, 9)],
+        "k string, t timestamp, px long, qty long",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["px", "qty"],
+    ).collect()
+    assert out[0].asof_px is None and out[0].asof_qty == 9
+
+
+def test_range_join_fractional_upper_bound(spark):
+    # hi=100.5 with bin_width=50: the final partial bin (bin 2) must be
+    # covered or p=100 in [100, 100.5) silently vanishes.
+    points = spark.createDataFrame([(100.0,), (100.4,), (100.5,)], "p double")
+    ranges = spark.createDataFrame([(0.0, 100.5, "a")], "lo double, hi double, name string")
+    got = {
+        r.p for r in range_join(points, ranges, "p", "lo", "hi", bin_width=50).collect()
+    }
+    assert got == {100.0, 100.4}  # hi exclusive
+
+
+def test_range_join_negative_values_binned(spark):
+    # floor (not cast-truncate) keeps negative points in the right bin
+    points = spark.createDataFrame([(-3.0,), (-75.0,), (2.0,)], "p double")
+    ranges = spark.createDataFrame([(-80.0, 0.0, "neg")], "lo double, hi double, name string")
+    naive = {(r.p, r.name) for r in range_join(points, ranges, "p", "lo", "hi").collect()}
+    binned = {
+        (r.p, r.name)
+        for r in range_join(points, ranges, "p", "lo", "hi", bin_width=50).collect()
+    }
+    assert naive == binned == {(-3.0, "neg"), (-75.0, "neg")}
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from linqonsteroids_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k2 long, w string")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", "k2", how="full")
