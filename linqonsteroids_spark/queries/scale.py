@@ -23,6 +23,7 @@ from linqonsteroids_spark.similarity.ivf import ivf_topk
 from linqonsteroids_spark.streaming.incremental import (
     sessionized_counts,
     stateful_running_totals,
+    stream_stream_interval_join,
     windowed_aggregate,
 )
 
@@ -295,6 +296,72 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stream-stream interval join (Prototype.scala:56-61 delta join) -------
+# Purchases ⋈ clicks: for every purchase, all same-user clicks in the two
+# hours strictly before it. Both sides are independent file streams over
+# the same events source; Structured Streaming buffers each side's rows in
+# watermark-bounded state and probes the opposite buffer per micro-batch —
+# the ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB rule, engine-maintained. One input file ⇒ one
+# micro-batch under AvailableNow, so the append-mode sink sees every pair;
+# the oracle is the equivalent batch interval join.
+def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _events_stream() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    purchases = _events_stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = _events_stream().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value"),
+    )
+    joined = stream_stream_interval_join(
+        purchases,
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        left_time="p_ts",
+        right_time="c_ts",
+    )
+    name = f"mv_ssjoin_{next(_MV_IDS)}"
+    (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).select(
+        "purchase_id", "click_id", F.round("value", 4).alias("click_value")
+    )
+
+
+STREAMING_SSJOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       round(c.value, 4) AS click_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 STREAMING_TOTALS_SQL = """
 SELECT user_id,
        count(*) AS n_events,
@@ -312,4 +379,8 @@ QUERIES = {
     "streaming_hourly_events": (streaming_hourly_events, STREAMING_HOURLY_SQL),
     "streaming_user_sessions": (streaming_user_sessions, STREAMING_SESSIONS_SQL),
     "streaming_user_totals": (streaming_user_totals, STREAMING_TOTALS_SQL),
+    "streaming_purchase_click_pairs": (
+        streaming_purchase_click_pairs,
+        STREAMING_SSJOIN_SQL,
+    ),
 }

@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linqonsteroids_spark.catalog import load_table
-from linqonsteroids_spark.similarity.knn import cosine_from_norms, l2_norm
+from linqonsteroids_spark.similarity.knn import (
+    cosine_from_norms,
+    l2_norm,
+    lsh_topk,
+    random_hyperplanes,
+)
 
 
 # --- brute-force cosine top-k ---------------------------------------------
@@ -106,7 +111,62 @@ GROUP BY label
 """
 
 
+# --- LSH-bucketed ANN (similarity/knn.py lsh_topk), oracle-gated -----------
+# The hyperplanes are deterministic plan literals (random_hyperplanes,
+# seed=42), so the bucket assignment is reproducible in SQL: the oracle
+# computes the same sign-bit buckets with the same double arithmetic
+# (sequential dot products over DOUBLE[]), joins within buckets, and ranks
+# by the same cosine. This gates the ACTUAL approximate path — bucket
+# pruning included — not a degenerate exact configuration; recall vs brute
+# force is pinned separately in tests/test_similarity.py.
+_LSH_PLANES = random_hyperplanes(dim=64, n_planes=4, seed=42)
+
+
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(queries, emb, k=5, n_planes=4, dim=64, seed=42)
+    return out.select(
+        "query_id", "rnk", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+
+
+# bit i = sign(v · plane_i), first plane most significant — mirrors
+# lsh_bucket's bucket = bucket*2 + bit loop exactly.
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_inner_product(e, {_plane_sql(p)}) >= 0"
+    f" THEN {1 << (len(_LSH_PLANES) - 1 - i)} ELSE 0 END)"
+    for i, p in enumerate(_LSH_PLANES)
+)
+
+KNN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, e,
+         {_BUCKET_SQL} AS bucket,
+         sqrt(list_inner_product(e, e)) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_inner_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_inner_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+                    c.vec_id ASC) AS rnk
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id % 25 = 0
+) WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
+    "knn_lsh_bucketed": (knn_lsh_bucketed, KNN_LSH_SQL),
 }

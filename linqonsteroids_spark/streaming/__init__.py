@@ -14,6 +14,7 @@ from linqonsteroids_spark.streaming.incremental import (  # noqa: F401
     StreamingIndex,
     sessionized_counts,
     stateful_running_totals,
+    stream_stream_interval_join,
     streaming_index_by,
     windowed_aggregate,
 )

@@ -125,6 +125,34 @@ def stateful_running_totals(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    left_time: str,
+    right_time: str,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join — the reference's finite-differencing
+    join maintenance (``derivation/Prototype.scala:56-61``: Δ(A⋈B) =
+    ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) as Structured Streaming's dual-sided join state.
+    Each side buffers rows in the state store and every new row probes the
+    opposite buffer — exactly the three delta terms, engine-maintained
+    (the reference's prototype never reached executable form; SURVEY §2.8).
+
+    ``condition`` must include a time-range predicate between ``left_time``
+    and ``right_time`` (e.g. ``r.ts BETWEEN l.ts - INTERVAL 2 HOURS AND
+    l.ts``): watermark + range bound both state buffers, so state is
+    O(rows in the interval span + watermark delay) per key — not O(stream).
+    Spark rejects unbounded stream-stream joins in append mode for the same
+    reason.
+    """
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    return l.join(r, condition, how)
+
+
 class StreamingIndex:
     """A streaming-maintained materialized view — ``Optimization.addIndex``
     upgraded from batch refresh to continuous maintenance.

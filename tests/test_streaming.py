@@ -141,3 +141,63 @@ def test_stateful_running_totals_across_microbatches(spark, dirs):
     ).collect()
     got = {(r.user_id, r.n_events, r.total, r.max_value) for r in rows}
     assert got == {(1, 3, 10.0, 5.0), (2, 1, 7.0, 7.0), (3, 1, 9.0, 9.0)}
+
+
+def test_stream_stream_join_across_microbatches(spark, dirs):
+    # delta-join maintenance (Prototype.scala:56-61): a purchase arriving in
+    # micro-batch 2 must join clicks buffered from micro-batch 1 (A⋈ΔB) as
+    # well as clicks in its own batch (ΔA⋈ΔB).
+    from linqonsteroids_spark.streaming import stream_stream_interval_join
+
+    file1 = [
+        (1, "click", _ts(0), 5),
+        (1, "purchase", _ts(1), 0),
+        (2, "click", _ts(2), 7),
+    ]
+    file2 = [
+        (1, "purchase", _ts(30), 0),
+        (2, "click", _ts(29), 8),
+        (2, "purchase", _ts(31), 0),
+    ]
+    _write_batch(spark, dirs["src"], file1)
+    _write_batch(spark, dirs["src"], file2)
+
+    def _src():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dirs["src"])
+        )
+
+    purchases = _src().filter(F.col("kind") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    clicks = _src().filter(F.col("kind") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("value")
+    )
+    joined = stream_stream_interval_join(
+        purchases,
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        left_time="p_ts",
+        right_time="c_ts",
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_sink")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.p_user, r.p_ts.minute, r.c_ts.minute)
+        for r in spark.sql("SELECT * FROM ssjoin_sink").collect()
+    }
+    # batch recompute over all data — includes the cross-batch pairs
+    # (purchase@30 × click@0, purchase@31 × click@2)
+    assert got == {(1, 1, 0), (1, 30, 0), (2, 31, 2), (2, 31, 29)}
