@@ -3,22 +3,32 @@ sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Timing = full query wall time to a count-style action (foreach(noop) would
 skip result materialization; we use a collect of the aggregated result,
-which for these queries is small). Methodology (BASELINE.md): the
-reference baseline is steady-state timing (Georges et al. OOPSLA'07, min
-10 sample loops); we approximate it with one warm-up execution per query
-(amortizing first-run JIT/classloading, ~3-5s on the hash-heavy plans)
-and report the following steady-state run. Set SPARK_GRAFT_BENCH_COLD=1
-to time single cold runs instead.
+which for these queries is small). Methodology (BASELINE.md): steady-state
+timing per Georges et al. (OOPSLA'07) — one warm-up execution (JIT +
+classloading), then repeated timed runs until the coefficient of variation
+of the last three samples drops under 5% (max 5 samples), reporting the
+MEDIAN. Medians make round-over-round regressions attributable to code, not
+to machine load at snapshot time. Set SPARK_GRAFT_BENCH_COLD=1 to time
+single cold runs instead.
+
+The HEADLINE list is frozen to round 1's 22 queries so suite totals stay
+comparable across rounds; operators added later are timed in the separate
+``extra_queries`` field, which does not count toward ``value``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPS_MIN = 3
+REPS_MAX = 5
+COV_CUTOFF = 0.05
 
 #: headline queries — a representative slice across operator families:
 #: joins/aggs, top-k, windows, as-of/range, nested arrays, text, dedup
@@ -49,6 +59,15 @@ HEADLINE = [
     "streaming_hourly_events",
 ]
 
+#: operators added after round 1 — timed, reported, excluded from the total
+EXTRA = [
+    "indexed_chain_lookup",
+    "bucketed_mv_join",
+    "knn_lsh_bucketed",
+    "asof_purchase_click_bucketed",
+    "streaming_purchase_click_pairs",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,16 +84,37 @@ def main() -> None:
     ).count()
 
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def measure(name: str) -> float:
         fn = ALL[name][0]
-        if not cold:
-            fn(spark, sf_dir).count()  # warm-up: JIT + classload this plan
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        if cold:
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            print(f"# {name}: {n} rows in {dt}s (cold)", file=sys.stderr)
+            return dt
+        fn(spark, sf_dir).count()  # warm-up: JIT + classload this plan
+        samples: list[float] = []
+        n = 0
+        while len(samples) < REPS_MAX:
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+            if len(samples) >= REPS_MIN:
+                tail = samples[-REPS_MIN:]
+                m = statistics.mean(tail)
+                if m > 0 and statistics.stdev(tail) / m < COV_CUTOFF:
+                    break
+        med = round(statistics.median(samples), 3)
+        print(
+            f"# {name}: {n} rows, median {med}s over {len(samples)} samples "
+            f"({', '.join(f'{s:.3f}' for s in samples)})",
+            file=sys.stderr,
+        )
+        return med
+
+    timings = {name: measure(name) for name in HEADLINE}
+    extra = {name: measure(name) for name in EXTRA if name in ALL}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -85,6 +125,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
+                "method": f"median of <= {REPS_MAX} steady-state runs, CoV cutoff {COV_CUTOFF}",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -55,7 +55,13 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-HAVE_REAL_DECODER = False  # PIL/ffmpeg absent in this environment
+try:  # auto-activate the real decoder when an imaging library exists
+    from PIL import Image as _PIL_Image  # noqa: N813
+
+    HAVE_REAL_DECODER = True
+except ImportError:  # this environment ships no imaging libs — stub path
+    _PIL_Image = None
+    HAVE_REAL_DECODER = False
 
 
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -88,10 +94,31 @@ def _decode_stub(data: bytes) -> dict:
 
 
 def _decode_real(data: bytes) -> dict:  # pragma: no cover - env lacks libs
-    raise NotImplementedError(
-        "real image decode requires PIL/opencv, not present in this environment; "
-        "swap _decode_stub for a PIL-backed implementation"
+    """PIL-backed decode; selected automatically when PIL imports.
+
+    Same output contract as the stub (mean_luma, edge_density in [0,1],
+    16-hex content hash) so downstream schemas never change."""
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "real image decode requires PIL, not present in this environment; "
+            "the stub path (_decode_stub) remains active"
+        )
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(data)).convert("L")
+    px = list(img.getdata())
+    n = max(len(px), 1)
+    mean_luma = sum(px) / (255.0 * n)
+    # cheap horizontal-gradient proxy for edge density
+    w = img.width or 1
+    edges = sum(
+        1 for i in range(len(px) - 1) if (i + 1) % w and abs(px[i + 1] - px[i]) > 32
     )
+    return {
+        "mean_luma": mean_luma,
+        "edge_density": edges / n,
+        "content_hash": hashlib.sha256(data).hexdigest()[:16],
+    }
 
 
 DECODE_RESULT_SCHEMA = (
@@ -99,19 +126,26 @@ DECODE_RESULT_SCHEMA = (
 )
 
 
-def decode_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_image_stats(
+    df: DataFrame, id_col: str = "doc_id", decoder: str = "auto"
+) -> DataFrame:
     """Decode media → per-item stats via mapInPandas (Arrow batches).
 
     Filter pushes down BEFORE decode: only image rows reach Python.
+    ``decoder``: "auto" uses PIL when importable, else the stub; "stub"
+    forces the deterministic fake (required for synthetic payloads — e.g.
+    the oracle-gated query, whose bytes are hashes, not images); "real"
+    forces PIL and raises without it.
     """
     images = df.filter(F.col("media_meta.format").isin("png", "jpeg")).select(
         F.col(id_col).alias("doc_id"),
         F.col("media_meta.format").alias("format"),
         F.col("media_bytes"),
     )
+    use_real = HAVE_REAL_DECODER if decoder == "auto" else decoder == "real"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _decode_real if HAVE_REAL_DECODER else _decode_stub
+        decode = _decode_real if use_real else _decode_stub
         for pdf in batches:
             stats = [decode(bytes(b)) for b in pdf["media_bytes"]]
             out = pd.DataFrame(stats)

@@ -30,12 +30,22 @@ def asof_join(
     value_cols: list[str],
     strict: bool = True,
     right_tiebreak: str | None = None,
+    time_bucket_width: float | None = None,
 ) -> DataFrame:
     """For each left row: the latest right row with the same key and
     ``right_time < left_time`` (``<=`` when strict=False). Right values
     arrive as ``asof_<col>`` (null if no prior right row).
     ``right_tiebreak`` names a right column breaking equal-timestamp ties
     deterministically (max wins).
+
+    ``time_bucket_width`` (seconds for timestamps, raw units for numeric
+    times) bounds hot keys: without it the window partitions by key alone,
+    so one hot key serializes into ONE task. With it, rows partition by
+    (key, time-bucket) — max task size = rows per key per bucket — and a
+    second tiny pass carries the last right row of each bucket forward
+    across bucket boundaries (a per-(key,bucket) running ``last``, O(#
+    buckets) rows per key, never O(rows)). Results are identical; pinned by
+    tests and the ``asof_purchase_click_bucketed`` oracle gate.
     """
     lcols = left.columns
     tb_type = dict(right.dtypes).get(right_tiebreak, "long")
@@ -72,15 +82,66 @@ def asof_join(
         F.col("_side").asc() if not strict else F.col("_side").desc(),
         F.col("_tb").asc_nulls_first(),
     ]
-    w = (
-        Window.partitionBy("_k")
+    if time_bucket_width is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        filled = unioned.select(
+            "_side",
+            "_l",
+            F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_asof"),
+        )
+        return filled.filter(F.col("_side") == 1).select(
+            *[F.col(f"_l.{c}").alias(c) for c in lcols],
+            *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+
+    # hot-key-bounded path: window partitions by (key, coarse time bucket);
+    # a right row in bucket b-1 is strictly earlier than every left row in
+    # bucket b (floor semantics), so the carry-in needs no strict/tiebreak
+    # handling — only the in-bucket window does.
+    unioned = unioned.withColumn(
+        "_b", F.floor(F.col("_t").cast("double") / F.lit(float(time_bucket_width)))
+    )
+    w_in = (
+        Window.partitionBy("_k", "_b")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    filled = unioned.select(
-        "_side",
-        "_l",
-        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_asof"),
+    # last right row per (key, bucket): max_by over (time, tiebreak) — a
+    # pre-aggregated frame with one row per non-empty bucket, tiny next to
+    # the data
+    bucket_last = (
+        unioned.filter(F.col("_side") == 0)
+        .groupBy("_k", "_b")
+        .agg(F.max_by("_rv", F.struct("_t", "_tb")).alias("_last_rv"))
+    )
+    # carry chain over ALL buckets that contain any row (gaps in bucket_last
+    # must not break the chain)
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        unioned.select("_k", "_b")
+        .distinct()
+        .join(bucket_last, ["_k", "_b"], "left")
+        .withColumn("_carry_rv", F.last("_last_rv", ignorenulls=True).over(w_carry))
+        .select("_k", "_b", "_carry_rv")
+    )
+    filled = (
+        unioned.join(carry, ["_k", "_b"], "left")
+        .select(
+            "_side",
+            "_l",
+            F.coalesce(
+                F.last(F.col("_rv"), ignorenulls=True).over(w_in),
+                F.col("_carry_rv"),
+            ).alias("_asof"),
+        )
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],

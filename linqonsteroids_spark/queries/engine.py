@@ -177,6 +177,65 @@ WHERE c_mktsegment = 'BUILDING'
 """
 
 
+# --- shuffle-free co-bucketed MV join --------------------------------------
+# Two MVs written bucketBy(8, key).sortBy(key) as managed tables: Spark's
+# bucketed-scan output partitioning satisfies the join's distribution
+# requirement on BOTH sides, so the SortMergeJoin plans with ZERO Exchange
+# — the layout write_bucketed_table promises (and what IndexRepository
+# upgrades to on a managed cluster). The query RAISES if any Exchange
+# appears under forced-SMJ planning; the oracle is the plain join.
+def bucketed_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from linqonsteroids_spark.sources import write_bucketed_table
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    order_totals = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    # unique per call: the warehouse dir outlives the in-memory metastore,
+    # so a reused name from an earlier PROCESS collides on location
+    # (LOCATION_ALREADY_EXISTS) even under mode=overwrite
+    n = uuid.uuid4().hex[:10]
+    cust_t, ord_t = f"bmv_customer_{n}", f"bmv_orders_{n}"
+    write_bucketed_table(customer, cust_t, ["c_custkey"], n_buckets=8)
+    write_bucketed_table(order_totals, ord_t, ["o_custkey"], n_buckets=8)
+    a, b = spark.table(cust_t), spark.table(ord_t)
+    joined = a.join(b, a["c_custkey"] == b["o_custkey"]).select(
+        "c_custkey", "c_name", "n_orders", "total_price"
+    )
+    # prove co-location under sort-merge planning (broadcast would hide a
+    # missing bucket alignment), then restore the session threshold
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange hashpartitioning" in plan:
+            raise RuntimeError("bucketed MV join still shuffles — bucket layout lost")
+        if "SortMergeJoin" not in plan:
+            raise RuntimeError("expected a sort-merge join over co-bucketed scans")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return joined
+
+
+BUCKETED_MV_SQL = """
+SELECT c_custkey, c_name, n_orders, total_price
+FROM customer JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
 # --- pandas UDAF (fmap contract + foldLeft, SURVEY §2.11) -----------------
 # An arbitrary fold the built-in aggregates don't provide as one function:
 # quantity-weighted mean price. Registered under a stable name (fmap
@@ -237,7 +296,7 @@ def _hex_byte_sql(h: str, pos: int) -> str:
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = attach_fake_media(docs)
-    stats = decode_image_stats(media)
+    stats = decode_image_stats(media, decoder="stub")  # payloads are hashes
     return stats.select(
         "doc_id",
         "format",
@@ -282,6 +341,7 @@ QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),
+    "bucketed_mv_join": (bucketed_mv_join, BUCKETED_MV_SQL),
     "udaf_weighted_price": (udaf_weighted_price, UDAF_WAVG_SQL),
     "multimodal_image_stats": (multimodal_image_stats, MULTIMODAL_STATS_SQL),
     "multimodal_frame_counts": (multimodal_frame_counts, FRAME_COUNTS_SQL),

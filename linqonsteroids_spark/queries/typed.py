@@ -172,6 +172,34 @@ SELECT event_id, user_id, last_click_value FROM (
 """
 
 
+# Same as-of semantics through the hot-key-bounded path: the window
+# partitions by (user, 6-hour bucket) with cross-bucket carry-over, so a
+# hot user cannot serialize into one task. Identical oracle — identical
+# results are the point.
+def asof_purchase_click_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        strict=True,
+        right_tiebreak="event_id",
+        time_bucket_width=6 * 3600,
+    )
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 4).alias("last_click_value")
+    )
+
+
 QUERIES = {
     "typefilter_clicks": (typefilter_clicks, TYPEFILTER_SQL),
     "typecase_events": (typecase_events, TYPECASE_SQL),
@@ -180,4 +208,5 @@ QUERIES = {
     "events_time_features": (events_time_features, EVENTS_TIME_SQL),
     "cube_priority_status": (cube_priority_status, CUBE_SQL),
     "asof_purchase_click": (asof_purchase_click, ASOF_SQL),
+    "asof_purchase_click_bucketed": (asof_purchase_click_bucketed, ASOF_SQL),
 }

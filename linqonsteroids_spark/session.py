@@ -50,6 +50,11 @@ def get_spark(app_name: str = "linqonsteroids_spark", cpus: int | None = None) -
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle_parts)
+        # ANSI mode (Spark 4 default) pinned explicitly: every operator —
+        # including minhash's 64-bit hash arithmetic and cast_matrix's
+        # string→number casts — must be exact under strict overflow/cast
+        # errors. tests/test_ansi.py guards the pin.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -53,6 +53,20 @@ def write_bucketed_table(
     """Bucketed + sorted managed table (requires a warehouse-enabled
     session). Two tables bucketed identically on the join key give
     shuffle-free joins; bucket pruning serves point lookups."""
+    if mode == "overwrite":
+        # the warehouse dir outlives an in-memory metastore: a table
+        # directory left by an earlier process collides on location even
+        # under overwrite (the fresh catalog has no table to drop). Drop
+        # both the catalog entry and, for local warehouses, the stale dir.
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(os.path.join(wh.path, table_name.lower()), ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     w = w.sortBy(*(sort_cols or bucket_cols))
     w.format("parquet").saveAsTable(table_name)

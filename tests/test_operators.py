@@ -134,3 +134,60 @@ def test_salted_join_rejects_unsupported_how(spark):
     small = spark.createDataFrame([(1, "y")], "k2 long, w string")
     with pytest.raises(ValueError):
         salted_join(big, small, "k", "k2", how="full")
+
+
+def test_asof_join_time_bucketed_equals_plain(spark):
+    # hot-key bounding: same results through the (key, bucket) window +
+    # carry-over path, including carry across EMPTY buckets and the strict
+    # boundary (right row exactly at a bucket edge belongs to the next
+    # bucket and must not leak backwards).
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rng.choice(["u", "v"]), _t(rng.randrange(0, 59))) for i in range(200)],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(rng.choice(["u", "v", "w"]), _t(rng.randrange(0, 59)), i, i * 10)
+         for i in range(50)]
+        + [("u", _t(10), 999, None)],  # NULL px at a boundary-ish instant
+        "k string, t timestamp, rid long, px long",
+    )
+    kw = dict(on="k", left_time="t", right_time="t",
+              value_cols=["px"], right_tiebreak="rid")
+    plain = {(r.id, r.asof_px) for r in asof_join(left, right, **kw).collect()}
+    bucketed = {
+        (r.id, r.asof_px)
+        for r in asof_join(left, right, time_bucket_width=600, **kw).collect()
+    }
+    assert plain == bucketed
+
+    # strict-boundary carry: right row exactly at bucket edge (600s) is in
+    # bucket 1; a left row at the same instant must NOT see it (strict)
+    l2 = spark.createDataFrame([(1, "u", _t(10))], "id long, k string, t timestamp")
+    r2 = spark.createDataFrame(
+        [("u", _t(10), 1, 5), ("u", _t(3), 2, 7)],
+        "k string, t timestamp, rid long, px long",
+    )
+    out = asof_join(l2, r2, time_bucket_width=600, **kw).collect()
+    assert out[0].asof_px == 7
+
+
+def test_asof_join_bucketed_window_is_not_keyed_alone(spark):
+    # the in-bucket window must partition by (key, bucket) — a hot key
+    # spreads over buckets instead of serializing into one task
+    left = spark.createDataFrame([(1, "u", _t(10))], "id long, k string, t timestamp")
+    right = spark.createDataFrame(
+        [("u", _t(5), 1, 5)], "k string, t timestamp, rid long, px long"
+    )
+    df = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["px"], right_tiebreak="rid", time_bucket_width=600,
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    in_bucket = [s for s in specs if "_t" in s]  # ordered by time = the fill window
+    assert in_bucket and all("_b" in s for s in in_bucket)
