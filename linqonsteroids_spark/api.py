@@ -663,13 +663,38 @@ class Indexed:
         self.key = key
         self.key_name = key_name
 
-    def agg_values(self, val_name: str = "values") -> Lifted:
+    def agg_values(
+        self,
+        val_name: str = "values",
+        limit_per_key: int | None = None,
+        order: list[str] | None = None,
+    ) -> Lifted:
         """Map[K, Coll] as (key, array<struct>) rows — the literal indexBy
-        shape. At scale prefer ``agg``/bucketed MVs over value arrays."""
-        df = self.src.df.groupBy(self.key.col.alias(self.key_name)).agg(
-            F.collect_list(F.struct(*self.src.df.columns)).alias(val_name)
+        shape. At scale prefer ``agg``/bucketed MVs over value arrays.
+
+        ``limit_per_key`` hard-caps the array (first N rows by ``order``,
+        default all columns): without it one hot key materializes its whole
+        group in a single aggregation buffer — the cap bounds both the
+        buffer and the output row. The rank pass is a per-key window (one
+        task per key), so the cap protects memory, not CPU skew."""
+        df = self.src.df
+        if limit_per_key is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(self.key.col).orderBy(
+                *[F.col(c) for c in (order or df.columns)]
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= limit_per_key)
+                .drop("_rn")
+            )
+        out = df.groupBy(self.key.col.alias(self.key_name)).agg(
+            F.collect_list(F.struct(*[F.col(c) for c in self.src.df.columns])).alias(
+                val_name
+            )
         )
-        return self.src._with(df)
+        return self.src._with(out)
 
     def agg(self, **aggs: Expr) -> Lifted:
         df = self.src.df.groupBy(self.key.col.alias(self.key_name)).agg(

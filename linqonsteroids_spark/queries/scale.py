@@ -308,20 +308,19 @@ def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
-    def _events_stream() -> DataFrame:
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-
-    purchases = _events_stream().filter(F.col("event_type") == "purchase").select(
+    # ONE source, self-joined: Spark splits the stream into both join sides.
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
     )
-    clicks = _events_stream().filter(F.col("event_type") == "click").select(
+    clicks = events.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
@@ -337,14 +336,24 @@ def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         right_time="c_ts",
     )
     name = f"mv_ssjoin_{next(_MV_IDS)}"
-    (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # a stream-stream join materializes FOUR state stores per shuffle
+    # partition (key→count + key+index→row per side); at 32 partitions the
+    # store setup dominates this data size ~4x over the join itself. Size
+    # state partitions to the stream's key volume — on a real cluster this
+    # scales back up with the data; it is a per-query knob, not a global.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name).select(
         "purchase_id", "click_id", F.round("value", 4).alias("click_value")
     )

@@ -268,3 +268,16 @@ def test_seq_projection_without_order_cols_downgrades(t):
     )
     assert q.kind == "bag" and q.order == []
     q.to_df().limit(1).collect()  # must not raise unresolved-column
+
+
+def test_agg_values_limit_per_key(t):
+    idx = lift(t["nation"]).index_by(lambda n: n.n_regionkey)
+    capped = {r["key"]: r["values"] for r in idx.agg_values(
+        limit_per_key=2, order=["n_nationkey"]
+    ).value()}
+    assert len(capped) == 5 and all(len(v) == 2 for v in capped.values())
+    # deterministic: first 2 nations per region by key order
+    full = {r["key"]: sorted(x.n_nationkey for x in r["values"])
+            for r in idx.agg_values().value()}
+    for k, vs in capped.items():
+        assert sorted(x.n_nationkey for x in vs) == full[k][:2]

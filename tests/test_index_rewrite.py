@@ -350,3 +350,69 @@ def test_chain_mv_different_key_does_not_match(spark, chain_repo):
               lambda co: co.o_orderkey, lambda li: li.l_suppkey)
     )
     assert chain_repo.optimize(q) is q
+
+
+# --- rewrite-strategy combinators (TransformationCombinators.scala:140-210)
+
+
+def test_combinators_seq_first_of_exhaust(spark, repo):
+    from linqonsteroids_spark.plans import attempt, exhaust, first_of, seq
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    q = lift(customer, table="customer").filter(
+        lambda c: (c.c_mktsegment == "BUILDING") & (c.c_acctbal > 0)
+    )
+
+    never = lambda _q: None  # noqa: E731
+    index_rule = repo.optimize
+
+    # first_of: the first applying rule wins
+    out = first_of(never, index_rule)(q)
+    assert out is not None and out is not q
+    assert out.df.inputFiles() and "customer_by_segment" in out.df.inputFiles()[0]
+
+    # seq: applies iff any constituent applied; threading preserved
+    assert seq(never, never)(q) is None
+    assert seq(never, index_rule)(q) is not None
+
+    # exhaust: substitution output is non-rewritable → exactly one round,
+    # then fixpoint; results still equal the unrewritten query
+    out2 = exhaust(index_rule)(q)
+    assert out2 is not None and not out2.plan.rewritable
+    assert _sorted_rows(out2.df) == _sorted_rows(q.df)
+
+    # attempt: total — identity when nothing applies
+    unmatched = lift(customer, table="customer").filter(lambda c: c.c_custkey == 5)
+    assert attempt(index_rule)(unmatched) is unmatched
+
+
+def test_combinators_exhaust_guards_nontermination(spark):
+    from linqonsteroids_spark.api import lift as _lift
+    from linqonsteroids_spark.plans import exhaust
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    q = _lift(customer, table="customer")
+
+    def always(lifted):  # pathological: always "applies"
+        return _lift(lifted.df, table="customer")
+
+    with pytest.raises(RuntimeError, match="still matching"):
+        exhaust(always, max_iterations=4)(q)
+
+
+def test_combinators_chain_two_repositories(spark, repo, join_repo):
+    # a pipeline of independent repositories: first_of picks whichever
+    # matches the query shape — the reference's optimizer composes
+    # shareSubqueries over multiple index maps the same way
+    from linqonsteroids_spark.plans import attempt, first_of, index_substitution
+
+    pipeline = attempt(
+        first_of(index_substitution(repo), index_substitution(join_repo))
+    )
+    flat = lift(load_table(spark, SF_SMOKE, "customer"), table="customer").filter(
+        lambda c: c.c_mktsegment == "MACHINERY"
+    )
+    joined = _cust_orders_query(spark)
+    out_flat, out_join = pipeline(flat), pipeline(joined)
+    assert "customer_by_segment" in out_flat.df.inputFiles()[0]
+    assert all("cust_orders" in f for f in out_join.df.inputFiles())
