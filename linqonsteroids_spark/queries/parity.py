@@ -249,8 +249,83 @@ FROM (
 """
 
 
+# --- correlated scalar subquery (TPC-H Q17 shape) --------------------------
+# "Revenue lost if small orders stop": lineitems under 20% of their part's
+# average quantity, restricted to one brand. Spark-first decorrelation: the
+# per-part average is a tiny pre-aggregate joined back (what Catalyst's
+# subquery decorrelation produces anyway) — the brand filter lands on part
+# BEFORE either join, so both join inputs shrink first.
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thresholds = branded.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("threshold")
+    )
+    small = branded.join(thresholds, "l_partkey").filter(
+        F.col("l_quantity") < F.col("threshold")
+    )
+    return small.agg(
+        F.count("*").alias("n_small"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+Q17_SQL = """
+SELECT count(*) AS n_small,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+# --- range-frame window (rangeBetween; rows frames covered elsewhere) ------
+# Per click event: how much value the same user accumulated in the strictly
+# preceding hour — a RANGE frame keyed on event-time seconds, not row
+# counts, so gaps and bursts are handled by value distance. One shuffle on
+# user_id.
+def events_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, -1)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 4).alias(
+            "trailing_hour_value"
+        ),
+    )
+
+
+RANGE_FRAME_SQL = """
+SELECT event_id, user_id,
+       round(coalesce(sum(value) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(epoch(ts) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING
+       ), 0.0), 4) AS trailing_hour_value
+FROM events WHERE event_type = 'click'
+"""
+
+
 QUERIES = {
     "nation_full_outer_counts": (nation_full_outer_counts, FULL_OUTER_SQL),
+    "small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
+    "events_trailing_hour_value": (events_trailing_hour_value, RANGE_FRAME_SQL),
     "order_qty_foldhash": (order_qty_foldhash, FOLDHASH_SQL),
     "collect_urgency_scores": (collect_urgency_scores, COLLECT_SQL),
     "grouping_sets_order_totals": (grouping_sets_order_totals, GROUPING_SETS_SQL),

@@ -158,6 +158,34 @@ GROUP BY band_id
 _MV_IDS = itertools.count()
 
 
+def _run_stream_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    state_partitions: int = 8,
+) -> None:
+    """Execute a stateful streaming query to a memory sink with state
+    partitions sized to the stream's key volume: each stateful operator
+    opens one state store per shuffle partition, and at these key counts
+    store setup dominates wall time ~4x at 32 partitions. Per-query knob —
+    a real deployment scales it back up with the data; the session default
+    is untouched for everything else."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
@@ -178,14 +206,7 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_keys=["event_type"],
     )
     name = f"mv_hourly_{next(_MV_IDS)}"
-    (
-        windows.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _run_stream_to_memory(spark, windows, name, "complete")
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
         "event_type",
@@ -220,14 +241,7 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = sessionized_counts(stream, ts_col="ts", gap=_SESSION_GAP, key="user_id")
     name = f"mv_sessions_{next(_MV_IDS)}"
-    (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _run_stream_to_memory(spark, sessions, name, "complete")
     return spark.table(name).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -274,14 +288,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = stateful_running_totals(stream, key="user_id", value_col="value")
     name = f"mv_totals_{next(_MV_IDS)}"
-    (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _run_stream_to_memory(spark, totals, name, "update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)
@@ -336,24 +343,9 @@ def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         right_time="c_ts",
     )
     name = f"mv_ssjoin_{next(_MV_IDS)}"
-    # a stream-stream join materializes FOUR state stores per shuffle
-    # partition (key→count + key+index→row per side); at 32 partitions the
-    # store setup dominates this data size ~4x over the join itself. Size
-    # state partitions to the stream's key volume — on a real cluster this
-    # scales back up with the data; it is a per-query knob, not a global.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # a stream-stream join is the worst case: FOUR state stores per shuffle
+    # partition (key→count + key+index→row per side)
+    _run_stream_to_memory(spark, joined, name, "append")
     return spark.table(name).select(
         "purchase_id", "click_id", F.round("value", 4).alias("click_value")
     )
