@@ -40,13 +40,33 @@ from pyspark.sql import functions as F
 class Node:
     """Structure node: ('col', name) | ('lit', v) | ('eq', l, r) |
     ('cmp', op, l, r) | ('and', l, r) | ('or', l, r) | ('not', x) |
-    ('opaque',)."""
+    ('arith', op, l, r) | ('neg', x) | ('opaque',).
+
+    Structural equality (dataclass eq over nested tuples) is the
+    normalized-comparison the rewriter uses to match let-bound computed
+    index keys between registration and query — the reference's
+    ``normalizer`` discipline (OptimizationTransforms.scala:123-127)."""
 
     kind: str
     args: tuple = ()
 
 
 OPAQUE = Node("opaque")
+
+#: node kinds the rewriter can rebuild into a Spark Column
+_RECONSTRUCTIBLE_KINDS = frozenset(
+    {"col", "lit", "eq", "cmp", "and", "or", "not", "arith", "neg"}
+)
+
+
+def _node_reconstructible(node: Node) -> bool:
+    """True iff the whole tree can be rebuilt into a Column (no opaque
+    leaves) — the precondition for keeping a let rewritable."""
+    if node.kind not in _RECONSTRUCTIBLE_KINDS:
+        return False
+    return all(
+        _node_reconstructible(a) for a in node.args if isinstance(a, Node)
+    )
 
 
 class Expr:
@@ -97,33 +117,39 @@ class Expr:
     def __invert__(self):
         return Expr(~self.col, Node("not", (self.node,)))
 
-    # --- arithmetic (numericOps.scala:24-54) ---
+    # --- arithmetic (numericOps.scala:24-54) — structure tracked so
+    # let-bound computed keys stay matchable by the index rewriter ---
+    def _arith(self, other, sym, fn, flip=False):
+        o = _lift(other)
+        l, r = (o, self) if flip else (self, o)
+        return Expr(fn(l.col, r.col), Node("arith", (sym, l.node, r.node)))
+
     def __add__(self, other):
-        return Expr(self.col + _lift(other).col)
+        return self._arith(other, "+", _op.add)
 
     def __radd__(self, other):
-        return Expr(_lift(other).col + self.col)
+        return self._arith(other, "+", _op.add, flip=True)
 
     def __sub__(self, other):
-        return Expr(self.col - _lift(other).col)
+        return self._arith(other, "-", _op.sub)
 
     def __rsub__(self, other):
-        return Expr(_lift(other).col - self.col)
+        return self._arith(other, "-", _op.sub, flip=True)
 
     def __mul__(self, other):
-        return Expr(self.col * _lift(other).col)
+        return self._arith(other, "*", _op.mul)
 
     def __rmul__(self, other):
-        return Expr(_lift(other).col * self.col)
+        return self._arith(other, "*", _op.mul, flip=True)
 
     def __truediv__(self, other):
-        return Expr(self.col / _lift(other).col)
+        return self._arith(other, "/", _op.truediv)
 
     def __mod__(self, other):
-        return Expr(self.col % _lift(other).col)
+        return self._arith(other, "%", _op.mod)
 
     def __neg__(self):
-        return Expr(-self.col)
+        return Expr(-self.col, Node("neg", (self.node,)))
 
     # --- string ops (simpleOpenEncoding.scala:451-463) ---
     def contains(self, s):
@@ -280,12 +306,15 @@ class PlanInfo:
     plus the filter structures applied since (project/etc. reset it — the
     rewriter only matches the filter-over-scan and filter-over-equi-join
     shapes, exactly the patterns ``SubquerySharing.shareSubqueries``
-    recognizes)."""
+    recognizes). ``lets`` records reconstructible computed columns
+    (name, structure) so indexes over computed keys — the reference's
+    ``filter(f(x) == k)`` normalization — survive the rewrite."""
 
     base_table: str | None = None
     filters: list[Node] = field(default_factory=list)
     rewritable: bool = True
     join: "JoinInfo | None" = None
+    lets: list[tuple[str, Node]] = field(default_factory=list)
 
 
 class Lifted:
@@ -355,6 +384,7 @@ class Lifted:
             [*self.plan.filters, e.node],
             self.plan.rewritable,
             self.plan.join,
+            list(self.plan.lets),
         )
         out = Lifted(self.df.filter(e.col), kind=self.kind,
                      order=self.order or None, plan=plan)
@@ -403,11 +433,28 @@ class Lifted:
     def let(self, name: str, fn: Callable[[RowProxy], Any]) -> "Lifted":
         """Let-binding (Lifting.scala:190-201) → named intermediate column.
 
-        Deliberately NOT rewritable: PlanInfo cannot reproduce the computed
-        column, so an index-MV substitution after a let would drop it
-        (the reference's SubquerySharing is equally conservative about
-        scopes it cannot restate)."""
-        return self._with(self.df.withColumn(name, _lift(self._apply(fn)).col))
+        When the expression's structure is fully tracked (columns,
+        literals, arithmetic, comparisons), the plan stays rewritable with
+        the let recorded — so indexes over computed keys match (the
+        reference's normalized ``filter(f(x) == k)`` discipline). Opaque
+        expressions (UDFs, string ops) make the plan non-rewritable
+        instead: a substitution could not reproduce the column
+        (SubquerySharing is equally conservative about scopes it cannot
+        restate)."""
+        e = _lift(self._apply(fn))
+        df = self.df.withColumn(name, e.col)
+        if self.plan.rewritable and _node_reconstructible(e.node):
+            return Lifted(
+                df, kind=self.kind, order=self.order or None,
+                plan=PlanInfo(
+                    self.plan.base_table,
+                    list(self.plan.filters),
+                    True,
+                    self.plan.join,
+                    [*self.plan.lets, (name, e.node)],
+                ),
+            )
+        return self._with(df)
 
     def select_fields(self, *names: str) -> "Lifted":
         df = self.df.select(*names)
@@ -446,7 +493,10 @@ class Lifted:
             # can match. Chaining gives the reference's multi-level nested
             # scopes (SubquerySharing.scala:110-343).
             left: tuple | None = None
-            if self.plan.base_table is not None:
+            if self.plan.lets or inner.plan.lets:
+                # a chain MV has no let representation; stay conservative
+                left = None
+            elif self.plan.base_table is not None:
                 left = ((self.plan.base_table,), (), tuple(self.plan.filters))
             elif self.plan.join is not None:
                 j = self.plan.join

@@ -93,6 +93,17 @@ def node_to_column(node: Node) -> Column | None:
     if k == "not":
         x = node_to_column(node.args[0])
         return None if x is None else ~x
+    if k == "arith":
+        sym, ln, rn = node.args
+        l, r = node_to_column(ln), node_to_column(rn)
+        if l is None or r is None:
+            return None
+        return {
+            "+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r,
+        }[sym]
+    if k == "neg":
+        x = node_to_column(node.args[0])
+        return None if x is None else -x
     return None
 
 
@@ -110,6 +121,10 @@ class IndexEntry:
     #: original column order — partitionBy moves the key column to the end
     #: on read-back; the rewrite restores this so the MV is a drop-in scan
     columns: tuple[str, ...] = ()
+    #: computed (let-bound) columns materialized into the MV, as
+    #: (name, structure); a query matches only if its own lets are
+    #: structurally identical — the reference's normalized f(x)==k matching
+    lets: tuple = ()
 
 
 @dataclass
@@ -136,20 +151,21 @@ class IndexRepository:
     def add_index(self, name: str, indexed: Indexed) -> IndexEntry:
         """Materialize ``coll.index_by(key)`` now and register it.
 
-        Requires: the source is a rewritable base-table scan and the key is
-        a plain column (computed keys: register via an explicit ``let``
-        first so the key is a named column).
+        Requires: the source is a rewritable base-table scan (optionally
+        with tracked ``let`` computed columns — the reference's computed
+        index keys, normalized f(x)==k) and the key is a named column.
         """
         src = indexed.src
         table = src.plan.base_table
         if table is None or not src.plan.rewritable or src.plan.filters:
             raise ValueError(
                 "add_index needs an unfiltered base-table scan "
-                "(lift(df, table=...).index_by(...))"
+                "(lift(df, table=...).index_by(...)); computed keys via a "
+                "tracked .let() first"
             )
         key = canon_key(indexed.key.node)
         if key is None or not key.startswith("col:"):
-            raise ValueError("index key must be a plain column; use .let() for computed keys")
+            raise ValueError("index key must be a named column; use .let() for computed keys")
         key_col = key.split(":", 1)[1]
         path = os.path.join(self.storage_dir, f"{name}")
         (
@@ -158,7 +174,10 @@ class IndexRepository:
             .write.mode("overwrite")
             .parquet(path)
         )
-        entry = IndexEntry(name, table, key_col, path, self.n_buckets)
+        entry = IndexEntry(
+            name, table, key_col, path, self.n_buckets,
+            lets=tuple(src.plan.lets),
+        )
         self._by_table_key[(table, key_col)] = entry
         self._by_name[name] = entry
         return entry
@@ -184,7 +203,7 @@ class IndexRepository:
         src.df.write.mode("overwrite").partitionBy(key_col).parquet(path)
         entry = IndexEntry(
             name, table, key_col, path, 0, layout="dir",
-            columns=tuple(src.df.columns),
+            columns=tuple(src.df.columns), lets=tuple(src.plan.lets),
         )
         self._by_table_key[(table, key_col)] = entry
         self._by_name[name] = entry
@@ -264,6 +283,11 @@ class IndexRepository:
             col, value = m
             entry = self._by_table_key.get((plan.base_table, col))
             if entry is None:
+                continue
+            if tuple(plan.lets) != entry.lets:
+                # the MV's computed columns must be structurally identical
+                # to the query's (normalized f(x)==k matching); anything
+                # else risks a column the scan cannot provide
                 continue
             residual = [c for j, c in enumerate(conjuncts) if j != i]
             res_cols = [node_to_column(c) for c in residual]

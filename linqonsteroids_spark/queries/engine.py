@@ -61,6 +61,42 @@ WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
 """
 
 
+# --- computed-key index (the reference's normalized filter(f(x) == k):
+# SubquerySharing matches structurally-equal computed key expressions via
+# its normalizer; here the tracked let records (name, structure), the MV
+# materializes the computed column, and optimize() substitutes only when
+# the query's lets are structurally identical. RAISES unless it fired.
+def indexed_computed_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    storage = scratch_dir(prefix="squopt_lidx_")
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_index(
+        "customer_by_band",
+        lift(customer, table="customer")
+        .let("band", lambda c: c.c_custkey % 7)
+        .index_by(lambda c: c.band),
+    )
+    q = (
+        lift(customer, table="customer")
+        .let("band", lambda c: c.c_custkey % 7)
+        .filter(lambda c: (c.band == 3) & (c.c_acctbal > 500.0))
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("customer_by_band" in f for f in files):
+        raise RuntimeError("computed-key index rewrite did not fire")
+    return opt.df.select(
+        "c_custkey", "band", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+INDEXED_COMPUTED_SQL = """
+SELECT c_custkey, c_custkey % 7 AS band, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_custkey % 7 = 3 AND c_acctbal > 500.0
+"""
+
+
 # --- join-MV substitution (the nested-scope variant of SubquerySharing,
 # SubquerySharing.scala:110-343 in relational form): the repository holds a
 # materialized customer⋈orders; a filtered re-statement of that join
@@ -339,6 +375,7 @@ FROM documents WHERE doc_id % 3 = 2
 
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
+    "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),
     "bucketed_mv_join": (bucketed_mv_join, BUCKETED_MV_SQL),

@@ -416,3 +416,60 @@ def test_combinators_chain_two_repositories(spark, repo, join_repo):
     out_flat, out_join = pipeline(flat), pipeline(joined)
     assert "customer_by_segment" in out_flat.df.inputFiles()[0]
     assert all("cust_orders" in f for f in out_join.df.inputFiles())
+
+
+# --- computed (let-bound) index keys — normalized f(x)==k matching ---------
+
+
+def test_computed_key_index_rewrite(spark, tmp_path_factory):
+    storage = str(tmp_path_factory.mktemp("let_indexes"))
+    r = IndexRepository(spark, storage, n_buckets=4)
+    customer = load_table(spark, SF_SMOKE, "customer")
+    r.add_index(
+        "customer_by_band",
+        lift(customer, table="customer")
+        .let("band", lambda c: c.c_custkey % 7)
+        .index_by(lambda c: c.band),
+    )
+    q = (
+        lift(customer, table="customer")
+        .let("band", lambda c: c.c_custkey % 7)
+        .filter(lambda c: (c.band == 3) & (c.c_acctbal > 0))
+    )
+    opt = r.optimize(q)
+    files = opt.df.inputFiles()
+    assert files and all("customer_by_band" in f for f in files)
+    # the computed key column exists IN the MV, so the equality pushes down
+    plan = opt.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "band" in plan
+    assert _sorted_rows(opt.df) == _sorted_rows(q.df)
+
+    # a structurally DIFFERENT let must not match (band = custkey % 5)
+    q2 = (
+        lift(customer, table="customer")
+        .let("band", lambda c: c.c_custkey % 5)
+        .filter(lambda c: c.band == 3)
+    )
+    assert r.optimize(q2) is q2
+
+    # opaque let (string fn) stays non-rewritable
+    q3 = (
+        lift(customer, table="customer")
+        .let("u", lambda c: c.c_name.to_upper())
+        .filter(lambda c: c.c_mktsegment == "BUILDING")
+    )
+    assert not q3.plan.rewritable
+    assert r.optimize(q3) is q3
+
+
+def test_let_without_index_keeps_column_through_optimize(spark, repo):
+    # a tracked let over an indexed table: entry has no lets → mismatch →
+    # conservative no-rewrite, computed column intact
+    customer = load_table(spark, SF_SMOKE, "customer")
+    q = (
+        lift(customer, table="customer")
+        .let("bal2", lambda c: c.c_acctbal * 2)
+        .filter(lambda c: c.c_mktsegment == "BUILDING")
+    )
+    opt = repo.optimize(q)
+    assert opt is q and "bal2" in opt.df.columns
