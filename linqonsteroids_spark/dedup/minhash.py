@@ -172,4 +172,28 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
     )
-    return {"signatures": signatures, "pairs": pairs}
+    # connected components over the candidate pairs: recursive closure of
+    # the symmetric edge relation, component = min reachable id
+    clusters = (
+        base.replace("WITH toks_t", "WITH RECURSIVE toks_t", 1)
+        + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+"""
+    )
+    return {"signatures": signatures, "pairs": pairs, "clusters": clusters}

@@ -59,6 +59,17 @@ def marker_hits(text: Column, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
+#: GPT-2-style pre-tokenization classes: alpha runs, digit runs, single
+#: non-space symbols — the deterministic, oracle-expressible core of BPE
+#: tokenizers (the learned merges happen downstream on these chunks).
+BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """array<string> of BPE-style pre-token chunks."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+
+
 def rolling_hash(text: Column, width: int = 16) -> Column:
     """Deterministic document fingerprint over normalized content."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

@@ -42,6 +42,56 @@ def fix(
     return acc
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) where component = smallest node id reachable
+    through the undirected ``pairs`` relation — min-label propagation to
+    fixpoint (a ``Fix`` instantiation, like TransitiveClosure).
+
+    This is the dedup-pipeline closer: near-dup candidate PAIRS become
+    keep/drop decisions only after clustering (keep one representative per
+    component). Label propagation shuffles |edges| per round and converges
+    in O(component diameter) rounds — duplicate clusters are shallow, so
+    this beats materializing the full transitive closure (quadratic pairs
+    inside large clusters)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if new_labels.join(labels, ["node", "label"], "left_anti").isEmpty():
+            return new_labels
+        labels = new_labels
+    return labels
+
+
 def transitive_closure(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     """All (src, dst) pairs reachable through the binary relation ``edges``.
 

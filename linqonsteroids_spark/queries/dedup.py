@@ -40,6 +40,21 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, threshold=EMBED_THRESHOLD)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → duplicate CLUSTERS (keep one doc per component):
+    min-label propagation over the pair graph (operators/fixpoint.py) —
+    the step that turns pairwise near-dup signals into drop decisions.
+    Oracle: recursive closure of the same pairs in SQL."""
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
     "dedup_simhash_signatures": (dedup_simhash_signatures, simhash_oracle_sql()),
@@ -51,4 +66,5 @@ QUERIES = {
         dedup_embedding_pairs,
         embedding_oracle_sql(threshold=EMBED_THRESHOLD),
     ),
+    "dedup_clusters": (dedup_clusters, minhash_oracle_sql()["clusters"]),
 }

@@ -174,8 +174,45 @@ FROM scored
 LANG_ID_SQL = _lang_id_sql()
 
 
+# --- BPE-style pre-tokenization stats (north-star: token counting beyond
+# whitespace). The regex classes — alpha runs, digit runs, single symbols —
+# are the deterministic pre-tokenizer real BPE vocabularies run on; counts
+# per class approximate tokenizer cost per document. JVM regexp, no UDF.
+def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.functions.text import bpe_pretokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = bpe_pretokens(F.col("text"))
+    n_alpha = F.size(F.filter(chunks, lambda t: t.rlike("^[A-Za-z]+$")))
+    n_digit = F.size(F.filter(chunks, lambda t: t.rlike("^[0-9]+$")))
+    return docs.select(
+        "doc_id",
+        F.size(chunks).alias("n_pretokens"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        (F.size(chunks) - n_alpha - n_digit).alias("n_symbol"),
+    )
+
+
+TOKEN_BPE_SQL = r"""
+SELECT doc_id,
+       len(chunks) AS n_pretokens,
+       len(list_filter(chunks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_alpha,
+       len(list_filter(chunks, t -> regexp_matches(t, '^[0-9]+$'))) AS n_digit,
+       len(chunks)
+         - len(list_filter(chunks, t -> regexp_matches(t, '^[A-Za-z]+$')))
+         - len(list_filter(chunks, t -> regexp_matches(t, '^[0-9]+$'))) AS n_symbol
+FROM (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS chunks
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
+    "token_stats_bpe": (token_stats_bpe, TOKEN_BPE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),

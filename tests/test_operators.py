@@ -191,3 +191,15 @@ def test_asof_join_bucketed_window_is_not_keyed_alone(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     in_bucket = [s for s in specs if "_t" in s]  # ordered by time = the fill window
     assert in_bucket and all("_b" in s for s in in_bucket)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+
+    # chain 1-2-3-4 (one component, diameter 3 — multiple propagation
+    # rounds), island pair 10-11, and a separate pair 7-8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
