@@ -251,21 +251,23 @@ FROM (
 
 # --- correlated scalar subquery (TPC-H Q17 shape) --------------------------
 # "Revenue lost if small orders stop": lineitems under 20% of their part's
-# average quantity, restricted to one brand. Spark-first decorrelation: the
-# per-part average is a tiny pre-aggregate joined back (what Catalyst's
-# subquery decorrelation produces anyway) — the brand filter lands on part
-# BEFORE either join, so both join inputs shrink first.
+# average quantity, restricted to one brand. Spark-first decorrelation as a
+# WINDOW, not a self-join: the naive aggregate-join-back (what Catalyst's
+# subquery decorrelation emits) scans lineitem TWICE with no
+# ReusedExchange; the per-part average as a window over l_partkey is one
+# scan + one shuffle. The brand filter broadcast-prunes before that
+# shuffle, so the windowed rows are only the branded part's lineitems.
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     ).select("p_partkey")
     branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    thresholds = branded.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("threshold")
-    )
-    small = branded.join(thresholds, "l_partkey").filter(
-        F.col("l_quantity") < F.col("threshold")
+    threshold = F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2
+    small = branded.withColumn("_thr", threshold).filter(
+        F.col("l_quantity") < F.col("_thr")
     )
     return small.agg(
         F.count("*").alias("n_small"),

@@ -216,3 +216,25 @@ def test_unpivot_expands_after_aggregation(spark):
     assert "SortAggregate" not in plan
     # Expand node sits above the aggregate in the plan tree (printed first)
     assert plan.index("Expand") < plan.index("HashAggregate")
+
+
+def test_q17_window_decorrelation_single_scan(spark):
+    # the correlated scalar subquery (per-part avg) must decorrelate into a
+    # WINDOW, not an aggregate joined back: one lineitem scan, the brand
+    # filter broadcast-pruning before the window shuffle. The naive
+    # join-back shape scans lineitem twice with no ReusedExchange.
+    from linqonsteroids_spark.queries.parity import small_quantity_revenue
+
+    plan = _physical(small_quantity_revenue(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan and "Window" in plan
+
+
+def test_range_frame_window_single_shuffle(spark):
+    # RANGE frame over event-time seconds: exactly one exchange (by
+    # user_id) feeding one Window — no extra sort passes or joins.
+    from linqonsteroids_spark.queries.parity import events_trailing_hour_value
+
+    plan = _physical(events_trailing_hour_value(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
