@@ -174,7 +174,7 @@ FROM bands a JOIN bands b
     )
     # connected components over the candidate pairs: recursive closure of
     # the symmetric edge relation, component = min reachable id
-    clusters = (
+    closure_ctes = (
         base.replace("WITH toks_t", "WITH RECURSIVE toks_t", 1)
         + """
 , cand AS (
@@ -191,9 +191,25 @@ reach(src, dst) AS (
   SELECT src, dst FROM edges
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
 )
-SELECT src AS doc_id, least(src, min(dst)) AS component
-FROM reach GROUP BY src
 """
     )
-    return {"signatures": signatures, "pairs": pairs, "clusters": clusters}
+    clusters = closure_ctes + "SELECT doc_id, component FROM comp"
+    survivors = (
+        closure_ctes
+        + f"""
+SELECT d.doc_id, (c.doc_id IS NOT NULL) AS in_dup_cluster
+FROM {threshold_table} d LEFT JOIN comp c USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+"""
+    )
+    return {
+        "signatures": signatures,
+        "pairs": pairs,
+        "clusters": clusters,
+        "survivors": survivors,
+    }

@@ -40,6 +40,31 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, threshold=EMBED_THRESHOLD)
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline's OUTPUT: every document that survives
+    near-dup removal (cluster representatives + never-flagged docs) with a
+    flag for which it was. Pairs → components → anti-join is the shape a
+    100 TB corpus wash actually runs; the anti-join drops non-representative
+    cluster members without ever materializing cluster contents."""
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(drops, "doc_id", "left_anti")
+    flagged = comp.select(F.col("node").alias("doc_id"), F.lit(True).alias("was_flagged"))
+    return (
+        kept.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("was_flagged", F.lit(False)).alias("in_dup_cluster"),
+        )
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs → duplicate CLUSTERS (keep one doc per component):
     min-label propagation over the pair graph (operators/fixpoint.py) —
@@ -67,4 +92,5 @@ QUERIES = {
         embedding_oracle_sql(threshold=EMBED_THRESHOLD),
     ),
     "dedup_clusters": (dedup_clusters, minhash_oracle_sql()["clusters"]),
+    "dedup_survivors": (dedup_survivors, minhash_oracle_sql()["survivors"]),
 }

@@ -372,6 +372,60 @@ FROM events GROUP BY user_id
 """
 
 
+# --- incremental aggregate MV (externalized-state IVM) ---------------------
+# The events file lands TWICE in a scratch source dir; maxFilesPerTrigger=1
+# forces two micro-batches, so the second refresh MERGES its partial
+# aggregate into the MV written by the first (Δ(indexBy∘fold) with the
+# keyed map in the MV, not the state store). The oracle is the doubled
+# batch recompute: counts and sums 2x, min/max unchanged.
+def incremental_mv_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from linqonsteroids_spark.session import scratch_dir
+    from linqonsteroids_spark.streaming import IncrementalAggMV
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    base = scratch_dir(prefix="squopt_imv_")
+    src_dir = f"{base}/src"
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(src, f"{src_dir}/events_a.parquet")
+    shutil.copy(src, f"{src_dir}/events_b.parquet")
+    schema = spark.read.parquet(src).schema
+    mv = IncrementalAggMV(
+        spark,
+        src_dir,
+        schema,
+        key="event_type",
+        aggs={
+            "n_events": ("sum", F.count("*")),
+            "sum_value": ("sum", F.round(F.sum("value"), 4)),
+            "max_value": ("max", F.round(F.max("value"), 4)),
+        },
+        mv_path=f"{base}/mv",
+        checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=1,
+    )
+    mv.refresh_available()
+    return mv.read().select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "max_value",
+    )
+
+
+INCREMENTAL_MV_SQL = """
+SELECT event_type,
+       2 * count(*) AS n_events,
+       round(2 * round(sum(value), 4), 2) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
@@ -384,4 +438,5 @@ QUERIES = {
         streaming_purchase_click_pairs,
         STREAMING_SSJOIN_SQL,
     ),
+    "incremental_mv_event_stats": (incremental_mv_event_stats, INCREMENTAL_MV_SQL),
 }

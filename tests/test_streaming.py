@@ -201,3 +201,33 @@ def test_stream_stream_join_across_microbatches(spark, dirs):
     # batch recompute over all data — includes the cross-batch pairs
     # (purchase@30 × click@0, purchase@31 × click@2)
     assert got == {(1, 1, 0), (1, 30, 0), (2, 31, 2), (2, 31, 29)}
+
+
+def test_incremental_agg_mv_merges_across_batches(spark, dirs):
+    # externalized-state IVM: each batch's partial aggregate merges into
+    # the parquet MV; after every refresh the MV equals a full batch
+    # recompute — without one (Δ merge is O(MV + batch), not O(history))
+    from linqonsteroids_spark.streaming import IncrementalAggMV
+
+    mv = IncrementalAggMV(
+        spark,
+        dirs["src"],
+        SCHEMA,
+        key="user_id",
+        aggs={
+            "n": ("sum", F.count("*")),
+            "total": ("sum", F.sum("value")),
+            "max_v": ("max", F.max("value")),
+        },
+        mv_path=dirs["mv"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    _write_batch(spark, dirs["src"], BATCH1)
+    mv.refresh_available()
+    got = {(r.user_id, r.n, r.total, r.max_v) for r in mv.read().collect()}
+    assert got == {(1, 2, 8, 5), (2, 1, 7, 7)}
+
+    _write_batch(spark, dirs["src"], BATCH2)
+    mv.refresh_available()  # processes ONLY the new file (checkpoint)
+    got = {(r.user_id, r.n, r.total, r.max_v) for r in mv.read().collect()}
+    assert got == {(1, 3, 10, 5), (2, 1, 7, 7), (3, 1, 9, 9)}

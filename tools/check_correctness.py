@@ -1,4 +1,5 @@
-"""Standalone differential check at any SF: python tools/check_correctness.py [sf_dir].
+"""Standalone differential check at any SF:
+python tools/check_correctness.py [sf_dir] [--only name1,name2].
 
 Mirrors the driver's gate: row count + schema + order-insensitive values
 for every query with an oracle.
@@ -13,7 +14,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import duckdb
 
     from linqonsteroids_spark.queries import ALL
@@ -28,6 +29,8 @@ def main(sf_dir: str) -> int:
 
     failures = 0
     for name, (fn, sql) in sorted(ALL.items()):
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -81,4 +84,10 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sys.exit(main(argv[0] if argv else "/root/testdata/sf0.01", only))
