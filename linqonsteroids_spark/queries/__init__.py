@@ -25,6 +25,7 @@ from linqonsteroids_spark.queries import (
     misc,
     nested,
     parity,
+    pipeline,
     scale,
     text,
     typed,
@@ -34,7 +35,7 @@ from linqonsteroids_spark.queries import (
 
 _MODULES = [
     core, windows, graph, text, vector, dedup, typed, nested, misc,
-    scale, engine, parity,
+    scale, engine, parity, pipeline,
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -1,0 +1,304 @@
+"""Training-data pipeline operators: corpus mixing, sequence packing,
+training-order sharding, repetition scoring, PII scrubbing, streaming dedup.
+
+These extend the reference's query surface (SURVEY §2) with the ops a
+100 TB pre-training corpus wash actually runs between "raw documents" and
+"token shards". Everything is JVM-side (md5 / conv / window functions /
+higher-order array functions) — no Python in any hot path — and every op
+is deterministic, so each has a DuckDB oracle.
+
+Scale notes per op:
+- mixing/sampling: a per-row hash test — embarrassingly parallel, no
+  shuffle; the weights dim is broadcast.
+- packing/sharding: ONE window shuffle partitioned by shard; shard count
+  scales with the cluster (here 8), so no global ordering bottleneck —
+  the per-shard sequential scan is the point (token offsets must be
+  contiguous within a shard).
+- repetition/PII: per-row expressions, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.functions.text import token_count
+
+# --- deterministic per-row uniform hash ------------------------------------
+# hash_frac(seed, id) in [0, 1): first 8 hex digits of md5(seed || id) as a
+# 32-bit integer, divided by 2^32-1. Identical bit-for-bit in Spark
+# (conv/md5) and DuckDB (::UBIGINT on a 0x literal), so sampling decisions
+# reproduce across engines — the property a corpus re-wash depends on.
+
+
+def _hash_frac(seed: str, id_col: F.Column) -> F.Column:
+    hex8 = F.substring(F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("bigint") / F.lit(4294967295.0)
+
+
+def _hash_frac_sql(seed: str, id_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}' || CAST({id_expr} AS VARCHAR)), 1, 8))::UBIGINT"
+        " / 4294967295.0)"
+    )
+
+
+_N_TOKENS_SQL = (
+    "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))"
+)
+
+
+# --- corpus mixing: weighted deterministic sampling per source -------------
+# The "data mixture" step: each source s contributes a fraction w_s of its
+# documents, chosen by hash so the sample is stable across re-runs and
+# machines (no rand()). The weights table is a broadcast dim; the filter is
+# a row-local predicate — zero shuffles, scales linearly.
+_MIX_SEED = "mix7"
+_MIX_WEIGHTS = [(f"src{i}", [0.25, 0.5, 0.75, 1.0][i % 4]) for i in range(20)]
+_DEFAULT_WEIGHT = 0.5
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(_MIX_WEIGHTS, "source string, weight double")
+    return (
+        docs.join(F.broadcast(weights), "source", "left")
+        .withColumn("weight", F.coalesce("weight", F.lit(_DEFAULT_WEIGHT)))
+        .filter(_hash_frac(_MIX_SEED, F.col("doc_id")) < F.col("weight"))
+        .select("doc_id", "source", "weight")
+    )
+
+
+CORPUS_MIX_SQL = f"""
+WITH w(source, weight) AS (
+  VALUES {", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)}
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(w.weight, {_DEFAULT_WEIGHT}) AS DOUBLE) AS weight
+FROM documents d LEFT JOIN w USING (source)
+WHERE {_hash_frac_sql(_MIX_SEED, "d.doc_id")}
+      < coalesce(w.weight, {_DEFAULT_WEIGHT})
+"""
+
+
+# --- sequence packing: contiguous token budgets per shard ------------------
+# Pack documents into fixed token-budget windows (budget = 2048): documents
+# are hash-assigned to shards, ordered by doc_id within a shard, and each
+# doc starts at the running token offset; its pack is the budget-window its
+# first token lands in. One window shuffle on shard; shard count is the
+# parallelism knob (1000 shards on a real cluster), so no operator ever
+# sees a global order.
+_PACK_BUDGET = 2048
+_N_SHARDS = 8
+_SHARD_SEED = "shard"
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_SHARD_SEED), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _N_SHARDS
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            shard.alias("shard"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("start_offset") / _PACK_BUDGET).alias("pack_id"),
+            (F.col("start_offset") % _PACK_BUDGET).alias("pack_offset"),
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{_SHARD_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {_N_SHARDS} AS shard,
+         {_N_TOKENS_SQL} AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM sized
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(floor(start_offset / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       CAST(start_offset % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM placed
+"""
+
+
+# --- training-order shuffle + sharding -------------------------------------
+# A reproducible global shuffle for training order: position = rank of
+# hash(seed, doc_id) within the doc's shard. Downstream writers emit one
+# file per shard in position order — the standard "shuffle once, stream
+# forever" layout. Shard-partitioned window, no global sort.
+_ORDER_SEED = "ord3"
+
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_ORDER_SEED), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    with_shard = docs.select(
+        "doc_id", "source", (h % _N_SHARDS).alias("shard"), h.alias("h")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return with_shard.select(
+        "doc_id",
+        "source",
+        "shard",
+        (F.row_number().over(w) - 1).alias("position"),
+    )
+
+
+TRAINING_SHARDS_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('{_ORDER_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+  FROM documents
+)
+SELECT doc_id, source, CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id) - 1
+            AS BIGINT) AS position
+FROM hashed
+"""
+
+
+# --- intra-document repetition scoring -------------------------------------
+# Gopher-style repetition gates: type-token ratio and duplicate-bigram
+# fraction, computed per row with array higher-order functions — no
+# explode, no shuffle, linear scan.
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    ttr = F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = F.when(
+        F.size(bigrams) > 0,
+        F.round(
+            1 - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ttr.alias("ttr"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+  FROM toked
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+       CASE WHEN len(bigrams) > 0
+            THEN round(1 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM grams
+"""
+
+
+# --- PII scrubbing ----------------------------------------------------------
+# Redaction pass: emails → <EMAIL>, digit runs (3+) → <NUM>, with match
+# counts for audit. The synthetic corpus carries no PII, so the query
+# plants a deterministic contact line per document first — the scrubber
+# itself is the op under test. Pure regexp_replace, regex kept to the
+# Java∩RE2 common dialect so the oracle reproduces it.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_NUM_RE = "[0-9]{3,}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    augmented = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@host"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.com id "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    no_email = F.regexp_replace(augmented, _EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, _NUM_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(augmented, F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(no_email, F.lit(_NUM_RE), F.lit(0))).alias("n_nums"),
+        F.length(clean).alias("clean_len"),
+        F.substring(F.md5(clean), 1, 16).alias("clean_hash"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@host'
+              || CAST(doc_id % 10 AS VARCHAR) || '.example.com id '
+              || CAST(doc_id * 7919 AS VARCHAR) AS augmented
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, augmented,
+         regexp_replace(augmented, '{_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(augmented, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(no_email, '{_NUM_RE}')) AS n_nums,
+       length(regexp_replace(no_email, '{_NUM_RE}', '<NUM>', 'g')) AS clean_len,
+       substr(md5(regexp_replace(no_email, '{_NUM_RE}', '<NUM>', 'g')), 1, 16)
+         AS clean_hash
+FROM scrubbed
+"""
+
+
+QUERIES = {
+    "corpus_mix_sample": (corpus_mix_sample, CORPUS_MIX_SQL),
+    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    "doc_repetition_scores": (doc_repetition_scores, DOC_REPETITION_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+}

@@ -372,6 +372,41 @@ FROM events GROUP BY user_id
 """
 
 
+# --- streaming dedup with watermark-bounded state --------------------------
+# The streaming form of dedup_exact: dropDuplicatesWithinWatermark keeps
+# one state-store entry per key and EVICTS it once the watermark passes —
+# the state bound that makes continuous dedup of an unbounded stream
+# feasible (plain dropDuplicates on a stream grows state forever). Emitted
+# rows are key-only (which physical duplicate arrives first is scheduler-
+# dependent), then batch-aggregated; the oracle is the batch DISTINCT.
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"mv_dedup_{next(_MV_IDS)}"
+    _run_stream_to_memory(spark, stream, name, "append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
 # --- incremental aggregate MV (externalized-state IVM) ---------------------
 # The events file lands TWICE in a scratch source dir; maxFilesPerTrigger=1
 # forces two micro-batches, so the second refresh MERGES its partial
@@ -439,4 +474,5 @@ QUERIES = {
         STREAMING_SSJOIN_SQL,
     ),
     "incremental_mv_event_stats": (incremental_mv_event_stats, INCREMENTAL_MV_SQL),
+    "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_SQL),
 }
