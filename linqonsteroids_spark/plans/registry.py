@@ -39,6 +39,14 @@ from linqonsteroids_spark.api import Indexed, JoinInfo, Lifted, Node, PlanInfo
 # --- canonical forms -------------------------------------------------------
 
 
+def _already_built(path: str) -> bool:
+    """True if a complete materialization exists at ``path`` (local paths
+    only — remote object stores rebuild; their callers pass unique paths).
+    Lets add_index/add_join_index behave like the reference's addIndex: a
+    one-time build, with every later registration a metadata-only reuse."""
+    return "://" not in path and os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def canon_key(node: Node) -> str | None:
     """Canonical string for an index key expression; None if opaque."""
     if node.kind == "col":
@@ -168,12 +176,13 @@ class IndexRepository:
             raise ValueError("index key must be a named column; use .let() for computed keys")
         key_col = key.split(":", 1)[1]
         path = os.path.join(self.storage_dir, f"{name}")
-        (
-            src.df.repartition(self.n_buckets, F.col(key_col))
-            .sortWithinPartitions(key_col)
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        if not _already_built(path):
+            (
+                src.df.repartition(self.n_buckets, F.col(key_col))
+                .sortWithinPartitions(key_col)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
         entry = IndexEntry(
             name, table, key_col, path, self.n_buckets,
             lets=tuple(src.plan.lets),
@@ -200,7 +209,8 @@ class IndexRepository:
             raise ValueError("index key must be a plain column")
         key_col = key.split(":", 1)[1]
         path = os.path.join(self.storage_dir, f"{name}")
-        src.df.write.mode("overwrite").partitionBy(key_col).parquet(path)
+        if not _already_built(path):
+            src.df.write.mode("overwrite").partitionBy(key_col).parquet(path)
         entry = IndexEntry(
             name, table, key_col, path, 0, layout="dir",
             columns=tuple(src.df.columns), lets=tuple(src.plan.lets),
@@ -228,12 +238,13 @@ class IndexRepository:
             raise ValueError("join MV columns must be unique; project/rename first")
         path = os.path.join(self.storage_dir, f"{name}")
         first_key = ji.keys[0][0]
-        (
-            joined.df.repartition(self.n_buckets, F.col(first_key))
-            .sortWithinPartitions(first_key)
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        if not _already_built(path):
+            (
+                joined.df.repartition(self.n_buckets, F.col(first_key))
+                .sortWithinPartitions(first_key)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
         entry = JoinIndexEntry(name, ji.tables, ji.keys, path, self.n_buckets)
         self._joins[ji.signature] = entry
         return entry
