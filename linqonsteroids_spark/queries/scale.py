@@ -344,8 +344,9 @@ def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
     name = f"mv_ssjoin_{next(_MV_IDS)}"
     # a stream-stream join is the worst case: FOUR state stores per shuffle
-    # partition (key→count + key+index→row per side)
-    _run_stream_to_memory(spark, joined, name, "append")
+    # partition (key→count + key+index→row per side), so halve the state
+    # partitions again relative to single-store queries
+    _run_stream_to_memory(spark, joined, name, "append", state_partitions=4)
     return spark.table(name).select(
         "purchase_id", "click_id", F.round("value", 4).alias("click_value")
     )

@@ -70,8 +70,12 @@ def ivf_topk(
         F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    # broadcast the probe side: cell has only n_lists distinct values, so a
+    # shuffle join on it collapses parallelism to n_lists partitions (and
+    # skews with cell sizes). Broadcasting keeps the corpus in place — the
+    # probe list is |Q| x n_probe rows, small by design.
     return (
-        probes.join(assigned, "cell")
+        assigned.join(F.broadcast(probes), "cell")
         .withColumn("sim", sim)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
