@@ -66,6 +66,14 @@ EXTRA = [
     "knn_lsh_bucketed",
     "asof_purchase_click_bucketed",
     "streaming_purchase_click_pairs",
+    "incremental_mv_event_stats",
+    "streaming_dedup_events",
+    "dedup_survivors",
+    "corpus_mix_sample",
+    "pack_sequences",
+    "training_shards",
+    "doc_repetition_scores",
+    "pii_scrub",
 ]
 
 
