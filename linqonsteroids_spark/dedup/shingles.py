@@ -22,22 +22,30 @@ def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return docs.select(F.col(id_col), F.explode(toks).alias("token"))
 
 
-def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) — one row per 3-gram shingle occurrence (not distinct)."""
-    base = docs.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
-        ).alias("toks"),
+def shingles_array(text_col: str = "text") -> F.Column:
+    """Column expression: array of 3-gram shingles for one document row.
+
+    Row-local by design — per-doc signatures (minhash, simhash) should
+    consume this array with HOFs instead of exploding it: the exploded
+    shingle table is ~50x the corpus row count, and the groupBy that
+    re-assembles per-doc aggregates shuffles all of it."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
-    sh = F.when(
-        F.size("toks") >= SHINGLE_N,
-        F.expr(
-            f"transform(sequence(1, size(toks) - {SHINGLE_N - 1}),"
-            f" i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"
+    return F.when(
+        F.size(toks) >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) — one row per 3-gram shingle occurrence (not distinct)."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles_array(text_col)).alias("shingle")
+    )
 
 
 # DuckDB-side canonical fragments (used by oracle SQL builders)

@@ -8,8 +8,13 @@ Spark-first design: semi-naive evaluation — each iteration joins only the
 *frontier* (new pairs) against the base edges, unions, dedups, and
 localCheckpoints to truncate lineage (otherwise the plan doubles per
 iteration and the driver OOMs long before the data does). At 100 TB the
-join shuffles on dst/src each round; pre-repartitioning base edges by src
-lets every round reuse that exchange.
+join shuffles edges on dst each round: localCheckpoint materializes the
+RDD but drops its outputPartitioning (measured — a repartition("dst")
+before the checkpoint does not reduce the next round's exchange count),
+so the per-round cost floor is one edge shuffle + one label shuffle. On a
+real cluster, persisting edges bucketed by dst (write_bucketed_table)
+would eliminate the edge-side exchange; iteration count is the knob that
+matters first.
 """
 
 from __future__ import annotations
