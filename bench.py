@@ -74,6 +74,9 @@ EXTRA = [
     "training_shards",
     "doc_repetition_scores",
     "pii_scrub",
+    "benchmark_contamination",
+    "bloom_reference_dedup",
+    "quota_per_source",
 ]
 
 

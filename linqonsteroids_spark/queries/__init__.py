@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from linqonsteroids_spark.queries import (
+    contamination,
     core,
     dedup,
     engine,
@@ -35,7 +36,7 @@ from linqonsteroids_spark.queries import (
 
 _MODULES = [
     core, windows, graph, text, vector, dedup, typed, nested, misc,
-    scale, engine, parity, pipeline,
+    scale, engine, parity, pipeline, contamination,
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -187,6 +187,56 @@ FROM hashed
 """
 
 
+# --- per-source quota sampling ---------------------------------------------
+# Domain balancing: keep at most QUOTA docs per source, chosen by hash rank
+# (deterministic across re-runs). A single window over a 100 TB corpus
+# serializes each source into one task — a hot domain (half the web is one
+# CDN) stalls the stage — so selection is TWO-stage: per (source, subshard)
+# prune to QUOTA with a window over ~1/N_SUB of the data, then a final
+# window over the <= N_SUB*QUOTA survivors per source. Stage 1 provably
+# contains the global top-QUOTA (any global pick is in some subshard's
+# top-QUOTA), so the result is identical to the single-window oracle.
+_QUOTA = 15
+_QUOTA_SEED = "quo"
+_N_SUB = 16
+
+
+def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = _hash_frac(_QUOTA_SEED, F.col("doc_id"))
+    pruned = (
+        docs.select("doc_id", "source", h.alias("h"), (F.col("doc_id") % _N_SUB).alias("sub"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "sub").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= _QUOTA)
+    )
+    final = pruned.withColumn(
+        "pick_rank",
+        F.row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")),
+    ).filter(F.col("pick_rank") <= _QUOTA)
+    return final.select(
+        "doc_id", "source", F.col("pick_rank").cast("long").alias("pick_rank")
+    )
+
+
+QUOTA_PER_SOURCE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_hash_frac_sql(_QUOTA_SEED, "doc_id")}, doc_id
+         ) AS pick_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM ranked WHERE pick_rank <= {_QUOTA}
+"""
+
+
 # --- intra-document repetition scoring -------------------------------------
 # Gopher-style repetition gates: type-token ratio and duplicate-bigram
 # fraction, computed per row with array higher-order functions — no
@@ -299,6 +349,7 @@ QUERIES = {
     "corpus_mix_sample": (corpus_mix_sample, CORPUS_MIX_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    "quota_per_source": (quota_per_source, QUOTA_PER_SOURCE_SQL),
     "doc_repetition_scores": (doc_repetition_scores, DOC_REPETITION_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
 }
