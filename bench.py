@@ -77,6 +77,8 @@ EXTRA = [
     "benchmark_contamination",
     "bloom_reference_dedup",
     "quota_per_source",
+    "event_funnel_stages",
+    "kmv_distinct_users",
 ]
 
 

@@ -28,6 +28,7 @@ from linqonsteroids_spark.queries import (
     parity,
     pipeline,
     scale,
+    sketches,
     text,
     typed,
     vector,
@@ -36,7 +37,7 @@ from linqonsteroids_spark.queries import (
 
 _MODULES = [
     core, windows, graph, text, vector, dedup, typed, nested, misc,
-    scale, engine, parity, pipeline, contamination,
+    scale, engine, parity, pipeline, contamination, sketches,
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -1,0 +1,120 @@
+"""Deterministic cardinality sketches: KMV (k-minimum-values) distinct
+counting.
+
+Spark's ``approx_count_distinct`` (HyperLogLog++) and DuckDB's
+``approx_distinct`` use different sketch internals, so their estimates can
+never be oracle-compared. KMV gives the same capability — bounded-memory
+distinct estimation with ~1/sqrt(k) relative error — from nothing but a
+uniform hash and a top-k, both of which this engine already computes
+bit-identically in both engines (the md5 family from queries/pipeline.py,
+the two-stage top-k from quota_per_source). Estimator: with the k-th
+smallest of n distinct uniform hashes at height h, n ≈ (k-1)/h; fewer
+than k distinct values means the sketch IS the exact set.
+
+Scale: the sketch of any group is k values — constant memory per group —
+and the two-stage window bounds hot-group skew exactly like
+quota_per_source. The exact count emitted next to the estimate (for the
+relative-error column) is the one part that's only cheap at test scale;
+at 100 TB you'd drop it — it exists to measure the sketch against truth
+under the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.queries.pipeline import _hash_frac, _hash_frac_sql
+
+KMV_K = 32
+_KMV_SEED = "kmv"
+_N_SUB = 16
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: KMV estimate of distinct users vs the exact count.
+
+    distinct (type, user) → two-stage top-K by hash per type (subshard
+    prune, then final — identical to the quota_per_source skew bound) →
+    (k-1)/h_k estimator, exact when the group has < K distinct users."""
+    events = load_table(spark, sf_dir, "events")
+    du = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", _hash_frac(_KMV_SEED, F.col("user_id")))
+    )
+    pruned = (
+        du.withColumn(
+            "rn1",
+            F.row_number().over(
+                Window.partitionBy(
+                    "event_type", (F.col("user_id") % _N_SUB)
+                ).orderBy("h", "user_id")
+            ),
+        )
+        .filter(F.col("rn1") <= KMV_K)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h", "user_id")
+            ),
+        )
+        .filter(F.col("rn") <= KMV_K)
+    )
+    sketch = pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    exact = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise((F.lit(KMV_K - 1)) / F.col("kth"))
+    return (
+        sketch.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.round(est, 2).alias("kmv_est"),
+            F.round(
+                F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+KMV_DISTINCT_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, user_id,
+         {_hash_frac_sql(_KMV_SEED, "user_id")} AS h
+  FROM du
+),
+pruned AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+  FROM hashed
+),
+sketch AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+  FROM pruned WHERE rn <= {KMV_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(*) AS exact_users FROM du GROUP BY event_type
+)
+SELECT s.event_type, e.exact_users,
+       round(CASE WHEN s.n_kept < {KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+                  ELSE {KMV_K - 1} / s.kth END, 2) AS kmv_est,
+       round(abs(CASE WHEN s.n_kept < {KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+                      ELSE {KMV_K - 1} / s.kth END - e.exact_users)
+             / e.exact_users, 4) AS rel_err
+FROM sketch s JOIN exact e USING (event_type)
+"""
+
+
+QUERIES = {
+    "kmv_distinct_users": (kmv_distinct_users, KMV_DISTINCT_SQL),
+}

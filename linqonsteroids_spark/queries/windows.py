@@ -130,8 +130,89 @@ FROM nation
 """
 
 
+# Ordered-funnel analysis: per user, the first view, the first click AFTER
+# that view, the first purchase AFTER that click. Three chained
+# min-over-partition windows (no orderBy → no sort) sharing ONE exchange on
+# user_id, and the final per-user aggregate reuses the same partitioning —
+# a whole funnel for one shuffle. Durations emitted as epoch-microsecond
+# deltas (both engines truncate the parquet nanos identically).
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        stage.cast("long").alias("funnel_stage"),
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("us_view_to_click"),
+        (F.unix_micros("t3") - F.unix_micros("t1")).alias("us_view_to_purchase"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2
+), per_user AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+  FROM w3 GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage,
+       epoch_ns(t2) // 1000 - epoch_ns(t1) // 1000 AS us_view_to_click,
+       epoch_ns(t3) // 1000 - epoch_ns(t1) // 1000 AS us_view_to_purchase
+FROM per_user
+"""
+
+
 QUERIES = {
     "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
+    "event_funnel_stages": (event_funnel_stages, EVENT_FUNNEL_SQL),
     "events_running_stats": (events_running_stats, EVENTS_RUNNING_SQL),
     "event_sliding_windows": (event_sliding_windows, EVENT_SLIDING_SQL),
     "nations_indexed": (nations_indexed, NATIONS_INDEXED_SQL),

@@ -97,3 +97,36 @@ def test_quota_caps_every_source(spark):
     for r in counts:
         assert r.n <= _QUOTA
         assert r.mx == r.n  # ranks are dense 1..n
+
+
+def test_funnel_single_exchange_and_ordering_invariants(spark):
+    import re
+
+    from linqonsteroids_spark.queries.windows import event_funnel_stages
+
+    df = event_funnel_stages(spark, SF_SMOKE)
+    plan = _physical(df)
+    # the whole funnel rides one hashpartitioning exchange: 3 windows + the
+    # final per-user aggregate all reuse the user_id partitioning
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    for r in df.collect():
+        assert r.funnel_stage in (0, 1, 2, 3)
+        # durations exist exactly from stage 2 / stage 3 up, and are ordered
+        assert (r.us_view_to_click is not None) == (r.funnel_stage >= 2)
+        assert (r.us_view_to_purchase is not None) == (r.funnel_stage >= 3)
+        if r.funnel_stage == 3:
+            assert 0 < r.us_view_to_click < r.us_view_to_purchase
+
+
+def test_kmv_estimate_tracks_exact_count(spark):
+    from linqonsteroids_spark.queries.sketches import KMV_K, kmv_distinct_users
+
+    rows = kmv_distinct_users(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.exact_users < KMV_K:
+            # sketch degenerates to the exact set below k
+            assert r.kmv_est == float(r.exact_users)
+        else:
+            # ~1/sqrt(k) nominal error; 3 sigma bound keeps flake out
+            assert r.rel_err <= 3.0 / (KMV_K ** 0.5), (r.event_type, r.rel_err)
