@@ -61,3 +61,20 @@ def test_query_matches_oracle(name, spark, duck):
         if not all(_values_equal(a, b) for a, b in zip(sr, dr))
     ]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+
+
+def test_driver_window_covers_rotation():
+    """The driver snapshots the first 50 registry entries; pin that window.
+
+    Round-2 verdict: 35 registered gates had never received a driver row
+    because they sat past position 50 in insertion order.  The _ROTATION
+    list in queries/__init__.py front-loads them; this test fails if a new
+    query registration ever pushes a rotated gate back out of the window.
+    """
+    from linqonsteroids_spark.queries import _ROTATION, queries
+
+    window = list(queries())[:50]
+    assert len(_ROTATION) == 50
+    assert window == _ROTATION
+    missing = [n for n in _ROTATION if n not in ALL]
+    assert not missing, f"rotation names not registered: {missing}"
