@@ -27,6 +27,7 @@ Spark-first redesign — the index is not a driver-side Map but a
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -38,13 +39,61 @@ from linqonsteroids_spark.api import Indexed, JoinInfo, Lifted, Node, PlanInfo
 
 # --- canonical forms -------------------------------------------------------
 
+#: metadata sidecar inside the MV directory.  Leading underscore → parquet
+#: readers ignore it (like _SUCCESS); it travels with the MV files.
+_SIDECAR = "_mv_meta.json"
+#: storage-dir-level catalog of every registered entry — the repository
+#: reads it at construction, so MV reuse survives process restarts instead
+#: of depending on in-memory registration order.
+_CATALOG = "_catalog.json"
+
+
+def _is_local(path: str) -> bool:
+    return "://" not in path
+
 
 def _already_built(path: str) -> bool:
     """True if a complete materialization exists at ``path`` (local paths
-    only — remote object stores rebuild; their callers pass unique paths).
-    Lets add_index/add_join_index behave like the reference's addIndex: a
-    one-time build, with every later registration a metadata-only reuse."""
-    return "://" not in path and os.path.exists(os.path.join(path, "_SUCCESS"))
+    only — remote object stores rebuild; their callers pass unique paths)."""
+    return _is_local(path) and os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _read_json(path: str) -> dict | None:
+    if not _is_local(path) or not os.path.exists(path):
+        return None
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_json(path: str, payload: dict) -> None:
+    if not _is_local(path):
+        return
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX — no torn sidecars
+
+
+def _lets_canon(lets) -> tuple[tuple[str, str], ...]:
+    """Serialize let-bound computed columns to (name, structure-repr) pairs.
+    ``Node`` is a frozen dataclass of nested tuples over plain literals, so
+    ``repr`` equality ≡ structural equality — and it JSON-roundtrips, which
+    in-memory ``Node`` trees do not."""
+    return tuple((n, repr(nd)) for n, nd in lets)
+
+
+def _node_cols(node: Node) -> set[str]:
+    """Every column name a predicate structure references."""
+    if node.kind == "col":
+        return {node.args[0]}
+    out: set[str] = set()
+    for a in node.args:
+        if isinstance(a, Node):
+            out |= _node_cols(a)
+    return out
 
 
 def canon_key(node: Node) -> str | None:
@@ -129,10 +178,10 @@ class IndexEntry:
     #: original column order — partitionBy moves the key column to the end
     #: on read-back; the rewrite restores this so the MV is a drop-in scan
     columns: tuple[str, ...] = ()
-    #: computed (let-bound) columns materialized into the MV, as
-    #: (name, structure); a query matches only if its own lets are
+    #: computed (let-bound) columns materialized into the MV, in canonical
+    #: (name, structure-repr) form; a query matches only if its own lets are
     #: structurally identical — the reference's normalized f(x)==k matching
-    lets: tuple = ()
+    lets: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass
@@ -142,6 +191,10 @@ class JoinIndexEntry:
     keys: tuple[tuple[str, str], ...]
     path: str
     n_buckets: int
+    #: the MV's column space — signature matching is (tables, keys) only,
+    #: so a same-signature query built over different projections must be
+    #: column-checked before substitution (schema drift / missing columns)
+    columns: tuple[str, ...] = ()
 
 
 class IndexRepository:
@@ -154,6 +207,83 @@ class IndexRepository:
         self._by_table_key: dict[tuple[str, str], IndexEntry] = {}
         self._by_name: dict[str, IndexEntry] = {}
         self._joins: dict[tuple, JoinIndexEntry] = {}
+        self._load_catalog()
+
+    # -- persistent catalog (survives process restarts) --
+    def _catalog_path(self) -> str:
+        return os.path.join(self.storage_dir, _CATALOG)
+
+    def _load_catalog(self) -> None:
+        """Rehydrate registrations from the storage dir's catalog. An entry
+        is installed only if its MV is complete AND its sidecar fingerprint
+        still matches the cataloged one — a stale or repurposed directory
+        falls back to unregistered (next add_* rebuilds it)."""
+        data = _read_json(self._catalog_path())
+        if not data:
+            return
+        for e in data.get("indexes", []):
+            meta = e.get("meta") or {}
+            if not (_already_built(e["path"])
+                    and _read_json(os.path.join(e["path"], _SIDECAR)) == meta):
+                continue
+            entry = IndexEntry(
+                e["name"], e["table"], e["key_col"], e["path"],
+                e["n_buckets"], layout=e["layout"],
+                columns=tuple(e["columns"]),
+                lets=tuple((n, s) for n, s in e["lets"]),
+            )
+            self._by_table_key[(entry.table, entry.key_col)] = entry
+            self._by_name[entry.name] = entry
+        for e in data.get("join_indexes", []):
+            meta = e.get("meta") or {}
+            if not (_already_built(e["path"])
+                    and _read_json(os.path.join(e["path"], _SIDECAR)) == meta):
+                continue
+            entry = JoinIndexEntry(
+                e["name"], tuple(e["tables"]),
+                tuple((l, r) for l, r in e["keys"]),
+                e["path"], e["n_buckets"], columns=tuple(e["columns"]),
+            )
+            self._joins[(entry.tables, entry.keys)] = entry
+
+    def _save_catalog(self) -> None:
+        if not _is_local(self.storage_dir):
+            return
+        payload = {
+            "indexes": [
+                {
+                    "name": e.name, "table": e.table, "key_col": e.key_col,
+                    "path": e.path, "n_buckets": e.n_buckets,
+                    "layout": e.layout, "columns": list(e.columns),
+                    "lets": [list(p) for p in e.lets],
+                    "meta": _read_json(os.path.join(e.path, _SIDECAR)),
+                }
+                for e in self._by_name.values()
+            ],
+            "join_indexes": [
+                {
+                    "name": e.name, "tables": list(e.tables),
+                    "keys": [list(k) for k in e.keys],
+                    "path": e.path, "n_buckets": e.n_buckets,
+                    "columns": list(e.columns),
+                    "meta": _read_json(os.path.join(e.path, _SIDECAR)),
+                }
+                for e in self._joins.values()
+            ],
+        }
+        _write_json(self._catalog_path(), payload)
+
+    def _reuse_or_build(self, path: str, meta: dict, build) -> None:
+        """The addIndex contract: one-time build, later registrations are
+        metadata-only reuse — but ONLY when the on-disk sidecar fingerprint
+        matches this registration (definition + source schema + source row
+        count). A name reused for a different definition, or a source that
+        changed since the old build, rebuilds instead of silently
+        installing stale data (round-2 ADVICE, registry.py:42)."""
+        if _already_built(path) and _read_json(os.path.join(path, _SIDECAR)) == meta:
+            return
+        build()
+        _write_json(os.path.join(path, _SIDECAR), meta)
 
     # -- registration (entry point C, SURVEY §3) --
     def add_index(self, name: str, indexed: Indexed) -> IndexEntry:
