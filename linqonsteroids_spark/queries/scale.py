@@ -16,7 +16,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from linqonsteroids_spark.catalog import load_table
+from linqonsteroids_spark.catalog import load_table, normalize_events_ts
 from linqonsteroids_spark.operators.asof import range_join
 from linqonsteroids_spark.operators.skew import salted_aggregate, salted_join
 from linqonsteroids_spark.similarity.ivf import ivf_topk
@@ -189,14 +189,13 @@ def _run_stream_to_memory(
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # ts arrives as raw nanos (long)
+    schema = spark.read.parquet(path).schema
     # the file-stream source wants a directory: stream the sf_dir, glob-
     # filtered to the events file
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     windows = windowed_aggregate(
         stream,
@@ -233,11 +232,10 @@ _SESSION_GAP = "2 hours"
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     sessions = sessionized_counts(stream, ts_col="ts", gap=_SESSION_GAP, key="user_id")
     name = f"mv_sessions_{next(_MV_IDS)}"
@@ -316,11 +314,10 @@ def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     # ONE source, self-joined: Spark splits the stream into both join sides.
-    events = (
+    events = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -384,10 +381,11 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
