@@ -42,35 +42,33 @@ _MODULES = [
 
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # insertion order, so ordering is evidence policy, not cosmetics.  _ROTATION
-# pins the front of the registry explicitly: every gate that has never had a
-# driver row (round-2 judge inventory), then the gates last checked in round
-# 1, then a spread of core canaries that stay in every window.  Everything
-# else (all green in rounds 1-2) follows in module order.
+# pins the front of the registry explicitly, round-4 policy: first the 7
+# queries that errored in round 3 on the events.ts encoding change (never a
+# green driver row; fixed by catalog.normalize_events_ts), then every query
+# whose latest green row is round 2 (rotated out of the r3 window).  7 + 43
+# = exactly 50; the 41 queries green in round 3 follow in module order.
 _ROTATION = [
-    # -- never driver-checked as of round 2 ---------------------------------
-    "salted_status_stats", "knn_ivf_exact", "events_value_bands",
-    "streaming_hourly_events", "streaming_user_sessions",
-    "streaming_user_totals", "streaming_purchase_click_pairs",
-    "incremental_mv_event_stats", "streaming_dedup_events",
-    "indexed_segment_lookup", "indexed_computed_key_lookup",
-    "indexed_join_lookup", "indexed_chain_lookup", "bucketed_mv_join",
-    "udaf_weighted_price", "multimodal_image_stats",
-    "multimodal_frame_counts", "nation_full_outer_counts",
-    "small_quantity_revenue", "events_trailing_hour_value",
-    "order_qty_foldhash", "collect_urgency_scores",
-    "grouping_sets_order_totals", "quartile_prices_by_flag",
-    "pivot_status_counts", "unpivot_flag_metrics", "corpus_mix_sample",
-    "pack_sequences", "training_shards", "quota_per_source",
-    "doc_repetition_scores", "pii_scrub", "benchmark_contamination",
-    "bloom_reference_dedup", "kmv_distinct_users",
-    # -- green in round 1 only (rotated out of the round-2 window) ----------
-    "format_roundtrip_supplier", "first_last_order_per_customer",
-    "customer_key_regex", "cast_matrix", "option_last_event",
-    "salted_supplier_volume",
-    # -- core canaries kept in every window ----------------------------------
-    "flagship_order_records", "pricing_summary", "shipping_priority",
-    "dedup_minhash_pairs", "dedup_clusters", "knn_bruteforce",
-    "event_funnel_stages", "nation_transitive_closure", "events_json_stats",
+    # -- errored in round 3 (ts encoding), never green — fixed this round ----
+    "events_value_bands", "streaming_hourly_events",
+    "streaming_user_sessions", "streaming_purchase_click_pairs",
+    "streaming_dedup_events", "events_trailing_hour_value",
+    "kmv_distinct_users",
+    # -- last green in round 2 (rotated out of the round-3 window) ----------
+    "event_funnel_stages", "events_json_stats", "supplier_nation_region",
+    "customers_with_urgent_orders", "customers_without_orders",
+    "nation_pairs_same_region", "customer_order_counts", "brand_union",
+    "brand_except", "brand_intersect", "distinct_segments",
+    "orders_by_priority", "rollup_priority_status", "customer_name_report",
+    "acctbal_buckets", "lineitem_stats", "top_orders_per_priority",
+    "events_running_stats", "event_sliding_windows", "nations_indexed",
+    "token_frequencies", "token_stats_bpe", "lang_id", "dedup_exact",
+    "doc_fingerprints", "doc_quality", "label_centroid_norms",
+    "knn_lsh_bucketed", "dedup_simhash_signatures", "dedup_ngram_jaccard",
+    "dedup_embedding_pairs", "dedup_survivors", "typefilter_clicks",
+    "typecase_events", "orders_monthly_revenue", "events_time_features",
+    "cube_priority_status", "asof_purchase_click",
+    "asof_purchase_click_bucketed", "nested_guarded_access",
+    "nested_array_stats", "nested_explode_positions", "discount_products",
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
