@@ -11,18 +11,30 @@ iteration and the driver OOMs long before the data does). At 100 TB the
 join shuffles edges on dst each round: localCheckpoint materializes the
 RDD but drops its outputPartitioning (measured — a repartition("dst")
 before the checkpoint does not reduce the next round's exchange count),
-so the per-round cost floor is one edge shuffle + one label shuffle. On a
-real cluster, persisting edges bucketed by dst (write_bucketed_table)
-would eliminate the edge-side exchange; iteration count is the knob that
-matters first.
+so the per-round cost floor is one edge shuffle + one label shuffle.
+Two scale levers applied here:
+
+- **iteration count**: ``transitive_closure`` path-doubles (⌈log₂ D⌉
+  rounds) and ``connected_components`` pointer-jumps (label ← label of
+  label each round), so a length-N chain converges in O(log N) rounds
+  instead of N — template-spam chains are exactly the adversarial shape a
+  100 TB dedup wash meets.
+- **static-side bucketing** (``bucket_edges=True``): the edge relation
+  never changes across rounds, so persisting it as a bucketed+sorted
+  table on the join key removes the edge-side Exchange from EVERY round's
+  plan (the label side still shuffles to the bucket layout — that side is
+  new each round, so its shuffle is inherent).
 """
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_EDGE_TABLE_IDS = itertools.count()
 
 
 def fix(
@@ -47,27 +59,69 @@ def fix(
     return acc
 
 
+def _persist_edges(edges: DataFrame, bucket: bool) -> DataFrame:
+    """Persist the static edge side for iterative reuse.
+
+    ``bucket=True`` writes a bucketed+sorted table on ``dst`` (bucket count
+    = shuffle partitions, so the scan's HashPartitioning satisfies the
+    join's required distribution) and reads it back — every subsequent
+    join on ``dst`` scans it Exchange-free. ``bucket=False`` keeps the
+    single-process-friendly localCheckpoint, which materializes but drops
+    outputPartitioning (measured; see module docstring)."""
+    if not bucket:
+        return edges.localCheckpoint(eager=True)
+    from linqonsteroids_spark.sources.parquet import write_bucketed_table
+
+    spark = edges.sparkSession
+    name = f"cc_edges_{next(_EDGE_TABLE_IDS)}"
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed_table(edges, name, ["dst"], n_buckets=n)
+    return spark.table(name)
+
+
+def _neighbor_min(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One propagation step: per src, the min label over its neighbors.
+    Factored out so plan tests can pin the Exchange count of the round
+    body against bucketed vs checkpointed edges."""
+    return (
+        edges.join(labels, edges.dst == labels.node)
+        .groupBy("src")
+        .agg(F.min("label").alias("nmin"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 50,
+    bucket_edges: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) where component = smallest node id reachable
-    through the undirected ``pairs`` relation — min-label propagation to
-    fixpoint (a ``Fix`` instantiation, like TransitiveClosure).
+    through the undirected ``pairs`` relation — min-label propagation with
+    pointer jumping, to fixpoint (a ``Fix`` instantiation).
 
     This is the dedup-pipeline closer: near-dup candidate PAIRS become
     keep/drop decisions only after clustering (keep one representative per
-    component). Label propagation shuffles |edges| per round and converges
-    in O(component diameter) rounds — duplicate clusters are shallow, so
-    this beats materializing the full transitive closure (quadratic pairs
-    inside large clusters)."""
-    edges = (
+    component). Each round does (1) neighbor-min propagation and (2) a
+    pointer jump — ``label ← label(label)`` — so the distance each label
+    has travelled toward the component minimum roughly doubles per round:
+    a length-N chain converges in O(log N) rounds where plain propagation
+    needs N (covered distance follows d ← 2d+2: 2, 6, 14, … = 2^(k+1)-2).
+    Labels only decrease and only to ids inside the same component, so the
+    fixpoint is exactly the per-component minimum.
+
+    ``bucket_edges=True`` persists the (static) symmetrized edge relation
+    as a bucketed table on ``dst``, removing the edge-side Exchange from
+    every round — the scale path for deep clusters over big pair sets.
+    ``stats``, if given, records ``{"iterations": n}`` for convergence
+    tests and operational visibility."""
+    edges = _persist_edges(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        bucket=bucket_edges,
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -75,25 +129,29 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    iterations = 0
     for _ in range(max_iterations):
-        neigh = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        iterations += 1
+        neigh = _neighbor_min(edges, labels)
+        cand = labels.join(neigh, labels.node == neigh.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
         )
+        # pointer jump: follow the label one hop (label is always a node id
+        # in the same component, so the lookup join is total; left+coalesce
+        # guards the invariant rather than relying on it)
+        ptr = cand.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
         new_labels = (
-            labels.join(neigh, labels.node == neigh.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
-            )
+            cand.join(ptr, cand.label == ptr.p_node, "left")
+            .select("node", F.coalesce("p_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        if new_labels.join(labels, ["node", "label"], "left_anti").isEmpty():
-            return new_labels
+        changed = not new_labels.join(labels, ["node", "label"], "left_anti").isEmpty()
         labels = new_labels
+        if not changed:
+            break
+    if stats is not None:
+        stats["iterations"] = iterations
     return labels
 
 

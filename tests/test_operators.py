@@ -203,3 +203,52 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.node: r.label for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+
+
+def test_connected_components_chain_logarithmic(spark):
+    """Pointer jumping: a 1,000-node chain — the adversarial template-spam
+    shape — converges in O(log N) rounds (covered distance 2^(k+1)-2 → 9
+    rounds for 999 hops), not O(N). Bound at 12 with slack for the final
+    no-change detection round."""
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = connected_components(pairs, stats=stats)
+    assert stats["iterations"] <= 12
+    rows = got.collect()
+    assert len(rows) == n
+    assert all(r.label == 0 for r in rows)
+
+
+def test_connected_components_bucketed_edges_drop_exchange(spark):
+    """bucket_edges persists the static edge side bucketed on dst: the
+    per-round neighbor-min join scans it Exchange-free, so the round body
+    has one fewer Exchange than the localCheckpoint path (label side +
+    agg still shuffle — those are inherent)."""
+    from linqonsteroids_spark.operators.fixpoint import _neighbor_min, _persist_edges
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    edges = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
+        pairs.selectExpr("id_b as src", "id_a as dst")
+    )
+    labels = edges.selectExpr("src as node").distinct().selectExpr(
+        "node", "node as label"
+    )
+
+    def exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        plain = exchanges(_neighbor_min(_persist_edges(edges, bucket=False), labels))
+        bucketed = exchanges(_neighbor_min(_persist_edges(edges, bucket=True), labels))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert bucketed == plain - 1
