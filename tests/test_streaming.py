@@ -231,3 +231,59 @@ def test_incremental_agg_mv_merges_across_batches(spark, dirs):
     mv.refresh_available()  # processes ONLY the new file (checkpoint)
     got = {(r.user_id, r.n, r.total, r.max_v) for r in mv.read().collect()}
     assert got == {(1, 3, 10, 5), (2, 1, 7, 7), (3, 1, 9, 9)}
+
+
+def test_incremental_agg_mv_rewrites_only_touched_buckets(spark, dirs):
+    # refresh I/O is O(batch), not O(MV): a batch touching one key
+    # rewrites only that key's hash bucket; every other bucket directory
+    # keeps its exact files (names, sizes, mtimes)
+    from linqonsteroids_spark.streaming import IncrementalAggMV
+
+    n_buckets = 8
+    mv = IncrementalAggMV(
+        spark,
+        dirs["src"],
+        SCHEMA,
+        key="user_id",
+        aggs={"n": ("sum", F.count("*")), "total": ("sum", F.sum("value"))},
+        mv_path=dirs["mv"],
+        checkpoint_dir=dirs["ckpt"],
+        n_buckets=n_buckets,
+    )
+    # seed with many keys so several buckets exist
+    _write_batch(spark, dirs["src"], [(k, "click", _ts(0), k) for k in range(1, 30)])
+    mv.refresh_available()
+
+    def snapshot():
+        out = {}
+        for b in os.listdir(dirs["mv"]):
+            if not b.startswith("mv_bucket="):
+                continue
+            d = os.path.join(dirs["mv"], b)
+            out[b] = sorted(
+                (f, os.path.getsize(p), os.path.getmtime(p))
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))
+                for p in [os.path.join(d, f)]
+            )
+        return out
+
+    before = snapshot()
+    assert len(before) > 2  # keys actually spread over buckets
+
+    # second batch touches a single key → a single bucket
+    touched_bucket = spark.sql(
+        f"SELECT pmod(xxhash64(CAST(1 AS BIGINT)), {n_buckets}) AS b"
+    ).collect()[0].b
+    _write_batch(spark, dirs["src"], [(1, "click", _ts(5), 10)])
+    mv.refresh_available()
+    after = snapshot()
+
+    for b, files in before.items():
+        if b == f"mv_bucket={touched_bucket}":
+            assert after[b] != files  # merged slice rewritten
+        else:
+            assert after[b] == files  # byte-identical, untouched on disk
+    got = {(r.user_id, r.n, r.total) for r in mv.read().collect()}
+    expect = {(k, 1, k) for k in range(2, 30)} | {(1, 2, 11)}
+    assert got == expect
