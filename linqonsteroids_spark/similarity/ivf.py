@@ -39,32 +39,27 @@ def ivf_topk(
 
     Returns (query_id, rnk, neighbor_id, cos_sim).
     """
+    if n_probe >= n_lists:
+        # Exact configuration: every cell is probed, so the cell partition
+        # is a no-op by definition — this IS brute force. Training would
+        # be wasted corpus passes (at 100 TB, hours of them) and the cell
+        # join would only re-materialize the all-pairs set; delegate to
+        # the streamed batch scorer (O(|C|·dim) transfer, top-k per batch).
+        from linqonsteroids_spark.similarity.knn import brute_force_topk
+
+        return brute_force_topk(
+            queries, corpus, k=k,
+            query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+        )
+
     corpus_base = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)
     ).withColumn("_cn", l2_norm(F.col(corpus_vec)))
-
-    if n_probe >= n_lists:
-        # Exact configuration: every cell is probed, so the partition can
-        # never drop a true neighbor and centroid quality is irrelevant —
-        # training would be pure wasted passes over the corpus (at 100 TB,
-        # hours of them). Hash-assign cells instead; the probe phase and
-        # the equi-join on cell (the plan shape that bounds per-cell work)
-        # are identical to the trained path.
-        assigned = corpus_base.withColumn(
-            "cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_lists)).cast("int")
-        )
-        probes = (
-            queries.select(query_id, query_vec)
-            .withColumn("_qn", l2_norm(F.col(query_vec)))
-            .withColumn(
-                "cell", F.explode(F.sequence(F.lit(0), F.lit(n_lists - 1)))
-            )
-        )
-    else:
-        assigned, probes = _kmeans_probes(
-            queries, corpus_base, n_lists, n_probe, seed, max_iter, train_cap,
-            query_id, query_vec, corpus_vec,
-        )
+    assigned, probes = _kmeans_probes(
+        queries, corpus_base, n_lists, n_probe, seed, max_iter, train_cap,
+        query_id, query_vec, corpus_vec,
+    )
 
     sim = cosine_from_norms(
         F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")

