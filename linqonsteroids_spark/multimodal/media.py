@@ -63,6 +63,14 @@ except ImportError:  # this environment ships no imaging libs — stub path
     _PIL_Image = None
     HAVE_REAL_DECODER = False
 
+try:  # same auto-activation shape for video (PyAV wraps ffmpeg)
+    import av as _av
+
+    HAVE_REAL_VIDEO_DECODER = True
+except ImportError:  # no ffmpeg bindings here — stub path
+    _av = None
+    HAVE_REAL_VIDEO_DECODER = False
+
 
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic synthetic media column derived from the id —
@@ -159,12 +167,45 @@ def decode_image_stats(
 FRAME_RESULT_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") -> DataFrame:
+def _extract_frame_stub(data: bytes, frame_idx: int) -> str:
+    """Deterministic fake frame feature: hash of payload + frame index."""
+    return hashlib.sha256(data + int(frame_idx).to_bytes(4, "big")).hexdigest()[:16]
+
+
+def _extract_frame_real(data: bytes, frame_idx: int) -> str:  # pragma: no cover - env lacks libs
+    """PyAV/ffmpeg-backed frame extraction; selected automatically when
+    ``av`` imports. Same output contract as the stub (16-hex hash of the
+    frame content) so downstream schemas never change."""
+    if _av is None:
+        raise NotImplementedError(
+            "real frame extraction requires PyAV (ffmpeg bindings), not present "
+            "in this environment; the stub path (_extract_frame_stub) remains active"
+        )
+    import io
+
+    with _av.open(io.BytesIO(data)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i == frame_idx:
+                payload = frame.to_ndarray(format="gray").tobytes()
+                return hashlib.sha256(payload).hexdigest()[:16]
+    raise IndexError(f"frame {frame_idx} out of range")
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "doc_id",
+    extractor: str = "auto",
+) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame.
 
-    The frame *extraction* is stubbed (hash of payload+index); the shape —
-    filter to videos, explode sampled indices JVM-side, derive per-frame
-    features in a pandas stage — is the real pipeline.
+    The shape — filter to videos, explode sampled indices JVM-side, derive
+    per-frame features in a pandas stage — is the real pipeline.
+    ``extractor`` mirrors ``decode_image_stats``'s decoder dispatch:
+    "auto" uses PyAV when importable, else the deterministic stub; "stub"
+    forces the fake (required for synthetic payloads, e.g. the
+    oracle-gated query whose bytes are hashes, not containers); "real"
+    forces PyAV and raises without it.
     """
     videos = df.filter(F.col("media_meta.format") == "mp4").select(
         F.col(id_col).alias("doc_id"),
@@ -178,11 +219,13 @@ def sample_video_frames(df: DataFrame, every_n: int = 30, id_col: str = "doc_id"
             "frame_idx"
         ),
     )
+    use_real = HAVE_REAL_VIDEO_DECODER if extractor == "auto" else extractor == "real"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _extract_frame_real if use_real else _extract_frame_stub
         for pdf in batches:
             hashes = [
-                hashlib.sha256(bytes(b) + int(i).to_bytes(4, "big")).hexdigest()[:16]
+                fn(bytes(b), int(i))
                 for b, i in zip(pdf["media_bytes"], pdf["frame_idx"])
             ]
             yield pd.DataFrame(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from linqonsteroids_spark.catalog import load_table
@@ -53,3 +54,31 @@ def test_video_frame_sampling_counts(spark):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("kind", ["image", "video"])
+def test_decoder_dispatch_stub_vs_real(spark, kind):
+    """Both media paths share the decoder-dispatch shape: 'stub' always
+    works, 'real' raises NotImplementedError unless the library imports
+    (in which case it runs — synthetic payloads then fail to parse, which
+    is also proof the real decoder engaged)."""
+    from linqonsteroids_spark.multimodal import media as m
+
+    df = _media(spark, n=6)
+    if kind == "image":
+        have, run = m.HAVE_REAL_DECODER, lambda d: decode_image_stats(df, decoder=d)
+    else:
+        have, run = (
+            m.HAVE_REAL_VIDEO_DECODER,
+            lambda d: sample_video_frames(df, every_n=30, extractor=d),
+        )
+    assert run("stub").count() > 0
+    if not have:
+        with pytest.raises(Exception) as exc_info:
+            run("real").collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
+    else:  # pragma: no cover - env lacks media libs
+        with pytest.raises(Exception):  # fake payloads are not real containers
+            run("real").collect()
