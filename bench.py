@@ -79,6 +79,9 @@ EXTRA = [
     "quota_per_source",
     "event_funnel_stages",
     "kmv_distinct_users",
+    "doc_chunks",
+    "vocab_coverage",
+    "unigram_surprisal",
 ]
 
 

@@ -53,11 +53,14 @@ _ROTATION = [
     "streaming_user_sessions", "streaming_purchase_click_pairs",
     "streaming_dedup_events", "events_trailing_hour_value",
     "kmv_distinct_users",
-    # -- last green in round 2 (rotated out of the round-3 window) ----------
+    # -- new in round 4, never driver-checked --------------------------------
+    "doc_chunks", "vocab_coverage", "unigram_surprisal",
+    # -- last green in round 2 (rotated out of the round-3 window; the
+    # trivially-stable brand_* set ops, green in r1 AND r2, ceded their
+    # slots to the new round-4 gates) ---------------------------------------
     "event_funnel_stages", "events_json_stats", "supplier_nation_region",
     "customers_with_urgent_orders", "customers_without_orders",
-    "nation_pairs_same_region", "customer_order_counts", "brand_union",
-    "brand_except", "brand_intersect", "distinct_segments",
+    "nation_pairs_same_region", "customer_order_counts", "distinct_segments",
     "orders_by_priority", "rollup_priority_status", "customer_name_report",
     "acctbal_buckets", "lineitem_stats", "top_orders_per_priority",
     "events_running_stats", "event_sliding_windows", "nations_indexed",

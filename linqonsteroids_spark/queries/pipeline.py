@@ -345,6 +345,64 @@ FROM scrubbed
 """
 
 
+# --- document chunking: overlapping token windows --------------------------
+# Long documents become fixed-size training chunks: window W tokens, stride
+# S < W (adjacent chunks overlap by W-S so no span is split across a chunk
+# boundary without context). Entirely row-local — tokenize, explode chunk
+# indices, slice the token array — so it scales linearly with zero shuffle;
+# chunk identity is content-hashed for downstream exact dedup of chunks.
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_chunks = F.expr(f"(size(toks) - 1) div {_CHUNK_S} + 1")
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W
+    )
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * _CHUNK_S).cast("int").alias("start_tok"),
+            F.size(chunk).alias("chunk_len"),
+            F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 16).alias("chunk_hash"),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (len(toks) - 1) // {_CHUNK_S} + 1)) AS chunk_idx
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_S} AS INT) AS start_tok,
+       len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                      chunk_idx * {_CHUNK_S} + {_CHUNK_W})) AS chunk_len,
+       substr(md5(array_to_string(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                                             chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')),
+              1, 16) AS chunk_hash
+FROM idx
+"""
+
+
 QUERIES = {
     "corpus_mix_sample": (corpus_mix_sample, CORPUS_MIX_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
@@ -352,4 +410,5 @@ QUERIES = {
     "quota_per_source": (quota_per_source, QUOTA_PER_SOURCE_SQL),
     "doc_repetition_scores": (doc_repetition_scores, DOC_REPETITION_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
 }

@@ -210,6 +210,118 @@ FROM (
 """
 
 
+# --- vocabulary coverage / OOV rate ----------------------------------------
+# Build the top-K corpus vocabulary (count desc, token asc — deterministic),
+# then score every document's out-of-vocabulary rate against it. The OOV
+# rate is the standard "will the tokenizer shred this document" gate.
+# Scale: one map-side-combined agg builds the vocab (|vocab| rows), the
+# top-K is a TakeOrdered (no full sort), and the membership join broadcasts
+# the K-row vocab — the exploded token table is never shuffled.
+_VOCAB_K = 1000
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        exploded.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_ratio"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH exploded AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tok AS (
+  SELECT doc_id, token FROM exploded WHERE token <> ''
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS freq FROM tok GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT {_VOCAB_K}
+  )
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS oov_ratio
+FROM tok t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+# --- unigram surprisal (perplexity proxy) -----------------------------------
+# Per-document mean negative log-probability under the corpus's own unigram
+# distribution — the cheapest model-free "perplexity" quality signal (docs
+# of rare garbage tokens score high, boilerplate scores low). Deterministic:
+# counts are exact integers, per-token surprisal is a pure function of
+# (freq, total), and both engines round the per-doc mean.
+# Scale: one agg shuffle for the frequency table, then a broadcast join
+# onto the exploded tokens (unigram vocab is broadcast-sized even at 100 TB
+# — it grows sublinearly with the corpus) and one map-side-combined mean.
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    freqs = exploded.groupBy("token").agg(F.count("*").alias("freq"))
+    # scalar attach: the 1-row total rides a broadcast nested-loop join
+    # onto the (broadcast-sized) freq table — bounded by construction and
+    # allowlisted in tools/plan_audit.py; a constant-key equi-join gets
+    # constant-folded back to the same BNLJ anyway
+    total = freqs.agg(F.sum("freq").alias("total"))
+    freqs_t = freqs.crossJoin(F.broadcast(total))
+    scored = exploded.join(F.broadcast(freqs_t), "token")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("freq") / F.col("total"))), 4).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH exploded AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tok AS (
+  SELECT doc_id, token FROM exploded WHERE token <> ''
+), freqs AS (
+  SELECT token, count(*) AS freq FROM tok GROUP BY token
+), total AS (
+  SELECT sum(freq) AS total FROM freqs
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(f.freq * 1.0 / total.total)), 4) AS mean_surprisal
+FROM tok t JOIN freqs f ON t.token = f.token CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_BPE_SQL),
@@ -217,4 +329,6 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
+    "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
 }

@@ -33,6 +33,7 @@ ALLOW_ALL_PAIRS = {
     "dedup_ngram_jaccard": "pairwise Jaccard over a blocked candidate set",
     "dedup_embedding_pairs": "pairwise cosine over a blocked candidate set",
     "nation_pairs_same_region": "25-row dimension self-pairing (bounded)",
+    "unigram_surprisal": "1-row scalar total broadcast onto the freq table",
 }
 
 FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
