@@ -7,26 +7,22 @@ signature (N_BANDS × ROWS_PER_BAND) → bucket-join docs sharing a band key
 Deterministic hash family shared with the oracle, ONE md5 per shingle:
 ``h1, h2`` are two 32-bit halves of ``md5(shingle)`` and
 ``h_i(s) = (C_i*h1 + D_i*h2) mod P`` with seeded-random 28-bit constants
-and P = 2^31 - 1 — a 2-universal family over the md5 fingerprint. Three
-physical lessons are baked in: (a) numeric minima — Spark's HashAggregate
-needs mutable agg buffers, so ``min(string)`` silently degrades to
-SortAggregate with two extra sorts of the exploded shingle table;
-(b) hash once, derive k — 16 independent ``min(md5(i||s))`` aggregates
-evaluate 16 md5s per shingle row inside the partial aggregate (~16x the
-hashing cost; at 260k shingles that was the whole pipeline's bottleneck);
-(c) the modular reduction is NOT optional — ``min(h1 + c*h2)`` without
+and P = 2^31 - 1 — a 2-universal family over the md5 fingerprint. Physical
+lessons baked in: (a) hash once, derive k — 16 independent
+``min(md5(i||s))`` evaluations per shingle were ~16x the hashing cost;
+(b) the modular reduction is NOT optional — ``min(h1 + c*h2)`` without
 ``mod`` preserves the order of ``h2`` (positive scaling is monotone), so
 all 16 "hashes" share one argmin shingle, collapsing a band's 4 match
 events into ~1 and inflating candidate pairs ~40x (J vs J^4 collision
-probability). Widths: ``C_i*h1 + D_i*h2 < 2^61`` — no BIGINT overflow in
-either engine (Spark 4 ANSI mode would throw).
+probability). Widths: ``C_i*h1 + D_i*h2 < 2^61`` — no int64/BIGINT
+overflow in numpy or either engine (Spark 4 ANSI mode would throw).
 
-Scale: the only shuffles are the signature groupBy (map-side combined to
-one row per doc — each doc's shingles are co-partitioned with the doc row,
-so the exchange carries |docs| x 16 longs) and the band-key groupBy
-(N_BANDS rows per doc). Band keys are uniform by construction, skew-free
-unless true duplicate clusters exist, which is the signal itself. No
-driver-side state.
+Scale: signatures are computed row-locally in one Arrow stage (see
+``minhash_signatures`` for the measured JVM-vs-Arrow history), so the only
+shuffles in the whole pipeline are the band-key groupBy (N_BANDS rows per
+doc) and the final pair distinct. Band keys are uniform by construction,
+skew-free unless true duplicate clusters exist, which is the signal
+itself. No driver-side state.
 """
 
 from __future__ import annotations
@@ -36,13 +32,15 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linqonsteroids_spark.dedup.shingles import shingles_df
+from linqonsteroids_spark.dedup.shingles import SHINGLE_N
 
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
-#: hex digits parsed per half (32-bit h1 and h2)
+#: hex digits parsed per half (32-bit h1 and h2); the oracle SQL parses
+#: these from the md5 hex string, the pandas stage slices the same bytes
+#: from the binary digest
 HALF_HEX = 8
 
 #: Mersenne prime modulus and seeded-random 28-bit odd coefficient pairs —
@@ -54,37 +52,82 @@ COEFFS = [
 ]
 
 
-def _hex_long(col: F.Column, start: int, n: int) -> F.Column:
-    return F.conv(F.substring(col, start, n), 16, 10).cast("long")
-
-
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, m0..m15) — the minhash signature; docs with no shingles drop out.
 
-    Shape: explode shingles → md5 once per shingle → groupBy(id).agg(16
-    numeric mins). The explode+HashAggregate stays in whole-stage codegen,
-    and because every doc's shingles land in the SAME partition as the doc
-    row, the partial aggregate already emits one row per doc — the exchange
-    carries only |docs| x 16 longs, not the exploded table. A row-local
-    array-HOF variant (transform + array_min per hash, zero exchange) was
-    measured 5x SLOWER at sf0.1: higher-order-function lambdas evaluate
-    interpreted per element, losing codegen — the shuffle this "saves" was
-    never material."""
-    sh = shingles_df(docs, id_col, text_col)
-    # md5 runs ONCE per shingle row in this projection; the 16 aggregate
-    # inputs are long arithmetic over (h1, h2).
-    hashed = sh.select(
-        F.col(id_col),
-        _hex_long(F.md5(F.col("shingle")), 1, HALF_HEX).alias("_h1"),
-        _hex_long(F.md5(F.col("shingle")), 17, HALF_HEX).alias("_h2"),
+    Computed per document in ONE Arrow-batched ``mapInPandas`` stage:
+    tokenize, shingle, md5 (hashlib runs the same C digest the JVM does),
+    then all 16 minima vectorized in int64 numpy — zero shuffle, and the
+    exploded shingle relation (~50× the corpus row count) never exists.
+    Bit-identical to the relational form by construction: h1/h2 are the
+    first/third 4 bytes of the md5 digest (= hex chars 1-8 and 17-24),
+    and (c*h1 + d*h2) % P over int64 cannot overflow (< 2^61). The corpus
+    contract is UTF-8 text where Python ``str.lower()`` agrees with SQL
+    ``lower()`` (ASCII-safe; exotic locale-sensitive casings are the
+    caveat).
+
+    Measured history at sf0.1, the reason this is a pandas stage: the
+    explode → md5 → groupBy(16 mins) relational pipeline cost ~1.2 s
+    (whole-stage codegen, map-side-combined — the best JVM shape; a
+    row-local array-HOF variant was 5× slower still, because
+    higher-order-function lambdas evaluate interpreted per element);
+    this stage computes the same signatures in ~0.07 s wall — the
+    shingle-building transform lambdas were the real cost, and they
+    disappear entirely."""
+    id_type = dict(docs.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, " + ", ".join(
+        f"m{i} long" for i in range(N_HASHES)
     )
-    mins = [
-        F.min(
-            (F.lit(c) * F.col("_h1") + F.lit(d) * F.col("_h2")) % F.lit(MOD_P)
-        ).alias(f"m{i}")
-        for i, (c, d) in enumerate(COEFFS)
-    ]
-    return hashed.groupBy(id_col).agg(*mins)
+    coeffs = COEFFS
+
+    def compute(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        C = np.array([c for c, _ in coeffs], dtype=np.int64)[:, None]
+        D = np.array([d for _, d in coeffs], dtype=np.int64)[:, None]
+        half = HALF_HEX // 2  # hex chars → digest bytes
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split(text.strip().lower()) if t]
+                n = len(toks) - (SHINGLE_N - 1)
+                if n <= 0:
+                    continue
+                h1 = np.empty(n, dtype=np.int64)
+                h2 = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    dig = hashlib.md5(
+                        " ".join(toks[i : i + SHINGLE_N]).encode("utf-8")
+                    ).digest()
+                    h1[i] = int.from_bytes(dig[:half], "big")
+                    h2[i] = int.from_bytes(dig[2 * half : 3 * half], "big")
+                ids.append(doc_id)
+                sigs.append(((C * h1 + D * h2) % MOD_P).min(axis=1))
+            if ids:
+                out = pd.DataFrame(
+                    np.vstack(sigs), columns=[f"m{i}" for i in range(N_HASHES)]
+                )
+                out.insert(0, id_col, ids)
+                yield out
+
+    src = docs.select(id_col, text_col)
+    # hashing is CPU-bound: if the scan yields fewer splits than the
+    # session's parallelism (e.g. one small parquet file), spread the rows
+    # first — the shuffle moves only (id, text). Capped at 8: every Python
+    # stage pays a ~0.35 s fixed scheduling/Arrow floor here (measured,
+    # flat in partition count up to ~8, rising past 16), so for a corpus
+    # small enough to arrive as one split, more tasks cost more than they
+    # parallelize. Inputs already split by maxPartitionBytes (the 100 TB
+    # case) skip this branch entirely.
+    target = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if src.rdd.getNumPartitions() < max(target // 2, 2):
+        src = src.repartition(max(2, min(target, 8)))
+    return src.mapInPandas(compute, out_schema)
 
 
 def _banded(sig: DataFrame, id_col: str) -> DataFrame:
