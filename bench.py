@@ -82,6 +82,9 @@ EXTRA = [
     "doc_chunks",
     "vocab_coverage",
     "unigram_surprisal",
+    "stratified_split",
+    "ngram_novelty",
+    "dedup_source_priority",
 ]
 
 

@@ -55,15 +55,17 @@ _ROTATION = [
     "kmv_distinct_users",
     # -- new in round 4, never driver-checked --------------------------------
     "doc_chunks", "vocab_coverage", "unigram_surprisal",
-    # -- last green in round 2 (rotated out of the round-3 window; the
-    # trivially-stable brand_* set ops, green in r1 AND r2, ceded their
+    "stratified_split", "ngram_novelty", "dedup_source_priority",
+    # -- last green in round 2 (rotated out of the round-3 window; six
+    # trivially-stable r1+r2-green gates — brand_* set ops,
+    # distinct_segments, nations_indexed, discount_products — ceded their
     # slots to the new round-4 gates) ---------------------------------------
     "event_funnel_stages", "events_json_stats", "supplier_nation_region",
     "customers_with_urgent_orders", "customers_without_orders",
-    "nation_pairs_same_region", "customer_order_counts", "distinct_segments",
+    "nation_pairs_same_region", "customer_order_counts",
     "orders_by_priority", "rollup_priority_status", "customer_name_report",
     "acctbal_buckets", "lineitem_stats", "top_orders_per_priority",
-    "events_running_stats", "event_sliding_windows", "nations_indexed",
+    "events_running_stats", "event_sliding_windows",
     "token_frequencies", "token_stats_bpe", "lang_id", "dedup_exact",
     "doc_fingerprints", "doc_quality", "label_centroid_norms",
     "knn_lsh_bucketed", "dedup_simhash_signatures", "dedup_ngram_jaccard",
@@ -71,7 +73,7 @@ _ROTATION = [
     "typecase_events", "orders_monthly_revenue", "events_time_features",
     "cube_priority_status", "asof_purchase_click",
     "asof_purchase_click_bucketed", "nested_guarded_access",
-    "nested_array_stats", "nested_explode_positions", "discount_products",
+    "nested_array_stats", "nested_explode_positions",
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -7,7 +7,7 @@ approximate-dedup code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linqonsteroids_spark.catalog import load_table
@@ -80,6 +80,70 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection with a POLICY, not just min-id: within each
+    duplicate cluster keep the member from the highest-priority source
+    (priority asc), ties by doc_id. This is how a real corpus wash picks
+    between a curated copy and a crawl copy of the same document. Shape:
+    components (log-round label propagation) → join member metadata →
+    one ranking window per component — the cluster contents are never
+    collected anywhere."""
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "source"), "node"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        "source",
+        # derived priority: curated-tier sources (even index) outrank
+        # crawl-tier (odd index); deterministic from the name so both
+        # engines compute it identically
+        (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 2).alias("priority"),
+    )
+    w = Window.partitionBy("component").orderBy("priority", "doc_id")
+    return (
+        members.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .join(
+            members.groupBy("component").agg(F.count("*").alias("n_members")),
+            "component",
+        )
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            F.col("source").alias("keep_source"),
+            "n_members",
+        )
+    )
+
+
+def _source_priority_sql() -> str:
+    clusters = minhash_oracle_sql()["clusters"]
+    return f"""
+WITH comp_t AS ({clusters}),
+members AS (
+  SELECT c.doc_id, c.component, d.source,
+         CAST(regexp_extract(d.source, '(\\d+)', 1) AS INT) % 2 AS priority
+  FROM comp_t c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY priority, doc_id) AS rnk
+  FROM members
+),
+sizes AS (
+  SELECT component, count(*) AS n_members FROM members GROUP BY component
+)
+SELECT r.component, r.doc_id AS keep_id, r.source AS keep_source, s.n_members
+FROM ranked r JOIN sizes s USING (component)
+WHERE r.rnk = 1
+"""
+
+
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
     "dedup_simhash_signatures": (dedup_simhash_signatures, simhash_oracle_sql()),
@@ -93,4 +157,5 @@ QUERIES = {
     ),
     "dedup_clusters": (dedup_clusters, minhash_oracle_sql()["clusters"]),
     "dedup_survivors": (dedup_survivors, minhash_oracle_sql()["survivors"]),
+    "dedup_source_priority": (dedup_source_priority, _source_priority_sql()),
 }

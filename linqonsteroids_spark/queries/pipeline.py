@@ -403,6 +403,99 @@ FROM idx
 """
 
 
+# --- stratified train/val/test split ---------------------------------------
+# Exact per-stratum proportions (not expected-value hash thresholds): rank
+# documents within each language stratum by a deterministic hash (ties by
+# doc_id), then cut at exact fractions of the stratum size. ONE shuffle
+# (the stratum window); both rank and stratum count come from the same
+# window spec, so Spark computes them in a single Window operator.
+_SPLIT_SEED = "split3"
+_TRAIN_FRAC, _VAL_FRAC = 0.90, 0.97  # train <=90%, val <=97%, test rest
+
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = _hash_frac(_SPLIT_SEED, F.col("doc_id"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    wc = Window.partitionBy("lang")
+    pos = F.row_number().over(w)
+    n = F.count("*").over(wc)
+    split = (
+        F.when(pos <= n * _TRAIN_FRAC, "train")
+        .when(pos <= n * _VAL_FRAC, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+STRATIFIED_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN pos <= n * {_TRAIN_FRAC} THEN 'train'
+            WHEN pos <= n * {_VAL_FRAC} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_hash_frac_sql(_SPLIT_SEED, "doc_id")}, doc_id)
+           AS pos,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+"""
+
+
+# --- n-gram novelty: boilerplate detection ----------------------------------
+# Per document: what fraction of its distinct 3-gram shingles also occur in
+# OTHER documents? High shared-ratio = boilerplate/template text. Shuffles:
+# distinct (doc, shingle), the shingle-frequency agg (map-side combined),
+# the frequency join back (both sides hash on shingle — AQE handles the
+# hot-shingle skew that templated corpora produce), and the per-doc agg.
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.dedup.shingles import shingles_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).distinct()
+    counts = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("shared_ratio"),
+        )
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    from linqonsteroids_spark.dedup.shingles import DUCK_SHINGLES, DUCK_TOKS
+
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM toks_t
+), counts AS (
+  SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
+       round(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS shared_ratio
+FROM sh s JOIN counts c USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
+
+
 QUERIES = {
     "corpus_mix_sample": (corpus_mix_sample, CORPUS_MIX_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
@@ -411,4 +504,6 @@ QUERIES = {
     "doc_repetition_scores": (doc_repetition_scores, DOC_REPETITION_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "stratified_split": (stratified_split, STRATIFIED_SPLIT_SQL),
+    "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
 }
