@@ -193,8 +193,32 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+# --- SQL entry point (Queryable surface, SURVEY §2.1) ----------------------
+# The reference's Queryable mixin makes live collections addressable by
+# name; here catalog tables register as temp views and the SAME SQL text
+# runs on both engines — the strongest possible parity statement for the
+# SQL surface (dialect-shared subset: no engine-specific functions). The
+# query is TPC-H Q6's shape (forecasting revenue change): a scan-heavy
+# filter + single aggregate, where Catalyst pushes both range predicates
+# into the parquet scan.
+SQL_SURFACE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def sql_surface_revenue(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(SQL_SURFACE_Q6)
+
+
 QUERIES = {
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
+    "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_Q6),
     "format_roundtrip_supplier": (format_roundtrip_supplier, FORMAT_ROUNDTRIP_SQL),
     "first_last_order_per_customer": (
         first_last_order_per_customer,
