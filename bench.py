@@ -85,6 +85,7 @@ EXTRA = [
     "stratified_split",
     "ngram_novelty",
     "dedup_source_priority",
+    "streaming_enriched_segments",
 ]
 
 

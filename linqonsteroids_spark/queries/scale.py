@@ -460,6 +460,46 @@ FROM events GROUP BY event_type
 """
 
 
+# --- stream-static dimension enrichment ------------------------------------
+# The remaining table-stakes streaming join shape: an unbounded stream
+# enriched against a STATIC dimension. No state stores at all — the dim is
+# broadcast and re-resolved per micro-batch (Spark re-plans the static
+# side each trigger, so a dim refresh between triggers is picked up); the
+# downstream aggregate is the only stateful operator. At 100 TB the dim
+# side stays broadcast-bounded (customer segments here); bigger dims fall
+# back to a shuffled stream-static join, still stateless.
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = stream.join(
+        F.broadcast(customers), stream.user_id == customers.c_custkey
+    )
+    counts = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"mv_enriched_{next(_MV_IDS)}"
+    _run_stream_to_memory(spark, counts, name, "complete", state_partitions=4)
+    return spark.table(name)
+
+
+STREAMING_ENRICHED_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
@@ -474,4 +514,8 @@ QUERIES = {
     ),
     "incremental_mv_event_stats": (incremental_mv_event_stats, INCREMENTAL_MV_SQL),
     "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_SQL),
+    "streaming_enriched_segments": (
+        streaming_enriched_segments,
+        STREAMING_ENRICHED_SQL,
+    ),
 }
