@@ -86,6 +86,7 @@ EXTRA = [
     "ngram_novelty",
     "dedup_source_priority",
     "streaming_enriched_segments",
+    "dedup_clusters_bucketed",
 ]
 
 

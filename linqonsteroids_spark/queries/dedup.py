@@ -80,6 +80,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` through the bucketed-static-edge scale path:
+    the symmetrized pair relation persists as a bucketed+sorted table on
+    the join key, so every label-propagation round scans it Exchange-free
+    (the plan delta is pinned in tests/test_operators.py). Same oracle as
+    the checkpointed path — the physical layout must not move a label."""
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs, bucket_edges=True)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection with a POLICY, not just min-id: within each
     duplicate cluster keep the member from the highest-priority source
@@ -156,6 +172,10 @@ QUERIES = {
         embedding_oracle_sql(threshold=EMBED_THRESHOLD),
     ),
     "dedup_clusters": (dedup_clusters, minhash_oracle_sql()["clusters"]),
+    "dedup_clusters_bucketed": (
+        dedup_clusters_bucketed,
+        minhash_oracle_sql()["clusters"],
+    ),
     "dedup_survivors": (dedup_survivors, minhash_oracle_sql()["survivors"]),
     "dedup_source_priority": (dedup_source_priority, _source_priority_sql()),
 }
