@@ -98,6 +98,22 @@ def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The PRODUCTION configuration: k-means-trained cells, n_probe < n_lists.
+# K-means centroids are deterministic within Spark (fixed seed) but not
+# reproducible in SQL, so this is a rows-only gate (the driver records the
+# weaker check); exactness of the plan shape is covered by knn_ivf_exact
+# and the recall floor is pinned in tests/test_similarity.py.
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(queries, emb, k=5, n_lists=8, n_probe=2)
+    return out.select(
+        "query_id", "rnk", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
 KNN_IVF_SQL = """
 SELECT query_id, rnk, neighbor_id, cos_sim
 FROM (
@@ -504,6 +520,7 @@ QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
     "knn_ivf_exact": (knn_ivf_exact, KNN_IVF_SQL),
+    "knn_ivf_trained": (knn_ivf_trained, None),
     "events_value_bands": (events_value_bands, VALUE_BANDS_SQL),
     "streaming_hourly_events": (streaming_hourly_events, STREAMING_HOURLY_SQL),
     "streaming_user_sessions": (streaming_user_sessions, STREAMING_SESSIONS_SQL),
