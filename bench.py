@@ -87,6 +87,7 @@ EXTRA = [
     "dedup_source_priority",
     "streaming_enriched_segments",
     "dedup_clusters_bucketed",
+    "advised_segment_lookup",
 ]
 
 

@@ -7,4 +7,5 @@ from linqonsteroids_spark.plans.combinators import (  # noqa: F401
     index_substitution,
     seq,
 )
+from linqonsteroids_spark.plans.advisor import WorkloadAdvisor  # noqa: F401
 from linqonsteroids_spark.plans.registry import IndexRepository  # noqa: F401

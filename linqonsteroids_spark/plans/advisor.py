@@ -1,0 +1,98 @@
+"""Workload-level index advisor: SparkCruise-style computation reuse.
+
+SparkCruise (VLDB 2021, "Workload Optimization in Managed Spark Clusters
+at Microsoft") mines repeated subplans across a workload's query logs and
+materializes the common computation once; every later query that contains
+the subplan reads the materialized artifact instead. The reference's
+``addIndex`` (SURVEY §2.10, ``Optimization.scala``) is the MANUAL form of
+the same idea — a human decides what to index. This module closes the
+loop automatically:
+
+1. ``observe(q)`` records each submitted query's logical description
+   (``PlanInfo``: base table + recorded filter structures — the same
+   representation ``IndexRepository.optimize`` matches against).
+2. ``advise()`` mines the observations for repeated ``col == const``
+   equality patterns per (table, column) — the filter→index shape — and
+   returns every pattern seen at least ``min_count`` times that has no
+   registered index yet.
+3. ``auto_materialize()`` registers an index for each advised pattern;
+   from then on ``optimize()`` rewrites EVERY matching query (past
+   shapes and future ones) to the shared hash-partitioned MV.
+
+Scale: observation is pure driver-side metadata (a Counter over plan
+structures — no data touched); materialization cost is one scan + one
+shuffle per advised index, paid once and amortized across the workload,
+exactly the SparkCruise trade. ``min_count`` is the knob: 2 = any repeat
+pays; raise it when storage is the constraint.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Callable
+
+from linqonsteroids_spark.api import Lifted
+from linqonsteroids_spark.plans.registry import (
+    IndexEntry,
+    IndexRepository,
+    match_key_equality,
+    split_conjuncts,
+)
+
+
+class WorkloadAdvisor:
+    """Observes Lifted queries, mines repeated filter-key patterns, and
+    auto-registers indexes for the hot ones.
+
+    ``sources`` maps table name → a zero-argument provider of the
+    UNFILTERED base-table scan (what ``add_index`` materializes from);
+    typically ``lambda: lift(load_table(...), table=t)``.
+    """
+
+    def __init__(
+        self,
+        repo: IndexRepository,
+        sources: dict[str, Callable[[], Lifted]],
+        min_count: int = 2,
+    ):
+        self.repo = repo
+        self.sources = dict(sources)
+        self.min_count = min_count
+        self._patterns: Counter[tuple[str, str]] = Counter()
+
+    def observe(self, q: Lifted) -> Lifted:
+        """Record the query's filter-key patterns; returns ``q`` unchanged
+        so call sites can wrap submission transparently."""
+        plan = q.plan
+        if plan.rewritable and plan.base_table and not plan.lets:
+            for f in plan.filters:
+                for conj in split_conjuncts(f):
+                    m = match_key_equality(conj)
+                    if m is not None:
+                        self._patterns[(plan.base_table, m[0])] += 1
+        return q
+
+    def advise(self) -> list[tuple[str, str, int]]:
+        """(table, column, observations) for every pattern at or above
+        ``min_count`` that is not yet indexed and has a known source."""
+        out = []
+        for (table, col), n in self._patterns.most_common():
+            if n < self.min_count:
+                break  # most_common is sorted — nothing hotter follows
+            if (table, col) in self.repo._by_table_key:
+                continue
+            if table not in self.sources:
+                continue
+            out.append((table, col, n))
+        return out
+
+    def auto_materialize(self) -> list[IndexEntry]:
+        """Register an index for every advised pattern. Idempotent: a
+        second call advises nothing new (the registered index filters the
+        next ``advise``)."""
+        entries = []
+        for table, col, _n in self.advise():
+            src = self.sources[table]()
+            indexed = src.index_by(lambda r, c=col: r[c], key_name=col)
+            entries.append(self.repo.add_index(f"adv_{table}_{col}", indexed))
+        return entries

@@ -57,7 +57,7 @@ _ROTATION = [
     "doc_chunks", "vocab_coverage", "unigram_surprisal",
     "stratified_split", "ngram_novelty", "dedup_source_priority",
     "sql_surface_revenue", "streaming_enriched_segments",
-    "dedup_clusters_bucketed",
+    "dedup_clusters_bucketed", "advised_segment_lookup",
     # -- last green in round 2 (rotated out of the round-3 window; six
     # trivially-stable r1+r2-green gates — brand_* set ops,
     # distinct_segments, nations_indexed, discount_products — ceded their
@@ -65,7 +65,6 @@ _ROTATION = [
     "event_funnel_stages", "events_json_stats", "supplier_nation_region",
     "customers_with_urgent_orders", "customers_without_orders",
     "nation_pairs_same_region", "customer_order_counts",
-    "rollup_priority_status",
     "lineitem_stats", "top_orders_per_priority",
     "events_running_stats", "event_sliding_windows",
     "token_frequencies", "token_stats_bpe", "lang_id", "dedup_exact",

@@ -61,6 +61,51 @@ WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
 """
 
 
+# --- workload-advised index (SparkCruise-style computation reuse) ----------
+# No human calls add_index here: the advisor OBSERVES two queries sharing
+# a filter-key pattern, mines the repetition, and materializes the index
+# itself; a third query with the same shape must then rewrite to the
+# advised MV (RAISES otherwise — same discipline as the manual gates).
+def advised_segment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.plans.advisor import WorkloadAdvisor
+
+    customer = load_table(spark, sf_dir, "customer")
+    storage = cached_scratch_dir("squopt_adv_", sf_dir)
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    advisor = WorkloadAdvisor(
+        repo,
+        {"customer": lambda: lift(customer, table="customer")},
+        min_count=2,
+    )
+
+    def seg_query(seg):
+        return lift(customer, table="customer").filter(
+            lambda c: c.c_mktsegment == seg
+        )
+
+    advisor.observe(seg_query("BUILDING"))
+    advisor.observe(seg_query("MACHINERY"))
+    advisor.auto_materialize()
+
+    q = lift(customer, table="customer").filter(
+        lambda c: (c.c_mktsegment == "HOUSEHOLD") & (c.c_acctbal > 2500.0)
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("adv_customer_c_mktsegment" in f for f in files):
+        raise RuntimeError("advised index rewrite did not fire")
+    return opt.df.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+ADVISED_LOOKUP_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_mktsegment = 'HOUSEHOLD' AND c_acctbal > 2500.0
+"""
+
+
 # --- computed-key index (the reference's normalized filter(f(x) == k):
 # SubquerySharing matches structurally-equal computed key expressions via
 # its normalizer; here the tracked let records (name, structure), the MV
@@ -382,6 +427,7 @@ FROM documents WHERE doc_id % 3 = 2
 
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
+    "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
     "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),
