@@ -59,10 +59,11 @@ class WorkloadAdvisor:
         self.sources = dict(sources)
         self.min_count = min_count
         self._patterns: Counter[tuple[str, str]] = Counter()
+        self._join_patterns: Counter[tuple] = Counter()
 
     def observe(self, q: Lifted) -> Lifted:
-        """Record the query's filter-key patterns; returns ``q`` unchanged
-        so call sites can wrap submission transparently."""
+        """Record the query's filter-key and join-chain patterns; returns
+        ``q`` unchanged so call sites can wrap submission transparently."""
         plan = q.plan
         if plan.rewritable and plan.base_table and not plan.lets:
             for f in plan.filters:
@@ -70,6 +71,11 @@ class WorkloadAdvisor:
                     m = match_key_equality(conj)
                     if m is not None:
                         self._patterns[(plan.base_table, m[0])] += 1
+        if plan.rewritable and plan.join is not None:
+            # the signature (tables, keys) fully determines the unfiltered
+            # chain — side/post filters stay per-query residuals, so ONE
+            # join MV serves every differently-filtered repetition
+            self._join_patterns[plan.join.signature] += 1
         return q
 
     def advise(self) -> list[tuple[str, str, int]]:
@@ -86,13 +92,46 @@ class WorkloadAdvisor:
             out.append((table, col, n))
         return out
 
+    def advise_joins(self) -> list[tuple[tuple, int]]:
+        """(join signature, observations) for repeated join chains whose
+        tables all have known sources and no registered join MV yet."""
+        out = []
+        for sig, n in self._join_patterns.most_common():
+            if n < self.min_count:
+                break
+            if sig in self.repo._joins:
+                continue
+            tables, _keys = sig
+            if not all(t in self.sources for t in tables):
+                continue
+            out.append((sig, n))
+        return out
+
+    def _rebuild_chain(self, sig: tuple) -> Lifted:
+        """Reconstruct the UNFILTERED left-deep chain from its signature —
+        what add_join_index materializes (observed queries carry filters;
+        those remain residuals of the rewrite, not part of the MV)."""
+        tables, keys = sig
+        acc = self.sources[tables[0]]()
+        for table, (lk, rk) in zip(tables[1:], keys):
+            acc = acc.join(
+                self.sources[table](),
+                lambda l, k=lk: l[k],
+                lambda r, k=rk: r[k],
+            )
+        return acc
+
     def auto_materialize(self) -> list[IndexEntry]:
-        """Register an index for every advised pattern. Idempotent: a
-        second call advises nothing new (the registered index filters the
-        next ``advise``)."""
-        entries = []
+        """Register an index/join-MV for every advised pattern. Idempotent:
+        a second call advises nothing new (registered entries filter the
+        next ``advise``/``advise_joins``)."""
+        entries: list = []
         for table, col, _n in self.advise():
             src = self.sources[table]()
             indexed = src.index_by(lambda r, c=col: r[c], key_name=col)
             entries.append(self.repo.add_index(f"adv_{table}_{col}", indexed))
+        for sig, _n in self.advise_joins():
+            tables, _keys = sig
+            name = "adv_join_" + "_".join(tables)
+            entries.append(self.repo.add_join_index(name, self._rebuild_chain(sig)))
         return entries

@@ -68,3 +68,35 @@ def test_auto_materialize_then_rewrite(spark, advisor):
     # idempotent: nothing new to advise after materialization
     assert advisor.advise() == []
     assert advisor.auto_materialize() == []
+
+
+def test_advisor_mines_repeated_join_chains(spark, advisor):
+    # two differently-FILTERED repetitions of the same customer⋈orders
+    # chain → one advised join MV; both filters stay per-query residuals
+    def co_query(status):
+        customer = lift(
+            load_table(spark, SF_SMOKE, "customer"), table="customer"
+        )
+        orders = lift(load_table(spark, SF_SMOKE, "orders"), table="orders")
+        return customer.join(
+            orders, lambda c: c.c_custkey, lambda o: o.o_custkey
+        ).filter(lambda r: r.o_orderstatus == status)
+
+    advisor.observe(co_query("F"))
+    advisor.observe(co_query("O"))
+    [(sig, n)] = advisor.advise_joins()
+    assert sig == (("customer", "orders"), (("c_custkey", "o_custkey"),)) and n == 2
+
+    entries = advisor.auto_materialize()
+    assert any(getattr(e, "tables", None) == ("customer", "orders") for e in entries)
+
+    # a third repetition now rewrites to the advised join MV: no Join
+    # operator survives in the plan, results match the plain query
+    q = co_query("P")
+    opt = advisor.repo.optimize(q)
+    files = opt.df.inputFiles()
+    assert files and all("adv_join_customer_orders" in f for f in files)
+    plan = opt.df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert sorted(map(tuple, opt.df.collect())) == sorted(map(tuple, q.df.collect()))
+    assert advisor.advise_joins() == []
