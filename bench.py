@@ -88,6 +88,8 @@ EXTRA = [
     "streaming_enriched_segments",
     "dedup_clusters_bucketed",
     "advised_segment_lookup",
+    "typeindex_event_lookup",
+    "streaming_mv_refresh",
 ]
 
 

@@ -106,6 +106,42 @@ WHERE c_mktsegment = 'HOUSEHOLD' AND c_acctbal > 2500.0
 """
 
 
+# --- partitioned type-index (TypeMapping, SubquerySharing.scala:345-448) ---
+# The MV is stored partitionBy(tag): a key equality prunes whole partition
+# DIRECTORIES (PartitionFilters), not just row groups — the right layout
+# for low-cardinality type/tag columns. RAISES unless the rewrite fired
+# AND the key landed in PartitionFilters.
+def typeindex_event_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    storage = cached_scratch_dir("squopt_tidx_", sf_dir)
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_partitioned_index(
+        "events_by_type",
+        lift(events, table="events").index_by(lambda e: e.event_type),
+    )
+    q = lift(events, table="events").filter(
+        lambda e: (e.event_type == "purchase") & (e.value > 50.0)
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("events_by_type" in f for f in files):
+        raise RuntimeError("type-index rewrite did not fire")
+    plan = opt.df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    if len(pf) < 2 or "event_type" not in pf[1].split("]", 1)[0]:
+        raise RuntimeError("key equality did not reach PartitionFilters")
+    return opt.df.select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+
+
+TYPEINDEX_LOOKUP_SQL = """
+SELECT event_id, user_id, round(value, 4) AS value
+FROM events
+WHERE event_type = 'purchase' AND value > 50.0
+"""
+
+
 # --- computed-key index (the reference's normalized filter(f(x) == k):
 # SubquerySharing matches structurally-equal computed key expressions via
 # its normalizer; here the tracked let records (name, structure), the MV
@@ -428,6 +464,7 @@ FROM documents WHERE doc_id % 3 = 2
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
+    "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),
     "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),

@@ -476,6 +476,45 @@ FROM events GROUP BY event_type
 """
 
 
+# --- streaming MV refresh (StreamingIndex) ----------------------------------
+# The reference's Optimization.addIndex upgraded from batch build to
+# stream-log-driven refresh: StreamingIndex replays only files the
+# checkpoint hasn't seen (here: everything, once) and rewrites the MV
+# parquet; read() serves the maintained result. Complete-mode for the
+# bounded-key aggregate; the oracle is the batch recompute.
+def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.session import scratch_dir
+    from linqonsteroids_spark.streaming import StreamingIndex
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    base = scratch_dir(prefix="squopt_smv_")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    idx = StreamingIndex(
+        spark,
+        sf_dir,
+        schema,
+        transform=transform,
+        mv_path=f"{base}/mv",
+        checkpoint_dir=f"{base}/ckpt",
+        path_glob="events.parquet",
+    )
+    idx.refresh_available()
+    return idx.read()
+
+
+STREAMING_MV_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 # --- stream-static dimension enrichment ------------------------------------
 # The remaining table-stakes streaming join shape: an unbounded stream
 # enriched against a STATIC dimension. No state stores at all — the dim is
@@ -535,4 +574,5 @@ QUERIES = {
         streaming_enriched_segments,
         STREAMING_ENRICHED_SQL,
     ),
+    "streaming_mv_refresh": (streaming_mv_refresh, STREAMING_MV_SQL),
 }

@@ -282,6 +282,7 @@ class StreamingIndex:
         transform: Callable[[DataFrame], DataFrame],
         mv_path: str,
         checkpoint_dir: str,
+        path_glob: str | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -289,11 +290,15 @@ class StreamingIndex:
         self.transform = transform
         self.mv_path = mv_path
         self.checkpoint_dir = checkpoint_dir
+        self.path_glob = path_glob
 
     def refresh_available(self) -> None:
         """Process all data not yet seen (Trigger.AvailableNow), update the
         MV, and stop — incremental batch refresh driven by the stream log."""
-        stream = self.spark.readStream.schema(self.schema).parquet(self.source_dir)
+        reader = self.spark.readStream.schema(self.schema)
+        if self.path_glob:
+            reader = reader.option("pathGlobFilter", self.path_glob)
+        stream = reader.parquet(self.source_dir)
         maintained = self.transform(stream)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
