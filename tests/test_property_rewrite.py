@@ -81,3 +81,49 @@ def test_rewrite_preserves_semantics(spark, prop_repo, pred):
     # pipeline idempotence (Optimization.scala:67-76): a second optimize
     # pass must be a no-op on an already-optimized query
     assert prop_repo.optimize(opt) is opt
+
+
+# --- pointer-jumping connected components vs reference union-find -----------
+# The pointer jump must never change the fixpoint, only the round count;
+# hypothesis generates arbitrary small graphs and a plain union-find is
+# the reference semantics.
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    nodes = {n for e in edges for n in e}
+    want = _union_find_components(edges, nodes)
+    assert got == want
