@@ -59,13 +59,13 @@ def fix(
     return acc
 
 
-def _persist_edges(edges: DataFrame, bucket: bool) -> DataFrame:
+def _persist_edges(edges: DataFrame, bucket: bool, key: str = "dst") -> DataFrame:
     """Persist the static edge side for iterative reuse.
 
-    ``bucket=True`` writes a bucketed+sorted table on ``dst`` (bucket count
+    ``bucket=True`` writes a bucketed+sorted table on ``key`` (bucket count
     = shuffle partitions, so the scan's HashPartitioning satisfies the
     join's required distribution) and reads it back — every subsequent
-    join on ``dst`` scans it Exchange-free. ``bucket=False`` keeps the
+    join on ``key`` scans it Exchange-free. ``bucket=False`` keeps the
     single-process-friendly localCheckpoint, which materializes but drops
     outputPartitioning (measured; see module docstring)."""
     if not bucket:
@@ -75,7 +75,7 @@ def _persist_edges(edges: DataFrame, bucket: bool) -> DataFrame:
     spark = edges.sparkSession
     name = f"cc_edges_{next(_EDGE_TABLE_IDS)}"
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    write_bucketed_table(edges, name, ["dst"], n_buckets=n)
+    write_bucketed_table(edges, name, [key], n_buckets=n)
     return spark.table(name)
 
 
@@ -155,14 +155,47 @@ def connected_components(
     return labels
 
 
-def transitive_closure(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+def transitive_closure(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    strategy: str = "doubling",
+    bucket_edges: bool = False,
+) -> DataFrame:
     """All (src, dst) pairs reachable through the binary relation ``edges``.
 
-    Path doubling: after round i, ``acc`` holds all paths of length ≤ 2^i,
-    so a diameter-D graph converges in ⌈log₂ D⌉ joins instead of D —
-    iteration count (and localCheckpoint barriers) is the dominant cost of
-    iterative DataFrame algorithms at every scale.
+    Two strategies, the classic iteration-count vs per-round-cost trade:
+
+    - ``"doubling"`` (default): after round i ``acc`` holds all paths of
+      length ≤ 2^i — a diameter-D graph converges in ⌈log₂ D⌉ joins.
+      Both join sides change every round, so nothing can be pre-bucketed.
+    - ``"seminaive"``: each round joins only the FRONTIER (pairs added
+      last round) against the base edges — O(D) rounds, but the edge side
+      is static, so ``bucket_edges=True`` persists it bucketed on ``src``
+      and every round's join scans it Exchange-free (plan delta pinned in
+      tests). Right when the graph is shallow or the doubled ``acc⋈acc``
+      intermediate would dwarf |frontier|·|edges|.
     """
+    if strategy == "seminaive":
+        base = _persist_edges(
+            edges.select("src", "dst").distinct(), bucket=bucket_edges, key="src"
+        )
+        acc = base.localCheckpoint(eager=True)
+        frontier = acc
+        for _ in range(max_iterations):
+            new_pairs = (
+                frontier.select(F.col("src").alias("f_src"), F.col("dst").alias("f_dst"))
+                .join(base, F.col("f_dst") == base.src)
+                .select(F.col("f_src").alias("src"), F.col("dst"))
+                .distinct()
+            )
+            frontier = new_pairs.join(
+                acc, on=["src", "dst"], how="left_anti"
+            ).localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                return acc
+            acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+        return acc
+
     acc = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     for _ in range(max_iterations):
         a = acc.select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))

