@@ -1,0 +1,54 @@
+"""Print the next round's correctness-window rotation plan.
+
+Usage: python tools/rotation_plan.py
+
+The driver snapshots the FIRST 50 registry entries (insertion order).
+Policy encoded here, derived from the round-2 verdict: every query whose
+latest green driver row is oldest goes first — (1) never-green, (2) never
+checked, (3) stalest green — until the 50 slots fill. Paste the output
+into ``_ROTATION`` in ``linqonsteroids_spark/queries/__init__.py``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    from linqonsteroids_spark.queries import ALL
+
+    last_green: dict[str, int] = {}
+    checked: dict[str, int] = {}
+    rounds = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    for path in rounds:
+        rnd = int(path.rsplit("r", 1)[1].split(".")[0])
+        for name, row in json.load(open(path)).items():
+            checked[name] = max(checked.get(name, 0), rnd)
+            if row.get("hash_match"):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    names = list(ALL)
+    # staleness key: (last green round, last checked round) — never-green
+    # and never-checked sort first; ties keep registry order (stable sort)
+    ranked = sorted(
+        names, key=lambda n: (last_green.get(n, -1), checked.get(n, -1))
+    )
+    window = ranked[:50]
+    print(f"# registry: {len(names)} queries; latest round file: "
+          f"{rounds[-1] if rounds else 'none'}")
+    print("# window (paste into _ROTATION, grouped by staleness):")
+    for n in window:
+        print(f'    "{n}",  # green r{last_green.get(n, "-")} '
+              f'checked r{checked.get(n, "-")}')
+    stale_out = [n for n in ranked[50:] if last_green.get(n, 0) < (
+        max((int(p.rsplit("r", 1)[1].split(".")[0]) for p in rounds), default=0)
+    )]
+    print(f"# outside window without latest-round green: {len(stale_out)}")
+
+
+if __name__ == "__main__":
+    main()
