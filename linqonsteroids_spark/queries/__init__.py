@@ -58,7 +58,7 @@ _ROTATION = [
     "stratified_split", "ngram_novelty", "dedup_source_priority",
     "sql_surface_revenue", "streaming_enriched_segments",
     "dedup_clusters_bucketed", "advised_segment_lookup",
-    "typeindex_event_lookup", "streaming_mv_refresh",
+    "typeindex_event_lookup", "streaming_mv_refresh", "fuzzy_part_pairs",
     # -- last green in round 2 (rotated out of the round-3 window; six
     # trivially-stable r1+r2-green gates — brand_* set ops,
     # distinct_segments, nations_indexed, discount_products — ceded their
@@ -69,7 +69,7 @@ _ROTATION = [
     "top_orders_per_priority",
     "events_running_stats", "event_sliding_windows",
     "token_frequencies", "token_stats_bpe", "lang_id", "dedup_exact",
-    "doc_quality", "label_centroid_norms",
+    "label_centroid_norms",
     "knn_lsh_bucketed", "dedup_simhash_signatures", "dedup_ngram_jaccard",
     "dedup_embedding_pairs", "dedup_survivors", "typefilter_clicks",
     "typecase_events", "orders_monthly_revenue", "events_time_features",

@@ -496,6 +496,47 @@ GROUP BY s.doc_id
 NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
 
 
+# --- fuzzy record linkage: blocked edit-distance matching -------------------
+# Entity resolution's standard two-phase shape: BLOCK on a cheap key (the
+# name's last token) so the quadratic comparison runs per block, then
+# VERIFY candidates with exact Levenshtein — never an all-pairs join.
+# Both engines implement classic edit distance, so the oracle is exact.
+# At 100 TB the block key is the shuffle key; oversized blocks get the
+# same cap/salt treatment as jaccard's DF-capped shingles.
+_FUZZY_MAX_DIST = 3
+
+
+def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    blk = F.regexp_extract(F.col("p_name"), "[^ ]+$", 0)
+    a = parts.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+        blk.alias("blk"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+        blk.alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+FUZZY_PART_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, regexp_extract(p_name, '[^ ]+$') AS blk FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "corpus_mix_sample": (corpus_mix_sample, CORPUS_MIX_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
@@ -506,4 +547,5 @@ QUERIES = {
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "stratified_split": (stratified_split, STRATIFIED_SPLIT_SQL),
     "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
+    "fuzzy_part_pairs": (fuzzy_part_pairs, FUZZY_PART_SQL),
 }
