@@ -90,6 +90,7 @@ EXTRA = [
     "advised_segment_lookup",
     "typeindex_event_lookup",
     "streaming_mv_refresh",
+    "fuzzy_part_pairs",
 ]
 
 
