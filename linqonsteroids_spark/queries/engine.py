@@ -142,6 +142,38 @@ WHERE event_type = 'purchase' AND value > 50.0
 """
 
 
+# --- named-UDF (fmap) surface gate ------------------------------------------
+# The fmap contract end-to-end under the driver oracle: a pandas UDF
+# registered under a stable name, applied TWICE in one projection — the
+# identity contract makes both applications the same plan expression
+# (Call.scala:18-35's CSE property) — with pure-arithmetic semantics the
+# oracle reproduces in SQL. ArrowEvalPython (vectorized), never
+# BatchEvalPython; plan_audit enforces that repo-wide.
+@register("squash_value", returns="double")
+def _squash_value(v):
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-v))
+
+
+def udf_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    squash = fmap("squash_value")
+    return events.select(
+        "event_id",
+        F.round(squash(F.col("value")), 6).alias("squashed"),
+        F.round(squash(F.col("value")) * 2, 6).alias("squashed_2x"),
+    )
+
+
+UDF_FEATURES_SQL = """
+SELECT event_id,
+       round(1.0 / (1.0 + exp(-value)), 6) AS squashed,
+       round((1.0 / (1.0 + exp(-value))) * 2, 6) AS squashed_2x
+FROM events
+"""
+
+
 # --- computed-key index (the reference's normalized filter(f(x) == k):
 # SubquerySharing matches structurally-equal computed key expressions via
 # its normalizer; here the tracked let records (name, structure), the MV
@@ -465,6 +497,7 @@ QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),
+    "udf_event_features": (udf_event_features, UDF_FEATURES_SQL),
     "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),
