@@ -91,6 +91,7 @@ EXTRA = [
     "typeindex_event_lookup",
     "streaming_mv_refresh",
     "fuzzy_part_pairs",
+    "udf_event_features",
 ]
 
 
