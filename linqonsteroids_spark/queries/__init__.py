@@ -59,7 +59,7 @@ _ROTATION = [
     "sql_surface_revenue", "streaming_enriched_segments",
     "dedup_clusters_bucketed", "advised_segment_lookup",
     "typeindex_event_lookup", "streaming_mv_refresh", "fuzzy_part_pairs",
-    "udf_event_features",
+    "udf_event_features", "corpus_report",
     # -- last green in round 2 (rotated out of the round-3 window; six
     # trivially-stable r1+r2-green gates — brand_* set ops,
     # distinct_segments, nations_indexed, discount_products — ceded their
@@ -70,7 +70,6 @@ _ROTATION = [
     "top_orders_per_priority",
     "events_running_stats", "event_sliding_windows",
     "token_frequencies", "token_stats_bpe", "lang_id",
-    "label_centroid_norms",
     "knn_lsh_bucketed", "dedup_simhash_signatures", "dedup_ngram_jaccard",
     "dedup_embedding_pairs", "dedup_survivors", "typefilter_clicks",
     "typecase_events", "orders_monthly_revenue", "events_time_features",

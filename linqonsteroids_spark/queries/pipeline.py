@@ -496,6 +496,64 @@ GROUP BY s.doc_id
 NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
 
 
+# --- dataset card: per-source corpus report ---------------------------------
+# The summary a dataset release ships with: per source, document/token
+# volume, exact-duplicate exposure, and mean quality signals — one query
+# composing the hash-dedup, token-count, and quality operators. Shuffles:
+# the content-hash frequency agg, its join back (both map-side combined /
+# AQE-planned), and the final per-source agg.
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.functions.text import punct_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_hash"),
+        token_count(F.col("text")).alias("n_tokens"),
+        punct_ratio(F.col("text")).alias("punct"),
+    )
+    dupes = (
+        hashed.groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+    return (
+        hashed.join(F.broadcast(dupes), "content_hash", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("n_copies").isNotNull(), 1).otherwise(0)
+            ).alias("n_in_dup_groups"),
+            F.round(F.avg("punct"), 6).alias("mean_punct_ratio"),
+        )
+    )
+
+
+CORPUS_REPORT_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source, md5(text) AS content_hash,
+         {_N_TOKENS_SQL} AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct
+  FROM documents
+), dupes AS (
+  SELECT content_hash, count(*) AS n_copies
+  FROM hashed GROUP BY content_hash HAVING count(*) > 1
+)
+SELECT h.source,
+       count(*) AS n_docs,
+       sum(h.n_tokens) AS total_tokens,
+       sum(CASE WHEN d.content_hash IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_in_dup_groups,
+       round(avg(h.punct), 6) AS mean_punct_ratio
+FROM hashed h LEFT JOIN dupes d USING (content_hash)
+GROUP BY h.source
+"""
+
+
 # --- fuzzy record linkage: blocked edit-distance matching -------------------
 # Entity resolution's standard two-phase shape: BLOCK on a cheap key (the
 # name's last token) so the quadratic comparison runs per block, then
@@ -548,4 +606,5 @@ QUERIES = {
     "stratified_split": (stratified_split, STRATIFIED_SPLIT_SQL),
     "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
     "fuzzy_part_pairs": (fuzzy_part_pairs, FUZZY_PART_SQL),
+    "corpus_report": (corpus_report, CORPUS_REPORT_SQL),
 }
