@@ -29,10 +29,17 @@ def token_count(text: Column) -> Column:
     return F.size(F.filter(tokens(text), lambda t: t != ""))
 
 
+def punct_chars(text: Column) -> Column:
+    """Exact count of punctuation characters — the integer numerator of
+    ``punct_ratio``. Preferred in hashed/gated output: integer arithmetic
+    is bit-identical across engines where rounded doubles are not."""
+    stripped = F.regexp_replace(text, _PUNCT_CLASS, "")
+    return F.length(text) - F.length(stripped)
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation."""
-    stripped = F.regexp_replace(text, _PUNCT_CLASS, "")
-    return (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+    return punct_chars(text).cast("double") / F.length(text)
 
 
 def stopword_ratio(text: Column) -> Column:

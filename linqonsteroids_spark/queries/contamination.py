@@ -71,12 +71,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_contaminated"),
         )
     )
+    # hash-stability: ppm via integer floor division, never a rounded
+    # double (identical bit-for-bit on both engines — r4 red-gate policy)
     return agg.select(
         "doc_id",
         "n_shingles",
         "n_contaminated",
-        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
-            "contamination_frac"
+        F.expr("n_contaminated * 1000000L div n_shingles").alias(
+            "contamination_ppm"
         ),
         (F.col("n_contaminated") >= CONTAM_MIN_HITS).alias("is_contaminated"),
     )
@@ -98,7 +100,7 @@ train AS (
 SELECT t.doc_id,
        count(*) AS n_shingles,
        count(e.shingle) AS n_contaminated,
-       round(CAST(count(e.shingle) AS DOUBLE) / count(*), 6) AS contamination_frac,
+       (count(e.shingle) * 1000000) // count(*) AS contamination_ppm,
        count(e.shingle) >= {CONTAM_MIN_HITS} AS is_contaminated
 FROM train t LEFT JOIN eval_grams e USING (shingle)
 GROUP BY t.doc_id

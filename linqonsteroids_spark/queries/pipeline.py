@@ -450,6 +450,9 @@ FROM (
 # distinct (doc, shingle), the shingle-frequency agg (map-side combined),
 # the frequency join back (both sides hash on shingle — AQE handles the
 # hot-shingle skew that templated corpora produce), and the per-doc agg.
+# Hash-stability: gated output is integers only — the shared rate is a ppm
+# computed with integer floor division on both engines, never a rounded
+# double (the r4 red-gate root cause).
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linqonsteroids_spark.dedup.shingles import shingles_df
 
@@ -467,7 +470,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_shared",
-            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("shared_ratio"),
+            F.expr("n_shared * 1000000L div n_shingles").alias("shared_ppm"),
         )
     )
 
@@ -486,8 +489,8 @@ WITH toks_t AS (
 SELECT s.doc_id,
        count(*) AS n_shingles,
        sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
-       round(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-         AS shared_ratio
+       (sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS shared_ppm
 FROM sh s JOIN counts c USING (shingle)
 GROUP BY s.doc_id
 """
@@ -502,8 +505,12 @@ NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
 # composing the hash-dedup, token-count, and quality operators. Shuffles:
 # the content-hash frequency agg, its join back (both map-side combined /
 # AQE-planned), and the final per-source agg.
+# Hash-stability: the quality signal is carried as exact integer sums
+# (punct chars / total chars) plus a ppm rate via integer floor division —
+# no avg(double) in the gated projection. Integer sums also remove the
+# float-summation-order hazard a distributed avg() has by construction.
 def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from linqonsteroids_spark.functions.text import punct_ratio
+    from linqonsteroids_spark.functions.text import punct_chars
 
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select(
@@ -511,7 +518,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.md5("text").alias("content_hash"),
         token_count(F.col("text")).alias("n_tokens"),
-        punct_ratio(F.col("text")).alias("punct"),
+        punct_chars(F.col("text")).cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars"),
     )
     dupes = (
         hashed.groupBy("content_hash")
@@ -527,7 +535,11 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("n_copies").isNotNull(), 1).otherwise(0)
             ).alias("n_in_dup_groups"),
-            F.round(F.avg("punct"), 6).alias("mean_punct_ratio"),
+            F.sum("n_punct").alias("punct_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .withColumn(
+            "punct_ppm", F.expr("punct_chars * 1000000L div total_chars")
         )
     )
 
@@ -536,8 +548,9 @@ CORPUS_REPORT_SQL = f"""
 WITH hashed AS (
   SELECT doc_id, source, md5(text) AS content_hash,
          {_N_TOKENS_SQL} AS n_tokens,
-         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))
-              AS DOUBLE) / length(text) AS punct
+         length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))
+           AS n_punct,
+         length(text) AS n_chars
   FROM documents
 ), dupes AS (
   SELECT content_hash, count(*) AS n_copies
@@ -548,7 +561,9 @@ SELECT h.source,
        sum(h.n_tokens) AS total_tokens,
        sum(CASE WHEN d.content_hash IS NOT NULL THEN 1 ELSE 0 END)
          AS n_in_dup_groups,
-       round(avg(h.punct), 6) AS mean_punct_ratio
+       sum(h.n_punct) AS punct_chars,
+       sum(h.n_chars) AS total_chars,
+       (sum(h.n_punct) * 1000000) // sum(h.n_chars) AS punct_ppm
 FROM hashed h LEFT JOIN dupes d USING (content_hash)
 GROUP BY h.source
 """

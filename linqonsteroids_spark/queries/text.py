@@ -12,12 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linqonsteroids_spark.catalog import load_table
-from linqonsteroids_spark.functions.text import (
-    punct_ratio,
-    stopword_ratio,
-    token_count,
-    tokens,
-)
+from linqonsteroids_spark.functions.text import token_count, tokens
 
 
 # --- flatMap/explode: token frequencies -----------------------------------
@@ -87,31 +82,50 @@ FROM documents
 # --- quality scoring -------------------------------------------------------
 # Length / punctuation / stopword ratios — the standard pre-training
 # quality gates, all as JVM higher-order functions over the token array.
+# Hash-stability: rates are ppm integers via floor division (identical on
+# both engines), not rounded doubles — same policy as vocab_coverage.
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.functions.text import STOPWORDS, punct_chars, tokens
+
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
+    toks = F.filter(tokens(F.lower(text)), lambda t: t != "")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return docs.select(
         "doc_id",
-        F.length(text).alias("text_len"),
-        token_count(text).alias("n_tokens"),
-        F.round(punct_ratio(text), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(text), 6).alias("stopword_ratio"),
+        F.length(text).cast("long").alias("text_len"),
+        token_count(text).cast("long").alias("n_tokens"),
+        punct_chars(text).cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+    ).select(
+        "doc_id",
+        "text_len",
+        "n_tokens",
+        "n_punct",
+        "n_stopwords",
+        F.expr("n_punct * 1000000L div text_len").alias("punct_ppm"),
+        F.expr("n_stopwords * 1000000L div greatest(n_tokens, 1L)").alias(
+            "stopword_ppm"
+        ),
     )
 
 
 DOC_QUALITY_SQL = """
-SELECT doc_id,
-       length(text) AS text_len,
-       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
-         AS n_tokens,
-       round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))
-             AS DOUBLE) / length(text), 6) AS punct_ratio,
-       round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                  t -> list_contains(['the','a','an','of','to','in','and','is','it','for'], t)))
-             AS DOUBLE)
-             / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                        t -> t <> '')), 1), 6) AS stopword_ratio
-FROM documents
+SELECT doc_id, text_len, n_tokens, n_punct, n_stopwords,
+       (n_punct * 1000000) // text_len AS punct_ppm,
+       (n_stopwords * 1000000) // greatest(n_tokens, 1) AS stopword_ppm
+FROM (
+  SELECT doc_id,
+         length(text) AS text_len,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
+           AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))
+           AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             t -> list_contains(['the','a','an','of','to','in','and','is','it','for'], t)))
+           AS n_stopwords
+  FROM documents
+)
 """
 
 
@@ -217,6 +231,12 @@ FROM (
 # Scale: one map-side-combined agg builds the vocab (|vocab| rows), the
 # top-K is a TakeOrdered (no full sort), and the membership join broadcasts
 # the K-row vocab — the exploded token table is never shuffled.
+# Hash-stability: the gated projection carries ONLY exact integers — counts
+# plus a parts-per-million rate computed with integer floor division
+# (`div` / `//`), identical on both engines. Rounded doubles are banned
+# from hashed output: round(x, 6) can land on a representation boundary
+# where Spark and DuckDB disagree in the last bit (the r4 red-gate root
+# cause), while integer arithmetic cannot.
 _VOCAB_K = 1000
 
 
@@ -243,7 +263,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_oov",
-            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_ratio"),
+            F.expr("n_oov * 1000000L div n_tokens").alias("oov_ppm"),
         )
     )
 
@@ -263,8 +283,8 @@ WITH exploded AS (
 SELECT t.doc_id,
        count(*) AS n_tokens,
        sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
-       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-         AS oov_ratio
+       (sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS oov_ppm
 FROM tok t LEFT JOIN vocab v ON t.token = v.token
 GROUP BY t.doc_id
 """
