@@ -1,0 +1,123 @@
+"""Fuzzy record linkage operators: sorted-neighborhood candidate generation.
+
+The reference has no record-linkage surface (north-star addition per
+SURVEY §2 scope); the design here is the classic sorted-neighborhood
+method (SNM, Hernandez & Stolfo, SIGMOD '95): totally order the records
+by a sort key that places likely matches near each other, then compare
+each record only with its next ``window`` neighbors. Candidate count is
+EXACTLY bounded by N * window — linear in the relation, unlike key
+blocking whose worst case is quadratic when the key's cardinality does
+not grow with N (the r4 `fuzzy_part_pairs` bug: an 8-value block key
+produced ~25M candidates at sf0.1 and O(N^2) growth).
+
+Scale design (100 TB):
+- The global rank is computed WITHOUT a single-partition window: records
+  hash-shuffle on a value-derived bucket (a sort-key prefix), get a
+  per-bucket ``row_number``, and a driver-side cumulative-offset table
+  (one row per bucket — bounded metadata, broadcast back) lifts local
+  ranks to global ones. Because the bucket is a prefix of the sort key,
+  (bucket, key) order == key order. Everything is deterministic given
+  the data — no RangePartitioner sampling whose seed varies per job —
+  so recomputation across Spark jobs cannot disagree (rank is safe to
+  use twice without caching).
+- Parallelism of the rank stage is bounded by bucket cardinality: pick
+  ``bucket_len`` so prefixes split the corpus finely (4 chars ≈ 1e5+
+  buckets on natural text; raise it at larger N).
+- Neighbor pairing is an equi-join on ``floor(rank / window)`` with side
+  A exploded to its own and the successor block — ≤2 rows per record in,
+  ≤ N * window candidate rows out, AQE-balanced like any hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_rank(
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    bucket_len: int = 4,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Add a 0-based dense global rank by ``(key, tiebreak)``.
+
+    ``key`` must be a string column; ``tiebreak`` must make the order
+    total (a unique id). The rank is exact and deterministic: bucket =
+    ``substring(key, 1, bucket_len)`` is a prefix of ``key``, so
+    per-bucket ``row_number`` plus the cumulative count of all earlier
+    buckets equals the global ``row_number`` over ``(key, tiebreak)``.
+
+    The bucket-count collect is bounded by bucket cardinality (one long
+    per distinct prefix — metadata-sized, same class as the touched-
+    bucket collect in the incremental-MV merge).
+    """
+    bkt = F.substring(F.col(key), 1, bucket_len)
+    counts = sorted(
+        df.groupBy(bkt.alias("__bkt")).count().collect(),
+        key=lambda r: "" if r["__bkt"] is None else r["__bkt"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append(("" if r["__bkt"] is None else r["__bkt"], acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, schema="__bkt string, __off long")
+    local = (
+        F.row_number().over(
+            Window.partitionBy("__bkt").orderBy(F.col(key).asc(), F.col(tiebreak).asc())
+        )
+        - 1
+    )
+    return (
+        df.withColumn("__bkt", F.coalesce(bkt, F.lit("")))
+        .join(F.broadcast(off_df), "__bkt")
+        .withColumn(rank_col, local + F.col("__off"))
+        .drop("__bkt", "__off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    window: int = 10,
+    bucket_len: int = 4,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All (a, b) record pairs within ``window`` positions of each other
+    in the ``(key, id_col)`` sort order; a precedes b. Output columns:
+    ``{c}_a`` / ``{c}_b`` for ``id_col``, ``key`` and ``extra_cols``.
+
+    Candidate count ≤ N * window by construction (linear in N)."""
+    ranked = global_rank(df, key, id_col, bucket_len=bucket_len)
+    cols = (id_col, key, *extra_cols)
+    blk = (F.col("rn") / window).cast("long")
+    a = ranked.select(
+        *[F.col(c).alias(f"{c}_a") for c in cols],
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(blk, blk + 1)).alias("__blk"),
+    )
+    b = ranked.select(
+        *[F.col(c).alias(f"{c}_b") for c in cols],
+        F.col("rn").alias("rn_b"),
+        blk.alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") <= F.col("rn_a") + window)
+        )
+        .drop("__blk")
+    )
+
+
+def length_prefilter(name_a: Column, name_b: Column, max_dist: int) -> Column:
+    """Levenshtein lower bound: ``|len(a) - len(b)| <= max_dist``.
+
+    Cheap codegen comparison that rejects candidates before the O(len^2)
+    edit-distance computation runs."""
+    return F.abs(F.length(name_a) - F.length(name_b)) <= max_dist

@@ -569,44 +569,60 @@ GROUP BY h.source
 """
 
 
-# --- fuzzy record linkage: blocked edit-distance matching -------------------
-# Entity resolution's standard two-phase shape: BLOCK on a cheap key (the
-# name's last token) so the quadratic comparison runs per block, then
-# VERIFY candidates with exact Levenshtein — never an all-pairs join.
-# Both engines implement classic edit distance, so the oracle is exact.
-# At 100 TB the block key is the shuffle key; oversized blocks get the
-# same cap/salt treatment as jaccard's DF-capped shingles.
+# --- fuzzy record linkage: sorted-neighborhood edit-distance matching -------
+# Entity resolution via the sorted-neighborhood method (SNM, Hernandez &
+# Stolfo SIGMOD '95): totally order names, compare each record only with
+# its next `_SNM_WINDOW` neighbors, then VERIFY candidates with exact
+# Levenshtein. Candidate count is N * window — LINEAR in the relation by
+# construction (asserted in tests/test_operators.py), replacing the r4
+# last-token blocking whose 8-value key produced ~25M candidates at sf0.1
+# and O(N^2) growth. A length-difference prefilter (Levenshtein lower
+# bound) rejects candidates before the O(len^2) distance runs, and the
+# Spark side passes the distance threshold to `levenshtein` for early
+# termination. Both engines implement classic edit distance and the same
+# deterministic (p_name, p_partkey) order, so the oracle is exact.
 _FUZZY_MAX_DIST = 3
+_SNM_WINDOW = 10
 
 
 def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = load_table(spark, sf_dir, "part")
-    blk = F.regexp_extract(F.col("p_name"), "[^ ]+$", 0)
-    a = parts.select(
-        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
-        blk.alias("blk"),
+    from linqonsteroids_spark.operators.linkage import (
+        length_prefilter,
+        sorted_neighborhood_pairs,
     )
-    b = parts.select(
-        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
-        blk.alias("blk"),
+
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cands = sorted_neighborhood_pairs(
+        parts, key="p_name", id_col="p_partkey", window=_SNM_WINDOW
     )
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
-        .select("id_a", "id_b", "dist")
+        cands.filter(
+            length_prefilter(F.col("p_name_a"), F.col("p_name_b"), _FUZZY_MAX_DIST)
+        )
+        .withColumn(
+            "dist", F.levenshtein("p_name_a", "p_name_b", _FUZZY_MAX_DIST)
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
+        .select(
+            F.col("p_partkey_a").alias("id_a"),
+            F.col("p_partkey_b").alias("id_b"),
+            "dist",
+        )
     )
 
 
 FUZZY_PART_SQL = f"""
-WITH p AS (
-  SELECT p_partkey, p_name, regexp_extract(p_name, '[^ ]+$') AS blk FROM part
+WITH r AS (
+  SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+  FROM part
 )
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
        levenshtein(a.p_name, b.p_name) AS dist
-FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+FROM r a JOIN r b
+  ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_WINDOW}
+WHERE abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_MAX_DIST}
+  AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
 """
 
 

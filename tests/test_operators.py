@@ -305,3 +305,65 @@ def test_connected_components_bucketed_edges_drop_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert bucketed == plain - 1
+
+
+# --- sorted-neighborhood linkage (operators/linkage.py) ---------------------
+def test_global_rank_matches_window_row_number(spark):
+    """global_rank's bucketed two-phase rank must equal the single-window
+    row_number over (key, tiebreak) — including keys shorter than the
+    bucket prefix and duplicate keys split across buckets."""
+    from linqonsteroids_spark.operators.linkage import global_rank
+
+    rows = [
+        (1, "apple pie"), (2, "apple pie"), (3, "app"), (4, "banana"),
+        (5, "b"), (6, "appliance"), (7, "cherry"), (8, "applesauce"),
+        (9, "banana split"), (10, "ap"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        r["id"]: r["rn"]
+        for r in global_rank(df, "name", "id", bucket_len=4).collect()
+    }
+    expected = {
+        row[0]: i for i, row in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert got == expected
+
+
+def test_sorted_neighborhood_candidates_linear(spark):
+    """SNM candidate count is exactly sum over ranks of min(window, N-1-rn)
+    — i.e. <= N * window, LINEAR in N (the property the r4 last-token
+    blocking violated with its O(N^2/8) growth)."""
+    from linqonsteroids_spark.operators.linkage import sorted_neighborhood_pairs
+
+    w = 10
+    for n in (200, 400):
+        df = spark.range(n).selectExpr(
+            "id", "concat('name_', lpad(cast(id as string), 6, '0')) as name"
+        )
+        cands = sorted_neighborhood_pairs(df, key="name", id_col="id", window=w)
+        got = cands.count()
+        exact = sum(min(w, n - 1 - rn) for rn in range(n))
+        assert got == exact
+        assert got <= n * w
+
+
+def test_sorted_neighborhood_pairs_adjacent_in_order(spark):
+    """Every emitted pair is within `window` positions in sort order, a
+    precedes b, and near-identical names (sort-adjacent) are found."""
+    from linqonsteroids_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [(i, f"widget type {chr(97 + i % 7)} v{i}") for i in range(60)]
+    rows += [(100, "widget type a v0"), (101, "widget type a v0x")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = sorted_neighborhood_pairs(df, key="name", id_col="id", window=5)
+    out = pairs.select("id_a", "id_b", "name_a", "name_b").collect()
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    pos = {r[0]: i for i, r in enumerate(order)}
+    for r in out:
+        assert 1 <= pos[r["id_b"]] - pos[r["id_a"]] <= 5
+    # the deliberately-near-duplicate pair is sort-adjacent -> must appear
+    assert any(
+        {r["id_a"], r["id_b"]} == {100, 101} or {r["id_a"], r["id_b"]} == {0, 100}
+        for r in out
+    )
