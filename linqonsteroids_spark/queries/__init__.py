@@ -8,7 +8,10 @@ genuinely non-SQL-expressible ops (driver records a rows-only check).
 Column-name discipline: every computed column is aliased identically in the
 Spark code and the oracle SQL — the driver sorts columns by name before
 value-hashing. Double-typed outputs are rounded on BOTH sides so bitwise
-summation-order differences between engines cannot flip the hash.
+summation-order differences between engines cannot flip the hash; count
+RATIOS go further and are emitted as exact integer parts-per-million via
+floor division (round(double, 6) proved hash-unstable across engines at
+representation boundaries — the r4 red gates).
 """
 
 from __future__ import annotations
@@ -42,40 +45,37 @@ _MODULES = [
 
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # insertion order, so ordering is evidence policy, not cosmetics.  _ROTATION
-# pins the front of the registry explicitly, round-4 policy: first the 7
-# queries that errored in round 3 on the events.ts encoding change (never a
-# green driver row; fixed by catalog.normalize_events_ts), then every query
-# whose latest green row is round 2 (rotated out of the r3 window).  7 + 43
-# = exactly 50; the 41 queries green in round 3 follow in module order.
+# pins the front of the registry explicitly, round-5 policy (from
+# tools/rotation_plan.py staleness ranking, amended for this round's
+# changes): (1) never-green gates — the three r4 hash-reds now emitting
+# integer-ppm output, plus knn_ivf_trained which no prior window sampled;
+# (2) queries whose OUTPUT changed this round (fuzzy_part_pairs' SNM
+# rewrite, doc_quality / benchmark_contamination's ppm columns) — their old
+# green rows describe the old projection, so they need fresh evidence;
+# (3) the 14 remaining gates last green in round 2; (4) round-3 greens by
+# staleness until the 50 slots fill. Round-4 greens rotate out entirely.
 _ROTATION = [
-    # -- errored in round 3 (ts encoding), never green — fixed this round ----
-    "events_value_bands", "streaming_hourly_events",
-    "streaming_user_sessions", "streaming_purchase_click_pairs",
-    "streaming_dedup_events", "events_trailing_hour_value",
-    "kmv_distinct_users",
-    # -- new in round 4, never driver-checked --------------------------------
-    "doc_chunks", "vocab_coverage", "unigram_surprisal",
-    "stratified_split", "ngram_novelty", "dedup_source_priority",
-    "sql_surface_revenue", "streaming_enriched_segments",
-    "dedup_clusters_bucketed", "advised_segment_lookup",
-    "typeindex_event_lookup", "streaming_mv_refresh", "fuzzy_part_pairs",
-    "udf_event_features", "corpus_report",
-    # -- last green in round 2 (rotated out of the round-3 window; six
-    # trivially-stable r1+r2-green gates — brand_* set ops,
-    # distinct_segments, nations_indexed, discount_products — ceded their
-    # slots to the new round-4 gates) ---------------------------------------
-    "event_funnel_stages", "events_json_stats", "supplier_nation_region",
-    "customers_with_urgent_orders", "customers_without_orders",
-    "nation_pairs_same_region", "customer_order_counts",
-    "top_orders_per_priority",
-    "events_running_stats", "event_sliding_windows",
-    "token_frequencies", "token_stats_bpe", "lang_id",
-    "knn_lsh_bucketed", "dedup_simhash_signatures", "dedup_ngram_jaccard",
-    "dedup_embedding_pairs", "dedup_survivors", "typefilter_clicks",
-    "typecase_events", "orders_monthly_revenue", "events_time_features",
-    "cube_priority_status", "asof_purchase_click",
-    "asof_purchase_click_bucketed", "nested_guarded_access",
-    "nested_array_stats", "nested_explode_positions",
+    # -- never green (r4 hash-reds now integer-ppm; never-sampled IVF) ------
+    "vocab_coverage", "ngram_novelty", "corpus_report", "knn_ivf_trained",
+    # -- output changed this round: need fresh driver rows ------------------
+    "fuzzy_part_pairs", "doc_quality", "benchmark_contamination",
+    # -- last green in round 2 ----------------------------------------------
+    "brand_union", "brand_except", "brand_intersect", "distinct_segments",
+    "orders_by_priority", "rollup_priority_status", "customer_name_report",
+    "acctbal_buckets", "lineitem_stats", "nations_indexed", "dedup_exact",
+    "doc_fingerprints", "label_centroid_norms", "discount_products",
+    # -- last green in round 3, staleness order -----------------------------
+    "flagship_order_records", "pricing_summary", "shipping_priority",
+    "nation_transitive_closure", "knn_bruteforce", "dedup_minhash_pairs",
+    "dedup_clusters", "format_roundtrip_supplier",
+    "first_last_order_per_customer", "customer_key_regex", "cast_matrix",
+    "option_last_event", "salted_supplier_volume", "salted_status_stats",
+    "knn_ivf_exact", "streaming_user_totals", "incremental_mv_event_stats",
+    "indexed_segment_lookup", "indexed_computed_key_lookup",
+    "indexed_join_lookup", "indexed_chain_lookup", "bucketed_mv_join",
+    "udaf_weighted_price", "multimodal_image_stats",
+    "multimodal_frame_counts", "nation_full_outer_counts",
+    "small_quantity_revenue", "order_qty_foldhash", "collect_urgency_scores",
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
