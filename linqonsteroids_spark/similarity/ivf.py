@@ -34,11 +34,22 @@ def ivf_topk(
     query_vec: str = "query_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF cell probing.
 
+    ``centroids``: a pretrained centroid artifact (list of n_lists
+    vectors). When given, training is skipped entirely — assignment and
+    probing run against the frozen literals (the production IVF shape:
+    train once on a sample, ship the index artifact, replay per query).
+    This path is deterministic and oracle-replayable, and spends zero
+    corpus passes on training. When None, a seeded MLlib k-means trains
+    on a capped sample at build time.
+
     Returns (query_id, rnk, neighbor_id, cos_sim).
     """
+    if centroids is not None:
+        n_lists = len(centroids)
     if n_probe >= n_lists:
         # Exact configuration: every cell is probed, so the cell partition
         # is a no-op by definition — this IS brute force. Training would
@@ -56,10 +67,16 @@ def ivf_topk(
     corpus_base = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)
     ).withColumn("_cn", l2_norm(F.col(corpus_vec)))
-    assigned, probes = _kmeans_probes(
-        queries, corpus_base, n_lists, n_probe, seed, max_iter, train_cap,
-        query_id, query_vec, corpus_vec,
-    )
+    if centroids is not None:
+        assigned, probes = _literal_probes(
+            queries, corpus_base, centroids, n_probe,
+            query_id, query_vec, corpus_vec,
+        )
+    else:
+        assigned, probes = _kmeans_probes(
+            queries, corpus_base, n_lists, n_probe, seed, max_iter, train_cap,
+            query_id, query_vec, corpus_vec,
+        )
 
     sim = cosine_from_norms(
         F.col(query_vec), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
@@ -150,5 +167,53 @@ def _kmeans_probes(
         .withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
         .select(query_id, query_vec, "_qn", "cell")
+    )
+    return assigned, probes
+
+
+def _literal_probes(
+    queries: DataFrame,
+    corpus_base: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    query_id: str,
+    query_vec: str,
+    corpus_vec: str,
+):
+    """Frozen-centroid IVF path: assignment and probing against literals.
+
+    Entirely JVM-side and shuffle-free: per-row scores against the
+    n_lists centroid literals fold into an array of (score, cell)
+    structs; `array_min` picks the corpus cell (lexicographic struct
+    order == ORDER BY score ASC, cell ASC — ties deterministic) and
+    `array_sort` + `slice` picks the query's n_probe nearest cells. No
+    window, no explode-then-rank — nothing for AQE to even rebalance.
+
+    Squared-L2 ranking uses -2·v·c + |c|² (|v|² is constant per row);
+    the |c|² terms ship as precomputed double literals so both engines
+    only evaluate the dot products live.
+    """
+
+    def scores(vec: str):
+        out = []
+        for i, c in enumerate(centroids):
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            cc = 0.0
+            for x in c:
+                cc += float(x) * float(x)
+            score = F.lit(-2.0) * dot(F.col(vec), cvec) + F.lit(cc)
+            out.append(F.struct(score.alias("score"), F.lit(i).alias("cell")))
+        return F.array(*out)
+
+    assigned = corpus_base.withColumn(
+        "cell", F.array_min(scores(corpus_vec)).getField("cell")
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(scores(query_vec)), 1, n_probe), lambda s: s.cell
+    )
+    probes = (
+        queries.select(query_id, query_vec)
+        .withColumn("_qn", l2_norm(F.col(query_vec)))
+        .withColumn("cell", F.explode(probe_cells))
     )
     return assigned, probes
