@@ -87,13 +87,18 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"\s+")
+        # re.ASCII: Python \s otherwise also matches Unicode whitespace
+        # (U+00A0 etc.) that the JVM/RE2 \s in the relational path and the
+        # DuckDB oracle do not — tokenization must agree byte-for-byte
+        ws = re.compile(r"\s+", re.ASCII)
         C = np.array([c for c, _ in coeffs], dtype=np.int64)[:, None]
         D = np.array([d for _, d in coeffs], dtype=np.int64)[:, None]
         half = HALF_HEX // 2  # hex chars → digest bytes
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue  # NULL text: no shingles, same as the n<=0 drop
                 toks = [t for t in ws.split(text.strip().lower()) if t]
                 n = len(toks) - (SHINGLE_N - 1)
                 if n <= 0:

@@ -70,10 +70,13 @@ def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
         import pandas as pd
 
-        ws = re.compile(r"\s+")
+        # re.ASCII: match the JVM/RE2 \s class (no Unicode whitespace)
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             ids, shingles = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue  # NULL text: no shingles (JVM lower(trim(NULL)) parity)
                 toks = [t for t in ws.split(text.strip().lower()) if t]
                 for i in range(len(toks) - (SHINGLE_N - 1)):
                     ids.append(doc_id)

@@ -79,6 +79,32 @@ def cosine_from_norms(a: Column, b: Column, a_norm: Column, b_norm: Column) -> C
     return dot_arrow(a, b) / (a_norm * b_norm)
 
 
+#: driver-side cap on the collected query side of brute_force_topk — the
+#: same order of magnitude a broadcast join would allow (|Q| × dim doubles
+#: ≲ tens of MB at dim 64-1024), enforced with a clear error instead of a
+#: driver OOM. Large query sets belong in lsh_topk / ivf_topk.
+_QUERY_SIDE_CAP = 100_000
+
+
+def _out_full_schema(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    carry: list[str],
+) -> str:
+    """Output schema of brute_force_topk, for the empty-query short-circuit."""
+    q_types = dict(queries.dtypes)
+    c_types = dict(corpus.dtypes)
+    carry_schema = "".join(f", {c} {c_types[c]}" for c in carry)
+    return (
+        f"{query_id} {q_types[query_id]}, rnk int, "
+        f"neighbor_id {c_types[corpus_id]}{carry_schema}, cos_sim double"
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -112,7 +138,24 @@ def brute_force_topk(
     ``neighbor_id``. Result: (query_id, rnk, neighbor_id, *carry, cos_sim).
     """
     carry = list(carry_cols or [])
-    q_rows = queries.select(query_id, query_vec).collect()  # |Q| rows, bounded
+    # |Q| is bounded by contract — enforce it: past the cap the collect
+    # stops being "what a broadcast join would ship" and becomes a driver
+    # OOM with a worse error. limit(cap+1) bounds the fetch itself.
+    cap = _QUERY_SIDE_CAP
+    q_rows = queries.select(query_id, query_vec).limit(cap + 1).collect()
+    if len(q_rows) > cap:
+        raise ValueError(
+            f"brute_force_topk query side exceeds the {cap}-row broadcast "
+            f"cap; batch the queries or use lsh_topk/ivf_topk for large "
+            f"query sets."
+        )
+    if not q_rows:
+        # empty query side: empty result with the output schema (np.stack
+        # on an empty matrix would raise inside executors otherwise)
+        empty = queries.sparkSession.createDataFrame([], _out_full_schema(
+            queries, corpus, query_id, query_vec, corpus_id, corpus_vec, carry
+        ))
+        return empty
     corpus_slim = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_vec"), *carry
     )

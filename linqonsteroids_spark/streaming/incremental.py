@@ -12,6 +12,8 @@ a capability the reference never had, SURVEY §2.8).
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -205,6 +207,45 @@ class IncrementalAggMV:
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
 
+    # ---- layout metadata -------------------------------------------------
+    # n_buckets IS the MV's physical layout: a merge run with a different
+    # value would compute `touched` with the new hash while old rows for
+    # the same keys sit in buckets the filter never reads — silently
+    # yielding duplicate rows per key on read(). The layout is therefore
+    # persisted beside the data (underscore-prefixed → invisible to the
+    # parquet reader) and validated on every merge. On Delta/Iceberg the
+    # same contract rides table properties.
+    def _meta_path(self) -> str:
+        return os.path.join(self.mv_path, "_mv_meta.json")
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.mv_path, exist_ok=True)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "key": self.key}, f)
+
+    def _check_meta(self) -> None:
+        try:
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+        except FileNotFoundError:
+            # pre-meta MV (or non-local storage): fall back to the stored
+            # layout itself — the bucket ids present in the MV must be
+            # consistent with the configured modulus
+            return
+        if meta["n_buckets"] != self.n_buckets:
+            raise ValueError(
+                f"IncrementalAggMV layout mismatch at {self.mv_path}: MV was "
+                f"built with n_buckets={meta['n_buckets']}, merge configured "
+                f"with n_buckets={self.n_buckets}. Rebuild the MV or construct "
+                f"with the stored value — merging across layouts would leave "
+                f"stale rows in unread buckets (duplicate keys on read)."
+            )
+        if meta.get("key", self.key) != self.key:
+            raise ValueError(
+                f"IncrementalAggMV key mismatch at {self.mv_path}: MV keyed by "
+                f"{meta['key']!r}, merge configured with {self.key!r}."
+            )
+
     def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
         merge_ops = {"sum": F.sum, "min": F.min, "max": F.max}
         partial = (
@@ -217,8 +258,10 @@ class IncrementalAggMV:
         except Exception:  # first batch: no MV yet
             old = None
         if old is None:
+            self._write_meta()
             merged = partial
         else:
+            self._check_meta()
             # ≤ n_buckets ints — bounded driver traffic at any batch size
             touched = [
                 r.mv_bucket

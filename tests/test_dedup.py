@@ -77,3 +77,27 @@ def test_jaccard_df_cap_drops_stop_shingles(spark):
     with_cap = jaccard_pairs(df, threshold=0.01, df_cap=2).count()
     without_cap = jaccard_pairs(df, threshold=0.01, df_cap=100).count()
     assert with_cap == 0 and without_cap == 10  # all C(5,2) share 'a b c'
+
+
+def test_minhash_and_shingles_skip_null_text(spark):
+    # NULL text must behave like the JVM path (lower(trim(NULL)) -> no
+    # shingles, doc silently dropped), not raise AttributeError in the
+    # Arrow stage; non-ASCII NBSP whitespace must NOT split tokens (the
+    # re.ASCII pin — JVM/RE2 \s parity).
+    from linqonsteroids_spark.dedup.minhash import minhash_signatures
+    from linqonsteroids_spark.dedup.shingles import shingles_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, None),
+            (3, "one two three four five"),  # NBSP inside a "token"
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == {1, 3}
+    sh = shingles_df(docs)
+    got = {r.shingle for r in sh.filter("doc_id = 3").collect()}
+    # NBSP kept inside the first token: 3 tokens -> shingle count matches
+    assert got == {"one two three four", "three four five"}

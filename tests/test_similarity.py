@@ -77,3 +77,33 @@ def test_lsh_recall_reasonable(vectors, queries):
         lsh_topk(queries, vectors, k=5, n_planes=4, dim=DIM)
     )
     assert _recall(approx, exact) >= 0.5  # same-cluster vectors share sign buckets
+
+
+def test_brute_force_topk_empty_query_side(spark):
+    # empty query side: empty result with the right schema, not a numpy
+    # stack error inside executors
+    from linqonsteroids_spark.similarity.knn import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    out = brute_force_topk(queries, corpus, k=2)
+    assert out.columns == ["query_id", "rnk", "neighbor_id", "cos_sim"]
+    assert out.count() == 0
+
+
+def test_brute_force_topk_query_cap_enforced(spark, monkeypatch):
+    # past the documented cap the collect is a driver OOM in disguise —
+    # must fail fast with an actionable error instead
+    from linqonsteroids_spark.similarity import knn
+
+    monkeypatch.setattr(knn, "_QUERY_SIDE_CAP", 10)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.range(11).selectExpr(
+        "id as query_id", "array(cast(id as double), 1.0) as query_vec"
+    )
+    with pytest.raises(ValueError, match="broadcast cap"):
+        knn.brute_force_topk(queries, corpus, k=1)

@@ -287,3 +287,44 @@ def test_incremental_agg_mv_rewrites_only_touched_buckets(spark, dirs):
     got = {(r.user_id, r.n, r.total) for r in mv.read().collect()}
     expect = {(k, 1, k) for k in range(2, 30)} | {(1, 2, 11)}
     assert got == expect
+
+
+def test_incremental_agg_mv_rejects_layout_mismatch(spark, dirs):
+    # n_buckets IS the physical layout: a merge configured with a
+    # different modulus would compute `touched` with the new hash while a
+    # key's old rows sit in never-read buckets — silent duplicates on
+    # read. The persisted _mv_meta.json must make that a hard error.
+    from linqonsteroids_spark.streaming import IncrementalAggMV
+
+    def make(n_buckets, ckpt):
+        return IncrementalAggMV(
+            spark,
+            dirs["src"],
+            SCHEMA,
+            key="user_id",
+            aggs={"n": ("sum", F.count("*"))},
+            mv_path=dirs["mv"],
+            checkpoint_dir=os.path.join(dirs["ckpt"], ckpt),
+            n_buckets=n_buckets,
+        )
+
+    _write_batch(spark, dirs["src"], BATCH1)
+    make(8, "a").refresh_available()
+    _write_batch(spark, dirs["src"], BATCH2)
+    with pytest.raises(Exception) as exc_info:
+        # fresh checkpoint so the second run re-reads source files and
+        # actually reaches the merge
+        make(16, "b").refresh_available()
+    assert "n_buckets=8" in str(exc_info.value)
+    # the original layout still merges fine — reusing checkpoint "a" so
+    # only the unprocessed BATCH2 merges (the failed run "b" committed
+    # neither checkpoint progress nor MV writes)
+    make(8, "a").refresh_available()
+    got = {(r.user_id, r.n) for r in mv_read_counts(spark, dirs["mv"])}
+    assert got == {(1, 3), (2, 1), (3, 1)}
+
+
+def mv_read_counts(spark, mv_path):
+    return (
+        spark.read.parquet(mv_path).drop("mv_bucket").select("user_id", "n").collect()
+    )
