@@ -198,12 +198,28 @@ class JoinIndexEntry:
 
 
 class IndexRepository:
-    """Precomputed-query repository (Optimization.scala:26-63 analogue)."""
+    """Precomputed-query repository (Optimization.scala:26-63 analogue).
 
-    def __init__(self, spark: SparkSession, storage_dir: str, n_buckets: int = 32):
+    ``table_backed=True`` stores single-key indexes as bucketed+sorted
+    catalog tables (``bucketBy(key).sortBy(key).saveAsTable``) instead of
+    loose parquet directories — the metastore-grade layout: key joins
+    against an identically-bucketed side are shuffle-free, bucket pruning
+    serves point lookups, and on a Hive/Glue-backed cluster the table (and
+    its bucketing metadata) outlives the session. The parquet-path layout
+    remains the default and the fallback for sessions without a warehouse.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        storage_dir: str,
+        n_buckets: int = 32,
+        table_backed: bool = False,
+    ):
         self.spark = spark
         self.storage_dir = storage_dir
         self.n_buckets = n_buckets
+        self.table_backed = table_backed
         self._by_table_key: dict[tuple[str, str], IndexEntry] = {}
         self._by_name: dict[str, IndexEntry] = {}
         self._joins: dict[tuple, JoinIndexEntry] = {}
@@ -212,6 +228,39 @@ class IndexRepository:
     # -- persistent catalog (survives process restarts) --
     def _catalog_path(self) -> str:
         return os.path.join(self.storage_dir, _CATALOG)
+
+    def _table_location(self, tbl: str) -> str | None:
+        """Filesystem location of a (local-warehouse) catalog table — where
+        the sidecar fingerprint lives for table-backed entries. None for
+        remote warehouses (those rebuild instead of fingerprint-reusing)."""
+        from urllib.parse import urlparse
+
+        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            return os.path.join(wh.path, tbl.lower())
+        return None
+
+    def _entry_built(self, layout: str, path: str, meta: dict) -> bool:
+        """True when the stored materialization exists AND its sidecar
+        fingerprint matches ``meta`` (definition + source schema)."""
+        if layout == "table":
+            loc = self._table_location(path)
+            return (
+                loc is not None
+                and self.spark.catalog.tableExists(path)
+                and _read_json(os.path.join(loc, _SIDECAR)) == meta
+            )
+        return (
+            _already_built(path)
+            and _read_json(os.path.join(path, _SIDECAR)) == meta
+        )
+
+    def _scan(self, entry) -> DataFrame:
+        """Scan an entry's materialization: catalog table (bucketing
+        metadata intact → shuffle-free key joins) or parquet path."""
+        if getattr(entry, "layout", "hash") == "table":
+            return self.spark.table(entry.path)
+        return self.spark.read.parquet(entry.path)
 
     def _load_catalog(self) -> None:
         """Rehydrate registrations from the storage dir's catalog. An entry
@@ -223,8 +272,7 @@ class IndexRepository:
             return
         for e in data.get("indexes", []):
             meta = e.get("meta") or {}
-            if not (_already_built(e["path"])
-                    and _read_json(os.path.join(e["path"], _SIDECAR)) == meta):
+            if not self._entry_built(e.get("layout", "hash"), e["path"], meta):
                 continue
             entry = IndexEntry(
                 e["name"], e["table"], e["key_col"], e["path"],
@@ -236,8 +284,7 @@ class IndexRepository:
             self._by_name[entry.name] = entry
         for e in data.get("join_indexes", []):
             meta = e.get("meta") or {}
-            if not (_already_built(e["path"])
-                    and _read_json(os.path.join(e["path"], _SIDECAR)) == meta):
+            if not self._entry_built("hash", e["path"], meta):
                 continue
             entry = JoinIndexEntry(
                 e["name"], tuple(e["tables"]),
@@ -249,6 +296,9 @@ class IndexRepository:
     def _save_catalog(self) -> None:
         if not _is_local(self.storage_dir):
             return
+        # table-backed repos store data in the warehouse; the storage dir
+        # may hold nothing but this catalog
+        os.makedirs(self.storage_dir, exist_ok=True)
         payload = {
             "indexes": [
                 {
@@ -256,7 +306,7 @@ class IndexRepository:
                     "path": e.path, "n_buckets": e.n_buckets,
                     "layout": e.layout, "columns": list(e.columns),
                     "lets": [list(p) for p in e.lets],
-                    "meta": _read_json(os.path.join(e.path, _SIDECAR)),
+                    "meta": self._sidecar_of(e),
                 }
                 for e in self._by_name.values()
             ],
@@ -273,17 +323,33 @@ class IndexRepository:
         }
         _write_json(self._catalog_path(), payload)
 
-    def _reuse_or_build(self, path: str, meta: dict, build) -> None:
+    def _sidecar_of(self, e) -> dict | None:
+        if getattr(e, "layout", "hash") == "table":
+            loc = self._table_location(e.path)
+            return _read_json(os.path.join(loc, _SIDECAR)) if loc else None
+        return _read_json(os.path.join(e.path, _SIDECAR))
+
+    def _reuse_or_build(self, layout: str, path: str, meta: dict, build) -> None:
         """The addIndex contract: one-time build, later registrations are
         metadata-only reuse — but ONLY when the on-disk sidecar fingerprint
-        matches this registration (definition + source schema + source row
-        count). A name reused for a different definition, or a source that
+        matches this registration (definition + source schema). A name
+        reused for a different definition, or a source whose schema
         changed since the old build, rebuilds instead of silently
         installing stale data (round-2 ADVICE, registry.py:42)."""
-        if _already_built(path) and _read_json(os.path.join(path, _SIDECAR)) == meta:
+        if self._entry_built(layout, path, meta):
             return
         build()
-        _write_json(os.path.join(path, _SIDECAR), meta)
+        if layout == "table":
+            loc = self._table_location(path)
+            if loc is not None:
+                _write_json(os.path.join(loc, _SIDECAR), meta)
+        else:
+            _write_json(os.path.join(path, _SIDECAR), meta)
+
+    def _install(self, entry: IndexEntry) -> None:
+        self._by_table_key[(entry.table, entry.key_col)] = entry
+        self._by_name[entry.name] = entry
+        self._save_catalog()
 
     # -- registration (entry point C, SURVEY §3) --
     def add_index(self, name: str, indexed: Indexed) -> IndexEntry:
@@ -305,20 +371,41 @@ class IndexRepository:
         if key is None or not key.startswith("col:"):
             raise ValueError("index key must be a named column; use .let() for computed keys")
         key_col = key.split(":", 1)[1]
-        path = os.path.join(self.storage_dir, f"{name}")
-        if not _already_built(path):
-            (
-                src.df.repartition(self.n_buckets, F.col(key_col))
-                .sortWithinPartitions(key_col)
-                .write.mode("overwrite")
-                .parquet(path)
+        lets = _lets_canon(src.plan.lets)
+        meta = {
+            "table": table, "key_col": key_col, "n_buckets": self.n_buckets,
+            "lets": [list(p) for p in lets],
+            "source_schema": src.df.schema.simpleString(),
+        }
+        if self.table_backed:
+            from linqonsteroids_spark.sources.parquet import write_bucketed_table
+
+            tbl = f"idx_{name}"
+            self._reuse_or_build(
+                "table", tbl, {**meta, "layout": "table"},
+                lambda: write_bucketed_table(
+                    src.df, tbl, [key_col], n_buckets=self.n_buckets
+                ),
             )
-        entry = IndexEntry(
-            name, table, key_col, path, self.n_buckets,
-            lets=tuple(src.plan.lets),
-        )
-        self._by_table_key[(table, key_col)] = entry
-        self._by_name[name] = entry
+            entry = IndexEntry(
+                name, table, key_col, tbl, self.n_buckets,
+                layout="table", lets=lets,
+            )
+        else:
+            path = os.path.join(self.storage_dir, f"{name}")
+            self._reuse_or_build(
+                "hash", path, {**meta, "layout": "hash"},
+                lambda: (
+                    src.df.repartition(self.n_buckets, F.col(key_col))
+                    .sortWithinPartitions(key_col)
+                    .write.mode("overwrite")
+                    .parquet(path)
+                ),
+            )
+            entry = IndexEntry(
+                name, table, key_col, path, self.n_buckets, lets=lets,
+            )
+        self._install(entry)
         return entry
 
     def add_partitioned_index(self, name: str, indexed: Indexed) -> IndexEntry:
@@ -339,14 +426,21 @@ class IndexRepository:
             raise ValueError("index key must be a plain column")
         key_col = key.split(":", 1)[1]
         path = os.path.join(self.storage_dir, f"{name}")
-        if not _already_built(path):
-            src.df.write.mode("overwrite").partitionBy(key_col).parquet(path)
+        lets = _lets_canon(src.plan.lets)
+        meta = {
+            "table": table, "key_col": key_col, "layout": "dir",
+            "lets": [list(p) for p in lets],
+            "source_schema": src.df.schema.simpleString(),
+        }
+        self._reuse_or_build(
+            "dir", path, meta,
+            lambda: src.df.write.mode("overwrite").partitionBy(key_col).parquet(path),
+        )
         entry = IndexEntry(
             name, table, key_col, path, 0, layout="dir",
-            columns=tuple(src.df.columns), lets=tuple(src.plan.lets),
+            columns=tuple(src.df.columns), lets=lets,
         )
-        self._by_table_key[(table, key_col)] = entry
-        self._by_name[name] = entry
+        self._install(entry)
         return entry
 
     def add_join_index(self, name: str, joined: Lifted) -> JoinIndexEntry:
@@ -368,22 +462,38 @@ class IndexRepository:
             raise ValueError("join MV columns must be unique; project/rename first")
         path = os.path.join(self.storage_dir, f"{name}")
         first_key = ji.keys[0][0]
-        if not _already_built(path):
-            (
+        meta = {
+            "tables": list(ji.tables), "keys": [list(k) for k in ji.keys],
+            "n_buckets": self.n_buckets,
+            "source_schema": joined.df.schema.simpleString(),
+        }
+        self._reuse_or_build(
+            "hash", path, meta,
+            lambda: (
                 joined.df.repartition(self.n_buckets, F.col(first_key))
                 .sortWithinPartitions(first_key)
                 .write.mode("overwrite")
                 .parquet(path)
-            )
+            ),
+        )
         entry = JoinIndexEntry(name, ji.tables, ji.keys, path, self.n_buckets)
         self._joins[ji.signature] = entry
+        self._save_catalog()
         return entry
 
     def refresh(self, name: str, df: DataFrame) -> None:
         """Batch MV refresh (the incremental upgrade is streaming/, §2.8)."""
         e = self._by_name[name]
+        old_meta = self._sidecar_of(e)
         if e.layout == "dir":
             df.write.mode("overwrite").partitionBy(e.key_col).parquet(e.path)
+            sidecar = os.path.join(e.path, _SIDECAR)
+        elif e.layout == "table":
+            from linqonsteroids_spark.sources.parquet import write_bucketed_table
+
+            write_bucketed_table(df, e.path, [e.key_col], n_buckets=e.n_buckets)
+            loc = self._table_location(e.path)
+            sidecar = os.path.join(loc, _SIDECAR) if loc else None
         else:
             (
                 df.repartition(e.n_buckets, F.col(e.key_col))
@@ -391,13 +501,21 @@ class IndexRepository:
                 .write.mode("overwrite")
                 .parquet(e.path)
             )
+            sidecar = os.path.join(e.path, _SIDECAR)
+        if old_meta is not None and sidecar is not None:
+            # the overwrite cleared the sidecar with the data; restore the
+            # fingerprint (schema may have evolved with the refresh df)
+            _write_json(
+                sidecar,
+                {**old_meta, "source_schema": df.schema.simpleString()},
+            )
 
     def lookup(self, name: str, key_value) -> DataFrame:
         """Direct index probe: ``indexMap(k)`` (SubquerySharing.scala:26-31).
-        The key filter reaches the parquet scan (PushedFilters) and prunes
-        row groups via the sorted layout."""
+        The key filter reaches the scan (PushedFilters) and prunes row
+        groups via the sorted layout — or buckets, for table-backed MVs."""
         e = self._by_name[name]
-        df = self.spark.read.parquet(e.path).filter(F.col(e.key_col) == F.lit(key_value))
+        df = self._scan(e).filter(F.col(e.key_col) == F.lit(key_value))
         return df.select(*e.columns) if e.columns else df
 
     # -- the rewrite (shareSubqueries analogue) --
@@ -425,7 +543,7 @@ class IndexRepository:
             entry = self._by_table_key.get((plan.base_table, col))
             if entry is None:
                 continue
-            if tuple(plan.lets) != entry.lets:
+            if _lets_canon(plan.lets) != entry.lets:
                 # the MV's computed columns must be structurally identical
                 # to the query's (normalized f(x)==k matching); anything
                 # else risks a column the scan cannot provide
@@ -434,7 +552,7 @@ class IndexRepository:
             res_cols = [node_to_column(c) for c in residual]
             if any(c is None for c in res_cols):
                 continue  # unrecognized residual: bail, don't risk wrong rewrite
-            df = self.spark.read.parquet(entry.path).filter(F.col(col) == F.lit(value))
+            df = self._scan(entry).filter(F.col(col) == F.lit(value))
             if entry.columns:
                 df = df.select(*entry.columns)
             for c in res_cols:
@@ -464,7 +582,7 @@ class IndexRepository:
         res_cols = [node_to_column(c) for c in residual]
         if any(c is None for c in res_cols):
             return None
-        df = self.spark.read.parquet(entry.path)
+        df = self._scan(entry)
         for c in res_cols:
             df = df.filter(c)
         return Lifted(
