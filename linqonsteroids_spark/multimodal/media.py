@@ -101,32 +101,107 @@ def _decode_stub(data: bytes) -> dict:
     }
 
 
-def _decode_real(data: bytes) -> dict:  # pragma: no cover - env lacks libs
-    """PIL-backed decode; selected automatically when PIL imports.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Same output contract as the stub (mean_luma, edge_density in [0,1],
-    16-hex content hash) so downstream schemas never change."""
-    if _PIL_Image is None:
-        raise NotImplementedError(
-            "real image decode requires PIL, not present in this environment; "
-            "the stub path (_decode_stub) remains active"
-        )
-    import io
 
-    img = _PIL_Image.open(io.BytesIO(data)).convert("L")
-    px = list(img.getdata())
+def _decode_png_pure(data: bytes) -> tuple[list[int], int]:
+    """Pure-stdlib PNG decode → (grayscale pixels, width).
+
+    A REAL decoder (zlib inflate + per-scanline unfiltering per the PNG
+    spec), not a stub — it exists so the real-decode path has CI coverage
+    in environments without PIL. Supports the common still-image subset:
+    8-bit depth, color types 0 (gray), 2 (RGB) and 6 (RGBA, alpha
+    dropped), no interlace. RGB→luma uses PIL's exact ITU-R 601 integer
+    formula ((19595R + 38470G + 7471B + 2^15) >> 16) so the two tiers are
+    bit-identical on the same file (pinned by a skipif-PIL parity test).
+    """
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG byte stream")
+    pos, width, height, bit_depth, color_type, idat = 8, 0, 0, 0, 0, b""
+    while pos < len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8 or color_type not in (0, 2, 6) or interlace:
+                raise NotImplementedError(
+                    f"pure PNG tier supports 8-bit gray/RGB/RGBA non-interlaced; "
+                    f"got depth={bit_depth} color={color_type} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    raw = zlib.decompress(idat)
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * nch
+    px: list[int] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        filt, line = raw[off], bytearray(raw[off + 1 : off + 1 + stride])
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0  # left
+            b = prev[i]  # up
+            c = prev[i - nch] if i >= nch else 0  # up-left
+            if filt == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif filt == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif filt == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif filt == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        for i in range(0, stride, nch):
+            if nch == 1:
+                px.append(line[i])
+            else:
+                r, g, bl = line[i], line[i + 1], line[i + 2]
+                px.append((19595 * r + 38470 * g + 7471 * bl + 0x8000) >> 16)
+        prev = line
+    return px, width
+
+
+def _luma_stats(px: list[int], width: int, data: bytes) -> dict:
+    """Shared stats over decoded grayscale pixels — both real tiers (PIL
+    and pure-PNG) land here, so their outputs agree by construction."""
     n = max(len(px), 1)
-    mean_luma = sum(px) / (255.0 * n)
-    # cheap horizontal-gradient proxy for edge density
-    w = img.width or 1
+    w = width or 1
     edges = sum(
         1 for i in range(len(px) - 1) if (i + 1) % w and abs(px[i + 1] - px[i]) > 32
     )
     return {
-        "mean_luma": mean_luma,
+        "mean_luma": sum(px) / (255.0 * n),
         "edge_density": edges / n,
         "content_hash": hashlib.sha256(data).hexdigest()[:16],
     }
+
+
+def _decode_real(data: bytes) -> dict:
+    """Real decode tier: PIL when importable (any format), else the
+    pure-stdlib PNG decoder for PNG payloads. Same output contract as the
+    stub (mean_luma, edge_density in [0,1], 16-hex content hash) so
+    downstream schemas never change."""
+    if _PIL_Image is not None:  # pragma: no cover - env lacks PIL
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(data)).convert("L")
+        return _luma_stats(list(img.getdata()), img.width, data)
+    if data[:8] == _PNG_SIG:
+        return _luma_stats(*_decode_png_pure(data), data)
+    raise NotImplementedError(
+        "real decode of non-PNG formats requires PIL, not present in this "
+        "environment; the stub path (_decode_stub) remains active for them"
+    )
 
 
 DECODE_RESULT_SCHEMA = (

@@ -82,3 +82,133 @@ def test_decoder_dispatch_stub_vs_real(spark, kind):
     else:  # pragma: no cover - env lacks media libs
         with pytest.raises(Exception):  # fake payloads are not real containers
             run("real").collect()
+
+
+# --- real PNG decode (pure-stdlib tier; PIL parity when available) ---------
+def _encode_png(rows, color_type=0, filters=None):
+    """Minimal deterministic PNG encoder (stdlib only) for test assets.
+    ``rows``: list of scanlines; gray = list[int], rgb = list[(r,g,b)].
+    ``filters``: per-row filter type 0-4 (exercises every unfilter path)."""
+    import struct
+    import zlib
+
+    nch = 1 if color_type == 0 else 3
+    height, width = len(rows), len(rows[0])
+    flat = [
+        bytes(
+            [v for px in r for v in ((px,) if nch == 1 else px)]
+        )
+        for r in rows
+    ]
+    stride = width * nch
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(flat):
+        f = filters[y]
+        raw.append(f)
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                enc = line[i]
+            elif f == 1:
+                enc = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc = (line[i] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = (line[i] - pred) & 0xFF
+            raw.append(enc)
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+_GRAY_ROWS = [
+    [0, 0, 0, 0, 0, 0, 0, 0],
+    [255, 255, 255, 255, 0, 0, 0, 0],
+    [10, 20, 30, 40, 50, 60, 70, 80],
+    [200, 100, 200, 100, 200, 100, 200, 100],
+    [5, 5, 5, 5, 250, 250, 250, 250],
+    [128, 128, 128, 128, 128, 128, 128, 128],
+]
+
+
+def test_pure_png_decoder_exact_pixels_all_filters():
+    # every filter type (0-4) round-trips through encode→decode exactly
+    from linqonsteroids_spark.multimodal.media import _decode_png_pure
+
+    data = _encode_png(_GRAY_ROWS, filters=[0, 1, 2, 3, 4, 1])
+    px, width = _decode_png_pure(data)
+    assert width == 8
+    assert px == [v for r in _GRAY_ROWS for v in r]
+    # RGB: PIL's exact integer luma formula
+    rgb_rows = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)], [(10, 20, 30)] * 3]
+    px_rgb, w = _decode_png_pure(_encode_png(rgb_rows, color_type=2, filters=[4, 3]))
+    expect = [
+        (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+        for row in rgb_rows
+        for (r, g, b) in row
+    ]
+    assert (w, px_rgb) == (3, expect)
+
+
+def test_decode_image_stats_real_png_through_arrow_stage(spark):
+    # a REAL compressed PNG byte stream decoded non-stubbed end-to-end
+    # through the mapInPandas stage — exact stats from known pixels
+    import hashlib
+
+    from linqonsteroids_spark.multimodal.media import decode_image_stats
+
+    data = _encode_png(_GRAY_ROWS, filters=[0, 1, 2, 3, 4, 1])
+    px = [v for r in _GRAY_ROWS for v in r]
+    df = spark.createDataFrame(
+        [(1, data, ("png", 8, 6, 1, len(data)))],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,width:int,height:int,n_frames:int,size_bytes:long>",
+    )
+    row = decode_image_stats(df, decoder="real").collect()[0]
+    n, w = len(px), 8
+    edges = sum(
+        1 for i in range(n - 1) if (i + 1) % w and abs(px[i + 1] - px[i]) > 32
+    )
+    assert row.mean_luma == pytest.approx(sum(px) / (255.0 * n), abs=0)
+    assert row.edge_density == pytest.approx(edges / n, abs=0)
+    assert row.content_hash == hashlib.sha256(data).hexdigest()[:16]
+
+
+def test_pure_png_tier_matches_pil():
+    # parity pin for environments that DO ship PIL: both real tiers must
+    # be bit-identical on the same file
+    from linqonsteroids_spark.multimodal import media as m
+
+    if m._PIL_Image is None:
+        pytest.skip("PIL not installed; pure-PNG tier covered by exact-pixel tests")
+    import io
+
+    data = _encode_png(_GRAY_ROWS, filters=[0, 1, 2, 3, 4, 1])
+    img = m._PIL_Image.open(io.BytesIO(data)).convert("L")
+    assert list(img.getdata()) == _decode_png_pure_px(m, data)
+
+
+def _decode_png_pure_px(m, data):
+    px, _ = m._decode_png_pure(data)
+    return px

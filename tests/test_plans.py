@@ -238,3 +238,59 @@ def test_range_frame_window_single_shuffle(spark):
     plan = _physical(events_trailing_hour_value(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# --- round-4/5 query plan pins (verdict r4 item 8) -------------------------
+def test_corpus_report_broadcasts_dup_groups(spark):
+    # the dup-group side (content hashes with >1 copy) broadcasts onto the
+    # per-doc relation — no shuffle of the full document table for the
+    # enrich join; the only Exchanges are the two aggregations
+    from linqonsteroids_spark.queries.pipeline import corpus_report
+
+    plan = _physical(corpus_report(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_part_pairs_no_nested_loop_and_one_scan_per_side(spark):
+    # SNM neighbor pairing is an EQUI-join on the rank block — never a
+    # cartesian/nested-loop expansion (the O(N^2) shape the r4 last-token
+    # blocking degenerated into)
+    from linqonsteroids_spark.queries.pipeline import fuzzy_part_pairs
+
+    plan = _physical(fuzzy_part_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # verify cost control: inside the join condition, the cheap
+    # length-difference prefilter conjunct short-circuits BEFORE the
+    # O(len^2) levenshtein conjuncts, and the threshold variant is used
+    join_line = next(l for l in plan.splitlines() if "Join [__blk" in l)
+    assert join_line.index("abs(") < join_line.index("levenshtein")
+    assert "Some(3)" in join_line  # thresholded levenshtein (early exit)
+
+
+def test_stratified_split_single_window_exchange(spark):
+    # the rank window and the stratum-count window share ONE lang-keyed
+    # Exchange — the per-stratum split costs exactly one shuffle, however
+    # many window functions ride it
+    from linqonsteroids_spark.queries.pipeline import stratified_split
+
+    plan = _physical(stratified_split(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning(lang") == 1
+    assert "Exchange SinglePartition" not in plan  # no global-sort fallback
+
+
+def test_ngram_novelty_aqe_shuffle_join_on_shingle(spark):
+    # both sides hash on shingle (AQE-planned SMJ/shuffle-hash; hot-shingle
+    # skew is AQE's to split) — and the shared-ratio projection stays
+    # integer (ppm), the hash-stability contract
+    from linqonsteroids_spark.queries.pipeline import ngram_novelty
+
+    df = ngram_novelty(spark, SF_SMOKE)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "n_shingles", "n_shared", "shared_ppm"
+    ]
+    assert df.schema["shared_ppm"].dataType.simpleString() == "bigint"
