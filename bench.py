@@ -92,6 +92,11 @@ EXTRA = [
     "streaming_mv_refresh",
     "fuzzy_part_pairs",
     "udf_event_features",
+    "span_dedup_stats",
+    "cdc_latest_snapshot",
+    "cdc_scd2_history",
+    "pagerank_order_parts",
+    "weighted_sample_per_source",
 ]
 
 

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from linqonsteroids_spark.queries import (
+    cdc,
     contamination,
     core,
     dedup,
@@ -40,7 +41,7 @@ from linqonsteroids_spark.queries import (
 
 _MODULES = [
     core, windows, graph, text, vector, dedup, typed, nested, misc,
-    scale, engine, parity, pipeline, contamination, sketches,
+    scale, engine, parity, pipeline, contamination, sketches, cdc,
 ]
 
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
@@ -57,6 +58,9 @@ _MODULES = [
 _ROTATION = [
     # -- never green (r4 hash-reds now integer-ppm; never-sampled IVF) ------
     "vocab_coverage", "ngram_novelty", "corpus_report", "knn_ivf_trained",
+    # -- new this round: no prior driver evidence ---------------------------
+    "span_dedup_stats", "cdc_latest_snapshot", "cdc_scd2_history",
+    "pagerank_order_parts", "weighted_sample_per_source",
     # -- output changed this round: need fresh driver rows ------------------
     "fuzzy_part_pairs", "doc_quality", "benchmark_contamination",
     # -- last green in round 2 ----------------------------------------------
@@ -74,8 +78,11 @@ _ROTATION = [
     "indexed_segment_lookup", "indexed_computed_key_lookup",
     "indexed_join_lookup", "indexed_chain_lookup", "bucketed_mv_join",
     "udaf_weighted_price", "multimodal_image_stats",
-    "multimodal_frame_counts", "nation_full_outer_counts",
-    "small_quantity_revenue", "order_qty_foldhash", "collect_urgency_scores",
+    # (multimodal_frame_counts, nation_full_outer_counts,
+    # small_quantity_revenue, order_qty_foldhash, collect_urgency_scores
+    # rotate out this round — r3-green, least stale of the r3 cohort — to
+    # make window room for the five new never-sampled gates; window stays
+    # at exactly 50.)
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -1,0 +1,143 @@
+"""Change-data-capture surface: changelog upsert/tombstone application and
+slowly-changing-dimension (SCD Type 2) history construction.
+
+The reference's incremental layer maintains derived collections from a
+stream of deltas (SURVEY §2.8, ``FoldOperators.scala`` IVM prototypes); the
+batch-side complement any warehouse needs is applying a CHANGELOG to reach
+a current snapshot (latest change wins per key, delete tombstones remove
+the key) and materializing the full effective-dated history of every key —
+the two halves of a MERGE/SCD2 pipeline. The `events` table plays the
+changelog: key = ``user_id``, change order = ``(ts, event_id)``, and
+``event_type = 'error'`` is the delete tombstone.
+
+Scale design (100 TB):
+- The snapshot is ONE partial-aggregated shuffle: ``max_by(payload,
+  (ts, event_id))`` reduces each key map-side before the exchange — no
+  window sort over the full changelog, no per-key row materialization.
+  This is the shape that survives a 1000-executor MERGE: shuffle traffic
+  is O(distinct keys), not O(changes).
+- The SCD2 history is inherently O(changes) output; both window functions
+  (version number, validity-end lookahead) share ONE ``(user_id)``
+  exchange and ONE ``(ts, event_id)`` sort — pinned in tests.
+- Neither path collects; tombstone filtering happens AFTER the latest-wins
+  reduction (a delete must suppress earlier upserts, not be skipped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.catalog import load_table
+
+#: the changelog operation that deletes its key from the snapshot.
+TOMBSTONE = "error"
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key: str,
+    order: tuple[str, ...],
+    payload: tuple[str, ...],
+    op_col: str,
+    tombstone: str = TOMBSTONE,
+) -> DataFrame:
+    """Latest-wins upsert with delete tombstones → current snapshot.
+
+    One aggregation: per ``key``, take the ``payload`` (plus ``op_col``) of
+    the maximal ``order`` tuple via ``max_by`` (map-side combined), count
+    the changes, then drop keys whose LAST operation is the tombstone."""
+    last = F.max_by(
+        F.struct(op_col, *payload), F.struct(*[F.col(c) for c in order])
+    ).alias("_last")
+    snap = changes.groupBy(key).agg(last, F.count("*").alias("n_changes"))
+    return snap.filter(F.col(f"_last.{op_col}") != tombstone).select(
+        key,
+        F.col(f"_last.{op_col}").alias("last_op"),
+        *[F.col(f"_last.{c}").alias(f"last_{c}") for c in payload],
+        "n_changes",
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    order: tuple[str, ...],
+    payload: tuple[str, ...],
+    op_col: str,
+) -> DataFrame:
+    """Effective-dated (SCD Type 2) change history per key.
+
+    Each change becomes a versioned row valid from its own timestamp until
+    the next change's (NULL = still current). Both window expressions use
+    the same partition/order spec, so Catalyst plans one Exchange + one
+    Sort for the whole history."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order])
+    ts_col = order[0]
+    return changes.select(
+        key,
+        F.row_number().over(w).alias("version"),
+        F.col(op_col).alias("op"),
+        *payload,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col, 1).over(w).alias("valid_to"),
+        F.lead(ts_col, 1).over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    snap = apply_changelog(
+        ev, key="user_id", order=("ts", "event_id"), payload=("value",),
+        op_col="event_type",
+    )
+    return snap.select(
+        "user_id", "last_op", F.round("last_value", 4).alias("last_value"),
+        "n_changes",
+    )
+
+
+CDC_SNAPSHOT_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         count(*) OVER (PARTITION BY user_id) AS n_changes,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_op, round(value, 4) AS last_value,
+       n_changes
+FROM ranked WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
+"""
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev, key="user_id", order=("ts", "event_id"), payload=("value",),
+        op_col="event_type",
+    )
+    return hist.select(
+        "user_id", "version", "op", F.round("value", 4).alias("value"),
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+CDC_SCD2_SQL = """
+SELECT user_id,
+       row_number() OVER w AS version,
+       event_type AS op,
+       round(value, 4) AS value,
+       ts AS valid_from,
+       lead(ts, 1) OVER w AS valid_to,
+       CAST(lead(ts, 1) OVER w IS NULL AS INT) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+QUERIES = {
+    "cdc_latest_snapshot": (cdc_latest_snapshot, CDC_SNAPSHOT_SQL),
+    "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
+}

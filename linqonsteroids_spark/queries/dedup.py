@@ -160,6 +160,58 @@ WHERE r.rnk = 1
 """
 
 
+# --- duplicated-span detection (substring-level dedup) ----------------------
+# Lee et al. (ACL 2022) ExactSubstr semantics re-expressed relationally:
+# fingerprint every 5-token window, a fingerprint occurring >= 2 times
+# corpus-wide marks a duplicated span, per-doc coverage = union of the
+# [start, start+5) intervals. See operators/spans.py for the 100 TB design
+# (hash-only shuffle, row-local interval union). Output is all-integer
+# (hashed-output discipline).
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.spans import SPAN_N, duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, n=SPAN_N)
+
+
+def _span_dedup_sql() -> str:
+    from linqonsteroids_spark.dedup.shingles import DUCK_TOKS
+    from linqonsteroids_spark.operators.spans import SPAN_N
+
+    n = SPAN_N
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+), w AS (
+  SELECT doc_id, start,
+         md5(array_to_string(toks[start + 1 : start + {n}], ' ')) AS whash
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, len(toks) - {n} + 1)) AS start
+    FROM toks_t WHERE len(toks) >= {n}
+  )
+), freq AS (
+  SELECT whash, count(*) AS n_occ FROM w GROUP BY whash
+), seeds AS (
+  SELECT w.doc_id, w.start FROM w JOIN freq USING (whash) WHERE freq.n_occ >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT doc_id, unnest(range(start, start + {n})) AS pos FROM seeds)
+), per_doc AS (
+  SELECT d.doc_id, d.n_dup_windows, c.n_dup_tokens
+  FROM (SELECT doc_id, count(*) AS n_dup_windows FROM seeds GROUP BY doc_id) d
+  JOIN (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id) c
+    USING (doc_id)
+)
+SELECT t.doc_id,
+       len(t.toks) AS n_tokens,
+       coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(p.n_dup_tokens, 0) AS n_dup_tokens,
+       (coalesce(p.n_dup_tokens, 0) * 1000000) // greatest(len(t.toks), 1)
+         AS dup_ppm
+FROM toks_t t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
     "dedup_simhash_signatures": (dedup_simhash_signatures, simhash_oracle_sql()),
@@ -178,4 +230,5 @@ QUERIES = {
     ),
     "dedup_survivors": (dedup_survivors, minhash_oracle_sql()["survivors"]),
     "dedup_source_priority": (dedup_source_priority, _source_priority_sql()),
+    "span_dedup_stats": (span_dedup_stats, _span_dedup_sql()),
 }

@@ -45,6 +45,82 @@ SELECT src, dst FROM tc
 """
 
 
+# --- PageRank over the order–part bipartite graph ---------------------------
+# Link-mass ranking on a real data-derived graph: orders and parts are
+# nodes (disjointly encoded as 2k / 2k+1), every distinct lineitem
+# (order, part) pair contributes both directed edges. Fixed 3 synchronous
+# iterations in 64-bit integer fixed-point (operators/pagerank.py) — every
+# value exact, so the unrolled-CTE oracle matches bit-for-bit with no
+# float-summation-order hazard. Scale: the O(E) edge relation is
+# partitioned on src once and reused; only O(V) rank rows move per round.
+_PR_ITERS = 3
+
+
+def _order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") * 2).alias("o"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .distinct()
+    )
+    fwd = li.select(F.col("o").alias("src"), F.col("p").alias("dst"))
+    rev = li.select(F.col("p").alias("src"), F.col("o").alias("dst"))
+    return fwd.union(rev)
+
+
+def pagerank_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.pagerank import pagerank
+
+    return pagerank(_order_part_edges(spark, sf_dir), n_iterations=_PR_ITERS)
+
+
+def _pagerank_sql() -> str:
+    from linqonsteroids_spark.operators.pagerank import (
+        DAMPING_DEN,
+        DAMPING_NUM,
+        SCALE,
+    )
+
+    num, den, scale = DAMPING_NUM, DAMPING_DEN, SCALE
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), deg AS (
+  SELECT src, count(*) AS out_deg FROM edges GROUP BY src
+), params AS (
+  SELECT (({scale} * {den - num}) // {den}) // count(*) AS base,
+         {scale} // count(*) AS init
+  FROM nodes
+), r0 AS (
+  SELECT node, (SELECT init FROM params) AS rank FROM nodes
+)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""", r{i} AS (
+  SELECT n.node,
+         CAST((SELECT base FROM params)
+              + ({num} * coalesce(m.in_mass, 0)) // {den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(r.rank // d.out_deg) AS in_mass
+    FROM edges e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst
+  ) m ON n.node = m.dst
+)"""
+        prev = f"r{i}"
+    return sql + f"\nSELECT node, rank FROM {prev}\n"
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "nation_transitive_closure": (nation_transitive_closure, NATION_TC_SQL),
+    "pagerank_order_parts": (pagerank_order_parts, PAGERANK_SQL),
 }

@@ -237,6 +237,86 @@ FROM ranked WHERE pick_rank <= {_QUOTA}
 """
 
 
+# --- weighted deterministic sampling (priority sampling) --------------------
+# Size-biased sampling per source: longer documents (weight = n_chars) are
+# proportionally more likely to be kept — the quality-weighted subsample a
+# mixture rebalance draws. Scheme: PRIORITY SAMPLING (Duffield, Lund,
+# Thorup, JACM 2007 — public): priority q_i = w_i / u_i with u_i uniform
+# (0,1], keep the top-k priorities. Here u_i is an md5-derived integer and
+# the priority is computed ENTIRELY in 64-bit integer arithmetic
+# (w * 2^40 div (u+1)) so the ordering — and therefore the sample — is
+# bit-identical on any engine, and the hashed gate output carries only
+# integers (hashed-output discipline).
+# Scale: same two-stage top-k as quota_per_source — per-(source, subshard)
+# prune to k then final rank over <= N_SUB*k survivors per source, so no
+# single reducer ever sorts a hot source's full document list.
+_WSAMPLE_SEED = "wsamp11"
+_WSAMPLE_K = 20
+_WSAMPLE_SUB = 16
+_WSAMPLE_SCALE = 1 << 40
+
+
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("w")
+    )
+    hex12 = F.substring(
+        F.md5(F.concat(F.lit(_WSAMPLE_SEED), F.col("doc_id").cast("string"))), 1, 12
+    )
+    scored = docs.withColumn("u", F.conv(hex12, 16, 10).cast("bigint")).withColumn(
+        "priority", F.expr(f"{_WSAMPLE_SCALE}L * w div (u + 1L)")
+    )
+    pruned = (
+        scored.withColumn("sub", F.col("doc_id") % _WSAMPLE_SUB)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "sub").orderBy(
+                    F.desc("priority"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _WSAMPLE_K)
+    )
+    return (
+        pruned.withColumn(
+            "pick_rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("priority"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("pick_rank") <= _WSAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+            "priority",
+        )
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         ({_WSAMPLE_SCALE} * CAST(n_chars AS BIGINT))
+           // ((('0x' || substr(md5('{_WSAMPLE_SEED}' || CAST(doc_id AS VARCHAR)),
+                 1, 12))::BIGINT) + 1) AS priority
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, priority,
+         row_number() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id ASC
+         ) AS pick_rank
+  FROM scored
+)
+SELECT doc_id, source, CAST(pick_rank AS BIGINT) AS pick_rank,
+       CAST(priority AS BIGINT) AS priority
+FROM ranked WHERE pick_rank <= {_WSAMPLE_K}
+"""
+
+
 # --- intra-document repetition scoring -------------------------------------
 # Gopher-style repetition gates: type-token ratio and duplicate-bigram
 # fraction, computed per row with array higher-order functions — no
@@ -638,4 +718,5 @@ QUERIES = {
     "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
     "fuzzy_part_pairs": (fuzzy_part_pairs, FUZZY_PART_SQL),
     "corpus_report": (corpus_report, CORPUS_REPORT_SQL),
+    "weighted_sample_per_source": (weighted_sample_per_source, WEIGHTED_SAMPLE_SQL),
 }

@@ -1,0 +1,73 @@
+"""CDC surface: changelog application (upsert/tombstone) and SCD2 history."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.queries.cdc import apply_changelog, scd2_history
+
+_SCHEMA = "k long, ts long, seq long, op string, v double"
+#: (key, ts, seq, op, value) — key 1: upsert→delete (gone); key 2:
+#: delete then LATER upsert (alive); key 3: plain upserts (alive, latest
+#: value wins by (ts, seq) even when ts ties).
+_CHANGES = [
+    (1, 10, 0, "set", 1.0),
+    (1, 20, 0, "error", 0.0),
+    (2, 10, 0, "error", 0.0),
+    (2, 30, 0, "set", 7.0),
+    (3, 10, 0, "set", 3.0),
+    (3, 10, 1, "set", 4.0),
+]
+
+
+def test_apply_changelog_tombstone_semantics(spark):
+    df = spark.createDataFrame(_CHANGES, _SCHEMA)
+    snap = apply_changelog(
+        df, key="k", order=("ts", "seq"), payload=("v",), op_col="op"
+    )
+    rows = {r["k"]: r for r in snap.collect()}
+    assert set(rows) == {2, 3}, "key 1 ends on a tombstone and must be dropped"
+    assert rows[2]["last_v"] == 7.0 and rows[2]["n_changes"] == 2
+    # ts tie broken by seq: the seq=1 change is the survivor
+    assert rows[3]["last_v"] == 4.0
+
+
+def test_apply_changelog_is_one_aggregate_no_window(spark):
+    """The snapshot must be a partial-aggregated groupBy (O(keys) shuffle),
+    not a per-row window sort over the changelog."""
+    df = spark.createDataFrame(_CHANGES, _SCHEMA)
+    snap = apply_changelog(
+        df, key="k", order=("ts", "seq"), payload=("v",), op_col="op"
+    )
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_scd2_history_validity_chain(spark):
+    df = spark.createDataFrame(_CHANGES, _SCHEMA)
+    hist = scd2_history(
+        df, key="k", order=("ts", "seq"), payload=("v",), op_col="op"
+    ).orderBy("k", "version")
+    rows = hist.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    assert [r["version"] for r in by_key[1]] == [1, 2]
+    for seq_rows in by_key.values():
+        # each row's valid_to is the next row's valid_from; exactly one current
+        for a, b in zip(seq_rows, seq_rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert [r["is_current"] for r in seq_rows] == [0] * (len(seq_rows) - 1) + [1]
+
+
+def test_scd2_single_exchange_and_sort(spark):
+    """Both window expressions share one partition/order spec — the plan
+    must contain exactly one Exchange (and one Window node)."""
+    df = spark.createDataFrame(_CHANGES, _SCHEMA)
+    hist = scd2_history(
+        df, key="k", order=("ts", "seq"), payload=("v",), op_col="op"
+    )
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1

@@ -367,3 +367,85 @@ def test_sorted_neighborhood_pairs_adjacent_in_order(spark):
         {r["id_a"], r["id_b"]} == {100, 101} or {r["id_a"], r["id_b"]} == {0, 100}
         for r in out
     )
+
+
+# --- duplicated-span detection (operators/spans.py) -------------------------
+
+
+def test_covered_token_count_merges_overlapping_intervals(spark):
+    from linqonsteroids_spark.operators.spans import covered_token_count
+
+    df = spark.createDataFrame([([0, 2, 10],)], "starts array<long>")
+    out = df.select(covered_token_count(F.col("starts"), 5).alias("c")).collect()
+    # [0,5) ∪ [2,7) ∪ [10,15) → 7 + 5 = 12
+    assert out[0]["c"] == 12
+
+
+def test_duplicated_span_stats_crafted_corpus(spark):
+    from linqonsteroids_spark.operators.spans import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # shares "a b c d e" with docs 2, 5
+            (2, "x a b c d e y"),
+            (3, "p q r s t u v"),          # unique — untouched
+            (4, "m m m m m m"),            # WITHIN-doc repeat still counts
+            (5, "A  B c D e"),             # case/whitespace-normalized match
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=5).collect()}
+    assert rows[1]["n_tokens"] == 7
+    assert rows[1]["n_dup_windows"] == 1 and rows[1]["n_dup_tokens"] == 5
+    assert rows[1]["dup_ppm"] == 5 * 1_000_000 // 7
+    assert rows[2]["n_dup_tokens"] == 5
+    assert rows[3]["n_dup_windows"] == 0 and rows[3]["dup_ppm"] == 0
+    # doc 4: windows at 0 and 1 hash identically → both dup; union [0,6) = 6
+    assert rows[4]["n_dup_windows"] == 2
+    assert rows[4]["n_dup_tokens"] == 6 and rows[4]["dup_ppm"] == 1_000_000
+    assert rows[5]["n_dup_windows"] == 1 and rows[5]["n_dup_tokens"] == 5
+
+
+def test_span_stats_shuffles_hashes_not_text(spark):
+    """The shuffled relation must carry the 16-byte md5, never the window
+    text: no 'span' column may survive past the mapInPandas stage."""
+    from linqonsteroids_spark.operators.spans import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z " + " ".join(str(i + j) for j in range(6))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = duplicated_span_stats(docs, n=5)._jdf.queryExecution().executedPlan().toString()
+    # the exchange inputs project (doc_id, start, whash); span is pruned
+    assert "span" not in plan.split("Exchange")[1] if "Exchange" in plan else True
+
+
+# --- integer fixed-point PageRank (operators/pagerank.py) -------------------
+
+
+def test_pagerank_two_node_cycle_is_stationary(spark):
+    from linqonsteroids_spark.operators.pagerank import SCALE, pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iterations=3).collect()}
+    # uniform start scale/2 is exactly stationary under integer arithmetic:
+    # base + 85%·(scale/2) = 75e9 + 425e9 = 500e9 = scale/2
+    assert ranks == {1: SCALE // 2, 2: SCALE // 2}
+
+
+def test_pagerank_hub_outranks_leaves_and_is_deterministic(spark):
+    from linqonsteroids_spark.operators.pagerank import SCALE, pagerank
+
+    pairs = [(1, k) for k in (2, 3, 4)] + [(k, 1) for k in (2, 3, 4)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = {r["node"]: r["rank"] for r in pagerank(edges, n_iterations=3).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(list(reversed(pairs)), "src long, dst long"),
+            n_iterations=3,
+        ).collect()
+    }
+    assert a == b  # integer arithmetic: input order cannot flip any bit
+    assert a[1] > a[2] and a[2] == a[3] == a[4]  # symmetry is exact
+    assert sum(a.values()) <= SCALE  # floor losses only ever shrink mass

@@ -131,3 +131,57 @@ def test_pii_scrub_redacts_planted_contacts(spark):
     # no shuffle: row-local regexp only
     plan = _physical(out)
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_two_stage_equals_single_window(spark):
+    """The subshard prune must be invisible: the two-stage top-k equals the
+    single-window per-source top-k (a global top-k member is top-k within
+    its own subshard, so pruning never removes one)."""
+    from pyspark.sql import Window
+
+    from linqonsteroids_spark.queries.pipeline import (
+        _WSAMPLE_K,
+        _WSAMPLE_SCALE,
+        _WSAMPLE_SEED,
+        weighted_sample_per_source,
+    )
+    from tests.conftest import SF_SMOKE
+    from linqonsteroids_spark.catalog import load_table
+
+    got = weighted_sample_per_source(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hex12 = F.substring(
+        F.md5(F.concat(F.lit(_WSAMPLE_SEED), F.col("doc_id").cast("string"))), 1, 12
+    )
+    single = (
+        docs.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("w"))
+        .withColumn("u", F.conv(hex12, 16, 10).cast("bigint"))
+        .withColumn("priority", F.expr(f"{_WSAMPLE_SCALE}L * w div (u + 1L)"))
+        .withColumn(
+            "pick_rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("pick_rank") <= _WSAMPLE_K)
+        .select("doc_id", "source", F.col("pick_rank").cast("long").alias("pick_rank"), "priority")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, single.collect()))
+    # deterministic across runs, k bound holds
+    again = weighted_sample_per_source(spark, SF_SMOKE)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
+    assert got.groupBy("source").count().agg(F.max("count")).collect()[0][0] <= _WSAMPLE_K
+
+
+def test_weighted_sample_prefers_heavier_docs(spark):
+    """Size-biased inclusion: the mean weight of sampled docs must exceed
+    the corpus mean (the point of priority sampling)."""
+    from linqonsteroids_spark.queries.pipeline import weighted_sample_per_source
+    from tests.conftest import SF_SMOKE
+    from linqonsteroids_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    sampled = weighted_sample_per_source(spark, SF_SMOKE).join(docs, "doc_id")
+    mean_sampled = sampled.agg(F.avg("n_chars")).collect()[0][0]
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_sampled > mean_all
