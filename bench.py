@@ -97,6 +97,7 @@ EXTRA = [
     "cdc_scd2_history",
     "pagerank_order_parts",
     "weighted_sample_per_source",
+    "streaming_cdc_snapshot",
 ]
 
 

@@ -137,7 +137,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
 
 
+# --- streaming CDC upsert MV -------------------------------------------------
+# The changelog applied CONTINUOUSLY: the events file lands twice in a
+# scratch source dir and maxFilesPerTrigger=1 forces two micro-batches, so
+# the second merge resolves latest-wins conflicts against the MV written by
+# the first (max_by is a semilattice — any batch carving yields the batch
+# answer). Oracle = the batch snapshot with n_changes doubled (every change
+# was seen twice); the latest change per key is unaffected by duplication.
+def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from linqonsteroids_spark.session import scratch_dir
+    from linqonsteroids_spark.streaming import CdcUpsertMV
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    base = scratch_dir(prefix="squopt_cdcmv_")
+    src_dir = f"{base}/src"
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(src, f"{src_dir}/events_a.parquet")
+    shutil.copy(src, f"{src_dir}/events_b.parquet")
+    schema = spark.read.parquet(src).schema
+    mv = CdcUpsertMV(
+        spark,
+        src_dir,
+        schema,
+        key="user_id",
+        order=("ts", "event_id"),
+        payload=("value",),
+        op_col="event_type",
+        tombstone=TOMBSTONE,
+        mv_path=f"{base}/mv",
+        checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=1,
+    )
+    mv.refresh_available()
+    return mv.read().select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.round("value", 4).alias("last_value"),
+        "n_changes",
+    )
+
+
+STREAMING_CDC_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         count(*) OVER (PARTITION BY user_id) AS n_changes,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_op, round(value, 4) AS last_value,
+       2 * n_changes AS n_changes
+FROM ranked WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
+"""
+
+
 QUERIES = {
     "cdc_latest_snapshot": (cdc_latest_snapshot, CDC_SNAPSHOT_SQL),
     "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
+    "streaming_cdc_snapshot": (streaming_cdc_snapshot, STREAMING_CDC_SQL),
 }

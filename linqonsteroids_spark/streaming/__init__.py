@@ -11,6 +11,7 @@ exposes the reference's "register query → keep result maintained" intent
 """
 
 from linqonsteroids_spark.streaming.incremental import (  # noqa: F401
+    CdcUpsertMV,
     IncrementalAggMV,
     StreamingIndex,
     sessionized_counts,

@@ -307,6 +307,111 @@ class IncrementalAggMV:
         return self.spark.read.parquet(self.mv_path).drop("mv_bucket")
 
 
+class CdcUpsertMV(IncrementalAggMV):
+    """Streaming MERGE: a changelog stream continuously maintained as a
+    latest-wins keyed snapshot MV — the streaming form of
+    ``queries/cdc.apply_changelog`` (upsert + delete tombstone), and the
+    Delta-less equivalent of `MERGE INTO` on a CDC feed.
+
+    Per micro-batch: reduce the batch to one row per key (``max_by`` over
+    the ``order`` tuple — partial-aggregated, O(batch keys) shuffle), then
+    merge into the bucketed parquet MV exactly like ``IncrementalAggMV``:
+    only buckets containing batch keys are read and rewritten (O(batch +
+    touched buckets) refresh I/O). The merge combinator is again
+    ``max_by``: latest-wins is a semilattice, so stored-vs-batch conflicts
+    resolve by the same order no matter how batches carve the changelog.
+
+    Tombstones are RETAINED in the MV (op = ``tombstone``) rather than
+    deleted: dropping the row would let an out-of-order older upsert in a
+    later batch resurrect the key. ``read()`` filters them out — the same
+    contract Delta/Iceberg CDC compaction uses. ``n_changes`` accumulates
+    across batches (sum-merged), giving per-key change-velocity for free.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema,
+        key: str,
+        order: tuple[str, ...],
+        payload: tuple[str, ...],
+        op_col: str,
+        tombstone: str,
+        mv_path: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        n_buckets: int = 16,
+    ):
+        super().__init__(
+            spark,
+            source_dir,
+            schema,
+            key,
+            aggs={},
+            mv_path=mv_path,
+            checkpoint_dir=checkpoint_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            n_buckets=n_buckets,
+        )
+        self.order = order
+        self.payload = payload
+        self.op_col = op_col
+        self.tombstone = tombstone
+
+    def _reduce(self, df: DataFrame) -> DataFrame:
+        """One row per key: the maximal-order change + the change count."""
+        # order/op/payload may overlap (e.g. the payload column doubling as
+        # the tiebreak) — carry each column once, first mention wins
+        fields = list(dict.fromkeys([*self.order, self.op_col, *self.payload]))
+        last = F.max_by(
+            F.struct(*fields),
+            F.struct(*[F.col(c) for c in self.order]),
+        ).alias("_last")
+        agg = df.groupBy(self.key, "mv_bucket").agg(
+            last, F.sum("n_changes").alias("n_changes")
+        )
+        return agg.select(self.key, "mv_bucket", "_last.*", "n_changes")
+
+    def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        partial = self._reduce(
+            batch_df.withColumn("mv_bucket", self._bucket()).withColumn(
+                "n_changes", F.lit(1).cast("long")
+            )
+        )
+        try:
+            old = self.spark.read.parquet(self.mv_path)
+        except Exception:  # first batch: no MV yet
+            old = None
+        if old is None:
+            self._write_meta()
+            merged = partial
+        else:
+            self._check_meta()
+            touched = [
+                r.mv_bucket
+                for r in partial.select("mv_bucket").distinct().collect()
+            ]
+            merged = self._reduce(
+                old.filter(F.col("mv_bucket").isin(touched)).unionByName(partial)
+            )
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("mv_bucket")
+            .parquet(self.mv_path)
+        )
+
+    def read(self) -> DataFrame:
+        """The current snapshot: tombstoned keys filtered out."""
+        return (
+            self.spark.read.parquet(self.mv_path)
+            .filter(F.col(self.op_col) != self.tombstone)
+            .drop("mv_bucket")
+        )
+
+
 class StreamingIndex:
     """A streaming-maintained materialized view — ``Optimization.addIndex``
     upgraded from batch refresh to continuous maintenance.

@@ -328,3 +328,83 @@ def mv_read_counts(spark, mv_path):
     return (
         spark.read.parquet(mv_path).drop("mv_bucket").select("user_id", "n").collect()
     )
+
+
+def test_cdc_upsert_mv_cross_batch_supersession(spark, dirs):
+    """Streaming MERGE semantics across micro-batches: newer changes
+    supersede the MV, OUT-OF-ORDER older changes never do, tombstones
+    delete — and a late older upsert cannot resurrect a tombstoned key."""
+    from linqonsteroids_spark.streaming import CdcUpsertMV
+
+    mv = CdcUpsertMV(
+        spark,
+        dirs["src"],
+        SCHEMA,
+        key="user_id",
+        order=("ts", "value"),
+        payload=("value",),
+        op_col="kind",
+        tombstone="del",
+        mv_path=dirs["mv"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    _write_batch(
+        spark,
+        dirs["src"],
+        [
+            (1, "set", _ts(10), 100),
+            (2, "set", _ts(10), 200),
+            (3, "set", _ts(10), 300),
+            (4, "del", _ts(10), 0),
+        ],
+    )
+    mv.refresh_available()
+    got = {(r.user_id, r.kind, r.value) for r in mv.read().collect()}
+    assert got == {(1, "set", 100), (2, "set", 200), (3, "set", 300)}
+
+    _write_batch(
+        spark,
+        dirs["src"],
+        [
+            (1, "set", _ts(20), 111),   # newer: supersedes
+            (2, "set", _ts(5), 999),    # OLDER out-of-order: must NOT supersede
+            (3, "del", _ts(20), 0),     # tombstone: deletes key 3
+            (4, "set", _ts(5), 444),    # older than key 4's tombstone: stays dead
+        ],
+    )
+    mv.refresh_available()
+    rows = {r.user_id: r for r in mv.read().collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].value == 111 and rows[1].n_changes == 2
+    assert rows[2].value == 200 and rows[2].n_changes == 2
+
+
+def test_cdc_upsert_mv_batch_carving_invariance(spark, dirs):
+    """max_by latest-wins is a semilattice: one batch with all changes and
+    two batches carving the same changes yield byte-identical snapshots."""
+    from linqonsteroids_spark.streaming import CdcUpsertMV
+
+    changes = [
+        (1, "set", _ts(1), 10),
+        (1, "set", _ts(3), 30),
+        (1, "del", _ts(2), 0),
+        (2, "del", _ts(4), 0),
+        (2, "set", _ts(2), 20),
+    ]
+
+    def run(tag, batches):
+        base = dirs["src"] + tag
+        mv = CdcUpsertMV(
+            spark, base, SCHEMA, key="user_id", order=("ts", "value"),
+            payload=("value",), op_col="kind", tombstone="del",
+            mv_path=dirs["mv"] + tag, checkpoint_dir=dirs["ckpt"] + tag,
+        )
+        for b in batches:
+            _write_batch(spark, base, b)
+            mv.refresh_available()
+        return sorted(
+            (r.user_id, r.kind, r.value, r.n_changes) for r in mv.read().collect()
+        )
+
+    assert run("_one", [changes]) == run("_two", [changes[:2], changes[2:]])
+    assert run("_one2", [changes]) == [(1, "set", 30, 3)]
