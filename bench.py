@@ -98,6 +98,7 @@ EXTRA = [
     "pagerank_order_parts",
     "weighted_sample_per_source",
     "streaming_cdc_snapshot",
+    "bpe_learned_merges",
 ]
 
 

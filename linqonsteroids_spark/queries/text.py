@@ -290,6 +290,27 @@ GROUP BY t.doc_id
 """
 
 
+# --- BPE merge learning (tokenizer training) --------------------------------
+# The training half of the tokenizer pipeline: learn the top-K BPE merges
+# from the corpus's word-frequency table (Sennrich et al., ACL 2016).
+# Iterative argmax-per-round control flow → genuinely non-SQL-expressible,
+# registered rows-only; bit-exact differential evidence vs a pure-Python
+# reference lives in tests/test_operators.py. Scale: one corpus pass for
+# word frequencies, then O(|vocab|) state per round (operators/bpe.py).
+_BPE_MERGES = 8
+
+
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.bpe import train_bpe, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_frequencies(docs), n_merges=_BPE_MERGES)
+    rows = [(i + 1, a, b, pf) for i, (a, b, pf) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_freq long"
+    )
+
+
 # --- unigram surprisal (perplexity proxy) -----------------------------------
 # Per-document mean negative log-probability under the corpus's own unigram
 # distribution — the cheapest model-free "perplexity" quality signal (docs
@@ -351,4 +372,6 @@ QUERIES = {
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
+    # rows-only: iterative argmax control flow (see bpe_learned_merges doc)
+    "bpe_learned_merges": (bpe_learned_merges, None),
 }

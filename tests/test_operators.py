@@ -449,3 +449,96 @@ def test_pagerank_hub_outranks_leaves_and_is_deterministic(spark):
     assert a == b  # integer arithmetic: input order cannot flip any bit
     assert a[1] > a[2] and a[2] == a[3] == a[4]  # symmetry is exact
     assert sum(a.values()) <= SCALE  # floor losses only ever shrink mass
+
+
+def test_covered_token_count_randomized_vs_set_union(spark):
+    """200 random start-sets in ONE DataFrame vs the brute-force position
+    set union — the row-local interval merge must agree exactly."""
+    import random
+
+    rng = random.Random(42)
+    n = 5
+    cases = []
+    for i in range(200):
+        starts = sorted(rng.sample(range(0, 60), rng.randint(0, 12)))
+        expect = len({p for s in starts for p in range(s, s + n)})
+        cases.append((i, starts, expect))
+    from linqonsteroids_spark.operators.spans import covered_token_count
+
+    df = spark.createDataFrame(cases, "i long, starts array<long>, expect long")
+    got = df.select(
+        "i", "expect", covered_token_count(F.col("starts"), n).alias("c")
+    ).collect()
+    bad = [(r["i"], r["expect"], r["c"]) for r in got if r["c"] != r["expect"]]
+    assert not bad, f"interval merge disagrees with set union: {bad[:5]}"
+
+
+# --- distributed BPE merge learning (operators/bpe.py) ----------------------
+
+
+def _ref_bpe(word_freqs: dict, k: int, min_pair_freq: int = 2):
+    """Pure-Python reference (Sennrich et al. get_stats/merge loop) with the
+    operator's deterministic tiebreak: max count, then lexicographically
+    smallest pair."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(k):
+        stats: dict = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] = stats.get((s[i], s[i + 1]), 0) + f
+        if not stats:
+            break
+        best_count = max(stats.values())
+        if best_count < min_pair_freq:
+            break
+        a, b = min(p for p, c in stats.items() if c == best_count)
+        merges.append((a, b, best_count))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_crafted_vocabulary(spark):
+    from linqonsteroids_spark.operators.bpe import train_bpe
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = spark.createDataFrame(list(freqs.items()), "word string, freq long")
+    got = train_bpe(words, n_merges=6)
+    assert got == _ref_bpe(freqs, 6)
+    # classic example: 'est' forms early from newest+widest (freq 9)
+    assert got[0] == ("e", "s", 9) and got[1] == ("es", "t", 9)
+
+
+def test_bpe_matches_reference_on_corpus(spark):
+    """Bit-exact differential vs the pure-Python reference on the real
+    sf0.001 documents table — the rows-only gate's correctness evidence."""
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.bpe import train_bpe, word_frequencies
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wf = word_frequencies(docs)
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
+    got = train_bpe(wf, n_merges=8)
+    assert got == _ref_bpe(freqs, 8)
+    assert len(got) == 8  # real text: 8 merges always reachable
+
+
+def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
+    from linqonsteroids_spark.operators.bpe import train_bpe
+
+    # "aaaa"×3: pair (a,a) counts 9 (overlapping stats), but the merge is
+    # non-overlapping: aaaa → (aa)(aa), so round 2 sees (aa,aa) count 3
+    words = spark.createDataFrame([("aaaa", 3)], "word string, freq long")
+    got = train_bpe(words, n_merges=2)
+    assert got == [("a", "a", 9), ("aa", "aa", 3)]
