@@ -99,6 +99,7 @@ EXTRA = [
     "weighted_sample_per_source",
     "streaming_cdc_snapshot",
     "bpe_learned_merges",
+    "triangle_count_coparts",
 ]
 
 

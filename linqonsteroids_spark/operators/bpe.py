@@ -85,6 +85,42 @@ def _merge_round(words: DataFrame, a: str, b: str) -> DataFrame:
     return words.mapInPandas(apply, words.schema)
 
 
+def apply_merges(
+    df: DataFrame, merges: list[tuple[str, str, int]], word_col: str = "word"
+) -> DataFrame:
+    """Encode: segment ``word_col`` with a learned merge table (applied in
+    learned order, each left-to-right non-overlapping — the standard BPE
+    encode loop). Adds a ``syms array<string>`` column.
+
+    One Arrow stage, zero shuffle — the merge table ships in the closure
+    (broadcast-sized: a tokenizer has 10k–100k merges)."""
+    order = [(a, b) for a, b, *_ in merges]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, syms array<string>"
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for w in pdf[word_col]:
+                syms = list(w) if isinstance(w, str) else []
+                for a, b in order:
+                    i, merged = 0, []
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                out.append(syms)
+            pdf["syms"] = out
+            yield pdf
+
+    return df.mapInPandas(encode, schema)
+
+
 def train_bpe(
     words: DataFrame, n_merges: int, min_pair_freq: int = 2
 ) -> list[tuple[str, str, int]]:

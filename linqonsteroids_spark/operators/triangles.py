@@ -1,0 +1,69 @@
+"""Triangle counting with degree orientation.
+
+Triangle count is the standard graph-shape statistic (clustering
+coefficient numerator, spam/botnet signal on link graphs). The naive
+relational form — a three-way self-join of the edge list — explodes on
+skewed graphs: a hub of degree d contributes O(d²) wedge rows. The fix is
+DEGREE ORIENTATION (Suri & Vassilvitskii, WWW 2011 "Counting Triangles
+and the Curse of the Last Reducer" — public): orient every undirected
+edge from its lower-degree endpoint to its higher-degree endpoint (ties
+by node id), generate wedges only from ORIENTED out-neighborhoods, and
+close them against oriented edges. Every triangle is counted exactly
+once, and per-node wedge work drops from O(deg²) to O(out_deg²) with
+out_deg ≤ O(sqrt(|E|)) — the bound that tames hubs at 100 TB.
+
+Shuffle budget: degree agg (1) + two joins attaching degrees (AQE/
+broadcast-planned) + wedge self-join on the pivot (1) + closing semi-join
+on the wedge endpoints (1). All equi-joins — no cartesian anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orient_edges(edges: DataFrame) -> DataFrame:
+    """(lo, hi) undirected distinct edges → (src, dst) oriented by
+    (degree, id): src is the endpoint with smaller (degree, id).
+
+    ``edges`` must be canonical: lo < hi, one row per undirected edge."""
+    deg = (
+        edges.select(F.col("lo").alias("node"))
+        .unionAll(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("node", "lo"), "lo")
+        .withColumnRenamed("deg", "deg_lo")
+        .join(
+            deg.withColumnRenamed("node", "hi").withColumnRenamed("deg", "deg_hi"),
+            "hi",
+        )
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    return with_deg.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given as canonical (lo, hi)
+    distinct edges. Returns a 1-row (n_triangles) DataFrame."""
+    oriented = orient_edges(edges)
+    a = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("b"))
+    c = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("c"))
+    # each unordered out-neighbor pair once; orientation makes the wedge
+    # set per pivot O(out_deg²) with out_deg ≤ O(sqrt(|E|))
+    wedges = a.join(c, "pivot").filter(F.col("b") < F.col("c"))
+    closing = edges.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c")
+    )  # wedge endpoints are b < c — already canonical
+    return (
+        wedges.join(closing, ["b", "c"], "left_semi")
+        .agg(F.count("*").alias("n_triangles"))
+    )

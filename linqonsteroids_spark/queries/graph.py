@@ -120,7 +120,46 @@ WITH edges AS (
 PAGERANK_SQL = _pagerank_sql()
 
 
+# --- triangle counting on the part co-order graph ---------------------------
+# Parts are connected when some order contains both (the co-occurrence
+# graph a recommender mines). Edge generation is a self-join blocked by
+# the natural key (order) — per-order fanout is bounded by order size, so
+# it is NOT an all-pairs pattern. Counting uses degree orientation
+# (operators/triangles.py) so hub parts cost O(out_deg²), out_deg ≤
+# O(sqrt(|E|)), not O(deg²). The oracle counts the same triangles with
+# the naive ordered 3-way join (a < b < c).
+def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.triangles import triangle_count
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("lo"), F.col("b.p").alias("hi"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+TRIANGLE_COPARTS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT a.p AS lo, b.p AS hi
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+"""
+
+
 QUERIES = {
     "nation_transitive_closure": (nation_transitive_closure, NATION_TC_SQL),
     "pagerank_order_parts": (pagerank_order_parts, PAGERANK_SQL),
+    "triangle_count_coparts": (triangle_count_coparts, TRIANGLE_COPARTS_SQL),
 }

@@ -542,3 +542,99 @@ def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
     words = spark.createDataFrame([("aaaa", 3)], "word string, freq long")
     got = train_bpe(words, n_merges=2)
     assert got == [("a", "a", 9), ("aa", "aa", 3)]
+
+
+# --- degree-oriented triangle counting (operators/triangles.py) -------------
+
+
+def test_triangle_count_crafted_graphs(spark):
+    from linqonsteroids_spark.operators.triangles import triangle_count
+
+    def count(pairs):
+        e = spark.createDataFrame(pairs, "lo long, hi long")
+        return triangle_count(e).collect()[0]["n_triangles"]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert count(k4) == 4
+    star = [(0, k) for k in range(1, 8)]  # hub with no closing edges
+    assert count(star) == 0
+    assert count(star + [(1, 2)]) == 1  # one closed wedge through the hub
+
+
+def test_triangle_orientation_equals_naive_on_random_graph(spark):
+    """The degree-oriented count must equal the naive ordered 3-way join
+    on a random graph (including skewed degrees)."""
+    import random
+
+    rng = random.Random(7)
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randint(0, 30), rng.randint(0, 30)) for _ in range(250)
+            )
+            if a != b
+        }
+    )
+    from linqonsteroids_spark.operators.triangles import triangle_count
+
+    e = spark.createDataFrame(pairs, "lo long, hi long")
+    got = triangle_count(e).collect()[0]["n_triangles"]
+    es = set(pairs)
+    naive = sum(
+        1
+        for (a, b) in pairs
+        for c in range(31)
+        if b < c and (a, c) in es and (b, c) in es
+    )
+    assert got == naive > 0
+
+
+def test_triangle_wedges_bounded_by_orientation(spark):
+    """A degree-d hub must generate ZERO wedges from its own
+    neighborhood: orientation points every hub edge INTO the hub, so the
+    star's wedge relation is empty (the curse-of-the-last-reducer fix)."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.triangles import orient_edges
+
+    star = spark.createDataFrame(
+        [(0, k) for k in range(1, 101)], "lo long, hi long"
+    )
+    oriented = orient_edges(star)
+    # leaves (deg 1) orient toward the hub (deg 100): out_deg(hub) == 0
+    assert oriented.filter(F.col("src") == 0).count() == 0
+    out_degs = oriented.groupBy("src").count()
+    assert out_degs.agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_bpe_apply_merges_segments_like_training_state(spark):
+    """Encoding a training word with the learned merges reproduces the
+    training loop's final symbol state (train/encode consistency)."""
+    from linqonsteroids_spark.operators.bpe import apply_merges, train_bpe
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = spark.createDataFrame(list(freqs.items()), "word string, freq long")
+    merges = train_bpe(words, n_merges=6)
+    seg = {
+        r["word"]: r["syms"] for r in apply_merges(words, merges).collect()
+    }
+    # reference final state from the pure-Python loop
+    syms = {w: list(w) for w in freqs}
+    for a, b, _ in merges:
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert seg == syms
+    # unseen word segments with learned subwords, zero shuffle
+    unseen = spark.createDataFrame([("lowest", 1)], "word string, freq long")
+    enc = apply_merges(unseen, merges)
+    assert "Exchange" not in enc._jdf.queryExecution().executedPlan().toString()
+    assert "".join(enc.collect()[0]["syms"]) == "lowest"
