@@ -288,6 +288,43 @@ class IncrementalAggMV:
             .parquet(self.mv_path)
         )
 
+    def compact(self, min_files: int = 2) -> list[int]:
+        """Small-file maintenance: every bucketed merge appends files, so a
+        long-lived MV accumulates one file per touched-bucket per batch —
+        the classic streaming-sink small-file problem. ``compact()``
+        rewrites each bucket holding >= ``min_files`` parquet files into
+        exactly one file (hash-repartitioned so one task owns each bucket),
+        replacing ONLY those buckets via dynamic partition overwrite;
+        buckets below the threshold keep their exact files, byte for byte.
+        Returns the compacted bucket ids.
+
+        Run it out-of-band (between refreshes), like OPTIMIZE on a Delta
+        table. The file census walks the local directory tree; on a
+        cluster store the same census comes from the FileSystem listing
+        the reader already performs."""
+        import glob
+
+        counts: dict[int, int] = {}
+        for f in glob.glob(os.path.join(self.mv_path, "mv_bucket=*", "*.parquet")):
+            b = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+            counts[b] = counts.get(b, 0) + 1
+        todo = sorted(b for b, c in counts.items() if c >= min_files)
+        if not todo:
+            return []
+        slice_df = (
+            self.spark.read.parquet(self.mv_path)
+            .filter(F.col("mv_bucket").isin(todo))
+            .repartition(len(todo), F.col("mv_bucket"))
+            .localCheckpoint(eager=True)  # materialize before overwriting
+        )
+        (
+            slice_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("mv_bucket")
+            .parquet(self.mv_path)
+        )
+        return todo
+
     def refresh_available(self) -> None:
         """Merge all not-yet-seen source files into the MV and stop."""
         reader = self.spark.readStream.schema(self.schema)

@@ -408,3 +408,70 @@ def test_cdc_upsert_mv_batch_carving_invariance(spark, dirs):
 
     assert run("_one", [changes]) == run("_two", [changes[:2], changes[2:]])
     assert run("_one2", [changes]) == [(1, "set", 30, 3)]
+
+
+def test_incremental_mv_compaction(spark, dirs):
+    """compact() folds a multi-file bucket to ONE file without changing
+    the data, and leaves below-threshold buckets byte-identical."""
+    import glob
+    import os
+
+    from linqonsteroids_spark.streaming import IncrementalAggMV
+
+    # pick users by their actual bucket: several keys in bucket 0 (their
+    # partial-agg rows land in different groupBy tasks -> several files in
+    # one merge), exactly one key in bucket 1 (one task -> one file)
+    probe = spark.createDataFrame(
+        [(u,) for u in range(1, 40)], "user_id long"
+    ).selectExpr("user_id", "pmod(xxhash64(user_id), 2) AS b").collect()
+    b0 = [r.user_id for r in probe if r.b == 0][:6]
+    b1 = [r.user_id for r in probe if r.b == 1][:1]
+
+    mv = IncrementalAggMV(
+        spark, dirs["src"], SCHEMA, key="user_id",
+        aggs={"n": ("sum", F.count("*")), "total": ("sum", F.sum("value"))},
+        mv_path=dirs["mv"], checkpoint_dir=dirs["ckpt"], n_buckets=2,
+    )
+    _write_batch(
+        spark, dirs["src"], [(u, "a", _ts(1), 10) for u in b0 + b1]
+    )
+    mv.refresh_available()
+
+    # AQE coalesces this tiny merge to one task, so fabricate the
+    # multi-generation state a long-lived MV accumulates: split bucket 0's
+    # file into two valid halves (same rows, two files)
+    import shutil
+
+    b0_dir = os.path.join(dirs["mv"], "mv_bucket=0")
+    split_dir = os.path.join(dirs["mv"], "_split_tmp")
+    (
+        spark.read.parquet(dirs["mv"])
+        .filter("mv_bucket = 0")
+        .drop("mv_bucket")
+        .repartition(2)
+        .write.parquet(split_dir)
+    )
+    for f in glob.glob(os.path.join(b0_dir, "*.parquet")):
+        os.remove(f)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(split_dir, "*.parquet")))):
+        shutil.copy(f, os.path.join(b0_dir, f"gen{i}-{os.path.basename(f)}"))
+    shutil.rmtree(split_dir)
+
+    def census():
+        out = {}
+        for f in glob.glob(os.path.join(dirs["mv"], "mv_bucket=*", "*.parquet")):
+            b = os.path.basename(os.path.dirname(f))
+            out.setdefault(b, []).append((os.path.basename(f), os.path.getsize(f)))
+        return {b: sorted(v) for b, v in out.items()}
+
+    before_rows = sorted(map(tuple, mv.read().collect()))
+    before_files = census()
+    assert len(before_files["mv_bucket=0"]) >= 2  # the small-file problem
+    assert len(before_files["mv_bucket=1"]) == 1
+
+    assert mv.compact(min_files=2) == [0]
+    after_files = census()
+    assert len(after_files["mv_bucket=0"]) == 1          # folded to one file
+    assert after_files["mv_bucket=1"] == before_files["mv_bucket=1"]  # untouched
+    assert sorted(map(tuple, mv.read().collect())) == before_rows
+    assert mv.compact(min_files=2) == []  # idempotent: nothing left to do
