@@ -100,6 +100,7 @@ EXTRA = [
     "streaming_cdc_snapshot",
     "bpe_learned_merges",
     "triangle_count_coparts",
+    "pagerank_order_parts_bucketed",
 ]
 
 

@@ -17,11 +17,15 @@ documented, engine-identical variant choice.
 
 Scale design (100 TB graph):
 - The edge relation is the iteration invariant: it is joined on ``src``
-  every round, so it is hash-repartitioned on ``src`` ONCE and
-  localCheckpointed — each iteration's rank join reuses that layout and
-  only the (node, rank) relation (O(V), far smaller than O(E)) moves per
-  round. Same static-side strategy as the bucketed-edge connected
-  components (``fixpoint.py``).
+  every round. With ``bucket_edges=True`` it is persisted ONCE as a
+  bucketed+sorted table on ``src`` (``fixpoint._persist_edges`` — scan
+  partitioning satisfies the join requirement), so each round's rank join
+  scans the O(E) side Exchange-free and only the (node, rank) relation
+  (O(V), far smaller) moves per round — pinned in ``test_plans``. The
+  default localCheckpoint path materializes the edges but loses
+  outputPartitioning at the SQL layer (Catalyst re-Exchanges per round) —
+  fine single-process, wrong at cluster scale; same trade as the
+  connected-components edge side.
 - Per-round cost: one co-partitioned join + one map-side-combined sum on
   ``dst`` + one left join back to the node set. Rounds are fixed
   (``n_iterations``), not convergence-polled — no driver-side collect of
@@ -46,6 +50,7 @@ def pagerank(
     scale: int = SCALE,
     damping_num: int = DAMPING_NUM,
     damping_den: int = DAMPING_DEN,
+    bucket_edges: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) edge relation.
 
@@ -62,13 +67,11 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # one driver scalar — the only collect in the operator
+    from linqonsteroids_spark.operators.fixpoint import _persist_edges
+
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # static iteration side: partitioned on the join key once, reused per round
-    edged = (
-        edges.join(deg, "src")
-        .repartition(F.col("src"))
-        .localCheckpoint()
-    )
+    # static iteration side: persisted once; bucketed → Exchange-free rounds
+    edged = _persist_edges(edges.join(deg, "src"), bucket=bucket_edges, key="src")
     base = (scale * (damping_den - damping_num) // damping_den) // n
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
     for _ in range(n_iterations):

@@ -76,6 +76,18 @@ def pagerank_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_order_part_edges(spark, sf_dir), n_iterations=_PR_ITERS)
 
 
+def pagerank_order_parts_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranks through the bucketed-static-edges path: the O(E) side is
+    persisted once as a bucketed table and every round's join scans it
+    Exchange-free (pinned in test_plans)."""
+    from linqonsteroids_spark.operators.pagerank import pagerank
+
+    return pagerank(
+        _order_part_edges(spark, sf_dir), n_iterations=_PR_ITERS,
+        bucket_edges=True,
+    )
+
+
 def _pagerank_sql() -> str:
     from linqonsteroids_spark.operators.pagerank import (
         DAMPING_DEN,
@@ -161,5 +173,6 @@ JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 QUERIES = {
     "nation_transitive_closure": (nation_transitive_closure, NATION_TC_SQL),
     "pagerank_order_parts": (pagerank_order_parts, PAGERANK_SQL),
+    "pagerank_order_parts_bucketed": (pagerank_order_parts_bucketed, PAGERANK_SQL),
     "triangle_count_coparts": (triangle_count_coparts, TRIANGLE_COPARTS_SQL),
 }

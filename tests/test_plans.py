@@ -294,3 +294,85 @@ def test_ngram_novelty_aqe_shuffle_join_on_shingle(spark):
         "doc_id", "n_shingles", "n_shared", "shared_ppm"
     ]
     assert df.schema["shared_ppm"].dataType.simpleString() == "bigint"
+
+
+# --- round-5 gates: plan-shape pins ------------------------------------------
+
+
+def test_triangle_count_has_no_cartesian(spark):
+    """Every stage of the degree-oriented triangle count is an equi-join:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere — the property
+    that distinguishes it from a naive θ-join formulation."""
+    from linqonsteroids_spark.queries.graph import triangle_count_coparts
+
+    plan = _physical(triangle_count_coparts(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_shuffles_fixed_width_rows(spark):
+    """span_dedup_stats' shuffled relations carry the md5 fingerprint and
+    integer offsets — the raw window text must be projected away before
+    any Exchange (shuffle bytes per row stay constant, not O(text))."""
+    from linqonsteroids_spark.queries.dedup import span_dedup_stats
+
+    plan = _physical(span_dedup_stats(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # every Exchange's immediate child projects span away: its output list
+    # carries only ids/offsets/hash/partial-agg buffers, never the text
+    lines = plan.splitlines()
+    checked = 0
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning" in line and i + 1 < len(lines):
+            child = lines[i + 1]
+            if "output=[" in child:
+                out = child.split("output=[", 1)[1].split("]", 1)[0]
+                assert "span#" not in out, f"window text shuffled: {child}"
+                checked += 1
+    assert checked >= 2  # the whash-frequency agg and the per-doc agg
+
+
+def test_pagerank_bucketed_edges_drop_round_exchange(spark):
+    """With bucket_edges the round body's edge side scans Exchange-free:
+    one fewer Exchange than the localCheckpoint path (the same criterion
+    pinned for semi-naive TC and bucketed CC), and the ranks agree."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.fixpoint import _persist_edges
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1000000).cast("long").alias("rank")
+    )
+
+    def exchanges(static_side):
+        joined = static_side.join(ranks.withColumnRenamed("node", "src"), "src")
+        return joined._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = exchanges(_persist_edges(edges.join(deg, "src"), bucket=False, key="src"))
+        bucketed = exchanges(_persist_edges(edges.join(deg, "src"), bucket=True, key="src"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert bucketed == plain - 1
+
+    from linqonsteroids_spark.operators.pagerank import pagerank
+
+    a = sorted(map(tuple, pagerank(edges, n_iterations=2).collect()))
+    b = sorted(map(tuple, pagerank(edges, n_iterations=2, bucket_edges=True).collect()))
+    assert a == b
+
+
+def test_weighted_sample_priority_is_integer_typed(spark):
+    """The hashed gate projection must be all-integer (the hash-stability
+    discipline): no double column anywhere in the output schema."""
+    from linqonsteroids_spark.queries.pipeline import weighted_sample_per_source
+
+    df = weighted_sample_per_source(spark, SF_SMOKE)
+    kinds = {f.dataType.simpleString() for f in df.schema}
+    assert kinds == {"bigint", "string"}
