@@ -583,6 +583,12 @@ class Lifted:
     def intersect(self, other: "Lifted") -> "Lifted":
         return self._with(self.df.intersect(other.df), kind="set")
 
+    def intersect_all(self, other: "Lifted") -> "Lifted":
+        """Bag intersection: per-element multiplicity = min of both sides
+        (ANSI INTERSECT ALL) — the multiset form the reference's set-only
+        stubs never covered."""
+        return self._with(self.df.intersectAll(other.df))
+
     def contains_row(self, **values: Any) -> "Scalar":
         cond = None
         for k, v in values.items():

@@ -62,7 +62,7 @@ _ROTATION = [
     "span_dedup_stats", "cdc_latest_snapshot", "cdc_scd2_history",
     "pagerank_order_parts", "weighted_sample_per_source",
     "streaming_cdc_snapshot", "bpe_learned_merges", "triangle_count_coparts",
-    "pagerank_order_parts_bucketed",
+    "pagerank_order_parts_bucketed", "brand_except_all", "brand_intersect_all",
     # -- output changed this round: need fresh driver rows ------------------
     "fuzzy_part_pairs", "doc_quality", "benchmark_contamination",
     # -- last green in round 2 ----------------------------------------------
@@ -74,16 +74,16 @@ _ROTATION = [
     "flagship_order_records", "pricing_summary", "shipping_priority",
     "nation_transitive_closure", "knn_bruteforce", "dedup_minhash_pairs",
     "dedup_clusters", "format_roundtrip_supplier",
-    "first_last_order_per_customer", "customer_key_regex",
     "salted_supplier_volume", "salted_status_stats",
     "knn_ivf_exact", "streaming_user_totals", "incremental_mv_event_stats",
     "indexed_segment_lookup", "indexed_computed_key_lookup",
     "indexed_join_lookup", "indexed_chain_lookup", "bucketed_mv_join",
-    # (cast_matrix, option_last_event, multimodal_image_stats,
-    # udaf_weighted_price, multimodal_frame_counts,
-    # nation_full_outer_counts, small_quantity_revenue, order_qty_foldhash,
-    # collect_urgency_scores rotate out this round — r3-green, least stale
-    # of the r3 cohort — to make window room for the nine new
+    # (first_last_order_per_customer, customer_key_regex, cast_matrix,
+    # option_last_event, multimodal_image_stats, udaf_weighted_price,
+    # multimodal_frame_counts, nation_full_outer_counts,
+    # small_quantity_revenue, order_qty_foldhash, collect_urgency_scores
+    # rotate out this round — r3-green, least stale of the r3 cohort, all
+    # pytest-covered — to make window room for the eleven new
     # never-sampled gates; window stays at exactly 50.)
 ]
 

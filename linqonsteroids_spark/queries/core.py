@@ -315,6 +315,42 @@ SELECT p_brand FROM part WHERE p_retailprice > 1200.0
 """
 
 
+# --- bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) ---------------------
+# The reference's setIntersection/setDifference stubs never distinguished
+# bag from set semantics (SmartIVM.scala sets only); the engine carries
+# both: the Bag kind multiset forms preserve per-element multiplicity —
+# ANSI EXCEPT ALL / INTERSECT ALL, Spark exceptAll/intersectAll. Same
+# single-shuffle count-compare aggregation under the hood as the set
+# forms; multiplicities make the gates sensitive to duplicate handling
+# the distinct forms can't see.
+def brand_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") >= 25).select("p_brand")
+    small = part.filter(F.col("p_size") <= 10).select("p_brand")
+    return big.exceptAll(small)
+
+
+BRAND_EXCEPT_ALL_SQL = """
+SELECT p_brand FROM part WHERE p_size >= 25
+EXCEPT ALL
+SELECT p_brand FROM part WHERE p_size <= 10
+"""
+
+
+def brand_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") >= 25).select("p_brand")
+    pricey = part.filter(F.col("p_retailprice") > 900.0).select("p_brand")
+    return big.intersectAll(pricey)
+
+
+BRAND_INTERSECT_ALL_SQL = """
+SELECT p_brand FROM part WHERE p_size >= 25
+INTERSECT ALL
+SELECT p_brand FROM part WHERE p_retailprice > 900.0
+"""
+
+
 # --- toSet / distinct (SURVEY §2.4 toSet) ---------------------------------
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
@@ -456,6 +492,8 @@ QUERIES = {
     "brand_union": (brand_union, BRAND_UNION_SQL),
     "brand_except": (brand_except, BRAND_EXCEPT_SQL),
     "brand_intersect": (brand_intersect, BRAND_INTERSECT_SQL),
+    "brand_except_all": (brand_except_all, BRAND_EXCEPT_ALL_SQL),
+    "brand_intersect_all": (brand_intersect_all, BRAND_INTERSECT_ALL_SQL),
     "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "orders_by_priority": (orders_by_priority, ORDERS_BY_PRIORITY_SQL),
     "rollup_priority_status": (rollup_priority_status, ROLLUP_SQL),
