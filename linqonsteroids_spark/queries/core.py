@@ -304,14 +304,16 @@ SELECT p_brand FROM part WHERE p_size <= 10
 def brand_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     big = part.filter(F.col("p_size") >= 25).select("p_brand")
-    pricey = part.filter(F.col("p_retailprice") > 1200.0).select("p_brand")
+    # 900: the synthetic prices top out under 1000 — the original 1200
+    # cutoff made this a 0-row gate (matches any empty result; no evidence)
+    pricey = part.filter(F.col("p_retailprice") > 900.0).select("p_brand")
     return big.intersect(pricey)
 
 
 BRAND_INTERSECT_SQL = """
 SELECT p_brand FROM part WHERE p_size >= 25
 INTERSECT
-SELECT p_brand FROM part WHERE p_retailprice > 1200.0
+SELECT p_brand FROM part WHERE p_retailprice > 900.0
 """
 
 
