@@ -217,6 +217,32 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+# Non-empty anti-join twin: in this testdata every customer has orders, so
+# the gate above proves only that the anti-join emits no spurious rows
+# (0 == 0). Restricting the right side to urgent orders makes the
+# complement real (hundreds of surviving customers) — evidence that the
+# anti-join keeps exactly the unmatched left rows, not merely none.
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        urgent, customer.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITHOUT_URGENT_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
 # --- theta self-join (cross + filter) -------------------------------------
 # Reference: nested flatMap = cartesian product; cartProdToJoin extracts the
 # equi-part (FoldPhysicalOperators.scala:14-56) — Catalyst's
@@ -290,14 +316,20 @@ SELECT p_brand FROM part WHERE p_retailprice > 1500.0
 def brand_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     big = part.filter(F.col("p_size") >= 25).select("p_brand")
-    small = part.filter(F.col("p_size") <= 10).select("p_brand")
-    return big.subtract(small)
+    # every brand occurs at every size in this data, so subtracting all
+    # small-part brands yielded the empty set (a 0-row gate matches any
+    # empty result — no evidence); the rarer right side keeps the
+    # difference real at every SF
+    small_pricey = part.filter(
+        (F.col("p_size") <= 10) & (F.col("p_retailprice") > 999.0)
+    ).select("p_brand")
+    return big.subtract(small_pricey)
 
 
 BRAND_EXCEPT_SQL = """
 SELECT p_brand FROM part WHERE p_size >= 25
 EXCEPT
-SELECT p_brand FROM part WHERE p_size <= 10
+SELECT p_brand FROM part WHERE p_size <= 10 AND p_retailprice > 999.0
 """
 
 
@@ -489,6 +521,10 @@ QUERIES = {
         CUSTOMERS_WITH_URGENT_ORDERS_SQL,
     ),
     "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
+    "customers_without_urgent_orders": (
+        customers_without_urgent_orders,
+        CUSTOMERS_WITHOUT_URGENT_SQL,
+    ),
     "nation_pairs_same_region": (nation_pairs_same_region, NATION_PAIRS_SQL),
     "customer_order_counts": (customer_order_counts, CUSTOMER_ORDER_COUNTS_SQL),
     "brand_union": (brand_union, BRAND_UNION_SQL),
