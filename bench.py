@@ -101,6 +101,7 @@ EXTRA = [
     "bpe_learned_merges",
     "triangle_count_coparts",
     "pagerank_order_parts_bucketed",
+    "events_hourly_gapfill",
 ]
 
 

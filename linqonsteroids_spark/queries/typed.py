@@ -200,8 +200,62 @@ def asof_purchase_click_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- time-series gap filling (resample to a dense hourly grid) --------------
+# Downstream consumers of event-rate series (anomaly detection, charting,
+# forecasting features) need DENSE series: an hour with no events must be
+# an explicit 0 row, not a hole. Per event type: hourly counts, then a
+# spine of every hour in that type's own [min, max] span, left-joined and
+# zero-filled.
+# Scale: the only corpus-sized work is one map-side-combined (type, hour)
+# count agg; the spine derives from a 1-row-per-type bounds agg expanded
+# row-locally with `sequence` (O(types × hours) rows — metadata-sized next
+# to the events), and the fill join runs on that small grid. No window, no
+# driver loop, no per-row Python.
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    spine = (
+        ev.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    return spine.join(
+        counts,
+        (spine.event_type == counts.event_type) & (spine.hour_ts == counts.h),
+        "left",
+    ).select(
+        spine.event_type,
+        "hour_ts",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH t AS (
+  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+), counts AS (
+  SELECT event_type, h, count(*) AS n FROM t GROUP BY event_type, h
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS hour_ts
+  FROM t GROUP BY event_type
+)
+SELECT s.event_type, s.hour_ts, coalesce(c.n, 0) AS n_events
+FROM spine s LEFT JOIN counts c
+  ON c.event_type = s.event_type AND c.h = s.hour_ts
+"""
+
+
 QUERIES = {
     "typefilter_clicks": (typefilter_clicks, TYPEFILTER_SQL),
+    "events_hourly_gapfill": (events_hourly_gapfill, EVENTS_GAPFILL_SQL),
     "typecase_events": (typecase_events, TYPECASE_SQL),
     "events_json_stats": (events_json_stats, EVENTS_JSON_SQL),
     "orders_monthly_revenue": (orders_monthly_revenue, ORDERS_MONTHLY_SQL),
