@@ -324,8 +324,39 @@ FROM events WHERE event_type = 'click'
 """
 
 
+# --- null-safe equi-join (<=> / IS NOT DISTINCT FROM) -----------------------
+# The join-key corner every outer-join/dedup pipeline eventually hits:
+# NULL keys must MATCH each other under null-safe equality (standard
+# equality drops them silently). Customers in BUILDING get a NULL derived
+# key (nullif) and must land on the dim's NULL row. Scale: the dim is an
+# inline broadcast relation; the null-safe predicate stays a hashable
+# equi-join key in Spark (EqualNullSafe), not a θ-join.
+def null_safe_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg_key")
+    )
+    dim = spark.createDataFrame(
+        [("AUTOMOBILE", "auto"), ("MACHINERY", "mach"), (None, "unsegmented")],
+        "seg_key string, label string",
+    )
+    return customer.join(
+        F.broadcast(dim), customer.seg_key.eqNullSafe(dim.seg_key)
+    ).select("c_custkey", "label")
+
+
+NULL_SAFE_JOIN_SQL = """
+SELECT c.c_custkey, d.label
+FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_key
+      FROM customer) c
+JOIN (VALUES ('AUTOMOBILE', 'auto'), ('MACHINERY', 'mach'),
+             (NULL, 'unsegmented')) AS d(seg_key, label)
+  ON c.seg_key IS NOT DISTINCT FROM d.seg_key
+"""
+
+
 QUERIES = {
     "nation_full_outer_counts": (nation_full_outer_counts, FULL_OUTER_SQL),
+    "null_safe_segment_join": (null_safe_segment_join, NULL_SAFE_JOIN_SQL),
     "small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
     "events_trailing_hour_value": (events_trailing_hour_value, RANGE_FRAME_SQL),
     "order_qty_foldhash": (order_qty_foldhash, FOLDHASH_SQL),
