@@ -101,3 +101,71 @@ def test_salted_aggregate_equals_plain(spark):
         ).collect()
     }
     assert salted == plain
+
+
+# --- Z-order layout (sources/zorder.py) --------------------------------------
+
+
+def _file_spans(path, col):
+    """Per-parquet-file (min, max) of `col` from the footer statistics —
+    exactly the metadata a scan uses to skip files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            spans.append((lo, hi))
+    return spans
+
+
+def test_zorder_narrows_both_columns_file_spans(spark, tmp_path):
+    """The point of z-order: after laying out on morton(x, y), BOTH
+    columns have narrow per-file min/max spans, so a filter on EITHER
+    prunes most files from footer stats. A y-sorted layout gives y
+    locality but leaves x spanning the full domain in every file."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.sources.zorder import write_zordered, zorder_code
+
+    n = 1 << 14
+    grid = spark.range(n).select(
+        (F.col("id") % 128).alias("x"), (F.col("id") / 128).cast("long").alias("y")
+    )
+    z_path, y_path = str(tmp_path / "z"), str(tmp_path / "y")
+    write_zordered(grid, z_path, ["x", "y"], n_files=16)
+    (
+        grid.repartitionByRange(16, F.col("y"))
+        .sortWithinPartitions("y")
+        .write.mode("overwrite")
+        .parquet(y_path)
+    )
+
+    def mean_span(path, col, domain):
+        spans = _file_spans(path, col)
+        assert spans
+        return sum(hi - lo for lo, hi in spans) / len(spans) / domain
+
+    # y-sorted: y tight, x spans ~the whole domain in every file
+    assert mean_span(y_path, "x", 127) > 0.9
+    # z-ordered: BOTH columns' file spans cover a fraction of the domain
+    assert mean_span(z_path, "x", 127) < 0.5
+    assert mean_span(z_path, "y", 127) < 0.5
+    # layout is a pure function of the data: codes reproduce exactly
+    a = zorder_code(grid, ["x", "y"]).select("_zcode").collect()
+    b = zorder_code(grid, ["x", "y"]).select("_zcode").collect()
+    assert sorted(r[0] for r in a) == sorted(r[0] for r in b)
+    # and the written relation is unchanged as a multiset
+    back = spark.read.parquet(z_path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, grid.collect()))
