@@ -376,3 +376,34 @@ def test_weighted_sample_priority_is_integer_typed(spark):
     df = weighted_sample_per_source(spark, SF_SMOKE)
     kinds = {f.dataType.simpleString() for f in df.schema}
     assert kinds == {"bigint", "string"}
+
+
+def test_runtime_bloom_filter_injected_on_selective_dim_join(spark):
+    """At cluster scale, Catalyst's runtime row-filtering injects a bloom
+    filter built from a selective (filtered) build side into the fact-side
+    scan, pruning fact rows before the shuffle. The size thresholds that
+    gate it are tuned for real deployments, so this pin lowers them to
+    prove the feature engages on the engine's join shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        supplier = load_table(spark, SF_SMOKE, "supplier").filter(
+            F.col("s_acctbal") > 9000.0
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        joined = li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        plan = _physical(joined)
+        assert "bloom_filter" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
