@@ -216,7 +216,34 @@ def sql_surface_revenue(spark, sf_dir):
     return spark.sql(SQL_SURFACE_Q6)
 
 
+# --- bivariate statistics: correlation / covariance --------------------------
+# Named-agg breadth beyond the reference's fold surface: Pearson
+# correlation and sample covariance per group. Both engines aggregate
+# co-moments distributively (map-side combined, one shuffle); the
+# round(4)/round(2) projection absorbs partition-order float drift (the
+# stddev/quartile gates' long-green precedent).
+def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+QTY_PRICE_CORR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
+    "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
     "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_Q6),
     "format_roundtrip_supplier": (format_roundtrip_supplier, FORMAT_ROUNDTRIP_SQL),
