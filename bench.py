@@ -102,6 +102,7 @@ EXTRA = [
     "triangle_count_coparts",
     "pagerank_order_parts_bucketed",
     "events_hourly_gapfill",
+    "streaming_trending_users",
 ]
 
 

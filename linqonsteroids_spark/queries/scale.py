@@ -574,6 +574,77 @@ FROM events GROUP BY event_type
 """
 
 
+# --- continuous trending top-k (streaming agg + batch-side rank) ------------
+# "Most active users per hour, maintained continuously": the hourly
+# (window, user) counts are an incremental streaming aggregate; the top-k
+# RANK is not streamable (ranking windows are unsupported on unbounded
+# streams), so it runs as StreamingIndex.post_transform INSIDE the
+# foreachBatch sink over the small aggregated result — engine maintains
+# the counts, the sink finishes the leaderboard. Scale: rank input is
+# O(windows × users-with-events), already reduced; the only corpus-sized
+# work is the streaming aggregate itself.
+_TRENDING_K = 3
+
+
+def streaming_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from linqonsteroids_spark.session import scratch_dir
+    from linqonsteroids_spark.streaming import StreamingIndex
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    base = scratch_dir(prefix="squopt_trend_")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = normalize_events_ts(stream)
+        return (
+            ev.groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("window.start").alias("window_start"), "user_id", "n_events"
+            )
+        )
+
+    def rank_topk(batch: DataFrame) -> DataFrame:
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("user_id")
+        )
+        return (
+            batch.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _TRENDING_K)
+        )
+
+    idx = StreamingIndex(
+        spark,
+        sf_dir,
+        schema,
+        transform=transform,
+        mv_path=f"{base}/mv",
+        checkpoint_dir=f"{base}/ckpt",
+        path_glob="events.parquet",
+        post_transform=rank_topk,
+    )
+    idx.refresh_available()
+    return idx.read()
+
+
+STREAMING_TRENDING_SQL = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_events, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start ORDER BY n_events DESC, user_id ASC
+  ) AS rnk
+  FROM c
+)
+WHERE rnk <= {_TRENDING_K}
+"""
+
+
 # --- stream-static dimension enrichment ------------------------------------
 # The remaining table-stakes streaming join shape: an unbounded stream
 # enriched against a STATIC dimension. No state stores at all — the dim is
@@ -634,4 +705,5 @@ QUERIES = {
         STREAMING_ENRICHED_SQL,
     ),
     "streaming_mv_refresh": (streaming_mv_refresh, STREAMING_MV_SQL),
+    "streaming_trending_users": (streaming_trending_users, STREAMING_TRENDING_SQL),
 }

@@ -468,6 +468,7 @@ class StreamingIndex:
         mv_path: str,
         checkpoint_dir: str,
         path_glob: str | None = None,
+        post_transform: Callable[[DataFrame], DataFrame] | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -476,6 +477,13 @@ class StreamingIndex:
         self.mv_path = mv_path
         self.checkpoint_dir = checkpoint_dir
         self.path_glob = path_glob
+        #: batch-side finishing step applied INSIDE the foreachBatch sink,
+        #: where the frame is a plain batch DataFrame — the home for
+        #: operators Structured Streaming cannot run on an unbounded
+        #: stream (ranking windows, global sorts, top-k). The streaming
+        #: engine maintains the aggregate incrementally; the sink finishes
+        #: the small aggregated result per refresh.
+        self.post_transform = post_transform
 
     def refresh_available(self) -> None:
         """Process all data not yet seen (Trigger.AvailableNow), update the
@@ -487,7 +495,8 @@ class StreamingIndex:
         maintained = self.transform(stream)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.write.mode("overwrite").parquet(self.mv_path)
+            out = self.post_transform(batch_df) if self.post_transform else batch_df
+            out.write.mode("overwrite").parquet(self.mv_path)
 
         (
             maintained.writeStream.foreachBatch(_sink)
