@@ -103,6 +103,8 @@ EXTRA = [
     "pagerank_order_parts_bucketed",
     "events_hourly_gapfill",
     "streaming_trending_users",
+    "span_dedup_clean",
+    "vocab_growth_curve",
 ]
 
 

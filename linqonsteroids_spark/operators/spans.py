@@ -98,6 +98,60 @@ def covered_token_count(starts: F.Column, n: int) -> F.Column:
     )
 
 
+def dup_seed_starts(
+    docs: DataFrame, n: int = SPAN_N, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, starts) — sorted 0-based starts of this doc's duplicated
+    windows (fingerprint occurs >= 2 times corpus-wide). The shared first
+    half of the stats and removal pipelines."""
+    hashed = span_windows_df(docs, n, id_col, text_col).select(
+        id_col, "start", F.md5("span").alias("whash")
+    )
+    freq = hashed.groupBy("whash").agg(F.count("*").alias("n_occ"))
+    seeds = hashed.join(freq.filter(F.col("n_occ") >= 2).select("whash"), "whash")
+    return seeds.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("start")).alias("starts")
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, n: int = SPAN_N, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The removal half of exact substring dedup (Lee et al.): drop every
+    token position covered by a duplicated window and reconstruct the
+    document from the survivors.
+
+    Output: (id, clean_text, n_kept) over the canonical token stream
+    (lowercased ASCII-whitespace tokens — the same normalization the
+    fingerprints use, so removal boundaries align with detection).
+    Row-local reconstruction: one positional `filter` over the token
+    array with an `exists` probe into the doc's own (tiny) start list —
+    no covered-position relation, no second shuffle beyond the seed
+    aggregation."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    joined = (
+        docs.select(id_col, toks.alias("toks"))
+        .join(dup_seed_starts(docs, n, id_col, text_col), id_col, "left")
+        .withColumn(
+            "starts", F.coalesce(F.col("starts"), F.expr("CAST(array() AS array<long>)"))
+        )
+        .withColumn(
+            "kept",
+            F.expr(
+                f"filter(toks, (t, i) -> "
+                f"NOT exists(starts, s -> i >= s AND i < s + {n}))"
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+        F.size("kept").cast("long").alias("n_kept"),
+    )
+
+
 def duplicated_span_stats(
     docs: DataFrame, n: int = SPAN_N, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -212,6 +212,60 @@ FROM toks_t t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# The removal half: reconstruct every document with duplicated-span token
+# positions dropped (Lee et al.'s actual output — a cleaned corpus, not
+# just a report). Spark reconstructs row-locally (positional filter +
+# exists probe into the doc's own start list); the oracle rebuilds the
+# same survivors through an explicit covered-position anti-join.
+def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.spans import SPAN_N, remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, n=SPAN_N)
+
+
+def _span_clean_sql() -> str:
+    from linqonsteroids_spark.dedup.shingles import DUCK_TOKS
+    from linqonsteroids_spark.operators.spans import SPAN_N
+
+    n = SPAN_N
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+), w AS (
+  SELECT doc_id, start,
+         md5(array_to_string(toks[start + 1 : start + {n}], ' ')) AS whash
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, len(toks) - {n} + 1)) AS start
+    FROM toks_t WHERE len(toks) >= {n}
+  )
+), freq AS (
+  SELECT whash, count(*) AS n_occ FROM w GROUP BY whash
+), seeds AS (
+  SELECT w.doc_id, w.start FROM w JOIN freq USING (whash) WHERE freq.n_occ >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT doc_id, unnest(range(start, start + {n})) AS pos FROM seeds)
+), pos AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS p FROM toks_t
+), kept AS (
+  SELECT pos.doc_id, pos.p
+  FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.pos = pos.p
+  WHERE cov.pos IS NULL
+), rebuilt AS (
+  SELECT k.doc_id,
+         string_agg(t.toks[k.p + 1], ' ' ORDER BY k.p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept k JOIN toks_t t USING (doc_id)
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM toks_t t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
     "dedup_simhash_signatures": (dedup_simhash_signatures, simhash_oracle_sql()),
@@ -231,4 +285,5 @@ QUERIES = {
     "dedup_survivors": (dedup_survivors, minhash_oracle_sql()["survivors"]),
     "dedup_source_priority": (dedup_source_priority, _source_priority_sql()),
     "span_dedup_stats": (span_dedup_stats, _span_dedup_sql()),
+    "span_dedup_clean": (span_dedup_clean, _span_clean_sql()),
 }

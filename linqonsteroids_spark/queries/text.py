@@ -290,6 +290,52 @@ GROUP BY t.doc_id
 """
 
 
+# --- vocabulary growth (Heaps-law curve) ------------------------------------
+# How fast does the vocabulary grow as the corpus grows? The standard
+# corpus-health curve (sublinear growth per Heaps' law; a linear curve
+# flags ID-like garbage tokens). Exactly computable without any prefix
+# window: a token enters the vocabulary at its FIRST document, so the
+# vocabulary size after the first X docs = count of tokens whose
+# min(doc_id) <= X. One agg over the exploded tokens (map-side combined),
+# then a row-local threshold classification — all integers, hash-stable.
+_HEAPS_CHECKPOINTS = [50, 100, 200, 500]
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cps = spark.createDataFrame(
+        [(c,) for c in _HEAPS_CHECKPOINTS], "n_docs long"
+    )
+    return (
+        cps.join(first_seen, first_seen.first_doc <= cps.n_docs, "left")
+        .groupBy("n_docs")
+        .agg(F.count("token").alias("vocab_size"))
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH first_seen AS (
+  SELECT token, min(doc_id) AS first_doc
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY token
+)
+SELECT c.n_docs, count(f.token) AS vocab_size
+FROM (VALUES {", ".join(f"({c})" for c in _HEAPS_CHECKPOINTS)}) AS c(n_docs)
+LEFT JOIN first_seen f ON f.first_doc <= c.n_docs
+GROUP BY c.n_docs
+"""
+
+
 # --- BPE merge learning (tokenizer training) --------------------------------
 # The training half of the tokenizer pipeline: learn the top-K BPE merges
 # from the corpus's word-frequency table (Sennrich et al., ACL 2016).
@@ -372,6 +418,7 @@ QUERIES = {
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
+    "vocab_growth_curve": (vocab_growth_curve, VOCAB_GROWTH_SQL),
     # rows-only: iterative argmax control flow (see bpe_learned_merges doc)
     "bpe_learned_merges": (bpe_learned_merges, None),
 }

@@ -638,3 +638,22 @@ def test_bpe_apply_merges_segments_like_training_state(spark):
     enc = apply_merges(unseen, merges)
     assert "Exchange" not in enc._jdf.queryExecution().executedPlan().toString()
     assert "".join(enc.collect()[0]["syms"]) == "lowest"
+
+
+def test_remove_duplicated_spans_crafted(spark):
+    from linqonsteroids_spark.operators.spans import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x a b c d e y"),
+            (3, "p q r s t u v"),
+            (4, "m m m m m m"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=5).collect()}
+    assert rows[1].clean_text == "f g" and rows[1].n_kept == 2
+    assert rows[2].clean_text == "x y" and rows[2].n_kept == 2
+    assert rows[3].clean_text == "p q r s t u v" and rows[3].n_kept == 7
+    assert rows[4].clean_text == "" and rows[4].n_kept == 0
