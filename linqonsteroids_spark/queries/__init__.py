@@ -85,6 +85,13 @@ _ROTATION = [
     # rotate out this round — r3-green, least stale of the r3 cohort, all
     # pytest-covered — to make window room for the eleven new
     # never-sampled gates; window stays at exactly 50.)
+    #
+    # ROUND-6 ROTATION NOTE: these round-5 gates did not fit the window
+    # and have never been driver-sampled (each IS covered by the sf0.001
+    # differential in tests/test_oracle_differential.py) — front-load them
+    # next round: customers_without_urgent_orders, events_hourly_gapfill,
+    # null_safe_segment_join, qty_price_correlation,
+    # streaming_trending_users, span_dedup_clean, vocab_growth_curve.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
