@@ -309,13 +309,19 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min("doc_id").alias("first_doc"))
     )
-    cps = spark.createDataFrame(
-        [(c,) for c in _HEAPS_CHECKPOINTS], "n_docs long"
+    # join-free: every checkpoint is a conditional sum over ONE pass of the
+    # first-seen relation (a theta-join against the checkpoint list would
+    # plan as a nested-loop join — needless even if the broadcast side is
+    # 4 rows); stack unpivots the single row to (n_docs, vocab_size).
+    agg = first_seen.agg(
+        *[
+            F.sum((F.col("first_doc") <= c).cast("long")).alias(f"v_{c}")
+            for c in _HEAPS_CHECKPOINTS
+        ]
     )
-    return (
-        cps.join(first_seen, first_seen.first_doc <= cps.n_docs, "left")
-        .groupBy("n_docs")
-        .agg(F.count("token").alias("vocab_size"))
+    pairs = ", ".join(f"{c}L, v_{c}" for c in _HEAPS_CHECKPOINTS)
+    return agg.selectExpr(
+        f"stack({len(_HEAPS_CHECKPOINTS)}, {pairs}) AS (n_docs, vocab_size)"
     )
 
 
@@ -329,10 +335,11 @@ WITH first_seen AS (
   WHERE token <> ''
   GROUP BY token
 )
-SELECT c.n_docs, count(f.token) AS vocab_size
-FROM (VALUES {", ".join(f"({c})" for c in _HEAPS_CHECKPOINTS)}) AS c(n_docs)
-LEFT JOIN first_seen f ON f.first_doc <= c.n_docs
-GROUP BY c.n_docs
+{" UNION ALL ".join(
+    f"SELECT {c} AS n_docs,"
+    f" (SELECT count(*) FROM first_seen WHERE first_doc <= {c}) AS vocab_size"
+    for c in _HEAPS_CHECKPOINTS
+)}
 """
 
 
