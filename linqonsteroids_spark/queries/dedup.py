@@ -30,6 +30,33 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(docs)
 
 
+# SimHash near-PAIRS: the chunk-blocked Hamming-ball search
+# (dedup/simhash.py:simhash_near_pairs — 4 x 12-bit chunks; pigeonhole: 3
+# bit flips cannot touch all 4 chunks, so chunk-blocking finds EXACTLY the
+# all-pairs Hamming<=3 set without an all-pairs join). The oracle runs the
+# quadratic all-pairs form — equality of the two IS the pigeonhole
+# completeness proof, checked on real data.
+_SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.dedup.simhash import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=_SIMHASH_MAX_HAMMING)
+
+
+def _simhash_pairs_sql() -> str:
+    sig_sql = simhash_oracle_sql()
+    return f"""
+WITH sig AS ({sig_sql})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
@@ -269,6 +296,7 @@ FROM toks_t t LEFT JOIN rebuilt r USING (doc_id)
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
     "dedup_simhash_signatures": (dedup_simhash_signatures, simhash_oracle_sql()),
+    "dedup_simhash_near_pairs": (dedup_simhash_near_pairs, _simhash_pairs_sql()),
     "dedup_ngram_jaccard": (
         dedup_ngram_jaccard,
         jaccard_oracle_sql(threshold=JACCARD_THRESHOLD),
