@@ -105,6 +105,7 @@ EXTRA = [
     "streaming_trending_users",
     "span_dedup_clean",
     "vocab_growth_curve",
+    "dedup_simhash_near_pairs",
 ]
 
 

@@ -91,7 +91,8 @@ _ROTATION = [
     # differential in tests/test_oracle_differential.py) — front-load them
     # next round: customers_without_urgent_orders, events_hourly_gapfill,
     # null_safe_segment_join, qty_price_correlation,
-    # streaming_trending_users, span_dedup_clean, vocab_growth_curve.
+    # streaming_trending_users, span_dedup_clean, vocab_growth_curve,
+    # dedup_simhash_near_pairs.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
