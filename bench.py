@@ -106,6 +106,8 @@ EXTRA = [
     "span_dedup_clean",
     "vocab_growth_curve",
     "dedup_simhash_near_pairs",
+    "incremental_mv_time_travel",
+    "mv_change_feed",
 ]
 
 

@@ -92,7 +92,7 @@ _ROTATION = [
     # next round: customers_without_urgent_orders, events_hourly_gapfill,
     # null_safe_segment_join, qty_price_correlation,
     # streaming_trending_users, span_dedup_clean, vocab_growth_curve,
-    # dedup_simhash_near_pairs.
+    # dedup_simhash_near_pairs, incremental_mv_time_travel, mv_change_feed.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

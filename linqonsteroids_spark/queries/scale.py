@@ -535,6 +535,99 @@ FROM events GROUP BY event_type
 """
 
 
+# --- versioned MV: time travel + change feed --------------------------------
+# The manifest-backed copy-on-write variant (VersionedAggMV): two forced
+# micro-batches commit snapshots v1 and v2; the gate reads BOTH versions
+# tagged — v1 must equal the single batch recompute and v2 the doubled one
+# even though v2 was committed after v1 (no file is ever rewritten, so
+# time travel is exact). The change feed between the snapshots is derived
+# by diffing them, skipping buckets whose manifest file lists are equal.
+def _versioned_mv(spark: SparkSession, sf_dir: str):
+    import os
+    import shutil
+
+    from linqonsteroids_spark.session import scratch_dir
+    from linqonsteroids_spark.streaming import VersionedAggMV
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    base = scratch_dir(prefix="squopt_vmv_")
+    src_dir = f"{base}/src"
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(src, f"{src_dir}/events_a.parquet")
+    shutil.copy(src, f"{src_dir}/events_b.parquet")
+    schema = spark.read.parquet(src).schema
+    mv = VersionedAggMV(
+        spark,
+        src_dir,
+        schema,
+        key="event_type",
+        aggs={
+            "n_events": ("sum", F.count("*")),
+            "sum_value": ("sum", F.round(F.sum("value"), 4)),
+            "max_value": ("max", F.round(F.max("value"), 4)),
+        },
+        mv_path=f"{base}/mv",
+        checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=1,
+    )
+    mv.refresh_available()
+    return mv
+
+
+def incremental_mv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = _versioned_mv(spark, sf_dir)
+    out = None
+    for v in mv.versions():
+        snap = mv.read(version=v).withColumn("version", F.lit(v).cast("long"))
+        out = snap if out is None else out.unionByName(snap)
+    return out.select(
+        "version",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "max_value",
+    )
+
+
+TIME_TRAVEL_SQL = """
+SELECT 1 AS version, event_type,
+       count(*) AS n_events,
+       round(round(sum(value), 4), 2) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 2 AS version, event_type,
+       2 * count(*) AS n_events,
+       round(2 * round(sum(value), 4), 2) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def mv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = _versioned_mv(spark, sf_dir)
+    feed = mv.changes_between(1, 2)
+    return feed.select(
+        "event_type",
+        "change_type",
+        "n_events_old",
+        "n_events_new",
+        F.round("sum_value_old", 2).alias("sum_value_old"),
+        F.round("sum_value_new", 2).alias("sum_value_new"),
+    )
+
+
+CHANGE_FEED_SQL = """
+SELECT event_type, 'update' AS change_type,
+       count(*) AS n_events_old,
+       2 * count(*) AS n_events_new,
+       round(round(sum(value), 4), 2) AS sum_value_old,
+       round(2 * round(sum(value), 4), 2) AS sum_value_new
+FROM events GROUP BY event_type
+"""
+
+
 # --- streaming MV refresh (StreamingIndex) ----------------------------------
 # The reference's Optimization.addIndex upgraded from batch build to
 # stream-log-driven refresh: StreamingIndex replays only files the
@@ -705,5 +798,7 @@ QUERIES = {
         STREAMING_ENRICHED_SQL,
     ),
     "streaming_mv_refresh": (streaming_mv_refresh, STREAMING_MV_SQL),
+    "incremental_mv_time_travel": (incremental_mv_time_travel, TIME_TRAVEL_SQL),
+    "mv_change_feed": (mv_change_feed, CHANGE_FEED_SQL),
     "streaming_trending_users": (streaming_trending_users, STREAMING_TRENDING_SQL),
 }

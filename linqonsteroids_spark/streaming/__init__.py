@@ -13,6 +13,7 @@ exposes the reference's "register query → keep result maintained" intent
 from linqonsteroids_spark.streaming.incremental import (  # noqa: F401
     CdcUpsertMV,
     IncrementalAggMV,
+    VersionedAggMV,
     StreamingIndex,
     sessionized_counts,
     stateful_running_totals,

@@ -344,6 +344,226 @@ class IncrementalAggMV:
         return self.spark.read.parquet(self.mv_path).drop("mv_bucket")
 
 
+class VersionedAggMV(IncrementalAggMV):
+    """IncrementalAggMV with MANIFEST-BASED versions: snapshot isolation,
+    time travel, and a change feed — the Iceberg/Delta transaction-log
+    core on plain parquet.
+
+    Dynamic partition overwrite (the base class) DELETES replaced bucket
+    files, so there is exactly one readable state. Here every merge is
+    copy-on-write: the merged touched buckets land in a NEW generation
+    directory (``data/g{v}/mv_bucket=K/``), no file is ever rewritten, and
+    ``_manifests/v{v}.json`` maps every bucket to the exact file list that
+    constitutes version ``v`` (touched buckets point at the new
+    generation; untouched buckets inherit the previous manifest's files).
+    Readers resolve a manifest once and only ever open immutable files —
+    a reader pinned to v1 is unaffected by a concurrent merge committing
+    v2 (snapshot isolation by construction). The manifest commit is a
+    write-then-rename, the same single-atomic-operation protocol the
+    table formats use on their logs.
+
+    Refresh I/O contract is unchanged — and sharper: the merge reads the
+    old state of touched buckets from the manifest's explicit file list
+    (no directory listing at all), still O(batch + touched buckets).
+
+    ``read(version=...)`` time-travels; ``versions()`` lists snapshots;
+    ``changes_between(v0, v1)`` derives the per-key change feed (insert /
+    update / delete) by diffing two snapshots — O(keys in changed
+    buckets) because unchanged buckets share identical file lists and can
+    be skipped entirely.
+    """
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.mv_path, "_manifests")
+
+    def versions(self) -> list[int]:
+        try:
+            names = os.listdir(self._manifest_dir())
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _read_manifest(self, version: int) -> dict[str, list[str]]:
+        with open(os.path.join(self._manifest_dir(), f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, version: int, manifest: dict[str, list[str]]) -> None:
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        tmp = os.path.join(self._manifest_dir(), f".v{version}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(self._manifest_dir(), f"v{version}.json"))
+
+    @staticmethod
+    def _list_bucket_files(gen_dir: str) -> dict[str, list[str]]:
+        import glob as _glob
+
+        out: dict[str, list[str]] = {}
+        for f in _glob.glob(os.path.join(gen_dir, "mv_bucket=*", "*.parquet")):
+            b = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+            out.setdefault(b, []).append(f)
+        return out
+
+    def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        merge_ops = {"sum": F.sum, "min": F.min, "max": F.max}
+        partial = (
+            batch_df.groupBy(self.key)
+            .agg(*[v.alias(n) for n, (_, v) in self.aggs.items()])
+            .withColumn("mv_bucket", self._bucket())
+        )
+        vs = self.versions()
+        prev = self._read_manifest(vs[-1]) if vs else {}
+        if not vs:
+            self._write_meta()
+        else:
+            self._check_meta()
+        touched = [
+            str(r.mv_bucket)
+            for r in partial.select("mv_bucket").distinct().collect()
+        ]
+        old_files = [f for b in touched for f in prev.get(b, [])]
+        if old_files:
+            old = self.spark.read.option("basePath", self.mv_path).parquet(*old_files)
+            merged = (
+                old.select(partial.columns)
+                .unionByName(partial)
+                .groupBy(self.key, "mv_bucket")
+                .agg(
+                    *[
+                        merge_ops[op](F.col(n)).alias(n)
+                        for n, (op, _) in self.aggs.items()
+                    ]
+                )
+            )
+        else:
+            merged = partial
+        version = (vs[-1] if vs else 0) + 1
+        gen_dir = os.path.join(self.mv_path, "data", f"g{version}")
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("mv_bucket")
+            .parquet(gen_dir)
+        )
+        manifest = dict(prev)
+        new_files = self._list_bucket_files(gen_dir)
+        for b in touched:
+            manifest[b] = new_files.get(b, [])  # bucket emptied → no files
+        self._commit_manifest(version, manifest)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.mv_path}")
+        v = vs[-1] if version is None else version
+        manifest = self._read_manifest(v)
+        files = [f for fl in manifest.values() for f in fl]
+        if not files:
+            return self.spark.createDataFrame([], self._empty_schema())
+        # group by generation dir so partition-column parsing gets the
+        # right basePath per group
+        by_gen: dict[str, list[str]] = {}
+        for f in files:
+            gen = os.path.dirname(os.path.dirname(f))
+            by_gen.setdefault(gen, []).append(f)
+        parts = [
+            self.spark.read.option("basePath", g).parquet(*fl)
+            for g, fl in by_gen.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.drop("mv_bucket")
+
+    def _empty_schema(self):
+        from pyspark.sql.types import StructType
+
+        return StructType([])
+
+    def changes_between(self, v0: int, v1: int) -> DataFrame:
+        """Per-key change feed between two snapshots: (key, change_type,
+        <agg>_old, <agg>_new) with change_type ∈ insert/update/delete.
+        Buckets whose file lists are identical in both manifests changed
+        nothing and are skipped before any data is read."""
+        m0, m1 = self._read_manifest(v0), self._read_manifest(v1)
+        changed = [
+            b for b in set(m0) | set(m1) if m0.get(b, []) != m1.get(b, [])
+        ]
+
+        def load(manifest: dict[str, list[str]]) -> DataFrame | None:
+            files = [f for b in changed for f in manifest.get(b, [])]
+            if not files:
+                return None
+            by_gen: dict[str, list[str]] = {}
+            for f in files:
+                by_gen.setdefault(os.path.dirname(os.path.dirname(f)), []).append(f)
+            parts = [
+                self.spark.read.option("basePath", g).parquet(*fl)
+                for g, fl in by_gen.items()
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.drop("mv_bucket")
+
+        old, new = load(m0), load(m1)
+        agg_names = list(self.aggs)
+        if old is None and new is None:
+            raise ValueError("no changed buckets between versions")
+        if old is None:
+            return new.select(
+                self.key,
+                F.lit("insert").alias("change_type"),
+                *[F.lit(None).alias(f"{n}_old") for n in agg_names],
+                *[F.col(n).alias(f"{n}_new") for n in agg_names],
+            )
+        o = old.select(
+            self.key, *[F.col(n).alias(f"{n}_old") for n in agg_names]
+        )
+        n_ = new.select(
+            self.key, *[F.col(n).alias(f"{n}_new") for n in agg_names]
+        ) if new is not None else None
+        if n_ is None:
+            return o.select(
+                self.key,
+                F.lit("delete").alias("change_type"),
+                *[F.col(f"{n}_old") for n in agg_names],
+                *[F.lit(None).alias(f"{n}_new") for n in agg_names],
+            )
+        joined = o.join(n_, self.key, "full_outer")
+        any_old = F.col(f"{agg_names[0]}_old")
+        any_new = F.col(f"{agg_names[0]}_new")
+        diff = reduce_or(
+            [
+                ~F.col(f"{n}_old").eqNullSafe(F.col(f"{n}_new"))
+                for n in agg_names
+            ]
+        )
+        return (
+            joined.withColumn(
+                "change_type",
+                F.when(any_old.isNull(), "insert")
+                .when(any_new.isNull(), "delete")
+                .otherwise("update"),
+            )
+            .filter(any_old.isNull() | any_new.isNull() | diff)
+            .select(
+                self.key,
+                "change_type",
+                *[F.col(f"{n}_old") for n in agg_names],
+                *[F.col(f"{n}_new") for n in agg_names],
+            )
+        )
+
+
+def reduce_or(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 class CdcUpsertMV(IncrementalAggMV):
     """Streaming MERGE: a changelog stream continuously maintained as a
     latest-wins keyed snapshot MV — the streaming form of
