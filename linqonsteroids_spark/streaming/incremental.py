@@ -390,11 +390,55 @@ class VersionedAggMV(IncrementalAggMV):
             return json.load(f)
 
     def _commit_manifest(self, version: int, manifest: dict[str, list[str]]) -> None:
+        """Optimistic-concurrency commit: ``link`` (not ``rename``) makes
+        the publish fail if another writer already committed this version
+        — rename would silently clobber the loser's snapshot. On conflict
+        the caller's generation files are orphans the next ``expire``
+        sweep collects; the committed version is untouched. This is the
+        put-if-absent protocol the table formats run on their logs."""
         os.makedirs(self._manifest_dir(), exist_ok=True)
         tmp = os.path.join(self._manifest_dir(), f".v{version}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self._manifest_dir(), f"v{version}.json"))
+        final = os.path.join(self._manifest_dir(), f"v{version}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit detected at {self.mv_path}: version "
+                f"{version} was already published by another writer. This "
+                f"merge's files are unreferenced and will be collected by "
+                f"expire_versions(); re-run the refresh to rebase."
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def expire_versions(self, keep_last: int = 2) -> dict[str, int]:
+        """Retention sweep (the table formats' VACUUM + expire-snapshots):
+        drop all but the newest ``keep_last`` manifests, then delete every
+        data file no surviving manifest references — including orphans
+        from failed/conflicted commits. Files shared between surviving
+        versions are kept (reference counting over manifests, not age).
+        Returns {'versions_removed': n, 'files_removed': m}."""
+        import glob as _glob
+
+        vs = self.versions()
+        keep = vs[-keep_last:] if keep_last > 0 else []
+        drop = [v for v in vs if v not in keep]
+        live: set[str] = set()
+        for v in keep:
+            for fl in self._read_manifest(v).values():
+                live.update(os.path.realpath(f) for f in fl)
+        removed = 0
+        for f in _glob.glob(
+            os.path.join(self.mv_path, "data", "g*", "mv_bucket=*", "*.parquet")
+        ):
+            if os.path.realpath(f) not in live:
+                os.unlink(f)
+                removed += 1
+        for v in drop:
+            os.unlink(os.path.join(self._manifest_dir(), f"v{v}.json"))
+        return {"versions_removed": len(drop), "files_removed": removed}
 
     @staticmethod
     def _list_bucket_files(gen_dir: str) -> dict[str, list[str]]:

@@ -533,3 +533,55 @@ def test_versioned_mv_change_feed_types(spark, dirs):
     # present it must be classified as unchanged-filtered (absent) since
     # its values are identical
     assert 2 not in feed or feed[2].change_type == "update"
+
+
+def test_versioned_mv_concurrent_commit_rejected(spark, dirs):
+    """Publishing an already-committed version must fail loudly (link
+    put-if-absent), leaving the committed snapshot untouched."""
+    import pytest as _pytest
+
+    from linqonsteroids_spark.streaming import VersionedAggMV
+
+    mv = VersionedAggMV(
+        spark, dirs["src"], SCHEMA, key="user_id",
+        aggs={"n": ("sum", F.count("*"))},
+        mv_path=dirs["mv"], checkpoint_dir=dirs["ckpt"],
+    )
+    _write_batch(spark, dirs["src"], BATCH1)
+    mv.refresh_available()
+    committed = mv._read_manifest(1)
+    with _pytest.raises(RuntimeError, match="concurrent commit"):
+        mv._commit_manifest(1, {"0": ["/tmp/fake.parquet"]})
+    assert mv._read_manifest(1) == committed  # loser cannot clobber
+
+
+def test_versioned_mv_expire_versions(spark, dirs):
+    """Retention: after expiring to the last version, v1-only files are
+    deleted, shared files survive, v1 is unreadable, latest is identical."""
+    import os
+
+    from linqonsteroids_spark.streaming import VersionedAggMV
+
+    mv = VersionedAggMV(
+        spark, dirs["src"], SCHEMA, key="user_id",
+        aggs={"n": ("sum", F.count("*")), "total": ("sum", F.sum("value"))},
+        mv_path=dirs["mv"], checkpoint_dir=dirs["ckpt"],
+    )
+    _write_batch(spark, dirs["src"], BATCH1)
+    mv.refresh_available()
+    _write_batch(spark, dirs["src"], BATCH2)
+    mv.refresh_available()
+    latest_rows = sorted(map(tuple, mv.read().collect()))
+    m1 = {f for fl in mv._read_manifest(1).values() for f in fl}
+    m2 = {f for fl in mv._read_manifest(2).values() for f in fl}
+    only_v1 = m1 - m2
+    shared = m1 & m2
+    assert only_v1, "v2 must have replaced at least one bucket"
+
+    stats = mv.expire_versions(keep_last=1)
+    assert stats["versions_removed"] == 1
+    assert stats["files_removed"] == len(only_v1)
+    assert all(not os.path.exists(f) for f in only_v1)
+    assert all(os.path.exists(f) for f in shared)  # refcounted, not aged
+    assert mv.versions() == [2]
+    assert sorted(map(tuple, mv.read().collect())) == latest_rows
