@@ -216,6 +216,50 @@ def sql_surface_revenue(spark, sf_dir):
     return spark.sql(SQL_SURFACE_Q6)
 
 
+# Q4-shaped: EXISTS subquery through the SQL parser — the semi-join
+# unnesting the reference implements by hand (existsUnnester) happens in
+# Catalyst's RewritePredicateSubquery; one SQL text serves both engines.
+SQL_SURFACE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def sql_surface_priority_counts(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(SQL_SURFACE_Q4)
+
+
+# Q12-shaped: conditional aggregation over a joined fact — CASE inside
+# sum, identical text on both engines.
+SQL_SURFACE_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                 AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate
+GROUP BY l_returnflag
+"""
+
+
+def sql_surface_flag_priority(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(SQL_SURFACE_Q12)
+
+
 # --- bivariate statistics: correlation / covariance --------------------------
 # Named-agg breadth beyond the reference's fold surface: Pearson
 # correlation and sample covariance per group. Both engines aggregate
@@ -246,6 +290,11 @@ QUERIES = {
     "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
     "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_Q6),
+    "sql_surface_priority_counts": (sql_surface_priority_counts, SQL_SURFACE_Q4),
+    "sql_surface_flag_priority": (
+        sql_surface_flag_priority,
+        SQL_SURFACE_Q12,
+    ),
     "format_roundtrip_supplier": (format_roundtrip_supplier, FORMAT_ROUNDTRIP_SQL),
     "first_last_order_per_customer": (
         first_last_order_per_customer,
