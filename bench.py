@@ -108,6 +108,8 @@ EXTRA = [
     "dedup_simhash_near_pairs",
     "incremental_mv_time_travel",
     "mv_change_feed",
+    "sql_surface_priority_counts",
+    "sql_surface_flag_priority",
 ]
 
 

@@ -92,7 +92,8 @@ _ROTATION = [
     # next round: customers_without_urgent_orders, events_hourly_gapfill,
     # null_safe_segment_join, qty_price_correlation,
     # streaming_trending_users, span_dedup_clean, vocab_growth_curve,
-    # dedup_simhash_near_pairs, incremental_mv_time_travel, mv_change_feed.
+    # dedup_simhash_near_pairs, incremental_mv_time_travel, mv_change_feed,
+    # sql_surface_priority_counts, sql_surface_flag_priority.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
