@@ -110,6 +110,7 @@ EXTRA = [
     "mv_change_feed",
     "sql_surface_priority_counts",
     "sql_surface_flag_priority",
+    "streaming_cdc_as_of",
 ]
 
 

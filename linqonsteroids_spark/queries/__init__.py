@@ -93,7 +93,8 @@ _ROTATION = [
     # null_safe_segment_join, qty_price_correlation,
     # streaming_trending_users, span_dedup_clean, vocab_growth_curve,
     # dedup_simhash_near_pairs, incremental_mv_time_travel, mv_change_feed,
-    # sql_surface_priority_counts, sql_surface_flag_priority.
+    # sql_surface_priority_counts, sql_surface_flag_priority,
+    # streaming_cdc_as_of.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

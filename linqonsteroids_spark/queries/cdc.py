@@ -196,8 +196,76 @@ FROM ranked WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
 """
 
 
+# --- CDC snapshot-as-of (time-traveling dimension) ---------------------------
+# The reproducibility primitive: "join against the dimension exactly as
+# refresh N saw it". Two forced micro-batches commit snapshots v1/v2 of
+# the VersionedCdcMV; the gate reads BOTH after the second commit — v1
+# must equal the single-pass snapshot (n_changes = count) even though v2
+# has since doubled every count.
+def streaming_cdc_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from linqonsteroids_spark.session import scratch_dir
+    from linqonsteroids_spark.streaming import VersionedCdcMV
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    base = scratch_dir(prefix="squopt_cdcver_")
+    src_dir = f"{base}/src"
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(src, f"{src_dir}/events_a.parquet")
+    shutil.copy(src, f"{src_dir}/events_b.parquet")
+    schema = spark.read.parquet(src).schema
+    mv = VersionedCdcMV(
+        spark,
+        src_dir,
+        schema,
+        key="user_id",
+        order=("ts", "event_id"),
+        payload=("value",),
+        op_col="event_type",
+        tombstone=TOMBSTONE,
+        mv_path=f"{base}/mv",
+        checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=1,
+    )
+    mv.refresh_available()
+    out = None
+    for v in mv.versions():
+        snap = mv.read(version=v).withColumn("version", F.lit(v).cast("long"))
+        out = snap if out is None else out.unionByName(snap)
+    return out.select(
+        "version",
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.round("value", 4).alias("last_value"),
+        "n_changes",
+    )
+
+
+STREAMING_CDC_AS_OF_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         count(*) OVER (PARTITION BY user_id) AS n_changes,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+), snap AS (
+  SELECT user_id, event_type AS last_op, round(value, 4) AS last_value,
+         n_changes
+  FROM ranked WHERE rn = 1 AND event_type <> '{TOMBSTONE}'
+)
+SELECT 1 AS version, user_id, last_op, last_value, n_changes FROM snap
+UNION ALL
+SELECT 2 AS version, user_id, last_op, last_value, 2 * n_changes FROM snap
+"""
+
+
 QUERIES = {
     "cdc_latest_snapshot": (cdc_latest_snapshot, CDC_SNAPSHOT_SQL),
     "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
     "streaming_cdc_snapshot": (streaming_cdc_snapshot, STREAMING_CDC_SQL),
+    "streaming_cdc_as_of": (streaming_cdc_as_of, STREAMING_CDC_AS_OF_SQL),
 }

@@ -14,6 +14,7 @@ from linqonsteroids_spark.streaming.incremental import (  # noqa: F401
     CdcUpsertMV,
     IncrementalAggMV,
     VersionedAggMV,
+    VersionedCdcMV,
     StreamingIndex,
     sessionized_counts,
     stateful_running_totals,

@@ -525,9 +525,14 @@ class VersionedAggMV(IncrementalAggMV):
 
         return StructType([])
 
+    def _value_columns(self) -> list[str]:
+        """Non-key columns the change feed compares (subclasses with a
+        different stored shape override)."""
+        return list(self.aggs)
+
     def changes_between(self, v0: int, v1: int) -> DataFrame:
         """Per-key change feed between two snapshots: (key, change_type,
-        <agg>_old, <agg>_new) with change_type ∈ insert/update/delete.
+        <col>_old, <col>_new) with change_type ∈ insert/update/delete.
         Buckets whose file lists are identical in both manifests changed
         nothing and are skipped before any data is read."""
         m0, m1 = self._read_manifest(v0), self._read_manifest(v1)
@@ -552,7 +557,7 @@ class VersionedAggMV(IncrementalAggMV):
             return out.drop("mv_bucket")
 
         old, new = load(m0), load(m1)
-        agg_names = list(self.aggs)
+        agg_names = self._value_columns()
         if old is None and new is None:
             raise ValueError("no changed buckets between versions")
         if old is None:
@@ -711,6 +716,60 @@ class CdcUpsertMV(IncrementalAggMV):
             .filter(F.col(self.op_col) != self.tombstone)
             .drop("mv_bucket")
         )
+
+
+class VersionedCdcMV(CdcUpsertMV, VersionedAggMV):
+    """Time-traveling CDC snapshot: the latest-wins changelog MV with
+    manifest versions — ``read(version=...)`` answers "what did this
+    dimension look like as of refresh N", the reproducibility primitive a
+    training pipeline needs to re-join features exactly as a past run saw
+    them (SCD2 stores the history as rows; this stores it as SNAPSHOTS
+    with shared immutable files).
+
+    Composition, not new machinery: the per-batch reduction and tombstone
+    semantics come from ``CdcUpsertMV``; the copy-on-write generation
+    dirs, put-if-absent manifest commits, change feed, and
+    ``expire_versions`` retention come from ``VersionedAggMV``. ``read``
+    resolves a manifest (time travel) then filters tombstones (CDC)."""
+
+    def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        partial = self._reduce(
+            batch_df.withColumn("mv_bucket", self._bucket()).withColumn(
+                "n_changes", F.lit(1).cast("long")
+            )
+        )
+        vs = self.versions()
+        prev = self._read_manifest(vs[-1]) if vs else {}
+        if not vs:
+            self._write_meta()
+        else:
+            self._check_meta()
+        touched = [
+            str(r.mv_bucket)
+            for r in partial.select("mv_bucket").distinct().collect()
+        ]
+        old_files = [f for b in touched for f in prev.get(b, [])]
+        if old_files:
+            old = self.spark.read.option("basePath", self.mv_path).parquet(*old_files)
+            merged = self._reduce(old.select(partial.columns).unionByName(partial))
+        else:
+            merged = partial
+        version = (vs[-1] if vs else 0) + 1
+        gen_dir = os.path.join(self.mv_path, "data", f"g{version}")
+        merged.write.mode("overwrite").partitionBy("mv_bucket").parquet(gen_dir)
+        manifest = dict(prev)
+        new_files = self._list_bucket_files(gen_dir)
+        for b in touched:
+            manifest[b] = new_files.get(b, [])
+        self._commit_manifest(version, manifest)
+
+    def _value_columns(self) -> list[str]:
+        fields = list(dict.fromkeys([*self.order, self.op_col, *self.payload]))
+        return [*fields, "n_changes"]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = VersionedAggMV.read(self, version)
+        return snap.filter(F.col(self.op_col) != self.tombstone)
 
 
 class StreamingIndex:

@@ -585,3 +585,34 @@ def test_versioned_mv_expire_versions(spark, dirs):
     assert all(os.path.exists(f) for f in shared)  # refcounted, not aged
     assert mv.versions() == [2]
     assert sorted(map(tuple, mv.read().collect())) == latest_rows
+
+
+def test_versioned_cdc_snapshot_as_of(spark, dirs):
+    """CDC time travel: read(version=1) is the snapshot as of the first
+    refresh — including a key tombstoned LATER (v1 still shows it alive,
+    v2 does not), and out-of-order older upserts never resurrect."""
+    from linqonsteroids_spark.streaming import VersionedCdcMV
+
+    mv = VersionedCdcMV(
+        spark, dirs["src"], SCHEMA, key="user_id",
+        order=("ts", "value"), payload=("value",), op_col="kind",
+        tombstone="del", mv_path=dirs["mv"], checkpoint_dir=dirs["ckpt"],
+    )
+    _write_batch(
+        spark, dirs["src"],
+        [(1, "set", _ts(10), 100), (2, "set", _ts(10), 200)],
+    )
+    mv.refresh_available()
+    _write_batch(
+        spark, dirs["src"],
+        [(1, "del", _ts(20), 0), (2, "set", _ts(5), 999), (3, "set", _ts(20), 300)],
+    )
+    mv.refresh_available()
+
+    as_of_1 = {(r.user_id, r.value) for r in mv.read(version=1).collect()}
+    assert as_of_1 == {(1, 100), (2, 200)}
+    latest = {(r.user_id, r.value) for r in mv.read().collect()}
+    assert latest == {(2, 200), (3, 300)}  # 1 deleted; 2's stale upsert lost
+    feed = {r.user_id: r for r in mv.changes_between(1, 2).collect()}
+    assert feed[1].change_type == "update" and feed[1].kind_new == "del"
+    assert feed[3].change_type == "insert"
