@@ -530,6 +530,51 @@ class VersionedAggMV(IncrementalAggMV):
         different stored shape override)."""
         return list(self.aggs)
 
+    def compact(self, min_files: int = 2) -> list[int]:
+        """OPTIMIZE as a snapshot (overrides the flat-layout base method,
+        which globs ``mv_bucket=*`` at the MV root and would silently
+        no-op on the versioned layout): buckets whose CURRENT manifest
+        references >= ``min_files`` files are rewritten into one file each
+        in a new generation, and the consolidation COMMITS A NEW VERSION —
+        data identical to the previous snapshot, so readers see no change,
+        time travel to pre-compaction versions still works, and
+        ``expire_versions`` later reclaims the fragmented files. Exactly
+        Delta/Iceberg OPTIMIZE semantics. Returns the compacted buckets."""
+        vs = self.versions()
+        if not vs:
+            return []
+        manifest = self._read_manifest(vs[-1])
+        todo = sorted(
+            (b for b, fl in manifest.items() if len(fl) >= min_files), key=int
+        )
+        if not todo:
+            return []
+        files = [f for b in todo for f in manifest[b]]
+        by_gen: dict[str, list[str]] = {}
+        for f in files:
+            by_gen.setdefault(os.path.dirname(os.path.dirname(f)), []).append(f)
+        parts = [
+            self.spark.read.option("basePath", g).parquet(*fl)
+            for g, fl in by_gen.items()
+        ]
+        slice_df = parts[0]
+        for p in parts[1:]:
+            slice_df = p.unionByName(slice_df)
+        version = vs[-1] + 1
+        gen_dir = os.path.join(self.mv_path, "data", f"g{version}")
+        (
+            slice_df.repartition(len(todo), F.col("mv_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("mv_bucket")
+            .parquet(gen_dir)
+        )
+        new_manifest = dict(manifest)
+        new_files = self._list_bucket_files(gen_dir)
+        for b in todo:
+            new_manifest[b] = new_files.get(b, [])
+        self._commit_manifest(version, new_manifest)
+        return [int(b) for b in todo]
+
     def changes_between(self, v0: int, v1: int) -> DataFrame:
         """Per-key change feed between two snapshots: (key, change_type,
         <col>_old, <col>_new) with change_type ∈ insert/update/delete.

@@ -616,3 +616,67 @@ def test_versioned_cdc_snapshot_as_of(spark, dirs):
     feed = {r.user_id: r for r in mv.changes_between(1, 2).collect()}
     assert feed[1].change_type == "update" and feed[1].kind_new == "del"
     assert feed[3].change_type == "insert"
+
+
+def test_versioned_mv_compaction_commits_snapshot(spark, dirs):
+    """Versioned OPTIMIZE: compaction rewrites fragmented buckets into a
+    NEW version — data identical, pre-compaction time travel intact, and
+    the fragments reclaimable by expire_versions."""
+    import glob
+    import os
+    import shutil
+
+    from linqonsteroids_spark.streaming import VersionedAggMV
+
+    mv = VersionedAggMV(
+        spark, dirs["src"], SCHEMA, key="user_id",
+        aggs={"n": ("sum", F.count("*")), "total": ("sum", F.sum("value"))},
+        mv_path=dirs["mv"], checkpoint_dir=dirs["ckpt"],
+    )
+    _write_batch(
+        spark, dirs["src"], [(u, "a", _ts(1), 10 * u) for u in range(1, 13)]
+    )
+    mv.refresh_available()
+    # fabricate fragmentation: split a multi-row bucket's file into two
+    # halves and commit that layout as v2 (the manifest is the source of
+    # truth)
+    m1 = mv._read_manifest(1)
+    snap = spark.read.option(
+        "basePath", os.path.join(dirs["mv"], "data", "g1")
+    ).parquet(*[f for fl in m1.values() for f in fl])
+    counts = {
+        str(r.mv_bucket): r.n_rows
+        for r in snap.groupBy("mv_bucket").agg(F.count("*").alias("n_rows")).collect()
+    }
+    frag_bucket = max(counts, key=lambda b: counts[b])
+    assert counts[frag_bucket] >= 2
+    split_dir = os.path.join(dirs["mv"], "data", "gsplit")
+    (
+        spark.read.option(
+            "basePath", os.path.dirname(os.path.dirname(m1[frag_bucket][0]))
+        )
+        .parquet(*m1[frag_bucket])
+        .where(f"mv_bucket = {frag_bucket}")
+        .repartition(2)
+        .write.partitionBy("mv_bucket")
+        .parquet(split_dir)
+    )
+    m2 = dict(m1)
+    m2[frag_bucket] = sorted(
+        glob.glob(os.path.join(split_dir, f"mv_bucket={frag_bucket}", "*.parquet"))
+    )
+    assert len(m2[frag_bucket]) == 2
+    mv._commit_manifest(2, m2)
+
+    rows_before = sorted(map(tuple, mv.read().collect()))
+    assert mv.compact(min_files=2) == [int(frag_bucket)]
+    assert mv.versions() == [1, 2, 3]
+    assert len(mv._read_manifest(3)[frag_bucket]) == 1
+    assert sorted(map(tuple, mv.read().collect())) == rows_before
+    # pre-compaction snapshot still time-travels
+    assert sorted(map(tuple, mv.read(version=2).collect())) == rows_before
+    # retention reclaims the fragments
+    stats = mv.expire_versions(keep_last=1)
+    assert stats["versions_removed"] == 2
+    assert all(not os.path.exists(f) for f in m2[frag_bucket])
+    assert sorted(map(tuple, mv.read().collect())) == rows_before
