@@ -15,6 +15,7 @@ from linqonsteroids_spark.streaming.incremental import (  # noqa: F401
     IncrementalAggMV,
     VersionedAggMV,
     VersionedCdcMV,
+    apply_change_feed_to_group_sum,
     StreamingIndex,
     sessionized_counts,
     stateful_running_totals,

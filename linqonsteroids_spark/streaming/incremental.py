@@ -651,6 +651,53 @@ class VersionedAggMV(IncrementalAggMV):
         )
 
 
+def apply_change_feed_to_group_sum(
+    downstream: DataFrame,
+    feed: DataFrame,
+    group_old: str,
+    group_new: str,
+    value_old: str,
+    value_new: str,
+    group_out: str = "grp",
+) -> DataFrame:
+    """Maintain a downstream (group → count, sum) aggregate from a change
+    feed instead of recomputing it — the reference's Δ(indexBy ∘ fold)
+    rule (``derivation/Prototype.scala:32-49``) driven by the versioned
+    MV's change feed: Δ-applied downstream == downstream recomputed from
+    the new snapshot (pinned in tests).
+
+    Each feed row contributes at most two deltas: retract (old group:
+    −1, −old value) unless it is an insert, and assert (new group: +1,
+    +new value) unless it is a delete — group MIGRATIONS (update that
+    changes the group) fall out for free as a retract in one group and an
+    assert in another. Cost: O(|feed|) — one union, one map-side-combined
+    agg, one key-join against the downstream state; the upstream snapshot
+    is never read."""
+    retract = feed.filter(F.col("change_type") != "insert").select(
+        F.col(group_old).alias(group_out),
+        F.lit(-1).cast("long").alias("d_n"),
+        (-F.col(value_old)).alias("d_sum"),
+    )
+    assert_ = feed.filter(F.col("change_type") != "delete").select(
+        F.col(group_new).alias(group_out),
+        F.lit(1).cast("long").alias("d_n"),
+        F.col(value_new).alias("d_sum"),
+    )
+    deltas = (
+        retract.unionByName(assert_)
+        .groupBy(group_out)
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_sum").alias("d_sum"))
+    )
+    merged = downstream.join(deltas, group_out, "full_outer").select(
+        group_out,
+        (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
+        (F.coalesce("total", F.lit(0.0)) + F.coalesce("d_sum", F.lit(0.0))).alias(
+            "total"
+        ),
+    )
+    return merged.filter(F.col("n") > 0)
+
+
 def reduce_or(conds: list[Column]) -> Column:
     out = conds[0]
     for c in conds[1:]:
@@ -815,6 +862,27 @@ class VersionedCdcMV(CdcUpsertMV, VersionedAggMV):
     def read(self, version: int | None = None) -> DataFrame:
         snap = VersionedAggMV.read(self, version)
         return snap.filter(F.col(self.op_col) != self.tombstone)
+
+    def changes_between(self, v0: int, v1: int) -> DataFrame:
+        """CDC-correct classification over the snapshot diff: tombstones
+        are RETAINED rows in the stored snapshots (so late out-of-order
+        upserts cannot resurrect), but a consumer of the feed must see a
+        key transitioning TO the tombstone as a ``delete`` (its _new
+        columns carry the tombstone record), a key first appearing alive
+        as an ``insert``, and dead→dead transitions (tombstone metadata
+        churn) as no change at all."""
+        feed = super().changes_between(v0, v1)
+        tomb = F.lit(self.tombstone)
+        op_old = F.col(f"{self.op_col}_old")
+        op_new = F.col(f"{self.op_col}_new")
+        dead_old = op_old.isNull() | (op_old == tomb)
+        dead_new = op_new.isNull() | (op_new == tomb)
+        return feed.filter(~(dead_old & dead_new)).withColumn(
+            "change_type",
+            F.when(dead_old & ~dead_new, "insert")
+            .when(~dead_old & dead_new, "delete")
+            .otherwise("update"),
+        )
 
 
 class StreamingIndex:

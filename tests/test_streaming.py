@@ -614,7 +614,9 @@ def test_versioned_cdc_snapshot_as_of(spark, dirs):
     latest = {(r.user_id, r.value) for r in mv.read().collect()}
     assert latest == {(2, 200), (3, 300)}  # 1 deleted; 2's stale upsert lost
     feed = {r.user_id: r for r in mv.changes_between(1, 2).collect()}
-    assert feed[1].change_type == "update" and feed[1].kind_new == "del"
+    # CDC classification: the transition TO the tombstone is a delete (the
+    # _new columns carry the tombstone record), not an update
+    assert feed[1].change_type == "delete" and feed[1].kind_new == "del"
     assert feed[3].change_type == "insert"
 
 
@@ -680,3 +682,54 @@ def test_versioned_mv_compaction_commits_snapshot(spark, dirs):
     assert stats["versions_removed"] == 2
     assert all(not os.path.exists(f) for f in m2[frag_bucket])
     assert sorted(map(tuple, mv.read().collect())) == rows_before
+
+
+def test_change_feed_delta_apply_equals_recompute(spark, dirs):
+    """The IVM equation through the change feed: a downstream per-group
+    (count, sum) aggregate maintained by delta-applying the v1→v2 feed
+    equals the aggregate recomputed from the v2 snapshot — including a
+    group MIGRATION (a key whose group changes) and a delete."""
+    from linqonsteroids_spark.streaming import (
+        VersionedCdcMV,
+        apply_change_feed_to_group_sum,
+    )
+
+    mv = VersionedCdcMV(
+        spark, dirs["src"], SCHEMA, key="user_id",
+        order=("ts", "value"), payload=("value",), op_col="kind",
+        tombstone="del", mv_path=dirs["mv"], checkpoint_dir=dirs["ckpt"],
+    )
+    _write_batch(
+        spark, dirs["src"],
+        [(1, "red", _ts(10), 100), (2, "red", _ts(10), 200), (3, "blue", _ts(10), 300)],
+    )
+    mv.refresh_available()
+    _write_batch(
+        spark, dirs["src"],
+        [
+            (1, "blue", _ts(20), 150),   # migration: red → blue, value change
+            (2, "del", _ts(20), 0),      # delete
+            (4, "red", _ts(20), 400),    # insert
+        ],
+    )
+    mv.refresh_available()
+
+    def recompute(version):
+        return (
+            mv.read(version=version)
+            .groupBy(F.col("kind").alias("grp"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        )
+
+    downstream_v1 = recompute(1)
+    feed = mv.changes_between(1, 2)
+    maintained = apply_change_feed_to_group_sum(
+        downstream_v1, feed,
+        group_old="kind_old", group_new="kind_new",
+        value_old="value_old", value_new="value_new",
+    )
+    got = sorted(map(tuple, maintained.collect()))
+    want = sorted(map(tuple, recompute(2).collect()))
+    assert got == want
+    want_dict = dict((g, (n, t)) for g, n, t in want)
+    assert want_dict == {"blue": (2, 450.0), "red": (1, 400.0)}
