@@ -111,6 +111,8 @@ EXTRA = [
     "sql_surface_priority_counts",
     "sql_surface_flag_priority",
     "streaming_cdc_as_of",
+    "decimal_exact_totals",
+    "embedding_quantize_int8",
 ]
 
 

@@ -94,7 +94,7 @@ _ROTATION = [
     # streaming_trending_users, span_dedup_clean, vocab_growth_curve,
     # dedup_simhash_near_pairs, incremental_mv_time_travel, mv_change_feed,
     # sql_surface_priority_counts, sql_surface_flag_priority,
-    # streaming_cdc_as_of.
+    # streaming_cdc_as_of, decimal_exact_totals, embedding_quantize_int8.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

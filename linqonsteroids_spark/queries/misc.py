@@ -260,6 +260,29 @@ def sql_surface_flag_priority(spark, sf_dir):
     return spark.sql(SQL_SURFACE_Q12)
 
 
+# --- exact DECIMAL aggregation (money must not float) ------------------------
+# Revenue as DECIMAL(18,2): the sum is EXACT and aggregation-order-
+# independent on both engines — no rounding in the projection at all, the
+# strongest hash-stability class (what the double-sum gates approximate
+# with round()). This is how a warehouse actually accumulates money.
+DECIMAL_TOTALS_SQL = """
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS exact_revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "exact_revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
 # --- bivariate statistics: correlation / covariance --------------------------
 # Named-agg breadth beyond the reference's fold surface: Pearson
 # correlation and sample covariance per group. Both engines aggregate
@@ -288,6 +311,7 @@ FROM lineitem GROUP BY l_returnflag
 
 QUERIES = {
     "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
+    "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
     "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_Q6),
     "sql_surface_priority_counts": (sql_surface_priority_counts, SQL_SURFACE_Q4),

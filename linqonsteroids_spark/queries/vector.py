@@ -155,8 +155,58 @@ SELECT query_id, rnk, neighbor_id, cos_sim FROM (
 """
 
 
+# --- int8 scalar quantization (ANN memory compression) ----------------------
+# The standard 4x memory cut before an ANN index ships: per vector,
+# q_i = floor((v_i * 127.0) / max_abs) clamped to [-127, 127]. Every step
+# is an IEEE-double op computed with the same association on both engines
+# (cast to double, multiply, divide, floor), so the int arrays match
+# bit-for-bit with NO rounding in the projection — same determinism class
+# as the knn dot products. Row-local (one HOF pass), zero shuffle.
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x * F.lit(127.0) / max_abs),
+            ),
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        q.alias("q"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("l1_q"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH prep AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % 10 = 0
+), scaled AS (
+  SELECT vec_id,
+         list_transform(v, x -> greatest(-127,
+           least(127, CAST(floor((x * 127.0) /
+             list_max(list_transform(v, y -> abs(y)))) AS BIGINT)))) AS q
+  FROM prep
+)
+SELECT vec_id, q,
+       list_sum(list_transform(q, x -> abs(x))) AS l1_q
+FROM scaled
+"""
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
     "knn_lsh_bucketed": (knn_lsh_bucketed, KNN_LSH_SQL),
+    "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL),
 }
