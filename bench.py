@@ -165,19 +165,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "method": f"median of <= {REPS_MAX} steady-state runs, CoV cutoff {COV_CUTOFF}",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extra_queries": extra,
+            "method": f"median of <= {REPS_MAX} steady-state runs, CoV cutoff {COV_CUTOFF}",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line)
+    # Belt-and-braces: the driver captures stdout's tail, which has been
+    # truncated before (BENCH_r05 lost the headline total). Persist the
+    # same line to a file so the number survives any capture failure.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -9,14 +9,25 @@ Spark and DuckDB — verified: conv/substr vs ('0x'||…)::BIGINT, xor,
 bit_count, shifts).
 
 Scale: signature computation is one groupBy(doc) with 48 conditional
-sums (map-side combined). Near-pair search blocks on 4 × 12-bit chunks —
-two docs within hamming distance 3 of each other share at least one
-chunk (pigeonhole) — so the all-pairs comparison becomes 4 equi-joins.
+sums (map-side combined). Near-pair search uses multi-block compound-key
+blocking (Manku, Jain & Sarma, WWW '07 §3): split the 48 bits into 6
+blocks of 8 and equi-join on every C(6, 6-d) combination of (6-d) blocks
+concatenated into one compound key. d differing bits touch at most d
+blocks, leaving >= 6-d blocks untouched, so some combination's compound
+key matches exactly (pigeonhole) — the blocked search finds EXACTLY the
+all-pairs Hamming<=d set. For the production d=3 that is C(6,3)=20
+combinations of 24-bit keys: ~16.7M distinct buckets whose cardinality
+GROWS with corpus size, so expected candidates are ~20·N²/2²⁴ — versus
+the previous single-chunk scheme's 4 × 12-bit chunks = a CONSTANT 16,384
+buckets, whose per-bucket size (and thus candidate count, O(N²/4096))
+grew quadratically with N. Sub-quadratic candidate growth is asserted in
+tests/test_dedup.py::test_simhash_candidate_growth_subquadratic.
 """
 
 from __future__ import annotations
 
 from functools import reduce
+from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,8 +35,8 @@ from pyspark.sql import functions as F
 from linqonsteroids_spark.dedup.shingles import tokens_df
 
 N_BITS = 48
-N_CHUNKS = 4
-CHUNK_BITS = N_BITS // N_CHUNKS
+N_BLOCKS = 6
+BLOCK_BITS = N_BITS // N_BLOCKS
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -49,6 +60,35 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _combo_size(max_hamming: int) -> int:
+    """Blocks per compound key: complete for d <= N_BLOCKS - k, so pick
+    k = N_BLOCKS - d (clamped to [1, N_BLOCKS-1]; d > N_BLOCKS-1 degrades
+    to recall-only, which no production path uses)."""
+    return min(N_BLOCKS - 1, max(1, N_BLOCKS - max_hamming))
+
+
+def simhash_blocked(
+    sig: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash, bkey): one row per (doc, block combination), where
+    bkey packs the combination id and its blocks' values into one bigint
+    equi-join key (Manku WWW'07 multi-block blocking)."""
+    k = _combo_size(max_hamming)
+    keys = []
+    for ci, combo in enumerate(combinations(range(N_BLOCKS), k)):
+        key = F.lit(ci * 2 ** (BLOCK_BITS * k)).cast("long")
+        for pos, blk in enumerate(combo):
+            block_val = F.shiftright(F.col("simhash"), blk * BLOCK_BITS) % F.lit(
+                2**BLOCK_BITS
+            )
+            key = key + block_val * F.lit(2 ** (BLOCK_BITS * pos)).cast("long")
+        keys.append(key)
+    # max key = 2^(8k) * (C(6,k)-1 + 1) <= 2^45 — comfortably in int64
+    return sig.select(
+        F.col(id_col), "simhash", F.explode(F.array(*keys)).alias("bkey")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -56,30 +96,21 @@ def simhash_near_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs within ``max_hamming``, found via
-    chunk-blocking (no all-pairs cross join)."""
+    multi-block compound-key blocking (no all-pairs cross join; exact —
+    same pairs as the quadratic form — for max_hamming <= 5)."""
     sig = simhash_signatures(docs, id_col, text_col)
-    chunks = []
-    for c in range(N_CHUNKS):
-        chunk = (
-            F.shiftright(F.col("simhash"), c * CHUNK_BITS) % F.lit(2**CHUNK_BITS)
-        ).alias("chunk_val")
-        chunks.append(
-            sig.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"), chunk)
-        )
-    blocked = reduce(lambda a, b: a.unionByName(b), chunks)
+    blocked = simhash_blocked(sig, max_hamming, id_col)
     a = blocked.select(
-        "chunk", "chunk_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+        "bkey", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
     )
     b = blocked.select(
-        F.col("chunk").alias("chunk_b"), F.col("chunk_val").alias("chunk_val_b"),
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sig_b"),
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(
-            b,
-            (a.chunk == b.chunk_b) & (a.chunk_val == b.chunk_val_b) & (a.id_a < b.id_b),
-        )
+        a.join(b, (a.bkey == b.bkey_b) & (a.id_a < b.id_b))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

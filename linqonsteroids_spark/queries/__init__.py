@@ -46,55 +46,50 @@ _MODULES = [
 
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # insertion order, so ordering is evidence policy, not cosmetics.  _ROTATION
-# pins the front of the registry explicitly, round-5 policy (from
-# tools/rotation_plan.py staleness ranking, amended for this round's
-# changes): (1) never-green gates — the three r4 hash-reds now emitting
-# integer-ppm output, plus knn_ivf_trained which no prior window sampled;
-# (2) queries whose OUTPUT changed this round (fuzzy_part_pairs' SNM
-# rewrite, doc_quality / benchmark_contamination's ppm columns) — their old
-# green rows describe the old projection, so they need fresh evidence;
-# (3) the 14 remaining gates last green in round 2; (4) round-3 greens by
-# staleness until the 50 slots fill. Round-4 greens rotate out entirely.
+# pins the front of the registry explicitly, round-6 policy: (1) every
+# never-driver-green gate — the 3 chronic hash-reds (root-caused this round:
+# DuckDB HUGEINT -> float64 in the driver's pandas hash path; oracles now
+# CAST to BIGINT, guarded by tests/test_oracle_types.py), the 15 r5 gates
+# the 50-slot window couldn't hold (two of which — sql_surface_flag_priority
+# and decimal_exact_totals — carried the same HUGEINT/DECIMAL mine and were
+# pre-fixed before this, their first, sampling), and the new r6 gate
+# bpe_encode_segments; (2) the 22 gates last green in round 3 (stalest
+# evidence in the registry); (3) round-4 greens alphabetically until the 50
+# slots fill. Round-5 greens all rotate out — their evidence is freshest.
 _ROTATION = [
-    # -- never green (r4 hash-reds now integer-ppm; never-sampled IVF) ------
-    "vocab_coverage", "ngram_novelty", "corpus_report", "knn_ivf_trained",
-    # -- new this round: no prior driver evidence ---------------------------
-    "span_dedup_stats", "cdc_latest_snapshot", "cdc_scd2_history",
-    "pagerank_order_parts", "weighted_sample_per_source",
-    "streaming_cdc_snapshot", "bpe_learned_merges", "triangle_count_coparts",
-    "pagerank_order_parts_bucketed", "brand_except_all", "brand_intersect_all",
-    # -- output changed this round: need fresh driver rows ------------------
-    "fuzzy_part_pairs", "doc_quality", "benchmark_contamination",
-    # -- last green in round 2 ----------------------------------------------
-    "brand_union", "brand_except", "brand_intersect", "distinct_segments",
-    "orders_by_priority", "rollup_priority_status", "customer_name_report",
-    "acctbal_buckets", "lineitem_stats", "nations_indexed", "dedup_exact",
-    "doc_fingerprints", "label_centroid_norms", "discount_products",
-    # -- last green in round 3, staleness order -----------------------------
-    "flagship_order_records", "pricing_summary", "shipping_priority",
-    "nation_transitive_closure", "knn_bruteforce", "dedup_minhash_pairs",
-    "dedup_clusters", "format_roundtrip_supplier",
-    "salted_supplier_volume", "salted_status_stats",
-    "knn_ivf_exact", "streaming_user_totals", "incremental_mv_event_stats",
-    "indexed_segment_lookup", "indexed_computed_key_lookup",
-    "indexed_join_lookup", "indexed_chain_lookup", "bucketed_mv_join",
-    # (first_last_order_per_customer, customer_key_regex, cast_matrix,
-    # option_last_event, multimodal_image_stats, udaf_weighted_price,
-    # multimodal_frame_counts, nation_full_outer_counts,
-    # small_quantity_revenue, order_qty_foldhash, collect_urgency_scores
-    # rotate out this round — r3-green, least stale of the r3 cohort, all
-    # pytest-covered — to make window room for the eleven new
-    # never-sampled gates; window stays at exactly 50.)
+    # -- never driver-green: chronic reds, now fixed at the real root cause -
+    "vocab_coverage", "ngram_novelty", "corpus_report",
+    # -- never sampled (r5 window overflow; two pre-fixed type mines) -------
+    "customers_without_urgent_orders", "events_hourly_gapfill",
+    "null_safe_segment_join", "qty_price_correlation",
+    "streaming_trending_users", "span_dedup_clean", "vocab_growth_curve",
+    "dedup_simhash_near_pairs", "incremental_mv_time_travel",
+    "mv_change_feed", "sql_surface_priority_counts",
+    "sql_surface_flag_priority", "streaming_cdc_as_of",
+    "decimal_exact_totals", "embedding_quantize_int8",
+    # -- new this round: BPE encode with frozen merges (hash-checkable
+    #    companion to the rows-only bpe_learned_merges) --------------------
+    "bpe_encode_segments",
+    # -- last green in round 3 (stalest), alphabetical ----------------------
+    "bloom_reference_dedup", "cast_matrix", "collect_urgency_scores",
+    "corpus_mix_sample", "customer_key_regex", "doc_repetition_scores",
+    "first_last_order_per_customer", "grouping_sets_order_totals",
+    "multimodal_frame_counts", "multimodal_image_stats",
+    "nation_full_outer_counts", "option_last_event", "order_qty_foldhash",
+    "pack_sequences", "pii_scrub", "pivot_status_counts",
+    "quartile_prices_by_flag", "quota_per_source", "small_quantity_revenue",
+    "training_shards", "udaf_weighted_price", "unpivot_flag_metrics",
+    # -- last green in round 4, alphabetical until the window fills ---------
+    "advised_segment_lookup", "asof_purchase_click",
+    "asof_purchase_click_bucketed", "cube_priority_status",
+    "customer_order_counts", "customers_with_urgent_orders",
+    "customers_without_orders", "dedup_clusters_bucketed",
+    "dedup_embedding_pairs",
     #
-    # ROUND-6 ROTATION NOTE: these round-5 gates did not fit the window
-    # and have never been driver-sampled (each IS covered by the sf0.001
-    # differential in tests/test_oracle_differential.py) — front-load them
-    # next round: customers_without_urgent_orders, events_hourly_gapfill,
-    # null_safe_segment_join, qty_price_correlation,
-    # streaming_trending_users, span_dedup_clean, vocab_growth_curve,
-    # dedup_simhash_near_pairs, incremental_mv_time_travel, mv_change_feed,
-    # sql_surface_priority_counts, sql_surface_flag_priority,
-    # streaming_cdc_as_of, decimal_exact_totals, embedding_quantize_int8.
+    # ROUND-7 ROTATION NOTE: continue the round-4-green cohort
+    # alphabetically from dedup_ngram_jaccard (37 remain un-refreshed:
+    # dedup_ngram_jaccard .. unigram_surprisal) — every registered gate
+    # will then have driver evidence from r5 or later within two rounds.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

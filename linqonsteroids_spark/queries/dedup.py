@@ -30,12 +30,15 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(docs)
 
 
-# SimHash near-PAIRS: the chunk-blocked Hamming-ball search
-# (dedup/simhash.py:simhash_near_pairs — 4 x 12-bit chunks; pigeonhole: 3
-# bit flips cannot touch all 4 chunks, so chunk-blocking finds EXACTLY the
-# all-pairs Hamming<=3 set without an all-pairs join). The oracle runs the
-# quadratic all-pairs form — equality of the two IS the pigeonhole
-# completeness proof, checked on real data.
+# SimHash near-PAIRS: the multi-block-blocked Hamming-ball search
+# (dedup/simhash.py:simhash_near_pairs — Manku WWW'07: C(6,3)=20
+# combinations of 3-of-6 8-bit blocks as 24-bit compound keys; pigeonhole:
+# 3 bit flips leave >=3 blocks untouched, so some combination matches and
+# blocking finds EXACTLY the all-pairs Hamming<=3 set without an all-pairs
+# join, with bucket count GROWING with data instead of the constant 16,384
+# of the old single-chunk scheme). The oracle runs the quadratic all-pairs
+# form — equality of the two IS the pigeonhole completeness proof, checked
+# on real data.
 _SIMHASH_MAX_HAMMING = 3
 
 

@@ -241,16 +241,21 @@ def sql_surface_priority_counts(spark, sf_dir):
 # sum, identical text on both engines.
 SQL_SURFACE_Q12 = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority = '1-URGENT'
-                  OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority <> '1-URGENT'
-                 AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= o_orderdate
 GROUP BY l_returnflag
 """
+# ^ Identical SQL text on both engines does NOT mean identical result
+# types: DuckDB types sum(<integer>) as HUGEINT, which its pandas
+# conversion degrades to float64 and hash-mismatches Spark's bigint.
+# CAST(... AS BIGINT) parses identically in both dialects and pins the
+# type on both sides. Guarded by tests/test_oracle_types.py.
 
 
 def sql_surface_flag_priority(spark, sf_dir):
@@ -262,12 +267,20 @@ def sql_surface_flag_priority(spark, sf_dir):
 
 # --- exact DECIMAL aggregation (money must not float) ------------------------
 # Revenue as DECIMAL(18,2): the sum is EXACT and aggregation-order-
-# independent on both engines — no rounding in the projection at all, the
-# strongest hash-stability class (what the double-sum gates approximate
-# with round()). This is how a warehouse actually accumulates money.
+# independent on both engines — no rounding anywhere, the strongest
+# hash-stability class (what the double-sum gates approximate with
+# round()). This is how a warehouse actually accumulates money.
+# The GATED projection is integer CENTS (sum * 100 cast to BIGINT — a
+# lossless re-representation of the DECIMAL(·,2) total): Spark hands a
+# DECIMAL sum to pandas as decimal.Decimal objects while DuckDB's pandas
+# conversion degrades DECIMAL(38,2) to float64, so hashing the decimal
+# directly splits on representation even when the values are identical.
+# The decimal aggregation itself stays in the plan — only the final
+# projection re-bases it.
 DECIMAL_TOTALS_SQL = """
 SELECT l_returnflag,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS exact_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS revenue_cents,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """
@@ -275,11 +288,19 @@ FROM lineitem GROUP BY l_returnflag
 
 def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-            "exact_revenue"
-        ),
-        F.count("*").alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "exact_revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            (F.col("exact_revenue") * 100).cast("long").alias("revenue_cents"),
+            "n_rows",
+        )
     )
 
 

@@ -568,12 +568,16 @@ WITH toks_t AS (
 )
 SELECT s.doc_id,
        count(*) AS n_shingles,
-       sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
-       (sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
-         AS shared_ppm
+       CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST((sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS shared_ppm
 FROM sh s JOIN counts c USING (shingle)
 GROUP BY s.doc_id
 """
+# ^ BIGINT casts: DuckDB sum(<integer>) is HUGEINT, which fetchdf() degrades
+# to float64 — the r4/r5 chronic hash-red root cause. See
+# tests/test_oracle_types.py for the repo-wide guard.
 
 
 NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
@@ -638,15 +642,19 @@ WITH hashed AS (
 )
 SELECT h.source,
        count(*) AS n_docs,
-       sum(h.n_tokens) AS total_tokens,
-       sum(CASE WHEN d.content_hash IS NOT NULL THEN 1 ELSE 0 END)
-         AS n_in_dup_groups,
-       sum(h.n_punct) AS punct_chars,
-       sum(h.n_chars) AS total_chars,
-       (sum(h.n_punct) * 1000000) // sum(h.n_chars) AS punct_ppm
+       CAST(sum(h.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN d.content_hash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in_dup_groups,
+       CAST(sum(h.n_punct) AS BIGINT) AS punct_chars,
+       CAST(sum(h.n_chars) AS BIGINT) AS total_chars,
+       CAST((sum(h.n_punct) * 1000000) // sum(h.n_chars) AS BIGINT)
+         AS punct_ppm
 FROM hashed h LEFT JOIN dupes d USING (content_hash)
 GROUP BY h.source
 """
+# ^ BIGINT casts on every sum-derived column: DuckDB sum(<integer>) is
+# HUGEINT and fetchdf() turns HUGEINT into float64, which hash-mismatches
+# Spark's exact longs. Guarded by tests/test_oracle_types.py.
 
 
 # --- fuzzy record linkage: sorted-neighborhood edit-distance matching -------

@@ -282,12 +282,18 @@ WITH exploded AS (
 )
 SELECT t.doc_id,
        count(*) AS n_tokens,
-       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
-       (sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*)
-         AS oov_ppm
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS oov_ppm
 FROM tok t LEFT JOIN vocab v ON t.token = v.token
 GROUP BY t.doc_id
 """
+# ^ CAST(... AS BIGINT) on the sum-derived columns is load-bearing: DuckDB
+# types sum(<integer>) as HUGEINT (int128), and its pandas conversion
+# degrades HUGEINT to float64 (6 -> 6.0), so any hash over the pandas path
+# mismatches Spark's exact long. count(*) stays BIGINT and needs no cast.
+# Guarded repo-wide by tests/test_oracle_types.py.
 
 
 # --- vocabulary growth (Heaps-law curve) ------------------------------------
@@ -364,6 +370,57 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE encode (tokenizer application) --------------------------------------
+# The ENCODE half of the tokenizer pipeline with a FROZEN merge table
+# (learned once from the sf0.01 corpus via train_bpe, seedless and
+# deterministic, then frozen as literals so the gate is SQL-replayable):
+# segment every vocabulary word by applying the merges in learned order,
+# each left-to-right non-overlapping (operators/bpe.py:apply_merges).
+# Oracle replay: frame every codepoint as ' c ' (regexp_replace), then one
+# chained replace() per merge — ' a  b ' -> ' ab '. The double-space
+# delimiter makes a match align only on whole adjacent symbols, and SQL
+# replace() scans left-to-right non-overlapping, exactly the BPE encode
+# loop's semantics, so the replay is bit-exact (verified against the
+# pure-Python reference). Scale: one corpus pass for word frequencies,
+# then a row-local Arrow stage over O(|vocab|) rows — zero extra shuffle;
+# the merge table ships in the closure (10k-100k entries in production).
+_BPE_FROZEN_MERGES = [
+    ("e", "r", 4568), ("i", "n", 2760), ("o", "w", 2747), ("o", "r", 2696),
+    ("s", "t", 2676), ("m", "er", 1852), ("a", "t", 1845), ("l", "u", 1831),
+]
+
+
+def bpe_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.bpe import apply_merges, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = apply_merges(word_frequencies(docs), _BPE_FROZEN_MERGES)
+    return enc.select(
+        "word", "freq", "syms", F.size("syms").cast("long").alias("n_syms")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    framed = "regexp_replace(word, '(.)', ' \\1 ', 'g')"
+    for a, b, _ in _BPE_FROZEN_MERGES:
+        framed = f"replace({framed}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+)
+SELECT word, freq,
+       string_split(trim({framed}), '  ') AS syms,
+       len(string_split(trim({framed}), '  ')) AS n_syms
+FROM words
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 # --- unigram surprisal (perplexity proxy) -----------------------------------
 # Per-document mean negative log-probability under the corpus's own unigram
 # distribution — the cheapest model-free "perplexity" quality signal (docs
@@ -428,4 +485,6 @@ QUERIES = {
     "vocab_growth_curve": (vocab_growth_curve, VOCAB_GROWTH_SQL),
     # rows-only: iterative argmax control flow (see bpe_learned_merges doc)
     "bpe_learned_merges": (bpe_learned_merges, None),
+    # hash-checkable companion: ENCODE with the frozen merge table
+    "bpe_encode_segments": (bpe_encode_segments, BPE_ENCODE_SQL),
 }

@@ -199,9 +199,12 @@ WITH prep AS (
   FROM prep
 )
 SELECT vec_id, q,
-       list_sum(list_transform(q, x -> abs(x))) AS l1_q
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q
 FROM scaled
 """
+# ^ CAST is load-bearing: DuckDB list_sum over a BIGINT list returns
+# HUGEINT, which fetchdf() degrades to float64 and would hash-mismatch
+# Spark's long l1_q. Guarded by tests/test_oracle_types.py.
 
 
 QUERIES = {

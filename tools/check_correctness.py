@@ -39,6 +39,22 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
             if sql is None:
                 print(f"  {name}: rows={len(s_rows)} (no oracle) [{time.time()-t0:.1f}s]")
                 continue
+            # Type audit first: fetchall() below returns exact Python
+            # ints/Decimals, but the DRIVER hashes through pandas, where
+            # DuckDB degrades HUGEINT/DECIMAL to float64 (the r4/r5
+            # chronic-red root cause). Fail loudly on those types so this
+            # checker can never pass a gate the driver would red.
+            import re as _re
+
+            hazard = [
+                f"{c}:{t}"
+                for c, t in zip(con.sql(sql).columns, con.sql(sql).types)
+                if _re.search(r"HUGEINT|UHUGEINT|DECIMAL", str(t), _re.I)
+            ]
+            if hazard:
+                print(f"  FAIL {name}: TYPE-HAZARD (pandas-degrading oracle types) {hazard}")
+                failures += 1
+                continue
             res = con.execute(sql)
             d_cols = [d[0] for d in res.description]
             d_rows = [tuple(r) for r in res.fetchall()]
