@@ -4,12 +4,14 @@ via Arrow-batched pandas iterators.
 Design (north-star spec): media is an opaque ``binary`` column with a
 ``struct`` of typed metadata; decode / feature-extract / resize / frame-
 sample run as ``mapInPandas`` stages — Arrow batches in, Arrow batches
-out, never row-at-a-time Python. The decode itself is STUBBED (no
-image/audio libraries in this environment): ``_decode_stub`` derives
-deterministic pseudo-stats from the bytes, and the real-library hook
-raises ``NotImplementedError`` where PIL/ffmpeg would plug in. Everything
-Spark-side — schema, partitioning, batch iteration, UDF signatures — is
-real and tested.
+out, never row-at-a-time Python. Decode runs in tiers: real libraries
+when importable (PIL for images, PyAV for video), pure-stdlib decoders
+for the formats that need no codec library (PNG via zlib+unfilter, Y4M
+via header demux — both CI-exercised with exact-pixel pins), and a
+deterministic stub (``_decode_stub``) for synthetic payloads and formats
+whose real decoder is absent, where the plug point raises
+``NotImplementedError``. Everything Spark-side — schema, partitioning,
+batch iteration, UDF signatures — is real and tested.
 
 Scale: mapInPandas streams Arrow batches per partition; payload bytes
 never transit the driver. Size partitions via
@@ -247,23 +249,83 @@ def _extract_frame_stub(data: bytes, frame_idx: int) -> str:
     return hashlib.sha256(data + int(frame_idx).to_bytes(4, "big")).hexdigest()[:16]
 
 
-def _extract_frame_real(data: bytes, frame_idx: int) -> str:  # pragma: no cover - env lacks libs
-    """PyAV/ffmpeg-backed frame extraction; selected automatically when
-    ``av`` imports. Same output contract as the stub (16-hex hash of the
-    frame content) so downstream schemas never change."""
+_Y4M_SIG = b"YUV4MPEG2"
+
+#: luma-plane size multiplier for the chroma subsampling tags the Y4M
+#: spec defines (we only ever read the Y plane, but must skip chroma)
+_Y4M_CHROMA = {
+    "mono": 0.0,
+    "420": 0.5, "420jpeg": 0.5, "420paldv": 0.5, "420mpeg2": 0.5,
+    "422": 1.0,
+    "444": 2.0,
+}
+
+
+def _parse_y4m(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Pure-stdlib YUV4MPEG2 (.y4m) demux → (width, height, [Y plane per
+    frame]).
+
+    A REAL video decode path, not a stub: Y4M is ffmpeg's standard
+    uncompressed interchange container (plain-text stream header, then
+    ``FRAME`` + planar YUV per frame — the published mjpegtools format),
+    so it is parseable without any codec library, the same role the
+    pure-PNG tier plays for images. The row-major Y plane is byte-
+    identical to PyAV's ``frame.to_ndarray(format="gray")`` for the same
+    stream (swscale's gray8 from planar YUV copies luma), so the two
+    tiers hash identically.
+    """
+    nl = data.index(b"\n")
+    toks = data[:nl].decode("ascii").split()
+    if toks[0] != _Y4M_SIG.decode():
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    chroma = "420"
+    for t in toks[1:]:
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            chroma = t[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    y_size = w * h
+    frame_size = y_size + int(y_size * _Y4M_CHROMA[chroma])
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = data.index(b"\n", pos) + 1  # FRAME line may carry params
+        frames.append(data[pos : pos + y_size])
+        pos += frame_size
+    return w, h, frames
+
+
+def _extract_frame_real(data: bytes, frame_idx: int) -> str:
+    """Real frame extraction: PyAV when importable (any container), else
+    the pure-stdlib Y4M demuxer for Y4M payloads. Same output contract as
+    the stub (16-hex hash of the gray frame content) so downstream
+    schemas never change."""
+    if data[: len(_Y4M_SIG)] == _Y4M_SIG:
+        _, _, frames = _parse_y4m(data)
+        if frame_idx >= len(frames):
+            raise IndexError(f"frame {frame_idx} out of range")
+        return hashlib.sha256(frames[frame_idx]).hexdigest()[:16]
     if _av is None:
         raise NotImplementedError(
-            "real frame extraction requires PyAV (ffmpeg bindings), not present "
-            "in this environment; the stub path (_extract_frame_stub) remains active"
+            "real frame extraction of non-Y4M containers requires PyAV "
+            "(ffmpeg bindings), not present in this environment; the stub "
+            "path (_extract_frame_stub) remains active for them"
         )
-    import io
+    import io  # pragma: no cover - env lacks PyAV
 
-    with _av.open(io.BytesIO(data)) as container:
+    with _av.open(io.BytesIO(data)) as container:  # pragma: no cover
         for i, frame in enumerate(container.decode(video=0)):
             if i == frame_idx:
                 payload = frame.to_ndarray(format="gray").tobytes()
                 return hashlib.sha256(payload).hexdigest()[:16]
-    raise IndexError(f"frame {frame_idx} out of range")
+    raise IndexError(f"frame {frame_idx} out of range")  # pragma: no cover
 
 
 def sample_video_frames(
@@ -282,7 +344,7 @@ def sample_video_frames(
     oracle-gated query whose bytes are hashes, not containers); "real"
     forces PyAV and raises without it.
     """
-    videos = df.filter(F.col("media_meta.format") == "mp4").select(
+    videos = df.filter(F.col("media_meta.format").isin("mp4", "y4m")).select(
         F.col(id_col).alias("doc_id"),
         F.col("media_bytes"),
         F.col("media_meta.n_frames").alias("n_frames"),

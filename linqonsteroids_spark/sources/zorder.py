@@ -18,7 +18,9 @@ Scale design (100 TB):
   budget as any single-column sort; files then inherit narrow per-column
   spans on EVERY z-ordered column.
 - 16 bits per column (configurable) bounds code width: 2 cols × 16 bits =
-  32-bit codes; up to 4 columns fit a BIGINT63.
+  32-bit codes; ``zorder_code`` auto-reduces per-column bits so
+  ``bits * n_cols <= 63`` (4 cols → 15 bits each) — the interleaved code
+  must never reach the BIGINT sign bit.
 """
 
 from __future__ import annotations
@@ -56,9 +58,16 @@ def _interleave(cols: list[Column], bits: int) -> Column:
 
 
 def zorder_code(df: DataFrame, cols: list[str], bits: int = Z_BITS) -> DataFrame:
-    """Add a ``_zcode`` Morton column over ``cols`` (numeric columns)."""
+    """Add a ``_zcode`` Morton column over ``cols`` (numeric columns).
+
+    Auto-reduces ``bits`` so the top interleaved bit (position
+    ``bits*n - 1``) stays below the BIGINT sign bit — 4 columns at the
+    default 16 bits would otherwise shift into bit 63, making codes with
+    that bit set negative and sort FIRST, silently breaking the Morton
+    ordering the layout exists for."""
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder supports 1-4 columns (BIGINT code width)")
+    bits = min(bits, 63 // len(cols))
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],

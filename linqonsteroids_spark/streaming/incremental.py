@@ -155,6 +155,28 @@ def stream_stream_interval_join(
     return l.join(r, condition, how)
 
 
+def local_put_if_absent(path: str, payload: str) -> bool:
+    """Local-filesystem conditional put: atomically publish ``payload`` at
+    ``path`` iff nothing exists there yet. Returns False (without
+    touching the existing object) when another writer won the race.
+
+    Mechanism: write to a writer-private temp file, then ``os.link`` it
+    into place — POSIX hard-link creation fails with EEXIST if the target
+    exists, making the publish a single atomic compare-and-create. The
+    temp name carries the pid so two racing writers never collide on it.
+    """
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 class IncrementalAggMV:
     """Externalized-state IVM for monoid aggregates — the reference's
     Δ(indexBy ∘ fold) rule (``derivation/Prototype.scala:32-49``) with the
@@ -207,6 +229,24 @@ class IncrementalAggMV:
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
 
+    def _read_mv_or_none(self) -> DataFrame | None:
+        """The accumulated MV, or None ONLY when it genuinely doesn't
+        exist yet (first batch). Any other read failure — permissions,
+        transient FS error, corrupt footer — re-raises: treating it as
+        "first batch" would dynamic-overwrite the touched buckets with
+        batch-only data, silently dropping accumulated state (for the CDC
+        subclass that includes tombstones, letting late out-of-order
+        upserts resurrect deleted keys)."""
+        if not os.path.exists(self.mv_path):
+            return None
+        try:
+            return self.spark.read.parquet(self.mv_path)
+        except Exception as e:  # noqa: BLE001 — filtered by error class below
+            cond = str(getattr(e, "getCondition", lambda: "")() or e)
+            if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
+                return None  # dir exists but holds no committed data yet
+            raise
+
     # ---- layout metadata -------------------------------------------------
     # n_buckets IS the MV's physical layout: a merge run with a different
     # value would compute `touched` with the new hash while old rows for
@@ -253,10 +293,7 @@ class IncrementalAggMV:
             .agg(*[v.alias(n) for n, (_, v) in self.aggs.items()])
             .withColumn("mv_bucket", self._bucket())
         )
-        try:
-            old = self.spark.read.parquet(self.mv_path)
-        except Exception:  # first batch: no MV yet
-            old = None
+        old = self._read_mv_or_none()
         if old is None:
             self._write_meta()
             merged = partial
@@ -389,29 +426,32 @@ class VersionedAggMV(IncrementalAggMV):
         with open(os.path.join(self._manifest_dir(), f"v{version}.json")) as f:
             return json.load(f)
 
+    #: Pluggable conditional-put primitive — the ONLY storage operation
+    #: the commit protocol needs, so porting the manifest layer to an
+    #: object store is a one-function swap: S3 = PUT with
+    #: ``If-None-Match: *`` (or a DynamoDB conditional write, as Delta's
+    #: S3 LogStore does); GCS = ``ifGenerationMatch=0``; ABFS/HDFS =
+    #: create-no-overwrite. The local default hard-links a temp file into
+    #: place (``link`` fails with EEXIST if the target exists — atomic
+    #: put-if-absent on POSIX). Override per instance or subclass.
+    put_if_absent = staticmethod(local_put_if_absent)
+
     def _commit_manifest(self, version: int, manifest: dict[str, list[str]]) -> None:
-        """Optimistic-concurrency commit: ``link`` (not ``rename``) makes
-        the publish fail if another writer already committed this version
-        — rename would silently clobber the loser's snapshot. On conflict
-        the caller's generation files are orphans the next ``expire``
-        sweep collects; the committed version is untouched. This is the
-        put-if-absent protocol the table formats run on their logs."""
+        """Optimistic-concurrency commit via ``put_if_absent`` (NOT a
+        rename — rename would silently clobber the loser's snapshot). On
+        conflict the caller's generation files are orphans the next
+        ``expire`` sweep collects; the committed version is untouched.
+        This is the put-if-absent protocol the table formats run on
+        their logs."""
         os.makedirs(self._manifest_dir(), exist_ok=True)
-        tmp = os.path.join(self._manifest_dir(), f".v{version}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
         final = os.path.join(self._manifest_dir(), f"v{version}.json")
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
+        if not self.put_if_absent(final, json.dumps(manifest)):
             raise RuntimeError(
                 f"concurrent commit detected at {self.mv_path}: version "
                 f"{version} was already published by another writer. This "
                 f"merge's files are unreferenced and will be collected by "
                 f"expire_versions(); re-run the refresh to rebase."
-            ) from None
-        finally:
-            os.unlink(tmp)
+            )
 
     def expire_versions(self, keep_last: int = 2) -> dict[str, int]:
         """Retention sweep (the table formats' VACUUM + expire-snapshots):
@@ -777,10 +817,7 @@ class CdcUpsertMV(IncrementalAggMV):
                 "n_changes", F.lit(1).cast("long")
             )
         )
-        try:
-            old = self.spark.read.parquet(self.mv_path)
-        except Exception:  # first batch: no MV yet
-            old = None
+        old = self._read_mv_or_none()
         if old is None:
             self._write_meta()
             merged = partial

@@ -212,3 +212,71 @@ def test_pure_png_tier_matches_pil():
 def _decode_png_pure_px(m, data):
     px, _ = m._decode_png_pure(data)
     return px
+
+
+# --- video: pure-stdlib Y4M tier ---------------------------------------------
+
+def _encode_y4m(w, h, y_planes, chroma="420"):
+    """Minimal YUV4MPEG2 writer (the mjpegtools/ffmpeg interchange format):
+    stream header, then FRAME + planar YUV per frame; chroma planes are
+    deterministic filler — the decode contract only reads luma."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{chroma}\n".encode()
+    c_size = {"mono": 0, "420": (w * h) // 2, "422": w * h, "444": 2 * w * h}[chroma]
+    out = [head]
+    for i, y in enumerate(y_planes):
+        assert len(y) == w * h
+        out.append(b"FRAME\n")
+        out.append(bytes(y))
+        out.append(bytes((i + j) % 256 for j in range(c_size)))
+    return b"".join(out)
+
+
+_Y0 = bytes(range(48))  # 8x6 luma ramp
+_Y1 = bytes(255 - v for v in range(48))
+
+
+def test_pure_y4m_demux_exact_planes():
+    from linqonsteroids_spark.multimodal.media import _parse_y4m
+
+    for chroma in ("mono", "420", "422", "444"):
+        w, h, frames = _parse_y4m(_encode_y4m(8, 6, [_Y0, _Y1], chroma))
+        assert (w, h) == (8, 6)
+        assert frames == [_Y0, _Y1]
+
+
+def test_sample_video_frames_real_y4m_through_arrow_stage(spark):
+    # a REAL uncompressed video byte stream demuxed non-stubbed end-to-end
+    # through the mapInPandas stage — exact per-frame luma hashes
+    import hashlib
+
+    from linqonsteroids_spark.multimodal.media import sample_video_frames
+
+    data = _encode_y4m(8, 6, [_Y0, _Y1])
+    df = spark.createDataFrame(
+        [(7, data, ("y4m", 8, 6, 2, len(data)))],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,width:int,height:int,n_frames:int,size_bytes:long>",
+    )
+    rows = sorted(
+        (r.frame_idx, r.frame_hash)
+        for r in sample_video_frames(df, every_n=1, extractor="real").collect()
+    )
+    assert rows == [
+        (0, hashlib.sha256(_Y0).hexdigest()[:16]),
+        (1, hashlib.sha256(_Y1).hexdigest()[:16]),
+    ]
+
+
+def test_pure_y4m_tier_matches_pyav():
+    # parity pin for environments that DO ship PyAV: swscale gray8 of a
+    # planar-YUV frame is the luma plane, so both tiers hash identically
+    from linqonsteroids_spark.multimodal import media as m
+
+    if m._av is None:
+        pytest.skip("PyAV not installed; Y4M tier covered by exact-plane tests")
+    data = _encode_y4m(8, 6, [_Y0, _Y1])
+    import io
+
+    with m._av.open(io.BytesIO(data)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            assert frame.to_ndarray(format="gray").tobytes() == (_Y0, _Y1)[i]

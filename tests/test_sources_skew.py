@@ -169,3 +169,35 @@ def test_zorder_narrows_both_columns_file_spans(spark, tmp_path):
     # and the written relation is unchanged as a multiset
     back = spark.read.parquet(z_path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, grid.collect()))
+
+
+def test_zorder_four_columns_never_hits_sign_bit(spark):
+    """4 columns at the default 16 bits would shift a bit into position
+    63 (the BIGINT sign bit), flipping codes negative and breaking the
+    Morton ordering; zorder_code must auto-reduce per-column bits so
+    every code stays non-negative, with extreme values still ordered
+    after minimal ones."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.sources.zorder import zorder_code
+
+    n = 1 << 10
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        (F.lit(n) - F.col("id")).alias("b"),
+        (F.col("id") * 3 % n).alias("c"),
+        (F.col("id") * 7 % n).alias("d"),
+    )
+    coded = zorder_code(df, ["a", "b", "c", "d"])  # default bits=16 -> 15
+    stats = coded.agg(
+        F.min("_zcode").alias("lo"), F.max("_zcode").alias("hi")
+    ).collect()[0]
+    assert stats["lo"] >= 0
+    assert stats["hi"] < 1 << 60  # 4 cols x 15 bits
+    # the all-max corner must carry the largest code, not a negative one
+    corner = coded.orderBy(F.desc("_zcode")).limit(1).collect()[0]
+    top = df.agg(*[F.max(c).alias(c) for c in "abcd"]).collect()[0]
+    # highest code's quantized ranks are near the top of every dimension
+    assert corner["a"] + corner["b"] + corner["c"] + corner["d"] > (
+        top["a"] + top["b"] + top["c"] + top["d"]
+    ) // 2

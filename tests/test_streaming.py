@@ -555,6 +555,45 @@ def test_versioned_mv_concurrent_commit_rejected(spark, dirs):
     assert mv._read_manifest(1) == committed  # loser cannot clobber
 
 
+def test_versioned_mv_commit_through_plug_point(spark, dirs):
+    """The commit protocol's ONLY storage dependency is the pluggable
+    ``put_if_absent`` conditional put (the object-store port seam): a
+    fake primitive that simulates another committer winning the race at
+    the storage layer must make THIS writer's commit fail loudly, with
+    the racer's manifest — not ours — the surviving version."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from linqonsteroids_spark.streaming import VersionedAggMV
+    from linqonsteroids_spark.streaming.incremental import local_put_if_absent
+
+    mv = VersionedAggMV(
+        spark, dirs["src"], SCHEMA, key="user_id",
+        aggs={"n": ("sum", F.count("*"))},
+        mv_path=dirs["mv"], checkpoint_dir=dirs["ckpt"],
+    )
+    racer_manifest = {"0": ["/elsewhere/racer.parquet"]}
+    calls = []
+
+    def racing_put(path: str, payload: str) -> bool:
+        # another committer sneaks in just before our conditional put —
+        # the storage primitive must then report our put as lost
+        calls.append(path)
+        local_put_if_absent(path, _json.dumps(racer_manifest))
+        return local_put_if_absent(path, payload)
+
+    mv.put_if_absent = racing_put  # instance-level override: the seam
+    _write_batch(spark, dirs["src"], BATCH1)
+    with _pytest.raises(Exception, match="concurrent commit"):
+        mv.refresh_available()
+    # exactly one conditional-put attempt; the racer's snapshot survives
+    assert len(calls) == 1
+    with open(_os.path.join(mv._manifest_dir(), "v1.json")) as f:
+        assert _json.load(f) == racer_manifest
+
+
 def test_versioned_mv_expire_versions(spark, dirs):
     """Retention: after expiring to the last version, v1-only files are
     deleted, shared files survive, v1 is unreadable, latest is identical."""
