@@ -113,6 +113,10 @@ EXTRA = [
     "streaming_cdc_as_of",
     "decimal_exact_totals",
     "embedding_quantize_int8",
+    "bpe_encode_segments",
+    "bm25_doc_scores",
+    "inverted_postings",
+    "semantic_dedup_candidates",
 ]
 
 

@@ -97,8 +97,29 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs within ``max_hamming``, found via
     multi-block compound-key blocking (no all-pairs cross join; exact —
-    same pairs as the quadratic form — for max_hamming <= 5)."""
+    same pairs as the quadratic form — for max_hamming <= 5).
+
+    Dedup-by-construction, not by distinct(): a close pair matches MANY
+    combinations (a hamming-0 pair matches all 20), so each candidate row
+    carries its combination id and survives only at the pair's CANONICAL
+    combination — the first one whose blocks are all untouched by the
+    pair's differing bits, computed row-locally from xor via a 64-entry
+    lookup. Every qualifying pair then appears exactly once and the
+    multi-million-row distinct() shuffle disappears entirely.
+    """
     sig = simhash_signatures(docs, id_col, text_col)
+    k = _combo_size(max_hamming)
+    combos = list(combinations(range(N_BLOCKS), k))
+    # canonical combination per touched-block mask: the first combo fully
+    # disjoint from the mask (-1 = none; only possible past the
+    # completeness bound, where the hamming filter rejects the pair anyway)
+    canon = [
+        next(
+            (ci for ci, c in enumerate(combos) if not any(m >> b & 1 for b in c)),
+            -1,
+        )
+        for m in range(1 << N_BLOCKS)
+    ]
     blocked = simhash_blocked(sig, max_hamming, id_col)
     a = blocked.select(
         "bkey", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
@@ -108,12 +129,25 @@ def simhash_near_pairs(
         F.col(id_col).alias("id_b"),
         F.col("simhash").alias("sig_b"),
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    diff = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    mask = reduce(
+        lambda acc, i: acc
+        + F.when(
+            F.shiftright(diff, i * BLOCK_BITS).bitwiseAND(F.lit(2**BLOCK_BITS - 1))
+            != 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0)),
+        range(N_BLOCKS),
+        F.lit(0),
+    )
+    combo_id = F.shiftright(F.col("bkey"), BLOCK_BITS * k)
     return (
         a.join(b, (a.bkey == b.bkey_b) & (a.id_a < b.id_b))
-        .select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .filter(
+            (F.bit_count(diff) <= max_hamming)
+            & (combo_id == F.element_at(F.array(*[F.lit(c) for c in canon]), mask + 1))
+        )
+        .select("id_a", "id_b", F.bit_count(diff).alias("hamming"))
     )
 
 

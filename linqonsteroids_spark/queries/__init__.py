@@ -67,9 +67,11 @@ _ROTATION = [
     "mv_change_feed", "sql_surface_priority_counts",
     "sql_surface_flag_priority", "streaming_cdc_as_of",
     "decimal_exact_totals", "embedding_quantize_int8",
-    # -- new this round: BPE encode with frozen merges (hash-checkable
-    #    companion to the rows-only bpe_learned_merges) --------------------
-    "bpe_encode_segments",
+    # -- new this round: BPE encode (hash-checkable companion to the
+    #    rows-only bpe_learned_merges), Okapi BM25 scoring, inverted-index
+    #    build, SemDeDup centroid-linkage semantic dedup -------------------
+    "bpe_encode_segments", "bm25_doc_scores", "inverted_postings",
+    "semantic_dedup_candidates",
     # -- last green in round 3 (stalest), alphabetical ----------------------
     "bloom_reference_dedup", "cast_matrix", "collect_urgency_scores",
     "corpus_mix_sample", "customer_key_regex", "doc_repetition_scores",
@@ -83,13 +85,12 @@ _ROTATION = [
     "advised_segment_lookup", "asof_purchase_click",
     "asof_purchase_click_bucketed", "cube_priority_status",
     "customer_order_counts", "customers_with_urgent_orders",
-    "customers_without_orders", "dedup_clusters_bucketed",
-    "dedup_embedding_pairs",
     #
     # ROUND-7 ROTATION NOTE: continue the round-4-green cohort
-    # alphabetically from dedup_ngram_jaccard (37 remain un-refreshed:
-    # dedup_ngram_jaccard .. unigram_surprisal) — every registered gate
-    # will then have driver evidence from r5 or later within two rounds.
+    # alphabetically from customers_without_orders (40 remain un-refreshed:
+    # customers_without_orders .. unigram_surprisal) — every registered
+    # gate will then have driver evidence from r5 or later within two
+    # rounds.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -349,6 +349,148 @@ WITH first_seen AS (
 """
 
 
+# --- Okapi BM25 relevance scoring --------------------------------------------
+# The standard retrieval/quality-scoring function (Robertson & Walker,
+# SIGIR '94; the Lucene-default idf variant ln((N-df+0.5)/(df+0.5)+1)) for
+# a frozen query-term set — what a training-data pipeline runs to surface
+# documents relevant to a probe query (contamination triage, targeted
+# sampling). Scale: the term list is a broadcast literal; doc lengths and
+# term tfs come from one explode+agg pass each (map-side combined); df/N/
+# avgdl are a handful of scalar rows broadcast back; one final per-doc
+# agg. No window, no pair joins. Hash-stability: round(4) on the summed
+# double (the unigram_surprisal green precedent); avgdl is computed as
+# CAST(sum AS DOUBLE)/count explicitly so both engines divide the same
+# two exact integers.
+_BM25_TERMS = ["spark", "merge", "window", "hash", "scan"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    dl = exploded.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        exploded.filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 4).alias("bm25"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tok AS (
+  SELECT doc_id, token FROM exploded WHERE token <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+), df_t AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+)
+SELECT t.doc_id,
+       round(sum(
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (t.tf * ({_BM25_K1} + 1.0)
+            / (t.tf + {_BM25_K1}
+               * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl)))
+       ), 4) AS bm25,
+       count(*) AS n_hit_terms
+FROM tf t JOIN df_t d USING (token) JOIN dl l USING (doc_id) CROSS JOIN stats s
+GROUP BY t.doc_id
+"""
+
+
+BM25_SQL = _bm25_sql()
+
+
+# --- inverted index build -----------------------------------------------------
+# The retrieval-side artifact BM25 serves from: per term, document
+# frequency, collection frequency, and the ordered postings list
+# (doc_id:tf pairs). Postings are emitted as one deterministic string per
+# term (sorted by doc_id on both engines) — the portable representation a
+# hash gate can compare exactly. Scale: one explode + two map-side-
+# combined aggs, shuffled by term; at 100 TB stop-term postings are the
+# skew hazard — production shards a term's postings by doc-range
+# (term, shard) before the agg, exactly how Lucene segments them; the
+# per-term relational shape here is that design's single-shard case.
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat_ws(":", s.doc_id, s.tf),
+        ),
+        ",",
+    )
+    return tf.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        postings.alias("postings"),
+    )
+
+
+INVERTED_POSTINGS_SQL = """
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id
+)
+SELECT token, count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY token
+"""
+
+
 # --- BPE merge learning (tokenizer training) --------------------------------
 # The training half of the tokenizer pipeline: learn the top-K BPE merges
 # from the corpus's word-frequency table (Sennrich et al., ACL 2016).
@@ -487,4 +629,6 @@ QUERIES = {
     "bpe_learned_merges": (bpe_learned_merges, None),
     # hash-checkable companion: ENCODE with the frozen merge table
     "bpe_encode_segments": (bpe_encode_segments, BPE_ENCODE_SQL),
+    "bm25_doc_scores": (bm25_doc_scores, BM25_SQL),
+    "inverted_postings": (inverted_postings, INVERTED_POSTINGS_SQL),
 }

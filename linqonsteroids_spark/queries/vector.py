@@ -207,9 +207,82 @@ FROM scaled
 # Spark's long l1_q. Guarded by tests/test_oracle_types.py.
 
 
+# --- semantic dedup (SemDeDup, centroid-linkage linear form) ----------------
+# Embedding-space near-dup detection over the frozen IVF centroid artifact
+# (dedup/semantic.py): nearest-centroid assignment, per-cluster
+# representative election, member-vs-rep cosine — O(N) by construction,
+# never a within-cluster pair join. Threshold 0.30 splits the sf corpora
+# into a nontrivial kept/dropped mix.
+_SEMANTIC_DEDUP_THRESHOLD = 0.30
+
+
+def semantic_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.dedup.semantic import semantic_dedup_reps
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_reps(
+        emb, IVF_CENTROIDS, threshold=_SEMANTIC_DEDUP_THRESHOLD
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    """Replay: same -2·v·c + |c|² assignment as the knn_ivf_trained
+    oracle, rep = row_number 1 per cell (dist ASC, id ASC), same rounded
+    cosine and raw-threshold flag."""
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    rows = []
+    for i, c in enumerate(IVF_CENTROIDS):
+        cc = 0.0
+        for x in c:
+            cc += float(x) * float(x)
+        vals = ", ".join(repr(float(x)) for x in c)
+        rows.append(f"({i}, [{vals}]::DOUBLE[], {cc!r})")
+    cent = ",\n       ".join(rows)
+    return f"""
+WITH cent AS (
+  SELECT * FROM (VALUES {cent}) AS t(cell, cvec, cc)
+), corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assigned AS (
+  -- assignment ranks by -2*v*c + cc (|v|^2 constant per vector); dist for
+  -- the rep election is the TRUE squared L2 (+ v*v), which does not cancel
+  -- across different vectors of one cell (mirrors dedup/semantic.py)
+  SELECT vec_id, v, cell, dist FROM (
+    SELECT c.vec_id, c.v, ct.cell,
+           -2 * list_dot_product(c.v, ct.cvec) + ct.cc
+             + list_dot_product(c.v, c.v) AS dist,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY -2 * list_dot_product(c.v, ct.cvec) + ct.cc ASC,
+                      ct.cell ASC) AS arnk
+    FROM corpus c CROSS JOIN cent ct
+  ) WHERE arnk = 1
+), reps AS (
+  SELECT cell, vec_id AS rep_id, v AS rep_v FROM (
+    SELECT cell, vec_id, v,
+           row_number() OVER (
+             PARTITION BY cell ORDER BY dist ASC, vec_id ASC) AS rr
+    FROM assigned
+  ) WHERE rr = 1
+)
+SELECT a.vec_id, a.cell, r.rep_id,
+       round(list_cosine_similarity(a.v, r.rep_v), 4) AS cos_sim,
+       (a.vec_id <> r.rep_id
+        AND list_cosine_similarity(a.v, r.rep_v) >= {_SEMANTIC_DEDUP_THRESHOLD!r})
+         AS is_dup
+FROM assigned a JOIN reps r USING (cell)
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
     "knn_lsh_bucketed": (knn_lsh_bucketed, KNN_LSH_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL),
+    "semantic_dedup_candidates": (semantic_dedup_candidates, SEMANTIC_DEDUP_SQL),
 }

@@ -130,6 +130,39 @@ def test_simhash_candidate_growth_subquadratic(spark):
     assert counts[4000] < 200
 
 
+def test_semantic_dedup_reps_semantics(spark):
+    """Centroid-linkage SemDeDup: one output row per input vector, the
+    representative is a member of its own cluster and is never flagged as
+    a duplicate, and planted near-identical vectors ARE flagged."""
+    import random
+
+    from linqonsteroids_spark.dedup.semantic import semantic_dedup_reps
+
+    rng = random.Random(3)
+    dim = 8
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(3)]
+    rows = []
+    for c_idx, c in enumerate(cents):
+        rows.append((c_idx * 10, list(c)))  # exactly at centroid -> the rep
+        # a tiny perturbation of the rep: must be flagged as a dup
+        rows.append((c_idx * 10 + 1, [x * 1.0001 for x in c]))
+        for j in range(2, 8):  # noisy members of the same cluster
+            rows.append(
+                (c_idx * 10 + j, [x + rng.uniform(-0.4, 0.4) for x in c])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_reps(emb, cents, threshold=0.999)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == len(rows)  # linear: one row per vector, no pairs
+    for c_idx in range(3):
+        rep = got[c_idx * 10]
+        assert rep.rep_id == rep.vec_id and not rep.is_dup
+        assert rep.cos_sim == 1.0
+        planted = got[c_idx * 10 + 1]
+        assert planted.cell == rep.cell
+        assert planted.is_dup and planted.cos_sim > 0.999
+
+
 def test_jaccard_exact_values(docs):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, threshold=0.1).collect()}
     assert pairs[(1, 4)] == 1.0  # identical shingle sets

@@ -34,6 +34,7 @@ ALLOW_ALL_PAIRS = {
     "dedup_embedding_pairs": "pairwise cosine over a blocked candidate set",
     "nation_pairs_same_region": "25-row dimension self-pairing (bounded)",
     "unigram_surprisal": "1-row scalar total broadcast onto the freq table",
+    "bm25_doc_scores": "1-row (N, avgdl) scalar broadcast onto the tf table",
 }
 
 FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
