@@ -117,6 +117,9 @@ EXTRA = [
     "bm25_doc_scores",
     "inverted_postings",
     "semantic_dedup_candidates",
+    "pit_feature_join",
+    "table_digest_orders",
+    "profile_orders_columns",
 ]
 
 

@@ -69,9 +69,11 @@ _ROTATION = [
     "decimal_exact_totals", "embedding_quantize_int8",
     # -- new this round: BPE encode (hash-checkable companion to the
     #    rows-only bpe_learned_merges), Okapi BM25 scoring, inverted-index
-    #    build, SemDeDup centroid-linkage semantic dedup -------------------
+    #    build, SemDeDup centroid-linkage semantic dedup, point-in-time
+    #    feature join, reconciliation digest, column profile ---------------
     "bpe_encode_segments", "bm25_doc_scores", "inverted_postings",
-    "semantic_dedup_candidates",
+    "semantic_dedup_candidates", "pit_feature_join", "table_digest_orders",
+    "profile_orders_columns",
     # -- last green in round 3 (stalest), alphabetical ----------------------
     "bloom_reference_dedup", "cast_matrix", "collect_urgency_scores",
     "corpus_mix_sample", "customer_key_regex", "doc_repetition_scores",
@@ -83,14 +85,12 @@ _ROTATION = [
     "training_shards", "udaf_weighted_price", "unpivot_flag_metrics",
     # -- last green in round 4, alphabetical until the window fills ---------
     "advised_segment_lookup", "asof_purchase_click",
-    "asof_purchase_click_bucketed", "cube_priority_status",
-    "customer_order_counts", "customers_with_urgent_orders",
+    "asof_purchase_click_bucketed",
     #
     # ROUND-7 ROTATION NOTE: continue the round-4-green cohort
-    # alphabetically from customers_without_orders (40 remain un-refreshed:
-    # customers_without_orders .. unigram_surprisal) — every registered
-    # gate will then have driver evidence from r5 or later within two
-    # rounds.
+    # alphabetically from cube_priority_status (43 remain un-refreshed:
+    # cube_priority_status .. unigram_surprisal) — every registered gate
+    # will then have driver evidence from r5 or later within two rounds.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

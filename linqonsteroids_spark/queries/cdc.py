@@ -263,9 +263,77 @@ SELECT 2 AS version, user_id, last_op, last_value, 2 * n_changes FROM snap
 """
 
 
+# --- point-in-time (PIT) feature join ----------------------------------------
+# THE training-data correctness primitive: join facts to the dimension
+# version that was valid AT each fact's own timestamp — never a later one
+# (feature leakage) and never an earlier one than necessary (staleness).
+# Composition, not new machinery: the dimension history is scd2_history
+# over the user-state changelog (every non-purchase event), and the
+# per-fact version resolution is the as-of join (operators/asof.py:
+# union+window, ONE shuffle, hot keys boundable via time_bucket_width) —
+# NOT a validity-range theta-join, whose per-key version fan-out explodes
+# at 100 TB. Strict (<) semantics: a state change at the purchase's exact
+# timestamp is not yet visible to it.
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.filter(F.col("event_type") != "purchase"),
+        key="user_id", order=("ts", "event_id"), payload=("value",),
+        op_col="event_type",
+    ).select(
+        "user_id", "version", "op", "value", F.col("valid_from").alias("dim_ts")
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    out = asof_join(
+        facts, hist, on="user_id", left_time="ts", right_time="dim_ts",
+        value_cols=["version", "op", "value"],
+        strict=True, right_tiebreak="version",
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "purchase_value",
+        F.col("asof_version").alias("dim_version"),
+        F.col("asof_op").alias("dim_op"),
+        F.round("asof_value", 4).alias("dim_value"),
+    )
+
+
+PIT_FEATURE_SQL = """
+WITH hist AS (
+  SELECT user_id,
+         row_number() OVER w AS version,
+         event_type AS op,
+         value,
+         ts AS dim_ts
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), facts AS (
+  SELECT user_id, event_id, ts, round(value, 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT f.user_id, f.event_id, f.ts, f.purchase_value,
+         h.version AS dim_version, h.op AS dim_op,
+         round(h.value, 4) AS dim_value,
+         row_number() OVER (
+           PARTITION BY f.event_id
+           ORDER BY h.dim_ts DESC NULLS LAST, h.version DESC NULLS LAST
+         ) AS rn
+  FROM facts f LEFT JOIN hist h
+    ON f.user_id = h.user_id AND h.dim_ts < f.ts
+)
+SELECT user_id, event_id, ts, purchase_value, dim_version, dim_op, dim_value
+FROM matched WHERE rn = 1
+"""
+
+
 QUERIES = {
     "cdc_latest_snapshot": (cdc_latest_snapshot, CDC_SNAPSHOT_SQL),
     "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
     "streaming_cdc_snapshot": (streaming_cdc_snapshot, STREAMING_CDC_SQL),
     "streaming_cdc_as_of": (streaming_cdc_as_of, STREAMING_CDC_AS_OF_SQL),
+    "pit_feature_join": (pit_feature_join, PIT_FEATURE_SQL),
 }

@@ -330,8 +330,89 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- table content digest (reconciliation) -----------------------------------
+# The operator every 100 TB migration/copy runs to prove two tables hold
+# the same rows without moving either: per partition-ish group, an
+# ORDER-INDEPENDENT content digest — bit_xor of a 48-bit md5 of each
+# row's canonical string — plus the row count. XOR is commutative,
+# associative, and overflow-free, so the digest is identical under any
+# partitioning/aggregation order on any engine (the property an integer
+# SUM digest loses to overflow at scale). Doubles enter the canonical
+# string as integer cents, never via double→string formatting (engine-
+# dependent). One map-side-combined agg; zero other shuffles.
+def table_digest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        F.col("o_orderpriority"),
+    )
+    row_hash = F.conv(F.substring(F.md5(canonical), 1, 12), 16, 10).cast("long")
+    return (
+        orders.select("o_orderpriority", row_hash.alias("h"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("content_digest"),
+        )
+    )
+
+
+TABLE_DIGEST_SQL = """
+SELECT o_orderpriority, count(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(
+         o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+         || CAST(round(o_totalprice * 100, 0) AS BIGINT) || '|'
+         || o_orderpriority
+       ), 1, 12))::BIGINT) AS content_digest
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- column profile (ANALYZE-style statistics) --------------------------------
+# The statistics pass a warehouse runs before planning: per column, null
+# count and exact distinct count, in long format. One pass computes every
+# column's aggregates (count_distinct + conditional sums share one
+# map-side-combined agg); stack unpivots the single row. All-integer
+# output — hash-stable by construction.
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[F.countDistinct(c).alias(f"ndv_{c}") for c in _PROFILE_COLS],
+    )
+    stacked = ", ".join(
+        f"'{c}', n_rows, nulls_{c}, ndv_{c}" for c in _PROFILE_COLS
+    )
+    return agg.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked}) "
+        "AS (column_name, n_rows, n_nulls, n_distinct)"
+    )
+
+
+PROFILE_COLUMNS_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, count(*) AS n_rows,\n"
+    f"       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_nulls,\n"
+    f"       count(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
+    "table_digest_orders": (table_digest_orders, TABLE_DIGEST_SQL),
+    "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
     "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_Q6),
