@@ -120,6 +120,7 @@ EXTRA = [
     "pit_feature_join",
     "table_digest_orders",
     "profile_orders_columns",
+    "bloom_pruned_revenue",
 ]
 
 

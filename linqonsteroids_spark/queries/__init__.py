@@ -73,7 +73,7 @@ _ROTATION = [
     #    feature join, reconciliation digest, column profile ---------------
     "bpe_encode_segments", "bm25_doc_scores", "inverted_postings",
     "semantic_dedup_candidates", "pit_feature_join", "table_digest_orders",
-    "profile_orders_columns",
+    "profile_orders_columns", "bloom_pruned_revenue",
     # -- last green in round 3 (stalest), alphabetical ----------------------
     "bloom_reference_dedup", "cast_matrix", "collect_urgency_scores",
     "corpus_mix_sample", "customer_key_regex", "doc_repetition_scores",
@@ -85,12 +85,12 @@ _ROTATION = [
     "training_shards", "udaf_weighted_price", "unpivot_flag_metrics",
     # -- last green in round 4, alphabetical until the window fills ---------
     "advised_segment_lookup", "asof_purchase_click",
-    "asof_purchase_click_bucketed",
     #
     # ROUND-7 ROTATION NOTE: continue the round-4-green cohort
-    # alphabetically from cube_priority_status (43 remain un-refreshed:
-    # cube_priority_status .. unigram_surprisal) — every registered gate
-    # will then have driver evidence from r5 or later within two rounds.
+    # alphabetically from asof_purchase_click_bucketed (44 remain
+    # un-refreshed: asof_purchase_click_bucketed .. unigram_surprisal) —
+    # every registered gate will then have driver evidence from r5 or
+    # later within two rounds.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -330,6 +330,45 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- Bloom-pruned selective join ---------------------------------------------
+# Semi-join reduction (Bernstein & Chiu JACM'81; Bloom CACM'70): revenue
+# of lineitems belonging to urgent finished orders. The selective order
+# subset builds a broadcastable (word, bits) Bloom bitmap; lineitem is
+# pre-filtered by k sequential broadcast bit tests BEFORE its shuffle —
+# probe traffic drops to true matches + false positives, which the exact
+# join then removes. The oracle is the PLAIN join: equality IS the
+# no-false-negative proof on real data (operators/bloomjoin.py; shuffle
+# reduction pinned in tests/test_operators.py).
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.bloomjoin import bloom_semi_reduce
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey")
+    reduced = bloom_semi_reduce(li, urgent, "l_orderkey", "o_orderkey")
+    return (
+        reduced.join(urgent, reduced.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+BLOOM_PRUNED_SQL = """
+SELECT l_returnflag, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY l_returnflag
+"""
+
+
 # --- table content digest (reconciliation) -----------------------------------
 # The operator every 100 TB migration/copy runs to prove two tables hold
 # the same rows without moving either: per partition-ish group, an
@@ -413,6 +452,7 @@ QUERIES = {
     "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
     "table_digest_orders": (table_digest_orders, TABLE_DIGEST_SQL),
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
+    "bloom_pruned_revenue": (bloom_pruned_revenue, BLOOM_PRUNED_SQL),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
     "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_Q6),

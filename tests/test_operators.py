@@ -657,3 +657,35 @@ def test_remove_duplicated_spans_crafted(spark):
     assert rows[2].clean_text == "x y" and rows[2].n_kept == 2
     assert rows[3].clean_text == "p q r s t u v" and rows[3].n_kept == 7
     assert rows[4].clean_text == "" and rows[4].n_kept == 0
+
+
+def test_bloom_semi_reduce_superset_and_pruning(spark):
+    """Bloom semi-join reduction: the reduced probe is a SUPERSET of the
+    true semi-join (no false negatives — the correctness contract) and a
+    small fraction of the full probe (the pruning contract); composing
+    with the real join equals the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.bloomjoin import bloom_semi_reduce
+
+    probe = spark.range(20000).selectExpr("id AS k", "id * 2 AS payload")
+    build = spark.range(100).selectExpr("id * 97 AS k")  # 100 of 20000 match
+    reduced = bloom_semi_reduce(probe, build, "k", "k")
+    n_reduced = reduced.count()
+    true_keys = {r.k for r in build.filter("k < 20000").collect()}
+    reduced_keys = {r.k for r in reduced.collect()}
+    assert true_keys <= reduced_keys  # no false negatives
+    # pruning: with m=2^17 bits / 100 keys, FP rate is tiny — the reduced
+    # probe must be a sliver of the 20k rows
+    assert n_reduced < 1000
+    joined = sorted(
+        (r.k, r.payload) for r in reduced.join(build, "k").collect()
+    )
+    plain = sorted((r.k, r.payload) for r in probe.join(build, "k").collect())
+    assert joined == plain
+    # the bit-test pipeline adds no shuffle: only broadcast exchanges
+    # appear between the probe scan and the filter chain
+    plan = reduced._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert not re.search(r"Exchange (hash|range)partitioning", plan.split("BroadcastHashJoin")[0])
