@@ -10,16 +10,23 @@ difference between shuffling a full fact table and shuffling only the
 ~1% that joins.
 
 Design:
-- The filter is a distributed (word, bits) bitmap relation (m/64 rows —
-  broadcastable at ANY build-side cardinality), built with one map-side-
-  combined ``bit_or`` agg; no driver-side collect of keys, no UDF.
-- The probe test is k SEQUENTIAL broadcast hash joins (one per hash
-  function), each followed by a row-local bit test — all inside one map
-  stage, ZERO added shuffle (the existing contamination probe's
-  explode + re-group shape would shuffle k×|probe| rows, defeating the
-  point for a join reducer).
-- 2-universal positions from two md5 halves (the contamination family):
-  deterministic, engine-reproducible, no seed state.
+- The filter is built distributed as a (word, bits) bitmap relation
+  (m/64 rows regardless of build-side cardinality) with one map-side-
+  combined ``bit_or`` agg; no driver-side collect of KEYS, no UDF. Only
+  the finished BITMAP (m/64 longs, 16 KB at the default m — bounded by
+  configuration, not data) is collected and shipped as a constant array
+  literal.
+- The probe test is ONE row-local filter pass — k array lookups + bit
+  tests inside whole-stage codegen, zero joins, zero added shuffle (the
+  contamination probe's explode + re-group shape would shuffle k×|probe|
+  rows; a k-chained broadcast-join probe measured 10× slower from
+  per-join codegen-stage breaks).
+- 2-universal positions from two seeded xxhash64 values: JVM-native
+  (~ns/row, survives Catalyst's projection-collapse inlining), fully
+  deterministic. No cross-engine hash parity is needed — the oracle is
+  the PLAIN join, so the filter internals are free to use the fastest
+  hash (the md5 family stays in the contamination gates, where the
+  oracle does replay the bits).
 - No false negatives by construction — the reduced join equals the
   plain join exactly (pinned by the oracle gate and pytest).
 """
@@ -37,10 +44,14 @@ BLOOM_COEFFS = [(3, 7), (11, 13), (17, 23), (29, 31)]
 
 
 def _halves(key: Column) -> tuple[Column, Column]:
-    """Two independent 32-bit hashes from one md5 of the key string."""
-    s = F.md5(key.cast("string"))
-    h1 = F.conv(F.substring(s, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(s, 17, 8), 16, 10).cast("long")
+    """Two independent 31-bit hashes via seeded xxhash64 — JVM-native and
+    ~2 orders cheaper per row than an md5+conv pipeline, which matters
+    because Catalyst's projection collapse re-inlines the hash expression
+    into every bit test (a Bloom filter needs no cross-engine hash parity
+    — the oracle is the plain join). 31-bit reduction keeps a*h1 + b*h2
+    inside int64 with no ANSI overflow risk."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(1 << 31))
+    h2 = F.pmod(F.xxhash64(key, F.lit(7)), F.lit(1 << 31))
     return h1, h2
 
 
@@ -68,26 +79,32 @@ def bloom_semi_reduce(
     keys — a SUPERSET of the true semi-join (false positives possible,
     false negatives impossible). Compose with the real join afterward:
     ``bloom_semi_reduce(fact, dim, k, k).join(dim, k)`` is exactly
-    ``fact.join(dim, k)`` with shuffle traffic reduced to passes."""
-    bitmap = bloom_bitmap(build, build_key)
+    ``fact.join(dim, k)`` with shuffle traffic reduced to passes.
+
+    The bitmap is collected to the driver and shipped as a constant
+    m/64-long array literal (16 KB at the default m — bounded by the
+    FILTER CONFIGURATION, never by data size; the same bounded-metadata
+    class as ``linkage.global_rank``'s prefix offsets). The probe test is
+    then ONE row-local filter pass: k array lookups + bit tests inside
+    whole-stage codegen — no joins, no broadcast exchanges, no shuffle.
+    (A k-chained broadcast-join probe was measured 10× slower: each join
+    boundary re-inlines the hash expressions via projection collapse and
+    breaks the probe into k codegen stages.)"""
+    rows = bloom_bitmap(build, build_key).collect()  # <= m/64 rows, bounded
+    words = [0] * (BLOOM_M // BLOOM_WORD)
+    for r in rows:
+        words[r["word"]] = r["bits"]
+    bitmap_lit = F.lit(words)  # one folded constant, indexed per row
     h1, h2 = _halves(F.col(probe_key))
-    out = probe
-    for i, (a, b) in enumerate(BLOOM_COEFFS):
+    # plain inlined conditions: projection collapse duplicates the hash
+    # expression into every bit test, which is fine for ~ns xxhash64
+    # (an md5+conv hash here measured 4× slower end-to-end, and HOF
+    # let-binding to dedupe it traded hashing for interpreted lambdas).
+    # The whole test stays inside one whole-stage-codegen'd filter.
+    test = None
+    for a, b in BLOOM_COEFFS:
         pos = (F.lit(a) * h1 + F.lit(b) * h2) % F.lit(BLOOM_M)
-        bm = bitmap.select(
-            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
-        )
-        out = (
-            out.withColumn(f"_p{i}", pos)
-            .withColumn(f"_w{i}", (F.col(f"_p{i}") / BLOOM_WORD).cast("long"))
-            .withColumn(
-                f"_m{i}", F.expr(f"shiftleft(1L, int(_p{i} % {BLOOM_WORD}))")
-            )
-            .join(F.broadcast(bm), f"_w{i}", "left")
-            .filter(
-                F.col(f"_b{i}").isNotNull()
-                & (F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) == F.col(f"_m{i}"))
-            )
-            .drop(f"_p{i}", f"_w{i}", f"_m{i}", f"_b{i}")
-        )
-    return out
+        word_bits = F.element_at(bitmap_lit, (pos / BLOOM_WORD).cast("int") + 1)
+        cond = F.getbit(word_bits, (pos % BLOOM_WORD).cast("int")) == 1
+        test = cond if test is None else (test & cond)
+    return probe.filter(test)

@@ -683,9 +683,7 @@ def test_bloom_semi_reduce_superset_and_pruning(spark):
     )
     plain = sorted((r.k, r.payload) for r in probe.join(build, "k").collect())
     assert joined == plain
-    # the bit-test pipeline adds no shuffle: only broadcast exchanges
-    # appear between the probe scan and the filter chain
+    # the probe test is one row-local filter pass: no joins, no exchanges
+    # of any kind in the reduced-probe plan
     plan = reduced._jdf.queryExecution().executedPlan().toString()
-    import re
-
-    assert not re.search(r"Exchange (hash|range)partitioning", plan.split("BroadcastHashJoin")[0])
+    assert "Join" not in plan and "Exchange" not in plan
