@@ -121,6 +121,7 @@ EXTRA = [
     "table_digest_orders",
     "profile_orders_columns",
     "bloom_pruned_revenue",
+    "merge_into_balances",
 ]
 
 

@@ -330,10 +330,72 @@ FROM matched WHERE rn = 1
 """
 
 
+# --- batch MERGE INTO (lakehouse upsert statement) ---------------------------
+# The full three-clause MERGE on the bucketed-parquet layout
+# (operators/merge.py): customers minus every 7th key form the target;
+# per-customer order totals are the source. Matched heavy customers
+# (> 15 orders) are DELETED, other matched customers get their balance
+# UPDATED (+ order total), source-only customers are INSERTED as NEW
+# rows, and customers without orders survive untouched. All clauses
+# resolve in ONE full-outer join over only the touched buckets; the
+# oracle states the same result set-theoretically from the base tables.
+def merge_into_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.merge import BucketedMergeTable
+    from linqonsteroids_spark.session import scratch_dir
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    tbl = BucketedMergeTable(
+        spark, f"{scratch_dir(prefix='squopt_merge_')}/balances", key="c_custkey"
+    )
+    tbl.create(
+        cust.filter(F.col("c_custkey") % 7 != 0).select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+        )
+    )
+    src = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+    )
+    tbl.merge(
+        src,
+        matched_update={
+            "c_acctbal": F.round(F.col("c_acctbal") + F.col("order_total"), 2)
+        },
+        matched_delete=F.col("n_orders") > 15,
+        insert_values={
+            "c_name": F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")),
+            "c_acctbal": F.col("order_total"),
+        },
+    )
+    return tbl.read()
+
+
+MERGE_INTO_SQL = """
+WITH tgt AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+), src AS (
+  SELECT o_custkey AS k, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS order_total
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(t.c_custkey, s.k) AS c_custkey,
+       CASE WHEN t.c_custkey IS NULL THEN 'NEW-' || s.k
+            ELSE t.c_name END AS c_name,
+       CASE WHEN t.c_custkey IS NULL THEN s.order_total
+            WHEN s.k IS NULL THEN t.c_acctbal
+            ELSE round(t.c_acctbal + s.order_total, 2) END AS c_acctbal
+FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.k
+WHERE NOT (t.c_custkey IS NOT NULL AND s.k IS NOT NULL AND s.n_orders > 15)
+"""
+
+
 QUERIES = {
     "cdc_latest_snapshot": (cdc_latest_snapshot, CDC_SNAPSHOT_SQL),
     "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
     "streaming_cdc_snapshot": (streaming_cdc_snapshot, STREAMING_CDC_SQL),
     "streaming_cdc_as_of": (streaming_cdc_as_of, STREAMING_CDC_AS_OF_SQL),
     "pit_feature_join": (pit_feature_join, PIT_FEATURE_SQL),
+    "merge_into_balances": (merge_into_balances, MERGE_INTO_SQL),
 }

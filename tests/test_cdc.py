@@ -71,3 +71,74 @@ def test_scd2_single_exchange_and_sort(spark):
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_bucketed_merge_semantics_and_pruning(spark, tmp_path):
+    """MERGE INTO on the bucketed layout: update/delete/insert clauses
+    resolve correctly, target-only rows survive untouched, and bucket
+    directories the source does not touch are not rewritten (the
+    O(batch + touched buckets) refresh contract)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.merge import BucketedMergeTable
+
+    tbl = BucketedMergeTable(spark, str(tmp_path / "t"), key="k", n_buckets=8)
+    base = spark.range(40).selectExpr("id AS k", "cast(id * 10 as double) AS bal")
+    tbl.create(base)
+    # source touches only 3 keys: update k=1, delete k=2, insert k=100
+    src = spark.createDataFrame(
+        [(1, 5.0, 0), (2, 0.0, 1), (100, 77.0, 0)],
+        "k long, delta double, kill int",
+    )
+    untouched_buckets = {0, 1, 2, 3, 4, 5, 6, 7} - {
+        r.b
+        for r in src.selectExpr("pmod(xxhash64(k), 8) AS b").distinct().collect()
+    }
+    before = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for b in untouched_buckets
+        for f in glob.glob(str(tmp_path / "t" / f"mv_bucket={b}" / "*.parquet"))
+    }
+    assert before  # the pin only means something if such buckets exist
+    tbl.merge(
+        src,
+        matched_update={"bal": F.col("bal") + F.col("delta")},
+        matched_delete=F.col("kill") == 1,
+        insert_values={"bal": F.col("delta")},
+    )
+    got = {r.k: r.bal for r in tbl.read().collect()}
+    assert got[1] == 15.0  # updated
+    assert 2 not in got  # deleted
+    assert got[100] == 77.0  # inserted
+    assert got[3] == 30.0 and len(got) == 40  # -1 delete +1 insert
+    after = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for b in untouched_buckets
+        for f in glob.glob(str(tmp_path / "t" / f"mv_bucket={b}" / "*.parquet"))
+    }
+    assert after == before  # untouched buckets: same files, same bytes
+
+
+def test_bucketed_merge_guards(spark, tmp_path):
+    """No-insert mode drops unmatched source rows; layout and column
+    overlap mismatches fail loudly instead of corrupting the table."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.merge import BucketedMergeTable
+
+    tbl = BucketedMergeTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    tbl.create(spark.range(10).selectExpr("id AS k", "cast(id as double) AS bal"))
+    src = spark.createDataFrame([(5, 1.0), (99, 9.0)], "k long, delta double")
+    tbl.merge(src, matched_update={"bal": F.col("bal") + F.col("delta")})
+    got = {r.k: r.bal for r in tbl.read().collect()}
+    assert got[5] == 6.0 and 99 not in got and len(got) == 10
+
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        BucketedMergeTable(spark, str(tmp_path / "t"), key="k", n_buckets=8).merge(src)
+    bad = spark.createDataFrame([(5, 1.0)], "k long, bal double")
+    with _pytest.raises(ValueError, match="share non-key columns"):
+        tbl.merge(bad)
