@@ -122,6 +122,7 @@ EXTRA = [
     "profile_orders_columns",
     "bloom_pruned_revenue",
     "merge_into_balances",
+    "quality_model_scores",
 ]
 
 

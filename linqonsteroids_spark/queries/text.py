@@ -443,6 +443,81 @@ GROUP BY t.doc_id
 BM25_SQL = _bm25_sql()
 
 
+# --- frozen linear quality model (model scoring as a relational op) ----------
+# A fastText-style document-quality classifier run AS A QUERY: engineered
+# features (type-token ratio, punctuation ratio, stopword ratio, mean
+# token length) combined by a FROZEN linear model + sigmoid — how a
+# trained quality filter actually deploys inside a 100 TB corpus wash
+# (score every doc, threshold, no model server, no UDF). Weights are
+# literals, features are row-local JVM expressions, so the whole model is
+# one codegen'd projection; the oracle replays the identical arithmetic.
+# Hash-stability: score rounded 4 (ln/exp last-ulp class, the
+# unigram_surprisal precedent); the keep flag thresholds the RAW score,
+# which both engines compute with the same association.
+_QM_W = {"ttr": 1.6, "punct": -9.0, "stop": 2.5, "avg_len": 0.35, "bias": -2.2}
+
+
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.functions.text import punct_ratio, stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda t: t != "")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    avg_len = F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast(
+        "double"
+    ) / F.size(toks)
+    x = (
+        F.lit(_QM_W["bias"])
+        + F.lit(_QM_W["ttr"]) * ttr
+        + F.lit(_QM_W["punct"]) * punct_ratio(F.col("text"))
+        + F.lit(_QM_W["stop"]) * stopword_ratio(F.col("text"))
+        + F.lit(_QM_W["avg_len"]) * avg_len
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+    return docs.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def _quality_model_sql() -> str:
+    from linqonsteroids_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct,
+         CAST(len(list_filter(lower_toks, t -> t IN ({stop_list})))
+              AS DOUBLE) / greatest(len(lower_toks), 1) AS stop,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           / len(toks) AS avg_len
+  FROM (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t <> '') AS toks,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> t <> '') AS lower_toks
+    FROM documents
+  )
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({_QM_W["bias"]} + {_QM_W["ttr"]} * ttr
+         + {_QM_W["punct"]} * punct + {_QM_W["stop"]} * stop
+         + {_QM_W["avg_len"]} * avg_len))), 4) AS quality_score,
+       (1.0 / (1.0 + exp(-({_QM_W["bias"]} + {_QM_W["ttr"]} * ttr
+         + {_QM_W["punct"]} * punct + {_QM_W["stop"]} * stop
+         + {_QM_W["avg_len"]} * avg_len))) >= 0.5) AS keep
+FROM feat
+"""
+
+
+QUALITY_MODEL_SQL = _quality_model_sql()
+
+
 # --- inverted index build -----------------------------------------------------
 # The retrieval-side artifact BM25 serves from: per term, document
 # frequency, collection frequency, and the ordered postings list
@@ -631,4 +706,5 @@ QUERIES = {
     "bpe_encode_segments": (bpe_encode_segments, BPE_ENCODE_SQL),
     "bm25_doc_scores": (bm25_doc_scores, BM25_SQL),
     "inverted_postings": (inverted_postings, INVERTED_POSTINGS_SQL),
+    "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SQL),
 }
