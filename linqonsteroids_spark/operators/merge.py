@@ -69,9 +69,14 @@ class BucketedMergeTable:
             )
 
     def create(self, df: DataFrame) -> None:
-        """Materialize the initial table, bucketed by the merge key."""
+        """Materialize the initial table, bucketed by the merge key.
+        Repartitioned BY the bucket column first: without it every one of
+        the write's tasks opens a file in every bucket directory —
+        tasks × n_buckets small files and as many parquet footers on
+        every later merge's pruned read."""
         (
             df.withColumn("mv_bucket", self._bucket())
+            .repartition(F.col("mv_bucket"))
             .write.mode("overwrite")
             .partitionBy("mv_bucket")
             .parquet(self.path)
@@ -129,7 +134,11 @@ class BucketedMergeTable:
         out_cols.append(
             F.coalesce(F.col("mv_bucket"), F.col("_src_bucket")).alias("mv_bucket")
         )
-        merged = joined.select(*out_cols).localCheckpoint(eager=True)
+        merged = (
+            joined.select(*out_cols)
+            .repartition(F.col("mv_bucket"))
+            .localCheckpoint(eager=True)
+        )
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

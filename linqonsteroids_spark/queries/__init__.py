@@ -52,10 +52,10 @@ _MODULES = [
 # CAST to BIGINT, guarded by tests/test_oracle_types.py), the 15 r5 gates
 # the 50-slot window couldn't hold (two of which — sql_surface_flag_priority
 # and decimal_exact_totals — carried the same HUGEINT/DECIMAL mine and were
-# pre-fixed before this, their first, sampling), and the new r6 gate
-# bpe_encode_segments; (2) the 22 gates last green in round 3 (stalest
-# evidence in the registry); (3) round-4 greens alphabetically until the 50
-# slots fill. Round-5 greens all rotate out — their evidence is freshest.
+# pre-fixed before this, their first, sampling), and the ten new r6 gates;
+# (2) the 22 gates last green in round 3 (stalest evidence in the
+# registry), which exactly fill the remaining slots. Round-4 and round-5
+# greens rotate out (r4 cohort front-loads in r7, see note below).
 _ROTATION = [
     # -- never driver-green: chronic reds, now fixed at the real root cause -
     "vocab_coverage", "ngram_novelty", "corpus_report",
