@@ -100,7 +100,11 @@ def semantic_dedup_reps(
             id_col,
             "cell",
             "rep_id",
-            F.round("_sim", 4).alias("cos_sim"),
+            # + 0.0 normalizes IEEE negative zero: a sim in (-5e-5, 0)
+            # rounds to -0.0 on one engine and 0.0 on the other —
+            # numerically equal but distinct to byte-level hashes and
+            # string sorts (caught by the sf0.001 differential)
+            (F.round("_sim", 4) + F.lit(0.0)).alias("cos_sim"),
             (
                 (F.col(id_col) != F.col("rep_id"))
                 & (F.col("_sim") >= F.lit(threshold))

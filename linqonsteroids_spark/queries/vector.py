@@ -268,7 +268,7 @@ WITH cent AS (
   ) WHERE rr = 1
 )
 SELECT a.vec_id, a.cell, r.rep_id,
-       round(list_cosine_similarity(a.v, r.rep_v), 4) AS cos_sim,
+       round(list_cosine_similarity(a.v, r.rep_v), 4) + 0.0 AS cos_sim,
        (a.vec_id <> r.rep_id
         AND list_cosine_similarity(a.v, r.rep_v) >= {_SEMANTIC_DEDUP_THRESHOLD!r})
          AS is_dup

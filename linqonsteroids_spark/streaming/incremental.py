@@ -316,8 +316,14 @@ class IncrementalAggMV:
                 )
             )
         # materialize BEFORE overwriting the partitions we just read;
-        # dynamic overwrite replaces only the buckets present in `merged`
-        merged = merged.localCheckpoint(eager=True)
+        # dynamic overwrite replaces only the buckets present in `merged`.
+        # Repartition by bucket first: writing straight from the agg's 32
+        # shuffle partitions opens one file per (task x touched bucket)
+        # per refresh — the small-file problem compact() exists to repair,
+        # minimized at the source here.
+        merged = merged.repartition(F.col("mv_bucket")).localCheckpoint(
+            eager=True
+        )
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -830,7 +836,9 @@ class CdcUpsertMV(IncrementalAggMV):
             merged = self._reduce(
                 old.filter(F.col("mv_bucket").isin(touched)).unionByName(partial)
             )
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.repartition(F.col("mv_bucket")).localCheckpoint(
+            eager=True
+        )  # bucket-aligned files; materialize before overwrite (see base)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
