@@ -123,6 +123,7 @@ EXTRA = [
     "bloom_pruned_revenue",
     "merge_into_balances",
     "quality_model_scores",
+    "multimodal_audio_stats",
 ]
 
 

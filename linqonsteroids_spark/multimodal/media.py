@@ -328,6 +328,138 @@ def _extract_frame_real(data: bytes, frame_idx: int) -> str:
     raise IndexError(f"frame {frame_idx} out of range")  # pragma: no cover
 
 
+# --- audio ------------------------------------------------------------------
+
+_WAV_SIG = b"RIFF"
+
+
+def _parse_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib RIFF/WAVE PCM16 parse → (sample_rate, n_channels,
+    interleaved samples). The audio counterpart of the pure-PNG/Y4M
+    tiers: WAV's chunked RIFF layout (canonical fmt + data chunks) is a
+    published container needing no codec library for PCM payloads."""
+    import struct
+
+    if data[:4] != _WAV_SIG or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE byte stream")
+    pos, rate, nch, bits, samples = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, nch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"pure WAV tier supports PCM16; got format={fmt_tag} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = list(
+                struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
+            )
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, nch, samples
+
+
+AUDIO_RESULT_SCHEMA = (
+    "doc_id long, format string, duration_ms long, peak_amp long, "
+    "energy long, content_hash string"
+)
+
+
+def _audio_stats_stub(data: bytes) -> dict:
+    """Deterministic fake audio stats from a content hash — all-integer
+    output (duration / peak / mean-square energy), SQL-replayable like
+    the image stub."""
+    h = hashlib.sha256(data).digest()
+    return {
+        "duration_ms": (h[0] << 8) | h[1],
+        "peak_amp": (h[2] << 8) | h[3],
+        "energy": (h[4] << 8) | h[5],
+        "content_hash": h.hex()[:16],
+    }
+
+
+def _audio_stats_real(data: bytes) -> dict:
+    """Real decode tier: stdlib WAV parse for RIFF payloads (exact
+    integer duration, peak amplitude, and mean-square energy — no float
+    summation anywhere), NotImplementedError plug point for compressed
+    formats (mp3/flac need codec libraries absent here)."""
+    if data[:4] == _WAV_SIG:
+        rate, nch, samples = _parse_wav(data)
+        n_frames = max(len(samples) // max(nch, 1), 1)
+        sumsq = 0
+        peak = 0
+        for s in samples:
+            a = -s if s < 0 else s
+            if a > peak:
+                peak = a
+            sumsq += s * s
+        return {
+            "duration_ms": n_frames * 1000 // rate,
+            "peak_amp": peak,
+            "energy": sumsq // max(len(samples), 1),
+            "content_hash": hashlib.sha256(data).hexdigest()[:16],
+        }
+    raise NotImplementedError(
+        "real decode of compressed audio requires codec libraries not "
+        "present in this environment; the stub path remains active for them"
+    )
+
+
+def attach_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthetic audio column: sha2-derived payload + typed metadata
+    (wav/mp3 alternating by id) — the binaryFile-source stand-in."""
+    payload = F.sha2(F.concat(F.lit("aud:"), F.col(id_col).cast("string")), 256).cast(
+        "binary"
+    )
+    fmt = F.when(F.col(id_col) % 2 == 0, "wav").otherwise("mp3")
+    meta = F.struct(
+        fmt.alias("format"),
+        F.lit(16000).alias("sample_rate"),
+        (F.col(id_col) % 2 + 1).cast("int").alias("n_channels"),
+        F.length(payload).cast("long").alias("size_bytes"),
+    )
+    return df.withColumn("media_bytes", payload).withColumn("media_meta", meta)
+
+
+def decode_audio_stats(
+    df: DataFrame, id_col: str = "doc_id", decoder: str = "auto"
+) -> DataFrame:
+    """Audio decode → per-item stats via mapInPandas (Arrow batches),
+    mirroring decode_image_stats' dispatch: "auto" tries the real tier
+    per payload (WAV parses, anything else falls back to the stub),
+    "stub"/"real" force a tier. Only audio-format rows reach Python."""
+    audio = df.filter(F.col("media_meta.format").isin("wav", "mp3")).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_bytes"),
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for b in pdf["media_bytes"]:
+                raw = bytes(b)
+                if decoder == "stub":
+                    stats.append(_audio_stats_stub(raw))
+                elif decoder == "real":
+                    stats.append(_audio_stats_real(raw))
+                else:  # auto: real when the payload is a parseable WAV
+                    try:
+                        stats.append(_audio_stats_real(raw))
+                    except NotImplementedError:
+                        stats.append(_audio_stats_stub(raw))
+            out = pd.DataFrame(stats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "format", pdf["format"].values)
+            yield out
+
+    return audio.mapInPandas(decode_batches, schema=AUDIO_RESULT_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame,
     every_n: int = 30,

@@ -74,7 +74,7 @@ _ROTATION = [
     "bpe_encode_segments", "bm25_doc_scores", "inverted_postings",
     "semantic_dedup_candidates", "pit_feature_join", "table_digest_orders",
     "profile_orders_columns", "bloom_pruned_revenue", "merge_into_balances",
-    "quality_model_scores",
+    "quality_model_scores", "multimodal_audio_stats",
     # -- last green in round 3 (stalest), alphabetical ----------------------
     "bloom_reference_dedup", "cast_matrix", "collect_urgency_scores",
     "corpus_mix_sample", "customer_key_regex", "doc_repetition_scores",
@@ -83,13 +83,14 @@ _ROTATION = [
     "nation_full_outer_counts", "option_last_event", "order_qty_foldhash",
     "pack_sequences", "pii_scrub", "pivot_status_counts",
     "quartile_prices_by_flag", "quota_per_source", "small_quantity_revenue",
-    "training_shards", "udaf_weighted_price", "unpivot_flag_metrics",
+    "training_shards", "udaf_weighted_price",
     #
-    # ROUND-7 ROTATION NOTE: the round-4-green cohort no longer fits this
-    # window at all (46 gates, advised_segment_lookup ..
-    # unigram_surprisal, alphabetical) — front-load it next round after
-    # any new never-sampled gates; every registered gate will then have
-    # driver evidence from r5 or later within two rounds.
+    # ROUND-7 ROTATION NOTE: unpivot_flag_metrics (r3-green, bumped for
+    # multimodal_audio_stats) and the round-4-green cohort (46 gates,
+    # advised_segment_lookup .. unigram_surprisal, alphabetical) no longer
+    # fit this window — front-load them next round after any new
+    # never-sampled gates; every registered gate will then have driver
+    # evidence from r5 or later within two rounds.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

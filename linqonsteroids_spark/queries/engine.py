@@ -493,6 +493,37 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+# --- multimodal audio (completes the image/audio/video triad) ----------------
+# Same contract as the image gate: synthetic sha2-derived payloads run the
+# STUB tier (all-integer duration/peak/energy from the content hash —
+# SQL-replayable via nested sha256 + hex-byte extraction); the REAL tier
+# (pure-stdlib RIFF/WAVE PCM16 parse, exact integer stats) is exercised in
+# tests/test_multimodal.py with an in-memory WAV fixture.
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.multimodal.media import (
+        attach_fake_audio,
+        decode_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_audio(docs)
+    return decode_audio_stats(media, decoder="stub")  # payloads are hashes
+
+
+AUDIO_STATS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS format,
+       {_hex_byte_sql('h', 1)} * 256 + {_hex_byte_sql('h', 3)} AS duration_ms,
+       {_hex_byte_sql('h', 5)} * 256 + {_hex_byte_sql('h', 7)} AS peak_amp,
+       {_hex_byte_sql('h', 9)} * 256 + {_hex_byte_sql('h', 11)} AS energy,
+       substr(h, 1, 16) AS content_hash
+FROM (
+  SELECT doc_id, sha256(sha256('aud:' || CAST(doc_id AS VARCHAR))) AS h
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
@@ -505,4 +536,5 @@ QUERIES = {
     "udaf_weighted_price": (udaf_weighted_price, UDAF_WAVG_SQL),
     "multimodal_image_stats": (multimodal_image_stats, MULTIMODAL_STATS_SQL),
     "multimodal_frame_counts": (multimodal_frame_counts, FRAME_COUNTS_SQL),
+    "multimodal_audio_stats": (multimodal_audio_stats, AUDIO_STATS_SQL),
 }

@@ -280,3 +280,70 @@ def test_pure_y4m_tier_matches_pyav():
     with m._av.open(io.BytesIO(data)) as container:
         for i, frame in enumerate(container.decode(video=0)):
             assert frame.to_ndarray(format="gray").tobytes() == (_Y0, _Y1)[i]
+
+
+# --- audio: pure-stdlib WAV tier ---------------------------------------------
+
+def _encode_wav(rate, channels, samples):
+    """Minimal canonical RIFF/WAVE PCM16 writer."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_pure_wav_parse_exact():
+    from linqonsteroids_spark.multimodal.media import _audio_stats_real, _parse_wav
+
+    samples = [0, 1000, -2000, 32767, -32768, 5]
+    rate, nch, got = _parse_wav(_encode_wav(8000, 1, samples))
+    assert (rate, nch, got) == (8000, 1, samples)
+    stats = _audio_stats_real(_encode_wav(8000, 1, samples))
+    assert stats["duration_ms"] == 6 * 1000 // 8000
+    assert stats["peak_amp"] == 32768
+    assert stats["energy"] == sum(s * s for s in samples) // 6
+
+
+def test_decode_audio_stats_real_wav_through_arrow_stage(spark):
+    # a REAL PCM16 WAV byte stream decoded non-stubbed end-to-end through
+    # the mapInPandas stage — exact integer stats from known samples
+    import hashlib
+
+    from linqonsteroids_spark.multimodal.media import decode_audio_stats
+
+    samples = list(range(-100, 100))
+    data = _encode_wav(16000, 2, samples)
+    df = spark.createDataFrame(
+        [(9, data, ("wav", 16000, 2, len(data)))],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,sample_rate:int,n_channels:int,size_bytes:long>",
+    )
+    row = decode_audio_stats(df, decoder="real").collect()[0]
+    assert row.duration_ms == (len(samples) // 2) * 1000 // 16000
+    assert row.peak_amp == 100
+    assert row.energy == sum(s * s for s in samples) // len(samples)
+    assert row.content_hash == hashlib.sha256(data).hexdigest()[:16]
+
+
+def test_decode_audio_auto_dispatch(spark):
+    # auto: WAV payloads take the real tier, non-WAV fall back to the stub
+    from linqonsteroids_spark.multimodal.media import (
+        _audio_stats_stub,
+        decode_audio_stats,
+    )
+
+    wav = _encode_wav(8000, 1, [1, 2, 3, 4])
+    fake_mp3 = b"\xffnot-a-real-container"
+    df = spark.createDataFrame(
+        [(1, wav, ("wav", 8000, 1, len(wav))),
+         (2, fake_mp3, ("mp3", 8000, 1, len(fake_mp3)))],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,sample_rate:int,n_channels:int,size_bytes:long>",
+    )
+    rows = {r.doc_id: r for r in decode_audio_stats(df, decoder="auto").collect()}
+    assert rows[1].peak_amp == 4  # real tier
+    assert rows[2].duration_ms == _audio_stats_stub(fake_mp3)["duration_ms"]
