@@ -124,6 +124,7 @@ EXTRA = [
     "merge_into_balances",
     "quality_model_scores",
     "multimodal_audio_stats",
+    "kmv_sketch_union",
 ]
 
 

@@ -115,6 +115,128 @@ FROM sketch s JOIN exact e USING (event_type)
 """
 
 
+# --- KMV sketch union (mergeability — the distributed-rollup property) -------
+# The reason sketches beat exact distinct at 100 TB is MERGEABILITY:
+# per-partition/per-group sketches combine into the global answer without
+# re-reading data. KMV merges losslessly: every one of the global k
+# smallest hashes is, in its own group, among that group's k smallest —
+# so the k-min of the union of per-group k-min sketches EQUALS the k-min
+# over all raw values, and the merged estimate is IDENTICAL to the
+# direct global estimate (not merely close). The gate emits both paths
+# plus the exact global count; the oracle replays them, so equality is
+# hash-verified on real data every round.
+# Scale: the MERGED path is the production one — per-group windows are
+# key-partitioned and the union of sketches is |groups| x k rows
+# (bounded), so the final global k-min runs over sketch rows, never raw
+# data. The DIRECT path (a global window over all distinct values) and
+# the exact count exist only to prove losslessness under the gate — at
+# 100 TB you'd drop both, exactly like kmv_distinct_users' exact column.
+def kmv_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", _hash_frac(_KMV_SEED, F.col("user_id")))
+    )
+    # per-group sketches: k smallest hashes per event_type
+    per_group = du.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("h", "user_id")
+        ),
+    ).filter(F.col("rn") <= KMV_K)
+    # merge: global k-min over the union of the per-group sketches.
+    # (user_id, h) pairs repeat across groups — the merged sketch is over
+    # DISTINCT values, exactly as a re-scan would see them.
+    merged = (
+        per_group.select("user_id", "h")
+        .distinct()
+        .withColumn(
+            "mrn", F.row_number().over(Window.orderBy("h", "user_id"))
+        )
+        .filter(F.col("mrn") <= KMV_K)
+        .agg(F.count(F.lit(1)).alias("m_kept"), F.max("h").alias("m_kth"))
+    )
+    # direct: global k-min over the raw distinct values
+    direct = (
+        du.select("user_id", "h")
+        .distinct()
+        .withColumn(
+            "drn", F.row_number().over(Window.orderBy("h", "user_id"))
+        )
+        .filter(F.col("drn") <= KMV_K)
+        .agg(F.count(F.lit(1)).alias("d_kept"), F.max("h").alias("d_kth"))
+    )
+    exact = du.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("exact_users")
+    )
+
+    def est(kept, kth):
+        return F.when(
+            F.col(kept) < KMV_K, F.col(kept).cast("double")
+        ).otherwise(F.lit(KMV_K - 1) / F.col(kth))
+
+    return (
+        merged.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "exact_users",
+            F.round(est("m_kept", "m_kth"), 2).alias("merged_est"),
+            F.round(est("d_kept", "d_kth"), 2).alias("direct_est"),
+            (est("m_kept", "m_kth") == est("d_kept", "d_kth")).alias(
+                "merge_lossless"
+            ),
+        )
+    )
+
+
+KMV_UNION_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, user_id,
+         {_hash_frac_sql(_KMV_SEED, "user_id")} AS h
+  FROM du
+),
+per_group AS (
+  SELECT user_id, h FROM (
+    SELECT event_type, user_id, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+    FROM hashed
+  ) WHERE rn <= {KMV_K}
+),
+merged AS (
+  SELECT count(*) AS m_kept, max(h) AS m_kth FROM (
+    SELECT user_id, h,
+           row_number() OVER (ORDER BY h, user_id) AS mrn
+    FROM (SELECT DISTINCT user_id, h FROM per_group)
+  ) WHERE mrn <= {KMV_K}
+),
+direct AS (
+  SELECT count(*) AS d_kept, max(h) AS d_kth FROM (
+    SELECT user_id, h,
+           row_number() OVER (ORDER BY h, user_id) AS drn
+    FROM (SELECT DISTINCT user_id, h FROM hashed)
+  ) WHERE drn <= {KMV_K}
+),
+exact AS (
+  SELECT count(DISTINCT user_id) AS exact_users FROM du
+)
+SELECT e.exact_users,
+       round(CASE WHEN m.m_kept < {KMV_K} THEN CAST(m.m_kept AS DOUBLE)
+                  ELSE {KMV_K - 1} / m.m_kth END, 2) AS merged_est,
+       round(CASE WHEN d.d_kept < {KMV_K} THEN CAST(d.d_kept AS DOUBLE)
+                  ELSE {KMV_K - 1} / d.d_kth END, 2) AS direct_est,
+       (CASE WHEN m.m_kept < {KMV_K} THEN CAST(m.m_kept AS DOUBLE)
+             ELSE {KMV_K - 1} / m.m_kth END
+        = CASE WHEN d.d_kept < {KMV_K} THEN CAST(d.d_kept AS DOUBLE)
+               ELSE {KMV_K - 1} / d.d_kth END) AS merge_lossless
+FROM merged m CROSS JOIN direct d CROSS JOIN exact e
+"""
+
+
 QUERIES = {
     "kmv_distinct_users": (kmv_distinct_users, KMV_DISTINCT_SQL),
+    "kmv_sketch_union": (kmv_sketch_union, KMV_UNION_SQL),
 }

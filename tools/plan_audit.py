@@ -35,6 +35,7 @@ ALLOW_ALL_PAIRS = {
     "nation_pairs_same_region": "25-row dimension self-pairing (bounded)",
     "unigram_surprisal": "1-row scalar total broadcast onto the freq table",
     "bm25_doc_scores": "1-row (N, avgdl) scalar broadcast onto the tf table",
+    "kmv_sketch_union": "three 1-row aggregates cross-joined into one row",
 }
 
 FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
