@@ -106,4 +106,11 @@ if __name__ == "__main__":
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
+    if "--window" in argv:
+        # exactly the driver's correctness sample: the FIRST 50 registry
+        # entries in insertion order (what CORRECTNESS_r{N}.json covers)
+        argv.remove("--window")
+        from linqonsteroids_spark.queries import ALL as _all
+
+        only = set(list(_all)[:50])
     sys.exit(main(argv[0] if argv else "/root/testdata/sf0.01", only))
