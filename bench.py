@@ -125,6 +125,8 @@ EXTRA = [
     "quality_model_scores",
     "multimodal_audio_stats",
     "kmv_sketch_union",
+    "corpus_wash_report",
+    "nearest_purchase_click",
 ]
 
 

@@ -149,6 +149,66 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    right_tiebreak: str | None = None,
+    tolerance: int | float | None = None,
+) -> DataFrame:
+    """Nearest-neighbor temporal join (pandas ``merge_asof``'s
+    ``direction='nearest'``): each left row matches the right row with
+    the same key minimizing |right_time - left_time|, BACKWARD winning
+    exact |Δ| ties (and equal-time matches counting as backward).
+
+    Composition, not new machinery: one backward pass (non-strict
+    as-of) + one forward pass (strict as-of over NEGATED times — "latest
+    earlier than -t" is "earliest later than t"), then a row-local pick
+    of the closer side. Times must therefore be NUMERIC (cast timestamps
+    to epoch integers first); ``tolerance`` (same units) nulls out
+    matches farther than it. Adds ``nearest_<col>`` per value column and
+    a signed ``nearest_delta`` (right - left). Cost: two as-of shuffles;
+    hot keys boundable per pass exactly as ``asof_join``.
+    """
+    vcols = list(dict.fromkeys([right_time, *value_cols]))
+    back = asof_join(
+        left, right, on, left_time, right_time, vcols,
+        strict=False, right_tiebreak=right_tiebreak,
+    ).select(
+        *left.columns,
+        *[F.col(f"asof_{c}").alias(f"_bk_{c}") for c in vcols],
+    )
+    lneg = back.withColumn("_lt_neg", -F.col(left_time))
+    rneg = right.withColumn("_rt_neg", -F.col(right_time))
+    fwd = asof_join(
+        lneg, rneg, on, "_lt_neg", "_rt_neg", vcols,
+        strict=True, right_tiebreak=right_tiebreak,
+    )
+    bdelta = F.col(left_time) - F.col(f"_bk_{right_time}")  # >= 0
+    fdelta = F.col(f"asof_{right_time}") - F.col(left_time)  # > 0
+    b_ok = F.col(f"_bk_{right_time}").isNotNull()
+    f_ok = F.col(f"asof_{right_time}").isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & (bdelta <= tolerance)
+        f_ok = f_ok & (fdelta <= tolerance)
+    use_back = b_ok & (~f_ok | (bdelta <= fdelta))
+    use_fwd = f_ok & ~use_back
+    out_cols = [F.col(c) for c in left.columns]
+    for c in vcols:
+        out_cols.append(
+            F.when(use_back, F.col(f"_bk_{c}"))
+            .when(use_fwd, F.col(f"asof_{c}"))
+            .alias(f"nearest_{c}")
+        )
+    out_cols.append(
+        F.when(use_back, -bdelta).when(use_fwd, fdelta).alias("nearest_delta")
+    )
+    return fwd.select(*out_cols)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

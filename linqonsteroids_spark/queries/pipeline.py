@@ -425,6 +425,105 @@ FROM scrubbed
 """
 
 
+# --- end-to-end corpus wash (operator COMPOSITION gate) ----------------------
+# The pipeline a 100 TB pretraining wash actually runs, as ONE query
+# composing this repo's stages: exact dedup (md5 winner-per-group) →
+# integer quality gate (punct ppm + token floor, the doc_quality signals)
+# → PII scrub (the pii_scrub redaction pass) → per-source dataset-card
+# report with an order-independent XOR content digest of the surviving
+# cleaned docs (the table_digest idiom). Every stage is hash-stable
+# integers/strings; the oracle replays the whole chain as CTEs, so the
+# COMPOSITION — not just each operator alone — is value-verified.
+# Shuffles: the dedup window (hash-partitioned on content hash), then one
+# per-source agg; the quality filter and scrub are row-local.
+_WASH_MAX_PUNCT_PPM = 30000
+_WASH_MIN_TOKENS = 40
+
+
+def corpus_wash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from linqonsteroids_spark.functions.text import punct_chars, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", "text", F.md5("text").alias("content_hash")
+    )
+    deduped = hashed.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("content_hash"))
+    ).filter(F.col("doc_id") == F.col("keep_id"))
+    quality = (
+        deduped.withColumn("n_punct", punct_chars(F.col("text")).cast("long"))
+        .withColumn("text_len", F.length("text").cast("long"))
+        .withColumn("punct_ppm", F.expr("n_punct * 1000000L div text_len"))
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    )
+    kept = quality.filter(
+        (F.col("punct_ppm") < _WASH_MAX_PUNCT_PPM)
+        & (F.col("n_tokens") >= _WASH_MIN_TOKENS)
+    )
+    no_email = F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, _NUM_RE, "<NUM>")
+    scrubbed = kept.select(
+        "doc_id",
+        "source",
+        F.length(clean).cast("long").alias("clean_len"),
+        F.conv(F.substring(F.md5(clean), 1, 12), 16, 10)
+        .cast("long")
+        .alias("clean_h"),
+    )
+    n_in = hashed.groupBy("source").agg(F.count("*").alias("n_docs_in"))
+    n_dedup = deduped.groupBy("source").agg(F.count("*").alias("n_after_dedup"))
+    report = scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_surviving"),
+        F.sum("clean_len").alias("clean_chars"),
+        F.expr("bit_xor(clean_h)").alias("content_digest"),
+    )
+    return (
+        n_in.join(F.broadcast(n_dedup), "source")
+        .join(F.broadcast(report), "source")
+    )
+
+
+CORPUS_WASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source, text, md5(text) AS content_hash FROM documents
+), deduped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           min(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+    FROM hashed
+  ) WHERE doc_id = keep_id
+), kept AS (
+  SELECT doc_id, source, text FROM deduped
+  WHERE (length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))
+          * 1000000 // length(text) < {_WASH_MAX_PUNCT_PPM}
+    AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        t -> t <> '')) >= {_WASH_MIN_TOKENS}
+), scrubbed AS (
+  SELECT doc_id, source,
+         length(clean) AS clean_len,
+         ('0x' || substr(md5(clean), 1, 12))::BIGINT AS clean_h
+  FROM (
+    SELECT doc_id, source,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_NUM_RE}', '<NUM>', 'g') AS clean
+    FROM kept
+  )
+)
+SELECT i.source, i.n_docs_in, d.n_after_dedup, r.n_surviving,
+       r.clean_chars, r.content_digest
+FROM (SELECT source, count(*) AS n_docs_in FROM hashed GROUP BY source) i
+JOIN (SELECT source, count(*) AS n_after_dedup FROM deduped GROUP BY source) d
+  USING (source)
+JOIN (SELECT source, count(*) AS n_surviving,
+             CAST(sum(clean_len) AS BIGINT) AS clean_chars,
+             bit_xor(clean_h) AS content_digest
+      FROM scrubbed GROUP BY source) r
+  USING (source)
+"""
+
+
 # --- document chunking: overlapping token windows --------------------------
 # Long documents become fixed-size training chunks: window W tokens, stride
 # S < W (adjacent chunks overlap by W-S so no span is split across a chunk
@@ -721,6 +820,7 @@ QUERIES = {
     "quota_per_source": (quota_per_source, QUOTA_PER_SOURCE_SQL),
     "doc_repetition_scores": (doc_repetition_scores, DOC_REPETITION_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "corpus_wash_report": (corpus_wash_report, CORPUS_WASH_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "stratified_split": (stratified_split, STRATIFIED_SPLIT_SQL),
     "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),

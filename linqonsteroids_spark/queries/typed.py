@@ -200,6 +200,71 @@ def asof_purchase_click_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nearest as-of join (merge_asof direction='nearest') ---------------------
+# Each purchase matched to the temporally NEAREST click of the same user
+# within ±1 hour — backward or forward, backward winning |Δ| ties
+# (operators/asof.py:asof_join_nearest: one non-strict backward as-of +
+# one strict as-of over negated epoch times + a row-local pick; two
+# shuffles, hot keys boundable per pass). Times travel as epoch
+# microseconds — exact integers on both engines (unix_micros/epoch_us) —
+# so the signed nearest_delta is hash-stable with no rounding. The oracle
+# is the quadratic banded join + ranking form.
+_NEAREST_TOL_US = 3_600_000_000  # 1 hour
+
+
+def nearest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.asof import asof_join_nearest
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts_us",
+        right_time="click_ts_us",
+        value_cols=["click_id"],
+        right_tiebreak="click_id",
+        tolerance=_NEAREST_TOL_US,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "nearest_click_id", "nearest_delta"
+    )
+
+
+NEAREST_ASOF_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.event_id, c.click_id,
+         c.click_ts_us - p.ts_us AS delta,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(c.click_ts_us - p.ts_us) ASC,
+                    CASE WHEN c.click_ts_us <= p.ts_us THEN 0 ELSE 1 END ASC,
+                    c.click_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE abs(c.click_ts_us - p.ts_us) <= {_NEAREST_TOL_US}
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       m.click_id AS nearest_click_id,
+       m.delta AS nearest_delta
+FROM p LEFT JOIN (SELECT event_id, click_id, delta FROM cand WHERE rn = 1) m
+  USING (event_id)
+"""
+
+
 # --- time-series gap filling (resample to a dense hourly grid) --------------
 # Downstream consumers of event-rate series (anomaly detection, charting,
 # forecasting features) need DENSE series: an hour with no events must be
@@ -262,5 +327,6 @@ QUERIES = {
     "events_time_features": (events_time_features, EVENTS_TIME_SQL),
     "cube_priority_status": (cube_priority_status, CUBE_SQL),
     "asof_purchase_click": (asof_purchase_click, ASOF_SQL),
+    "nearest_purchase_click": (nearest_purchase_click, NEAREST_ASOF_SQL),
     "asof_purchase_click_bucketed": (asof_purchase_click_bucketed, ASOF_SQL),
 }

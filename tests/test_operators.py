@@ -687,3 +687,38 @@ def test_bloom_semi_reduce_superset_and_pruning(spark):
     # of any kind in the reduced-probe plan
     plan = reduced._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_asof_join_nearest_semantics(spark):
+    """direction='nearest' contract: closer side wins, backward wins |d|
+    ties and equal times, tolerance nulls far matches, max tiebreak
+    breaks equal-time duplicates."""
+    from linqonsteroids_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 200), (3, "b", 100), (4, "c", 100),
+         (5, "d", 100), (6, "e", 100)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 90, 10), ("a", 105, 11),      # lid 1: fwd 105 closer (5 vs 10)
+         ("a", 195, 12), ("a", 205, 13),     # lid 2: tie |5| -> backward 195
+         ("b", 100, 14),                     # lid 3: equal time -> delta 0
+         ("c", 300, 15),                     # lid 4: outside tolerance
+         ("d", 95, 16), ("d", 95, 17),       # lid 5: dup time -> max id 17
+         ],                                  # lid 6 ("e"): no right at all
+        "k string, rt long, rid long",
+    )
+    out = {
+        r.lid: (r.nearest_rid, r.nearest_delta)
+        for r in asof_join_nearest(
+            left, right, on="k", left_time="t", right_time="rt",
+            value_cols=["rid"], right_tiebreak="rid", tolerance=50,
+        ).collect()
+    }
+    assert out[1] == (11, 5)
+    assert out[2] == (12, -5)
+    assert out[3] == (14, 0)
+    assert out[4] == (None, None)
+    assert out[5] == (17, -5)
+    assert out[6] == (None, None)
