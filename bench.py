@@ -127,6 +127,7 @@ EXTRA = [
     "kmv_sketch_union",
     "corpus_wash_report",
     "nearest_purchase_click",
+    "sql_surface_local_revenue",
 ]
 
 

@@ -265,6 +265,39 @@ def sql_surface_flag_priority(spark, sf_dir):
     return spark.sql(SQL_SURFACE_Q12)
 
 
+# Q5-shaped: the 6-table star join (customer ⋈ orders ⋈ lineitem ⋈
+# supplier ⋈ nation ⋈ region) — the canonical join-REORDERING workload:
+# Catalyst must broadcast the three dimension tables, push the region
+# filter below the joins, and pick a join order that never materializes
+# a fact×fact intermediate. One SQL text serves both engines; the
+# repo-wide plan audit asserts no cartesian/nested-loop join appears.
+SQL_SURFACE_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def sql_surface_local_revenue(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(SQL_SURFACE_Q5)
+
+
 # --- exact DECIMAL aggregation (money must not float) ------------------------
 # Revenue as DECIMAL(18,2): the sum is EXACT and aggregation-order-
 # independent on both engines — no rounding anywhere, the strongest
@@ -453,6 +486,7 @@ QUERIES = {
     "table_digest_orders": (table_digest_orders, TABLE_DIGEST_SQL),
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
     "bloom_pruned_revenue": (bloom_pruned_revenue, BLOOM_PRUNED_SQL),
+    "sql_surface_local_revenue": (sql_surface_local_revenue, SQL_SURFACE_Q5),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
     "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_Q6),
