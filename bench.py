@@ -128,6 +128,7 @@ EXTRA = [
     "corpus_wash_report",
     "nearest_purchase_click",
     "sql_surface_local_revenue",
+    "leakage_safe_split",
 ]
 
 

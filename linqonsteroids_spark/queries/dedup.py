@@ -296,8 +296,56 @@ FROM toks_t t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# --- leakage-safe train/val/test split ---------------------------------------
+# The evaluation-integrity refinement of a plain random split: a near-
+# duplicate of a test document sitting in train IS evaluation leakage, so
+# the split unit must be the DEDUP COMPONENT, not the document — every
+# member of a near-dup cluster lands in the same split. Composition:
+# LSH candidate pairs → connected components → group id = component (own
+# id for unclustered docs) → deterministic md5-uniform split on the GROUP
+# id (corpus_mix's hash family). Shuffles: the pair/CC machinery + one
+# broadcast-ish join of the (small) component relation back onto docs.
+_SPLIT_SEED = "split"
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+    from linqonsteroids_spark.queries.pipeline import _hash_frac
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = docs.select("doc_id").join(comp, "doc_id", "left")
+    group = F.coalesce(F.col("label"), F.col("doc_id"))
+    frac = _hash_frac(_SPLIT_SEED, group)
+    return labeled.select(
+        "doc_id",
+        group.alias("group_id"),
+        F.when(frac < 0.8, "train")
+        .when(frac < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    from linqonsteroids_spark.queries.pipeline import _hash_frac_sql
+
+    clusters = minhash_oracle_sql()["clusters"]
+    frac = _hash_frac_sql(_SPLIT_SEED, "coalesce(c.component, d.doc_id)")
+    return f"""
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_id,
+       CASE WHEN {frac} < 0.8 THEN 'train'
+            WHEN {frac} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN ({clusters}) c USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
+    "leakage_safe_split": (leakage_safe_split, _leakage_safe_split_sql()),
     "dedup_simhash_signatures": (dedup_simhash_signatures, simhash_oracle_sql()),
     "dedup_simhash_near_pairs": (dedup_simhash_near_pairs, _simhash_pairs_sql()),
     "dedup_ngram_jaccard": (

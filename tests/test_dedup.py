@@ -203,3 +203,22 @@ def test_minhash_and_shingles_skip_null_text(spark):
     got = {r.shingle for r in sh.filter("doc_id = 3").collect()}
     # NBSP kept inside the first token: 3 tokens -> shingle count matches
     assert got == {"one two three four", "three four five"}
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """The split's whole point: every member of a near-dup component gets
+    the same split label, and the three splits are all non-empty at
+    sf0.001... (sf smoke) scale with singletons split by own id."""
+    from linqonsteroids_spark.queries.dedup import leakage_safe_split
+    from tests.conftest import SF_SMOKE
+
+    rows = leakage_safe_split(spark, SF_SMOKE).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())  # no straddling
+    assert len({r.split for r in rows}) >= 2  # nontrivial partition
+    # at least one multi-doc group exists (the near-dup corpus guarantees it)
+    from collections import Counter
+    sizes = Counter(r.group_id for r in rows)
+    assert max(sizes.values()) > 1
