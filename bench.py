@@ -129,6 +129,7 @@ EXTRA = [
     "nearest_purchase_click",
     "sql_surface_local_revenue",
     "leakage_safe_split",
+    "referential_audit",
 ]
 
 

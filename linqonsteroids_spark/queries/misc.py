@@ -402,6 +402,78 @@ GROUP BY l_returnflag
 """
 
 
+# --- referential-integrity audit (data-quality constraint checking) ----------
+# The constraint pass a warehouse runs after every load (dbt tests /
+# Deequ checks, relationally): per declared relationship, child-row and
+# orphan counts (anti-join semantics); per candidate key, duplicate-key
+# counts. One row per check, all integers. Scale: each orphan count is a
+# broadcast-or-shuffle anti-join that Catalyst plans like any semi-join;
+# each uniqueness check is one map-side-combined agg. No new machinery —
+# the point is the AUDIT SHAPE: constraints as data, results as a table.
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def fk_check(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent.select(F.col(parent_key).alias(child_key)),
+            child_key,
+            "left_anti",
+        )
+        return child.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_rows"),
+        ).crossJoin(
+            F.broadcast(orphans.agg(F.count("*").alias("n_violations")))
+        )
+
+    def unique_check(name, df, key):
+        dup = (
+            df.groupBy(key)
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_violations"))
+        )
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_rows")
+        ).crossJoin(F.broadcast(dup))
+
+    checks = [
+        fk_check("fk_lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),
+        fk_check("fk_orders_customer", orders, "o_custkey", cust, "c_custkey"),
+        unique_check("uq_orders_orderkey", orders, "o_orderkey"),
+        unique_check("uq_customer_custkey", cust, "c_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+REFERENTIAL_AUDIT_SQL = """
+SELECT 'fk_lineitem_orders' AS check_name,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations
+UNION ALL
+SELECT 'fk_orders_customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'uq_orders_orderkey',
+       (SELECT count(*) FROM orders),
+       (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+         (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+UNION ALL
+SELECT 'uq_customer_custkey',
+       (SELECT count(*) FROM customer),
+       (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+         (SELECT count(*) AS c FROM customer GROUP BY c_custkey HAVING count(*) > 1))
+"""
+
+
 # --- table content digest (reconciliation) -----------------------------------
 # The operator every 100 TB migration/copy runs to prove two tables hold
 # the same rows without moving either: per partition-ish group, an
@@ -487,6 +559,7 @@ QUERIES = {
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
     "bloom_pruned_revenue": (bloom_pruned_revenue, BLOOM_PRUNED_SQL),
     "sql_surface_local_revenue": (sql_surface_local_revenue, SQL_SURFACE_Q5),
+    "referential_audit": (referential_audit, REFERENTIAL_AUDIT_SQL),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
     "sql_surface_revenue": (sql_surface_revenue, SQL_SURFACE_Q6),
