@@ -130,6 +130,7 @@ EXTRA = [
     "sql_surface_local_revenue",
     "leakage_safe_split",
     "referential_audit",
+    "hashed_count_vectors",
 ]
 
 

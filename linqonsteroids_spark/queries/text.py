@@ -518,6 +518,63 @@ FROM feat
 QUALITY_MODEL_SQL = _quality_model_sql()
 
 
+# --- feature-hashing vectorizer (the hashing trick) --------------------------
+# Fixed-dimension token-count vectors without a vocabulary pass
+# (Weinberger et al., "Feature Hashing for Large Scale Multitask
+# Learning", ICML 2009): bucket = md5(token) mod k, vector = per-bucket
+# counts — the O(1)-memory featurizer that needs no dictionary broadcast
+# and never drifts when new tokens appear, which is why large-scale
+# text classifiers ship it. ALL-INTEGER output (exact across engines).
+# Scale: one explode + one map-side-combined (doc, bucket) agg + one
+# per-doc map assembly; k is a constant, the vector build is row-local.
+_HASH_DIM = 16
+
+
+def hashed_count_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % _HASH_DIM
+    )
+    tf = exploded.groupBy("doc_id", bucket.alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    m = tf.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("mp")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_HASH_DIM - 1)),
+        lambda i: F.coalesce(F.element_at("mp", i.cast("long")), F.lit(0).cast("long")),
+    )
+    return m.select("doc_id", vec.alias("vec"))
+
+
+HASHED_VECTORS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % {_HASH_DIM} AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+), m AS (
+  SELECT doc_id,
+         map_from_entries(list(struct_pack(k := b, v := c))) AS mp
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       list_transform(range({_HASH_DIM}), i -> coalesce(map_extract(mp, i)[1], 0))
+         AS vec
+FROM m
+"""
+
+
 # --- inverted index build -----------------------------------------------------
 # The retrieval-side artifact BM25 serves from: per term, document
 # frequency, collection frequency, and the ordered postings list
@@ -707,4 +764,5 @@ QUERIES = {
     "bm25_doc_scores": (bm25_doc_scores, BM25_SQL),
     "inverted_postings": (inverted_postings, INVERTED_POSTINGS_SQL),
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SQL),
+    "hashed_count_vectors": (hashed_count_vectors, HASHED_VECTORS_SQL),
 }
