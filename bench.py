@@ -131,6 +131,7 @@ EXTRA = [
     "leakage_safe_split",
     "referential_audit",
     "hashed_count_vectors",
+    "bigram_surprisal",
 ]
 
 

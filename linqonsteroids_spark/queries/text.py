@@ -747,8 +747,99 @@ GROUP BY t.doc_id
 """
 
 
+# --- interpolated bigram surprisal (stronger LM quality signal) --------------
+# The next rung above unigram_surprisal on the model-free quality ladder:
+# per document, mean -ln(λ·P(w2|w1) + (1-λ)·P(w2)) under the corpus's own
+# bigram/unigram MLE — Jelinek–Mercer interpolation (the classical
+# smoothing; λ frozen), so unseen bigrams back off to the unigram
+# instead of -ln(0). Boilerplate scores low, shuffled-word garbage
+# scores high — exactly what the unigram model cannot see.
+# Scale: bigram/context/unigram count tables are vocab-sized (broadcast);
+# the exploded bigram relation joins them map-side; one per-doc mean.
+# Hash-stability: round(4) on the mean (the unigram green precedent).
+_BIGRAM_LAMBDA = 0.7
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda t: t != "")
+    bigrams = F.expr(
+        "transform(sequence(0, size(_toks) - 2),"
+        " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+    )
+    bg = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("tot"))
+    uni_t = uni.crossJoin(F.broadcast(total)).select(
+        F.col("w").alias("w2"), (F.col("cu") / F.col("tot")).alias("pu")
+    )
+    scored = (
+        bg.join(F.broadcast(bg_counts), ["w1", "w2"])
+        .join(F.broadcast(ctx_counts), "w1")
+        .join(F.broadcast(uni_t), "w2")
+    )
+    p = F.lit(_BIGRAM_LAMBDA) * (F.col("c12") / F.col("c1")) + F.lit(
+        1 - _BIGRAM_LAMBDA
+    ) * F.col("pu")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.log(p)), 4).alias("mean_bigram_surprisal"),
+    )
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM toked WHERE len(toks) >= 2
+  )
+), bgc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bgc GROUP BY w1
+), uni AS (
+  SELECT token AS w2, count(*) AS cu FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY token
+), tot AS (
+  SELECT CAST(sum(cu) AS BIGINT) AS tot FROM uni
+)
+SELECT g.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-ln({_BIGRAM_LAMBDA} * (c.c12 * 1.0 / x.c1)
+                     + {1 - _BIGRAM_LAMBDA} * (u.cu * 1.0 / t.tot))), 4)
+         AS mean_bigram_surprisal
+FROM bg g
+JOIN bgc c USING (w1, w2)
+JOIN ctx x USING (w1)
+JOIN uni u USING (w2)
+CROSS JOIN tot t
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
+    "bigram_surprisal": (bigram_surprisal, BIGRAM_SURPRISAL_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_BPE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

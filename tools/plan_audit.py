@@ -37,6 +37,7 @@ ALLOW_ALL_PAIRS = {
     "bm25_doc_scores": "1-row (N, avgdl) scalar broadcast onto the tf table",
     "kmv_sketch_union": "three 1-row aggregates cross-joined into one row",
     "referential_audit": "1-row violation counts cross-joined per check row",
+    "bigram_surprisal": "1-row scalar total broadcast onto the unigram table",
 }
 
 FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
