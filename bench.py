@@ -132,6 +132,7 @@ EXTRA = [
     "referential_audit",
     "hashed_count_vectors",
     "bigram_surprisal",
+    "lsh_recall_report",
 ]
 
 

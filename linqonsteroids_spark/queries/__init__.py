@@ -77,18 +77,19 @@ _ROTATION = [
     "quality_model_scores", "multimodal_audio_stats", "kmv_sketch_union",
     "corpus_wash_report", "nearest_purchase_click",
     "sql_surface_local_revenue", "leakage_safe_split", "referential_audit",
-    "hashed_count_vectors", "bigram_surprisal",
+    "hashed_count_vectors", "bigram_surprisal", "lsh_recall_report",
     # -- last green in round 3 (stalest), alphabetical ----------------------
     "bloom_reference_dedup", "cast_matrix", "collect_urgency_scores",
     "corpus_mix_sample", "customer_key_regex", "doc_repetition_scores",
     "first_last_order_per_customer", "grouping_sets_order_totals",
     "multimodal_frame_counts", "multimodal_image_stats",
-    "nation_full_outer_counts", "option_last_event", "order_qty_foldhash",
+    "nation_full_outer_counts", "option_last_event",
     #
-    # ROUND-7 ROTATION NOTE: pack_sequences, pii_scrub, pivot_status_counts,
-    # quartile_prices_by_flag, quota_per_source, small_quantity_revenue,
-    # training_shards, udaf_weighted_price, unpivot_flag_metrics
-    # (r3-green, bumped for the nineteen new r6 gates) and the
+    # ROUND-7 ROTATION NOTE: order_qty_foldhash, pack_sequences,
+    # pii_scrub, pivot_status_counts, quartile_prices_by_flag,
+    # quota_per_source, small_quantity_revenue, training_shards,
+    # udaf_weighted_price, unpivot_flag_metrics
+    # (r3-green, bumped for the twenty new r6 gates) and the
     # round-4-green cohort (46 gates, advised_segment_lookup ..
     # unigram_surprisal, alphabetical) no longer fit this window —
     # front-load them next round after any new never-sampled gates; every

@@ -296,6 +296,59 @@ FROM toks_t t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# --- LSH quality measurement (recall/precision vs exact ground truth) --------
+# "Measure, don't guess" applied to the dedup ladder itself: the LSH
+# candidate generator's RECALL and PRECISION against the exact
+# (df-capped) Jaccard>=threshold pair set, as integer ppm — the number a
+# 100 TB wash needs before trusting banding parameters (at scale the
+# ground truth comes from a sample; here the corpus IS the sample).
+# One row: |true|, |candidates|, |hits|, recall_ppm, precision_ppm.
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    cand = lsh_candidate_pairs(docs).select("id_a", "id_b")
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hit = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.expr("n_hits * 1000000L div greatest(n_true, 1L)").alias(
+                "recall_ppm"
+            ),
+            F.expr("n_hits * 1000000L div greatest(n_candidates, 1L)").alias(
+                "precision_ppm"
+            ),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    truth = jaccard_oracle_sql(threshold=JACCARD_THRESHOLD)
+    cand = minhash_oracle_sql()["pairs"]
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({truth})),
+cand AS (SELECT id_a, id_b FROM ({cand})),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth JOIN cand USING (id_a, id_b)) AS n_hits
+)
+SELECT n_true, n_candidates, n_hits,
+       n_hits * 1000000 // greatest(n_true, 1) AS recall_ppm,
+       n_hits * 1000000 // greatest(n_candidates, 1) AS precision_ppm
+FROM m
+"""
+
+
 # --- leakage-safe train/val/test split ---------------------------------------
 # The evaluation-integrity refinement of a plain random split: a near-
 # duplicate of a test document sitting in train IS evaluation leakage, so
@@ -346,6 +399,7 @@ FROM documents d LEFT JOIN ({clusters}) c USING (doc_id)
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
     "leakage_safe_split": (leakage_safe_split, _leakage_safe_split_sql()),
+    "lsh_recall_report": (lsh_recall_report, _lsh_recall_sql()),
     "dedup_simhash_signatures": (dedup_simhash_signatures, simhash_oracle_sql()),
     "dedup_simhash_near_pairs": (dedup_simhash_near_pairs, _simhash_pairs_sql()),
     "dedup_ngram_jaccard": (

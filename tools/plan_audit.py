@@ -38,6 +38,7 @@ ALLOW_ALL_PAIRS = {
     "kmv_sketch_union": "three 1-row aggregates cross-joined into one row",
     "referential_audit": "1-row violation counts cross-joined per check row",
     "bigram_surprisal": "1-row scalar total broadcast onto the unigram table",
+    "lsh_recall_report": "three 1-row counts cross-joined into one row",
 }
 
 FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
