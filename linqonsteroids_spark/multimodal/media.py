@@ -448,9 +448,14 @@ def decode_audio_stats(
                 elif decoder == "real":
                     stats.append(_audio_stats_real(raw))
                 else:  # auto: real when the payload is a parseable WAV
+                    # Catch Exception, not just NotImplementedError: a
+                    # RIFF-prefixed but malformed payload raises
+                    # ValueError/struct.error from _parse_wav, and a
+                    # corpus-washing pipeline must degrade such bytes to
+                    # the stub instead of failing the whole Spark stage.
                     try:
                         stats.append(_audio_stats_real(raw))
-                    except NotImplementedError:
+                    except Exception:  # noqa: BLE001
                         stats.append(_audio_stats_stub(raw))
             out = pd.DataFrame(stats)
             out.insert(0, "doc_id", pdf["doc_id"].values)

@@ -49,15 +49,32 @@ def _halves(key: Column) -> tuple[Column, Column]:
     because Catalyst's projection collapse re-inlines the hash expression
     into every bit test (a Bloom filter needs no cross-engine hash parity
     — the oracle is the plain join). 31-bit reduction keeps a*h1 + b*h2
-    inside int64 with no ANSI overflow risk."""
+    inside int64 with no ANSI overflow risk. Callers must pass the key
+    through ``_norm_key`` first: xxhash64 is input-TYPE sensitive (INT 5
+    and BIGINT 5 hash differently), so build/probe columns of different
+    integral widths — which an equi-join would silently tolerate via
+    implicit cast — would otherwise produce FALSE NEGATIVES and break
+    the superset contract."""
     h1 = F.pmod(F.xxhash64(key), F.lit(1 << 31))
     h2 = F.pmod(F.xxhash64(key, F.lit(7)), F.lit(1 << 31))
     return h1, h2
 
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _norm_key(df: DataFrame, key_col: str) -> Column:
+    """Key column normalized so equal values hash equally on both sides:
+    integral types widen to BIGINT (xxhash64 hashes INT and BIGINT of the
+    same value differently); everything else passes through unchanged."""
+    dtype = dict(df.dtypes)[key_col]
+    key = F.col(key_col)
+    return key.cast("long") if dtype in _INTEGRAL else key
+
+
 def bloom_bitmap(build: DataFrame, key_col: str) -> DataFrame:
     """(word, bits) Bloom bitmap relation of the build side's keys."""
-    h1, h2 = _halves(F.col(key_col))
+    h1, h2 = _halves(_norm_key(build, key_col))
     pos_arr = F.array(
         *[(F.lit(a) * h1 + F.lit(b) * h2) % F.lit(BLOOM_M) for a, b in BLOOM_COEFFS]
     )
@@ -95,7 +112,7 @@ def bloom_semi_reduce(
     for r in rows:
         words[r["word"]] = r["bits"]
     bitmap_lit = F.lit(words)  # one folded constant, indexed per row
-    h1, h2 = _halves(F.col(probe_key))
+    h1, h2 = _halves(_norm_key(probe, probe_key))
     # plain inlined conditions: projection collapse duplicates the hash
     # expression into every bit test, which is fine for ~ns xxhash64
     # (an md5+conv hash here measured 4× slower end-to-end, and HOF

@@ -145,3 +145,25 @@ class BucketedMergeTable:
             .partitionBy("mv_bucket")
             .parquet(self.path)
         )
+        # Dynamic partition overwrite only rewrites partitions PRESENT in
+        # the written frame: a touched bucket whose every row was deleted
+        # (and that received no update/insert) produces zero output rows,
+        # its old directory survives, and the deleted keys resurrect on
+        # the next read. Diff touched vs written buckets and clear the
+        # now-empty directories explicitly (<= n_buckets driver-side ints
+        # and filesystem metadata ops, independent of data size; the
+        # Hadoop FS API covers local/HDFS/object stores alike).
+        present = {
+            r["mv_bucket"] for r in merged.select("mv_bucket").distinct().collect()
+        }
+        emptied = sorted(set(touched) - present)
+        if emptied:
+            jvm = self.spark._jvm
+            hconf = self.spark._jsc.hadoopConfiguration()
+            for b in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(self.path, f"mv_bucket={b}")
+                )
+                fs = p.getFileSystem(hconf)
+                if fs.exists(p):
+                    fs.delete(p, True)

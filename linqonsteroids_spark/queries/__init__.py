@@ -46,55 +46,50 @@ _MODULES = [
 
 # The driver's correctness snapshot covers the FIRST 50 registry entries in
 # insertion order, so ordering is evidence policy, not cosmetics.  _ROTATION
-# pins the front of the registry explicitly, round-6 policy: (1) every
-# never-driver-green gate — the 3 chronic hash-reds (root-caused this round:
-# DuckDB HUGEINT -> float64 in the driver's pandas hash path; oracles now
-# CAST to BIGINT, guarded by tests/test_oracle_types.py), the 15 r5 gates
-# the 50-slot window couldn't hold (two of which — sql_surface_flag_priority
-# and decimal_exact_totals — carried the same HUGEINT/DECIMAL mine and were
-# pre-fixed before this, their first, sampling), and the ten new r6 gates;
-# (2) the 22 gates last green in round 3 (stalest evidence in the
-# registry), which exactly fill the remaining slots. Round-4 and round-5
-# greens rotate out (r4 cohort front-loads in r7, see note below).
+# pins the front of the registry explicitly, round-7 policy: (1) the three
+# r6 ERR gates, re-fixed this round (top-level ARRAY columns scalarized to
+# array_join strings — the driver's pandas canonicalizer cannot sort list
+# cells; now banned forever by the SHAPE-HAZARD guard in
+# tests/test_oracle_types.py + test_oracle_differential.py) — they MUST
+# re-sample green; (2) any gate newly registered in round 7 (never
+# sampled); (3) the stalest evidence first — the 10 gates last sampled in
+# round 3, then the round-4 cohort (46 gates, alphabetical) as far as the
+# window reaches.
 _ROTATION = [
-    # -- never driver-green: chronic reds, now fixed at the real root cause -
-    "vocab_coverage", "ngram_novelty", "corpus_report",
-    # -- never sampled (r5 window overflow; two pre-fixed type mines) -------
-    "customers_without_urgent_orders", "events_hourly_gapfill",
-    "null_safe_segment_join", "qty_price_correlation",
-    "streaming_trending_users", "span_dedup_clean", "vocab_growth_curve",
-    "dedup_simhash_near_pairs", "incremental_mv_time_travel",
-    "mv_change_feed", "sql_surface_priority_counts",
-    "sql_surface_flag_priority", "streaming_cdc_as_of",
-    "decimal_exact_totals", "embedding_quantize_int8",
-    # -- new this round: BPE encode (hash-checkable companion to the
-    #    rows-only bpe_learned_merges), Okapi BM25 scoring, inverted-index
-    #    build, SemDeDup centroid-linkage semantic dedup, point-in-time
-    #    feature join, reconciliation digest, column profile ---------------
-    "bpe_encode_segments", "bm25_doc_scores", "inverted_postings",
-    "semantic_dedup_candidates", "pit_feature_join", "table_digest_orders",
-    "profile_orders_columns", "bloom_pruned_revenue", "merge_into_balances",
-    "quality_model_scores", "multimodal_audio_stats", "kmv_sketch_union",
-    "corpus_wash_report", "nearest_purchase_click",
-    "sql_surface_local_revenue", "leakage_safe_split", "referential_audit",
-    "hashed_count_vectors", "bigram_surprisal", "lsh_recall_report",
-    # -- last green in round 3 (stalest), alphabetical ----------------------
-    "bloom_reference_dedup", "cast_matrix", "collect_urgency_scores",
-    "corpus_mix_sample", "customer_key_regex", "doc_repetition_scores",
-    "first_last_order_per_customer", "grouping_sets_order_totals",
-    "multimodal_frame_counts", "multimodal_image_stats",
-    "nation_full_outer_counts", "option_last_event",
+    # -- r6 ERR, re-fixed (array columns scalarized): must re-sample green --
+    "bpe_encode_segments", "embedding_quantize_int8", "hashed_count_vectors",
+    # -- new in round 7 (never driver-sampled) ------------------------------
+    # -- last sampled in round 3 (stalest evidence), alphabetical -----------
+    "order_qty_foldhash", "pack_sequences", "pii_scrub",
+    "pivot_status_counts", "quartile_prices_by_flag", "quota_per_source",
+    "small_quantity_revenue", "training_shards", "udaf_weighted_price",
+    "unpivot_flag_metrics",
+    # -- last sampled in round 4, alphabetical (window holds the first 37) --
+    "advised_segment_lookup", "asof_purchase_click",
+    "asof_purchase_click_bucketed", "cube_priority_status",
+    "customer_order_counts", "customers_with_urgent_orders",
+    "customers_without_orders", "dedup_clusters_bucketed",
+    "dedup_embedding_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash_signatures", "dedup_source_priority", "dedup_survivors",
+    "doc_chunks", "event_funnel_stages", "event_sliding_windows",
+    "events_json_stats", "events_running_stats", "events_time_features",
+    "events_trailing_hour_value", "events_value_bands", "kmv_distinct_users",
+    "knn_lsh_bucketed", "lang_id", "nation_pairs_same_region",
+    "nested_array_stats", "nested_explode_positions", "nested_guarded_access",
+    "orders_monthly_revenue", "sql_surface_revenue", "stratified_split",
+    "streaming_dedup_events", "streaming_enriched_segments",
+    "streaming_hourly_events", "streaming_mv_refresh",
+    "streaming_purchase_click_pairs", "streaming_user_sessions",
     #
-    # ROUND-7 ROTATION NOTE: order_qty_foldhash, pack_sequences,
-    # pii_scrub, pivot_status_counts, quartile_prices_by_flag,
-    # quota_per_source, small_quantity_revenue, training_shards,
-    # udaf_weighted_price, unpivot_flag_metrics
-    # (r3-green, bumped for the twenty new r6 gates) and the
-    # round-4-green cohort (46 gates, advised_segment_lookup ..
-    # unigram_surprisal, alphabetical) no longer fit this window —
-    # front-load them next round after any new never-sampled gates; every
-    # registered gate will then have driver evidence from r5 or later
-    # within two rounds.
+    # ROUND-8 ROTATION NOTE: the 9 remaining r4 gates
+    # (supplier_nation_region, token_frequencies, token_stats_bpe,
+    # top_orders_per_priority, typecase_events, typefilter_clicks,
+    # typeindex_event_lookup, udf_event_features, unigram_surprisal) plus
+    # the round-5 cohort (47 gates, acctbal_buckets .. weighted_sample_
+    # per_source) front-load next round after any new never-sampled gates;
+    # every registered gate then has driver evidence from r6 or later
+    # within two rounds.  New r7 gates displace the r4 tail above, pushing
+    # the displaced names into the r8 front-load.
 ]
 
 ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

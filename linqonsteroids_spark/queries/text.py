@@ -549,7 +549,18 @@ def hashed_count_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(_HASH_DIM - 1)),
         lambda i: F.coalesce(F.element_at("mp", i.cast("long")), F.lit(0).cast("long")),
     )
-    return m.select("doc_id", vec.alias("vec"))
+    # Gated projection emits the vector as one deterministic CSV string
+    # (the inverted_postings pattern): the driver's pandas canonicalizer
+    # sorts every column and list cells are unhashable in its lexsort, so
+    # top-level ARRAY columns red the gate even when values are exact
+    # (CORRECTNESS_r06). Guarded by the SHAPE-HAZARD check.
+    return m.select(
+        "doc_id",
+        F.array_join(vec, ",").alias("vec_csv"),
+        F.aggregate(
+            vec, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_tf"),
+    )
 
 
 HASHED_VECTORS_SQL = f"""
@@ -569,8 +580,10 @@ WITH toks AS (
   FROM tf GROUP BY doc_id
 )
 SELECT doc_id,
-       list_transform(range({_HASH_DIM}), i -> coalesce(map_extract(mp, i)[1], 0))
-         AS vec
+       array_to_string(list_transform(range({_HASH_DIM}),
+         i -> coalesce(map_extract(mp, i)[1], 0)), ',') AS vec_csv,
+       CAST(list_sum(list_transform(range({_HASH_DIM}),
+         i -> coalesce(map_extract(mp, i)[1], 0))) AS BIGINT) AS total_tf
 FROM m
 """
 
@@ -669,8 +682,16 @@ def bpe_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     enc = apply_merges(word_frequencies(docs), _BPE_FROZEN_MERGES)
+    # Segmentation emitted as one space-joined string per word: the driver's
+    # pandas canonicalizer cannot sort list cells, so a top-level ARRAY
+    # column reds the gate even with exact values (CORRECTNESS_r06).
+    # Tokens never contain whitespace (they come from a \\s+ split), so the
+    # join is lossless. Guarded by the SHAPE-HAZARD check.
     return enc.select(
-        "word", "freq", "syms", F.size("syms").cast("long").alias("n_syms")
+        "word",
+        "freq",
+        F.array_join("syms", " ").alias("segmented"),
+        F.size("syms").cast("long").alias("n_syms"),
     )
 
 
@@ -686,7 +707,7 @@ WITH words AS (
   ) WHERE word <> '' GROUP BY word
 )
 SELECT word, freq,
-       string_split(trim({framed}), '  ') AS syms,
+       array_to_string(string_split(trim({framed}), '  '), ' ') AS segmented,
        len(string_split(trim({framed}), '  ')) AS n_syms
 FROM words
 """

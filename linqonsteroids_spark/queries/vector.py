@@ -178,9 +178,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # Quantized vector emitted as one deterministic CSV string per row: the
+    # driver's pandas canonicalizer cannot sort list cells, so a top-level
+    # ARRAY column reds the gate even with exact values (CORRECTNESS_r06).
+    # Guarded by the SHAPE-HAZARD check.
     return emb.select(
         "vec_id",
-        q.alias("q"),
+        F.array_join(q, ",").alias("q_csv"),
         F.aggregate(
             q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
         ).alias("l1_q"),
@@ -198,7 +202,7 @@ WITH prep AS (
              list_max(list_transform(v, y -> abs(y)))) AS BIGINT)))) AS q
   FROM prep
 )
-SELECT vec_id, q,
+SELECT vec_id, array_to_string(q, ',') AS q_csv,
        CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q
 FROM scaled
 """

@@ -122,6 +122,45 @@ def test_bucketed_merge_semantics_and_pruning(spark, tmp_path):
     assert after == before  # untouched buckets: same files, same bytes
 
 
+def test_bucketed_merge_delete_empties_bucket(spark, tmp_path):
+    """WHEN MATCHED DELETE that empties an ENTIRE bucket must not
+    resurrect its rows (round-6 advisor find): dynamic partition
+    overwrite only rewrites partitions present in the written frame, so
+    a zero-survivor bucket keeps its old directory unless the merge
+    explicitly clears it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.merge import BucketedMergeTable
+
+    tbl = BucketedMergeTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    base = spark.range(60).selectExpr("id AS k", "cast(id as double) AS bal")
+    tbl.create(base)
+    # source = every key of bucket 0, all flagged for deletion
+    b0_keys = [
+        r.k
+        for r in base.selectExpr("k", "pmod(xxhash64(k), 4) AS b")
+        .filter("b = 0")
+        .collect()
+    ]
+    assert b0_keys  # the scenario needs a non-empty bucket to empty
+    src = spark.createDataFrame([(k, 1) for k in b0_keys], "k long, kill int")
+    tbl.merge(src, matched_delete=F.col("kill") == 1)
+    got = {r.k for r in tbl.read().collect()}
+    assert not (got & set(b0_keys)), "deleted keys resurrected from empty bucket"
+    assert len(got) == 60 - len(b0_keys)
+    assert not os.path.exists(str(tmp_path / "t" / "mv_bucket=0"))
+    # and a later merge over the cleared bucket works (re-insert path)
+    tbl.merge(
+        spark.createDataFrame([(b0_keys[0], 0)], "k long, kill int"),
+        matched_delete=F.col("kill") == 1,
+        insert_values={"bal": F.lit(-1.0)},
+    )
+    got2 = {r.k: r.bal for r in tbl.read().collect()}
+    assert got2[b0_keys[0]] == -1.0
+
+
 def test_bucketed_merge_guards(spark, tmp_path):
     """No-insert mode drops unmatched source rows; layout and column
     overlap mismatches fail loudly instead of corrupting the table."""

@@ -689,6 +689,25 @@ def test_bloom_semi_reduce_superset_and_pruning(spark):
     assert "Join" not in plan and "Exchange" not in plan
 
 
+def test_bloom_semi_reduce_mixed_key_widths(spark):
+    """xxhash64 is input-TYPE sensitive (INT 5 and BIGINT 5 hash
+    differently), so an INT probe key against a BIGINT build key — which
+    an equi-join silently tolerates via implicit cast — must still honor
+    the no-false-negative contract (round-6 advisor find; keys are
+    normalized to BIGINT before hashing)."""
+    from linqonsteroids_spark.operators.bloomjoin import bloom_semi_reduce
+
+    probe = spark.range(5000).selectExpr(
+        "cast(id AS int) AS k", "id * 2 AS payload"
+    )
+    build = spark.range(50).selectExpr("cast(id * 83 AS bigint) AS k")
+    assert dict(probe.dtypes)["k"] == "int"
+    assert dict(build.dtypes)["k"] == "bigint"
+    reduced_keys = {r.k for r in bloom_semi_reduce(probe, build, "k", "k").collect()}
+    true_keys = {r.k for r in build.filter("k < 5000").collect()}
+    assert true_keys <= reduced_keys  # no false negatives across widths
+
+
 def test_asof_join_nearest_semantics(spark):
     """direction='nearest' contract: closer side wins, backward wins |d|
     ties and equal times, tolerance nulls far matches, max tiebreak

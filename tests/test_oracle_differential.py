@@ -40,6 +40,20 @@ def _values_equal(a, b):
 def test_query_matches_oracle(name, spark, duck):
     fn, sql = ALL[name]
     sdf = fn(spark, SF_SMOKE)
+    # SHAPE-HAZARD guard (Spark side): the driver's pandas canonicalizer
+    # cannot sort list/struct/map cells, so gated output must be
+    # scalar-only (the round-6 array-column failure class).  The DuckDB
+    # side of the same guard lives in test_oracle_types.py.
+    nonscalar = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not nonscalar, (
+        f"{name}: gated projection has non-scalar top-level columns "
+        f"{nonscalar}; the driver's pandas sort_values dies on unhashable "
+        "cells — array_join to a string or explode to rows"
+    )
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
 

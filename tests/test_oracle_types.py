@@ -37,6 +37,18 @@ TABLES = (
 # fetchall()/Spark keep them exact.
 _BANNED = re.compile(r"HUGEINT|UHUGEINT|DECIMAL", re.IGNORECASE)
 
+# SHAPE-HAZARD: the driver canonicalizes through pandas
+# ``DataFrame.sort_values`` over every output column; list/struct/map
+# cells are unhashable in pandas' lexsort, so ANY top-level
+# ARRAY/MAP/STRUCT column errors the gate even when values are exact —
+# the round-6 failure class (``bpe_encode_segments``,
+# ``embedding_quantize_int8``, ``hashed_count_vectors``).  Gated output
+# must be scalar-only: join arrays deterministically
+# (``array_join``/``array_to_string`` — the ``inverted_postings``
+# pattern) or explode to (id, pos, value) rows.  DuckDB renders list
+# types as ``T[]`` and the nested ones by name.
+_BANNED_SHAPE = re.compile(r"\[\]|\bSTRUCT\b|\bMAP\b|\bUNION\b", re.IGNORECASE)
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -63,4 +75,16 @@ def test_oracle_output_types_survive_pandas(con, name, sql):
         "CAST integer sums to BIGINT and decimals to an exact integer "
         "re-basing (e.g. cents) — fetchdf() turns HUGEINT/DECIMAL into "
         "float64 and the driver's hash will mismatch Spark's exact values"
+    )
+    shape_offenders = [
+        f"{col}: {typ}"
+        for col, typ in zip(rel.columns, rel.types)
+        if _BANNED_SHAPE.search(str(typ))
+    ]
+    assert not shape_offenders, (
+        f"oracle {name!r} emits non-scalar top-level columns "
+        f"{shape_offenders}; the driver's pandas canonicalizer cannot "
+        "sort list/struct/map cells (TypeError: unhashable type) — emit "
+        "a deterministic joined string (array_to_string) or exploded "
+        "(id, pos, value) rows instead"
     )

@@ -34,6 +34,23 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            if sql is not None:
+                # SHAPE-HAZARD: the driver canonicalizes through pandas
+                # sort_values, which dies on unhashable list/struct/map
+                # cells (the r6 array-column failure class). Gated output
+                # must be scalar-only on BOTH engines.
+                nonscalar = [
+                    f"{f.name}:{f.dataType.simpleString()}"
+                    for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")
+                ]
+                if nonscalar:
+                    print(
+                        f"  FAIL {name}: SHAPE-HAZARD (non-scalar gated "
+                        f"columns, driver pandas sort dies) {nonscalar}"
+                    )
+                    failures += 1
+                    continue
             s_rows = [tuple(r) for r in sdf.collect()]
             s_cols = list(sdf.columns)
             if sql is None:
@@ -53,6 +70,18 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
             ]
             if hazard:
                 print(f"  FAIL {name}: TYPE-HAZARD (pandas-degrading oracle types) {hazard}")
+                failures += 1
+                continue
+            shape_hazard = [
+                f"{c}:{t}"
+                for c, t in zip(con.sql(sql).columns, con.sql(sql).types)
+                if _re.search(r"\[\]|\bSTRUCT\b|\bMAP\b|\bUNION\b", str(t), _re.I)
+            ]
+            if shape_hazard:
+                print(
+                    f"  FAIL {name}: SHAPE-HAZARD (non-scalar oracle "
+                    f"columns, driver pandas sort dies) {shape_hazard}"
+                )
                 failures += 1
                 continue
             res = con.execute(sql)
