@@ -194,6 +194,11 @@ def main() -> None:
             "extra_queries": extra,
             "method": f"median of <= {REPS_MAX} steady-state runs, CoV cutoff {COV_CUTOFF}",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            # duplicated LAST on purpose: the driver captures stdout's
+            # TAIL, so when the line is truncated the head (with "value")
+            # is what's lost — the trailing copy keeps the headline total
+            # recoverable from any tail fragment.
+            "headline_total_sec": total,
         }
     )
     print(line)

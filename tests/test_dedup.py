@@ -130,6 +130,49 @@ def test_simhash_candidate_growth_subquadratic(spark):
     assert counts[4000] < 200
 
 
+def test_simhash_blocking_8block_complete(spark):
+    """The production ~10^9-doc configuration (Manku WWW'07: 64 bits, 8
+    blocks, k=5 -> 40-bit compound keys, C(8,5)=56 combos) is a config
+    change, not a rewrite: the blocked search over crafted 64-bit
+    signatures — including negative (sign-bit-set) ones, which exercise
+    the zero-fill shifts — returns EXACTLY the all-pairs Hamming<=3 set,
+    each pair exactly once (canonical-combination dedup, no distinct)."""
+    import random
+
+    from linqonsteroids_spark.dedup.simhash import simhash_pairs_from_signatures
+
+    rng = random.Random(17)
+
+    def to_signed(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    sigs = [rng.getrandbits(64) for _ in range(80)]
+    # plant near-dups at hamming 1..3, including flips of bit 63
+    for d in (1, 2, 3):
+        s = sigs[0]
+        for b in [63] + rng.sample(range(63), d - 1):
+            s ^= 1 << b
+        sigs.append(s)
+    sigs.append(sigs[1] ^ (1 << 63))  # pure sign-bit flip: hamming 1
+    assert any(s >= 1 << 63 for s in sigs)  # negatives present
+    sig_df = spark.createDataFrame(
+        [(i, to_signed(s)) for i, s in enumerate(sigs)],
+        "doc_id long, simhash long",
+    )
+    rows = simhash_pairs_from_signatures(
+        sig_df, max_hamming=3, n_bits=64, n_blocks=8
+    ).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert len(rows) == len(got)  # exactly-once, no distinct needed
+    want = {
+        (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+        for i in range(len(sigs))
+        for j in range(i + 1, len(sigs))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 3
+    }
+    assert got == want and len(want) >= 4  # planted pairs all found
+
+
 def test_semantic_dedup_reps_semantics(spark):
     """Centroid-linkage SemDeDup: one output row per input vector, the
     representative is a member of its own cluster and is never flagged as
@@ -222,3 +265,22 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     from collections import Counter
     sizes = Counter(r.group_id for r in rows)
     assert max(sizes.values()) > 1
+
+
+def test_lsh_recall_report_truth_sampling(spark):
+    """The 100 TB methodology knob: a deterministic doc-universe sample
+    shrinks the exact-truth quadratic side while the recall/precision
+    estimates stay close to the full measurement (both are 10^6-scale
+    ppm; at this corpus the generator is at full recall, so sampled and
+    full agree exactly — the pin allows estimator noise)."""
+    from linqonsteroids_spark.queries.dedup import lsh_recall_report
+    full = lsh_recall_report(
+        spark, "/root/testdata/sf0.01", truth_fraction=1.0
+    ).collect()[0]
+    samp = lsh_recall_report(
+        spark, "/root/testdata/sf0.01", truth_fraction=0.5
+    ).collect()[0]
+    assert samp.n_true < full.n_true  # the sample actually shrank the truth side
+    assert samp.n_true > 0  # and still measures something
+    assert abs(samp.recall_ppm - full.recall_ppm) <= 100_000
+    assert abs(samp.precision_ppm - full.precision_ppm) <= 100_000
