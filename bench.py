@@ -133,6 +133,9 @@ EXTRA = [
     "hashed_count_vectors",
     "bigram_surprisal",
     "lsh_recall_report",
+    "fix_order_contagion",
+    "cms_heavy_hitters",
+    "char_entropy_scores",
 ]
 
 

@@ -58,7 +58,10 @@ _MODULES = [
 _ROTATION = [
     # -- r6 ERR, re-fixed (array columns scalarized): must re-sample green --
     "bpe_encode_segments", "embedding_quantize_int8", "hashed_count_vectors",
-    # -- new in round 7 (never driver-sampled) ------------------------------
+    # -- new in round 7 (never driver-sampled): generic Fix combinator with
+    #    a user-supplied step (recursive-CTE oracle), count-min sketch
+    #    heavy hitters, character-entropy quality score ---------------------
+    "fix_order_contagion", "cms_heavy_hitters", "char_entropy_scores",
     # -- last sampled in round 3 (stalest evidence), alphabetical -----------
     "order_qty_foldhash", "pack_sequences", "pii_scrub",
     "pivot_status_counts", "quartile_prices_by_flag", "quota_per_source",
@@ -78,13 +81,14 @@ _ROTATION = [
     "nested_array_stats", "nested_explode_positions", "nested_guarded_access",
     "orders_monthly_revenue", "sql_surface_revenue", "stratified_split",
     "streaming_dedup_events", "streaming_enriched_segments",
-    "streaming_hourly_events", "streaming_mv_refresh",
-    "streaming_purchase_click_pairs", "streaming_user_sessions",
+    "streaming_hourly_events",
     #
-    # ROUND-8 ROTATION NOTE: the 9 remaining r4 gates
-    # (supplier_nation_region, token_frequencies, token_stats_bpe,
-    # top_orders_per_priority, typecase_events, typefilter_clicks,
-    # typeindex_event_lookup, udf_event_features, unigram_surprisal) plus
+    # ROUND-8 ROTATION NOTE: the 12 remaining r4 gates
+    # (streaming_mv_refresh, streaming_purchase_click_pairs,
+    # streaming_user_sessions, supplier_nation_region, token_frequencies,
+    # token_stats_bpe, top_orders_per_priority, typecase_events,
+    # typefilter_clicks, typeindex_event_lookup, udf_event_features,
+    # unigram_surprisal) plus
     # the round-5 cohort (47 gates, acctbal_buckets .. weighted_sample_
     # per_source) front-load next round after any new never-sampled gates;
     # every registered gate then has driver evidence from r6 or later

@@ -45,6 +45,62 @@ SELECT src, dst FROM tc
 """
 
 
+# --- generic Fix combinator with a user-supplied step function ---------------
+# The FULL Fix surface (reference ``expressiontree/Fix.scala:4-41``:
+# ``Fix(coll, f)`` for ARBITRARY f, of which TransitiveClosure is just one
+# instantiation): least fixpoint of a user-written DataFrame->DataFrame
+# step that is NOT an edge-join — a 30-day same-customer "contagion"
+# spread from high-value seed orders. Each round joins only the FRONTIER
+# (semi-naive; operators/fixpoint.py) against the order base; epoch-
+# second day windows keep the arithmetic integer-exact across engines.
+# Scale: frontier shrinks monotonically, per-round cost is one
+# frontier-vs-base equi-join on the customer key; converges in the
+# longest 30-day-adjacency chain length (~3 rounds on this data).
+_CONTAGION_SEED = 475_000.0
+_CONTAGION_WINDOW_S = 30 * 86_400
+
+
+def fix_order_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.fixpoint import fix
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("ots"),
+        "o_totalprice",
+    )
+    base = orders.select("o_orderkey", "o_custkey", "ots")
+    seed = orders.filter(F.col("o_totalprice") > _CONTAGION_SEED).select(
+        "o_orderkey", "o_custkey", "ots"
+    )
+
+    def step(frontier: DataFrame) -> DataFrame:
+        f = frontier.select(
+            F.col("o_custkey").alias("fc"), F.col("ots").alias("fts")
+        )
+        return base.join(
+            f,
+            (base.o_custkey == f.fc)
+            & (F.abs(base.ots - f.fts) <= _CONTAGION_WINDOW_S),
+        ).select("o_orderkey", "o_custkey", "ots")
+
+    return fix(seed, step, max_iterations=40).select("o_orderkey", "o_custkey")
+
+
+FIX_CONTAGION_SQL = f"""
+WITH RECURSIVE flagged(o_orderkey, o_custkey, ots) AS (
+  SELECT o_orderkey, o_custkey, CAST(epoch(o_orderdate) AS BIGINT)
+  FROM orders WHERE o_totalprice > {_CONTAGION_SEED}
+  UNION
+  SELECT o.o_orderkey, o.o_custkey, CAST(epoch(o.o_orderdate) AS BIGINT)
+  FROM orders o JOIN flagged f ON o.o_custkey = f.o_custkey
+   AND abs(CAST(epoch(o.o_orderdate) AS BIGINT) - f.ots)
+       <= {_CONTAGION_WINDOW_S}
+)
+SELECT o_orderkey, o_custkey FROM flagged
+"""
+
+
 # --- PageRank over the order–part bipartite graph ---------------------------
 # Link-mass ranking on a real data-derived graph: orders and parts are
 # nodes (disjointly encoded as 2k / 2k+1), every distinct lineitem
@@ -172,6 +228,7 @@ JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 
 QUERIES = {
     "nation_transitive_closure": (nation_transitive_closure, NATION_TC_SQL),
+    "fix_order_contagion": (fix_order_contagion, FIX_CONTAGION_SQL),
     "pagerank_order_parts": (pagerank_order_parts, PAGERANK_SQL),
     "pagerank_order_parts_bucketed": (pagerank_order_parts_bucketed, PAGERANK_SQL),
     "triangle_count_coparts": (triangle_count_coparts, TRIANGLE_COPARTS_SQL),

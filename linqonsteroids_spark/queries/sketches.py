@@ -236,7 +236,123 @@ FROM merged m CROSS JOIN direct d CROSS JOIN exact e
 """
 
 
+# --- count-min sketch (frequency estimation / heavy hitters) -----------------
+# The frequency-side companion to KMV's cardinality sketch (Cormode &
+# Muthukrishnan, J. Algorithms 2005): d hash rows of w counters; add each
+# key's count to cell (r, h_r(key)); estimate = min over rows — one-sided
+# (est >= true, never under). All d hashes come from ONE md5 per DISTINCT
+# key (four disjoint 8-hex-digit slices = four independent 32-bit hashes
+# — the measured lesson from bloomjoin: hashing per condition, not per
+# row, is what keeps this cheap), and the sketch is built from the exact
+# per-key aggregate, which is identical to streaming row-updates but one
+# map-side-combined shuffle instead of |events| cell updates. w=64 is
+# deliberately SMALL for the gate so collisions actually occur and the
+# overcount column measures real sketch error; production sizing is
+# w = ceil(e/eps). Probe set: the top-20 true heavy hitters
+# (deterministic tiebreak). Everything integer — exact across engines.
+_CMS_W = 64
+_CMS_D = 4
+_CMS_TOPK = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    hx = counts.withColumn("h", F.md5(F.col("user_id").cast("string")))
+    bucket = [
+        F.conv(F.substring("h", 1 + 8 * d, 8), 16, 10).cast("long") % _CMS_W
+        for d in range(_CMS_D)
+    ]
+    cells = (
+        hx.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(d).alias("d"), bucket[d].alias("bucket"))
+                        for d in range(_CMS_D)
+                    ]
+                )
+            ).alias("db"),
+        )
+        .groupBy("db.d", "db.bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    probes = (
+        hx.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("user_id"))
+            ),
+        )
+        .filter(F.col("rn") <= _CMS_TOPK)
+        .select("user_id", "cnt", "h")
+    )
+    # probe each heavy hitter's d cells; cells is tiny (d*w rows) and
+    # broadcasts
+    probe_cells = (
+        probes.select(
+            "user_id",
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(d).alias("d"), bucket[d].alias("bucket"))
+                        for d in range(_CMS_D)
+                    ]
+                )
+            ).alias("db"),
+        )
+        .select("user_id", "cnt", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .join(F.broadcast(cells), ["d", "bucket"])
+    )
+    return (
+        probe_cells.groupBy("user_id", "cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+        .select(
+            "user_id",
+            F.col("cnt").alias("true_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") - F.col("cnt")).alias("overcount"),
+        )
+    )
+
+
+CMS_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), hx AS (
+  SELECT user_id, cnt, md5(CAST(user_id AS VARCHAR)) AS h FROM counts
+), dims AS (
+  SELECT unnest(range({_CMS_D})) AS d
+), cells AS (
+  SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS cell FROM (
+    SELECT u.cnt, dims.d,
+           ('0x' || substr(u.h, 1 + 8 * dims.d::INT, 8))::BIGINT % {_CMS_W}
+             AS bucket
+    FROM hx u CROSS JOIN dims
+  ) GROUP BY d, bucket
+), probes AS (
+  SELECT user_id, cnt, h FROM hx
+  ORDER BY cnt DESC, user_id LIMIT {_CMS_TOPK}
+), probe_cells AS (
+  SELECT p.user_id, p.cnt, c.cell
+  FROM (
+    SELECT p0.user_id, p0.cnt, dims.d,
+           ('0x' || substr(p0.h, 1 + 8 * dims.d::INT, 8))::BIGINT % {_CMS_W}
+             AS bucket
+    FROM probes p0 CROSS JOIN dims
+  ) p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+)
+SELECT user_id, cnt AS true_cnt,
+       CAST(min(cell) AS BIGINT) AS est_cnt,
+       CAST(min(cell) - cnt AS BIGINT) AS overcount
+FROM probe_cells GROUP BY user_id, cnt
+"""
+
+
 QUERIES = {
     "kmv_distinct_users": (kmv_distinct_users, KMV_DISTINCT_SQL),
     "kmv_sketch_union": (kmv_sketch_union, KMV_UNION_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters, CMS_SQL),
 }

@@ -858,8 +858,58 @@ GROUP BY g.doc_id
 """
 
 
+# --- character-entropy quality score -----------------------------------------
+# Shannon entropy of the per-document character distribution — the
+# model-free gibberish/boilerplate detector every corpus-quality ladder
+# carries (low entropy = repeated padding/template spam; implausibly
+# high = random bytes): H = log2(n) - (1/n) * sum_c k_c*log2(k_c) over
+# character counts k_c. Character splitting verified identical between
+# engines (split(text, '') / string_split(text, '')); doubles rounded on
+# both sides per the engine's established convention. Scale: one explode
+# + two map-side-combined aggs, shuffled by doc_id.
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n"),
+            F.count("*").alias("distinct_chars"),
+            F.sum(F.col("k") * F.log2("k")).alias("klogk"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            "distinct_chars",
+            (F.round(F.log2("n") - F.col("klogk") / F.col("n"), 4) + 0.0).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), per AS (
+  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_chars,
+       count(*) AS distinct_chars,
+       round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 4) + 0.0
+         AS entropy_bits
+FROM per GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
+    "char_entropy_scores": (char_entropy_scores, CHAR_ENTROPY_SQL),
     "bigram_surprisal": (bigram_surprisal, BIGRAM_SURPRISAL_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_BPE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
