@@ -1,0 +1,105 @@
+"""Subprocess smoke for the Catalyst-extension JAR (run in its OWN JVM:
+the extension must be on the driver classpath at session startup, so the
+shared test SparkSession cannot host it).
+
+Builds a base table and a same-rows index table partitioned by `seg`,
+registers the index with the extension's runtime registry conf, and
+checks that a Filter(seg = lit) query over the BASE path (1) returns
+exactly the base-table answer and (2) physically scans the INDEX path
+with a directory-pruning PartitionFilter. Prints PASS lines; any
+assertion failure exits nonzero.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "linqonsteroids_spark",
+        "ext",
+        "linq-ext.jar",
+    )
+    assert os.path.exists(jar), f"missing {jar}; run tools/build_catalyst_ext.sh"
+    tmp = tempfile.mkdtemp(prefix="linq_ext_")
+    base_path = os.path.join(tmp, "base")
+    idx_path = os.path.join(tmp, "idx")
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("catalyst_ext_smoke")
+        .config("spark.jars", jar)
+        .config("spark.driver.extraClassPath", jar)
+        .config("spark.sql.extensions", "linqonsteroids.ext.LinqExtensions")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("seg"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    df.write.mode("overwrite").parquet(base_path)
+    df.repartition("seg").write.mode("overwrite").partitionBy("seg").parquet(idx_path)
+
+    q = spark.read.parquet(base_path).filter(F.col("seg") == 5)
+    baseline = sorted(tuple(r) for r in q.collect())
+
+    # register the index; the SAME query must now route through it
+    spark.conf.set("spark.linqonsteroids.indexes", f"{base_path},seg,{idx_path}")
+    q2 = spark.read.parquet(base_path).filter(F.col("seg") == 5)
+    rewritten = sorted(tuple(r) for r in q2.collect())
+    assert rewritten == baseline and len(baseline) == 125, (
+        len(rewritten),
+        len(baseline),
+    )
+    print("PASS values")
+
+    plan = q2._jdf.queryExecution().executedPlan().toString()
+    assert "idx" in plan and os.path.basename(idx_path) in plan, plan[:2000]
+    assert os.path.basename(base_path) not in plan, plan[:2000]
+    print("PASS scans-index-not-base")
+    assert "PartitionFilters" in plan, plan[:2000]
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "seg" in pf.group(1), plan[:2000]
+    print("PASS partition-pruned")
+
+    # no-registry and non-indexed-column queries must be untouched
+    spark.conf.set("spark.linqonsteroids.indexes", "")
+    p3 = (
+        spark.read.parquet(base_path)
+        .filter(F.col("seg") == 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert os.path.basename(base_path) in p3
+    spark.conf.set("spark.linqonsteroids.indexes", f"{base_path},seg,{idx_path}")
+    p4 = (
+        spark.read.parquet(base_path)
+        .filter(F.col("payload") == 30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert os.path.basename(base_path) in p4
+    print("PASS no-false-rewrites")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
