@@ -136,6 +136,8 @@ EXTRA = [
     "fix_order_contagion",
     "cms_heavy_hitters",
     "char_entropy_scores",
+    "batch_user_sessions",
+    "tfidf_top_terms",
 ]
 
 

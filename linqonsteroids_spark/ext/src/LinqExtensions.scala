@@ -76,11 +76,16 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  private def hasEqLitOn(cond: Expression, col: String): Boolean =
+  // equality and IN-list both become directory-level partition pruning
+  // after substitution, so both justify routing to the index table
+  private def hasPrunablePredOn(cond: Expression, col: String): Boolean =
     splitConjuncts(cond).exists {
       case EqualTo(a: AttributeReference, _: Literal) => a.name == col
       case EqualTo(_: Literal, a: AttributeReference) => a.name == col
-      case _                                          => false
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        a.name == col
+      case InSet(a: AttributeReference, _) => a.name == col
+      case _                               => false
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -90,7 +95,7 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case f @ Filter(cond, rel: LogicalRelation) =>
         val path = rootPath(rel)
         reg.find { case (base, col, _) =>
-          path.exists(p => pathMatches(p, base)) && hasEqLitOn(cond, col)
+          path.exists(p => pathMatches(p, base)) && hasPrunablePredOn(cond, col)
         } match {
           case Some((_, _, idxPath)) =>
             val idx = session.read.parquet(idxPath).queryExecution.analyzed

@@ -62,6 +62,7 @@ _ROTATION = [
     #    a user-supplied step (recursive-CTE oracle), count-min sketch
     #    heavy hitters, character-entropy quality score ---------------------
     "fix_order_contagion", "cms_heavy_hitters", "char_entropy_scores",
+    "batch_user_sessions", "tfidf_top_terms",
     # -- last sampled in round 3 (stalest evidence), alphabetical -----------
     "order_qty_foldhash", "pack_sequences", "pii_scrub",
     "pivot_status_counts", "quartile_prices_by_flag", "quota_per_source",
@@ -80,11 +81,11 @@ _ROTATION = [
     "knn_lsh_bucketed", "lang_id", "nation_pairs_same_region",
     "nested_array_stats", "nested_explode_positions", "nested_guarded_access",
     "orders_monthly_revenue", "sql_surface_revenue", "stratified_split",
-    "streaming_dedup_events", "streaming_enriched_segments",
-    "streaming_hourly_events",
+    "streaming_dedup_events",
     #
-    # ROUND-8 ROTATION NOTE: the 12 remaining r4 gates
-    # (streaming_mv_refresh, streaming_purchase_click_pairs,
+    # ROUND-8 ROTATION NOTE: the 14 remaining r4 gates
+    # (streaming_enriched_segments, streaming_hourly_events,
+    # streaming_mv_refresh, streaming_purchase_click_pairs,
     # streaming_user_sessions, supplier_nation_region, token_frequencies,
     # token_stats_bpe, top_orders_per_priority, typecase_events,
     # typefilter_clicks, typeindex_event_lookup, udf_event_features,

@@ -907,9 +907,80 @@ FROM per GROUP BY doc_id
 """
 
 
+# --- TF-IDF top terms per document -------------------------------------------
+# The per-document keyword extraction every retrieval/labeling pipeline
+# runs beside BM25's query-side scoring: smooth-idf TF-IDF
+# (score = tf * (ln((N+1)/(df+1)) + 1), sklearn's smoothing), top-3
+# terms per doc. RANKING is by the integer triple (tf desc, df asc,
+# term asc) — monotone-equivalent to tf*idf within a doc for fixed tf
+# (idf strictly decreases in df) and fully engine-deterministic, so a
+# last-ulp ln() difference can never flip a rank; the double score is
+# display-rounded per the engine convention. N is one bounded driver-side
+# count (the linkage.py bounded-metadata class). Scale: explode + two
+# map-side-combined aggs + one term-keyed join; the rank window
+# partitions by doc.
+_TFIDF_TOPK = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar, bounded driver traffic
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(df_, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "rnk",
+            "term",
+            "tf",
+            "df",
+            (F.round(F.col("tf") * idf, 4) + 0.0).alias("score"),
+        )
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, token AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+           AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, rnk, term, tf, df,
+       round(tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0))
+                   + 1.0), 4) + 0.0 AS score
+FROM ranked WHERE rnk <= {_TFIDF_TOPK}
+"""
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
     "char_entropy_scores": (char_entropy_scores, CHAR_ENTROPY_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "bigram_surprisal": (bigram_surprisal, BIGRAM_SURPRISAL_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_BPE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),

@@ -210,8 +210,64 @@ FROM per_user
 """
 
 
+# --- batch sessionization (gap-based, the lag+cumsum classic) ----------------
+# The batch twin of streaming/incremental.py's session_window gate: per
+# user, a new session starts when the gap to the previous event exceeds
+# the threshold; session id = running count of session starts. All
+# arithmetic in exact microsecond epochs (unix_micros / epoch_us), so
+# every value is integer and engine-exact, sub-second timestamps
+# included. Scale: ONE shuffle on user_id serves both the lag and the
+# cumulative sum (same window spec), then the session agg is
+# partition-local on the same key.
+_SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+def batch_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ets")
+    )
+    w = Window.partitionBy("user_id").orderBy("ets", "event_id")
+    new_s = F.when(
+        F.col("ets") - F.lag("ets").over(w) > _SESSION_GAP_US, 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ets").alias("start_us"),
+        F.max("ets").alias("end_us"),
+        (F.max("ets") - F.min("ets")).alias("duration_us"),
+    )
+
+
+BATCH_SESSIONS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ets FROM events
+), marked AS (
+  SELECT user_id, event_id, ets,
+         CASE WHEN ets - lag(ets) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ets, event_id)
+), sess AS (
+  SELECT user_id, ets,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ets, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(ets) AS start_us,
+       max(ets) AS end_us,
+       max(ets) - min(ets) AS duration_us
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
+    "batch_user_sessions": (batch_user_sessions, BATCH_SESSIONS_SQL),
     "event_funnel_stages": (event_funnel_stages, EVENT_FUNNEL_SQL),
     "events_running_stats": (events_running_stats, EVENTS_RUNNING_SQL),
     "event_sliding_windows": (event_sliding_windows, EVENT_SLIDING_SQL),

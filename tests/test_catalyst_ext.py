@@ -40,6 +40,7 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS values",
         "PASS scans-index-not-base",
         "PASS partition-pruned",
+        "PASS in-list-pruned",
         "PASS no-false-rewrites",
     ):
         assert pin in proc.stdout, proc.stdout[-3000:]

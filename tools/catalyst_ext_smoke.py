@@ -78,6 +78,16 @@ def main() -> None:
     assert pf and "seg" in pf.group(1), plan[:2000]
     print("PASS partition-pruned")
 
+    # IN-list predicates route through the index with multi-directory
+    # pruning too
+    q5 = spark.read.parquet(base_path).filter(F.col("seg").isin(2, 5))
+    vals5 = sorted(tuple(r) for r in q5.collect())
+    assert len(vals5) == 250 and all(v[1] in (2, 5) for v in vals5)
+    p5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(idx_path) in p5 and os.path.basename(base_path) not in p5
+    assert "PartitionFilters" in p5
+    print("PASS in-list-pruned")
+
     # no-registry and non-indexed-column queries must be untouched
     spark.conf.set("spark.linqonsteroids.indexes", "")
     p3 = (
