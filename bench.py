@@ -138,6 +138,7 @@ EXTRA = [
     "char_entropy_scores",
     "batch_user_sessions",
     "tfidf_top_terms",
+    "compression_ratio_scores",
 ]
 
 

@@ -977,10 +977,53 @@ FROM ranked WHERE rnk <= {_TFIDF_TOPK}
 """
 
 
+# --- compression-ratio quality signal ----------------------------------------
+# len(zlib(text))/len(text) — the classic cheap redundancy detector the
+# published corpus-washing recipes use beside entropy (highly repetitive
+# boilerplate compresses far below prose; random bytes barely compress).
+# DuckDB has no zlib, so the gate registers ROWS-ONLY; bit-exact evidence
+# is the pytest differential against direct python zlib on the same
+# bytes (tests/test_pipeline.py), the bpe_learned_merges precedent.
+# Scale: one Arrow-batched mapInPandas stage, row-local, zero shuffle;
+# ratio emitted as integer ppm (floor), n/z byte counts exact.
+_ZLIB_LEVEL = 6
+
+
+def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = [s.encode("utf-8") for s in pdf["text"].fillna("")]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in raw],
+                    "z_bytes": [len(zlib.compress(b, _ZLIB_LEVEL)) for b in raw],
+                }
+            )
+
+    res = docs.mapInPandas(batches, "doc_id long, n_bytes long, z_bytes long")
+    return res.select(
+        "doc_id",
+        "n_bytes",
+        "z_bytes",
+        F.expr("z_bytes * 1000000L div greatest(n_bytes, 1L)").alias(
+            "ratio_ppm"
+        ),
+    )
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
     "char_entropy_scores": (char_entropy_scores, CHAR_ENTROPY_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    # rows-only: DuckDB has no zlib; pytest differential is the evidence
+    "compression_ratio_scores": (compression_ratio_scores, None),
     "bigram_surprisal": (bigram_surprisal, BIGRAM_SURPRISAL_SQL),
     "token_stats_bpe": (token_stats_bpe, TOKEN_BPE_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),

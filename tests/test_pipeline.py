@@ -185,3 +185,30 @@ def test_weighted_sample_prefers_heavier_docs(spark):
     mean_sampled = sampled.agg(F.avg("n_chars")).collect()[0][0]
     mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
     assert mean_sampled > mean_all
+
+
+def test_compression_ratio_bit_exact_vs_local_zlib(spark):
+    """Rows-only gate evidence (the bpe_learned_merges pattern): the
+    Arrow-staged zlib lengths must equal direct python zlib on the same
+    utf-8 bytes, row for row, and the ppm ratio must be the exact floor
+    division."""
+    import zlib
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.queries.text import (
+        _ZLIB_LEVEL,
+        compression_ratio_scores,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.doc_id: r for r in compression_ratio_scores(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    assert len(got) == docs.count()
+    for r in docs.collect():
+        b = (r.text or "").encode("utf-8")
+        g = got[r.doc_id]
+        assert g.n_bytes == len(b)
+        assert g.z_bytes == len(zlib.compress(b, _ZLIB_LEVEL))
+        assert g.ratio_ppm == g.z_bytes * 1_000_000 // max(g.n_bytes, 1)

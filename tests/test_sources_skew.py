@@ -201,3 +201,55 @@ def test_zorder_four_columns_never_hits_sign_bit(spark):
     assert corner["a"] + corner["b"] + corner["c"] + corner["d"] > (
         top["a"] + top["b"] + top["c"] + top["d"]
     ) // 2
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Scale evidence beside the manual salting operator: with AQE skew
+    handling on (session default), a sort-merge join whose shuffle has
+    one dominant key gets its hot partition SPLIT at runtime
+    (OptimizeSkewedJoin) — the executed plan's AQEShuffleRead reports
+    skewed partition splits. Thresholds are lowered for toy sizes and
+    restored afterward; at production sizes the defaults fire the same
+    path."""
+    from pyspark.sql import functions as F
+
+    tweaked = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tweaked}
+    try:
+        for k, v in tweaked.items():
+            spark.conf.set(k, v)
+        # 400k fact rows, 95% on key 0; dim uniform over 100 keys
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.sha1(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("dval")
+        )
+        # global agg, NOT groupBy(k): AQE declines to split a skewed join
+        # partition when a downstream operator would reuse the join's hash
+        # partitioning (splitting would force an extra shuffle)
+        joined = fact.join(dim, "k").agg(
+            F.count("*").alias("n"), F.max("payload").alias("mx")
+        )
+        joined.collect()  # AQE finalizes the plan only on execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+        assert "skew=true" in plan, "join not marked skew:\n" + plan[:3000]
+        assert any(
+            "AQEShuffleRead" in ln and "skewed" in ln
+            for ln in plan.splitlines()
+        ), "no skewed shuffle read:\n" + plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
