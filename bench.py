@@ -139,6 +139,8 @@ EXTRA = [
     "batch_user_sessions",
     "tfidf_top_terms",
     "compression_ratio_scores",
+    "streaming_outer_purchase_clicks",
+    "interval_overlap_orders",
 ]
 
 

@@ -553,8 +553,76 @@ PROFILE_COLUMNS_SQL = "\nUNION ALL\n".join(
 )
 
 
+# --- interval-overlap join (grid-bucketed, exactly-once) ---------------------
+# True interval×interval overlap join — the θ-join shape the reference
+# could only write as cross+filter (SURVEY §2.3) and whose naive plan is
+# quadratic. operators/intervals.py rewrites it as a grid-cell equi-join
+# with row-local first-shared-cell dedup. Gate: 15-day order-handling
+# windows per customer that overlap; left/right intervals come from two
+# INDEPENDENT reads (fresh attribute ids — the documented self-join
+# hygiene), pairs canonicalized okey_a < okey_b. Everything integer
+# (epoch seconds, floor-div days).
+_IV_WINDOW_S = 15 * 86_400
+
+
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.intervals import interval_overlap_join
+
+    def iv(side: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        s = F.unix_timestamp("o_orderdate")
+        return o.select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias(f"okey_{side}"),
+            s.alias(f"s_{side}"),
+            (s + _IV_WINDOW_S).alias(f"e_{side}"),
+        )
+
+    left, right = iv("a"), iv("b")
+    pairs = interval_overlap_join(
+        left,
+        right,
+        "s_a",
+        "e_a",
+        "s_b",
+        "e_b",
+        cell_size=_IV_WINDOW_S,
+        keys=["cust"],
+    )
+    return pairs.filter(F.col("okey_a") < F.col("okey_b")).select(
+        left["cust"].alias("o_custkey"),
+        "okey_a",
+        "okey_b",
+        (
+            (
+                F.least(F.col("e_a"), F.col("e_b"))
+                - F.greatest(F.col("s_a"), F.col("s_b"))
+            )
+            / 86_400
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH iv AS (
+  SELECT o_custkey AS cust, o_orderkey AS okey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) + {_IV_WINDOW_S} AS e
+  FROM orders
+)
+SELECT a.cust AS o_custkey, a.okey AS okey_a, b.okey AS okey_b,
+       (least(a.e, b.e) - greatest(a.s, b.s)) // 86400 AS overlap_days
+FROM iv a JOIN iv b
+  ON a.cust = b.cust AND a.okey < b.okey
+ AND greatest(a.s, b.s) <= least(a.e, b.e)
+"""
+
+
 QUERIES = {
     "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
+    "interval_overlap_orders": (interval_overlap_orders, INTERVAL_OVERLAP_SQL),
     "table_digest_orders": (table_digest_orders, TABLE_DIGEST_SQL),
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
     "bloom_pruned_revenue": (bloom_pruned_revenue, BLOOM_PRUNED_SQL),

@@ -424,6 +424,109 @@ def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- stream-stream LEFT OUTER interval join (null-padding on watermark) ------
+# The outer completion of the Δ-join above: purchases with NO click in
+# the preceding two hours must still emit, null-padded — which in
+# Structured Streaming happens only when the GLOBAL watermark (the min
+# across both sides) proves no future match can arrive. That makes this
+# gate a genuine semantics test of watermark-driven state eviction, not
+# just a join-flag flip, and it exposes the operational rule a real
+# pipeline must know: a stream that simply STOPS never flushes its
+# outer rows (the final batch's watermark is computed from data already
+# seen). The gate stages the source as two files — the events file, then
+# a far-future sentinel pair (one per side, user -1, which can never
+# match and, being right-side-unmatched / still-in-state, never appears
+# in output) — so the second micro-batch's watermark passes every real
+# row and the append sink receives the complete outer result. The
+# oracle is the equivalent batch LEFT JOIN. State: watermark + interval
+# bound both buffers, O(rows in window), exactly as the inner variant.
+def streaming_outer_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(base.dtypes)["ts"]
+
+    stage = tempfile.mkdtemp(prefix="outer_join_stage_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0-events.parquet")
+    far = (
+        F.lit(4102444800 * 10**9).cast("long")
+        if ts_dtype == "bigint"
+        else F.lit("2100-01-01 00:00:00").cast(ts_dtype)
+    )
+    one = base.limit(1)
+
+    def sentinel(eid: int, etype: str):
+        return one.select(
+            F.lit(eid).cast("long").alias("event_id"),
+            far.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    sentinel(10**9, "click").union(sentinel(10**9 + 1, "purchase")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{stage}/z")
+    for f in os.listdir(f"{stage}/z"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{stage}/z/{f}", f"{stage}/part-9-sentinel.parquet")
+    shutil.rmtree(f"{stage}/z")
+
+    events = normalize_events_ts(
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value"),
+    )
+    joined = stream_stream_interval_join(
+        purchases,
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        left_time="p_ts",
+        right_time="c_ts",
+        how="left_outer",
+    )
+    name = f"mv_ssouter_{next(_MV_IDS)}"
+    _run_stream_to_memory(spark, joined, name, "append", state_partitions=4)
+    return (
+        spark.table(name)
+        .filter(F.col("p_user") >= 0)  # drop the sentinel's own row if any
+        .select(
+            "purchase_id",
+            "click_id",
+            F.round("value", 4).alias("click_value"),
+        )
+    )
+
+
+STREAMING_SSOUTER_SQL = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       round(c.value, 4) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+ AND c.ts < p.ts
+"""
+
+
 STREAMING_SSJOIN_SQL = """
 SELECT p.event_id AS purchase_id,
        c.event_id AS click_id,
@@ -790,6 +893,10 @@ QUERIES = {
     "streaming_purchase_click_pairs": (
         streaming_purchase_click_pairs,
         STREAMING_SSJOIN_SQL,
+    ),
+    "streaming_outer_purchase_clicks": (
+        streaming_outer_purchase_clicks,
+        STREAMING_SSOUTER_SQL,
     ),
     "incremental_mv_event_stats": (incremental_mv_event_stats, INCREMENTAL_MV_SQL),
     "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_SQL),

@@ -741,3 +741,59 @@ def test_asof_join_nearest_semantics(spark):
     assert out[4] == (None, None)
     assert out[5] == (17, -5)
     assert out[6] == (None, None)
+
+
+def test_interval_overlap_join_equals_bruteforce(spark):
+    """Grid-bucketed interval join: same pairs as the quadratic
+    cross+filter form, each exactly once (first-shared-cell claim, no
+    distinct), across cell-straddling intervals, touching endpoints,
+    and same-key restriction."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.intervals import interval_overlap_join
+
+    rows_l = [
+        # (key, id, start, end) — spans chosen to straddle cell_size=10
+        (1, 1, 0, 25), (1, 2, 24, 30), (1, 3, 40, 41), (2, 4, 0, 100),
+        (1, 5, 31, 39),
+    ]
+    rows_r = [
+        (1, 10, 25, 27), (1, 11, 5, 8), (1, 12, 39, 45), (2, 13, 99, 99),
+        (3, 14, 0, 100),
+    ]
+    left = spark.createDataFrame(rows_l, "k long, lid long, ls long, le long")
+    right = spark.createDataFrame(rows_r, "k long, rid long, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", cell_size=10, keys=["k"]
+        ).collect()
+    }
+    want = {
+        (ld, rd)
+        for (lk, ld, ls, le) in rows_l
+        for (rk, rd, rs, re) in rows_r
+        if lk == rk and max(ls, rs) <= min(le, re)
+    }
+    assert got == want and len(want) >= 5
+    # exactly-once: collect with duplicates preserved
+    all_rows = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", cell_size=10, keys=["k"]
+    ).collect()
+    assert len(all_rows) == len(got)
+    # open-interval mode drops touching endpoints
+    open_got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", cell_size=10, keys=["k"],
+            closed=False,
+        ).collect()
+    }
+    assert (2, 10) in got and (2, 10) in open_got  # real overlap 25..27
+    assert (1, 10) in got and (1, 10) not in open_got  # touch at 25 only
+    assert open_got == {
+        (ld, rd)
+        for (lk, ld, ls, le) in rows_l
+        for (rk, rd, rs, re) in rows_r
+        if lk == rk and max(ls, rs) < min(le, re)
+    }
