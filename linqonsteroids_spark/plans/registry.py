@@ -351,6 +351,26 @@ class IndexRepository:
         self._by_name[entry.name] = entry
         self._save_catalog()
 
+    def catalyst_conf(self, base_paths: dict[str, str]) -> str:
+        """Bridge to the JVM Catalyst rule (ext/src/LinqExtensions.scala):
+        render every directory-partitioned index as a
+        ``basePath,keyCol,indexPath`` registry entry for
+        ``spark.linqonsteroids.indexes``, so queries that read the RAW
+        base parquet (bypassing this Python repository entirely — plain
+        spark.read, spark.sql, other processes on the same session) still
+        get the filter→index substitution, now inside the optimizer.
+        ``base_paths`` maps the logical table name each entry was
+        registered under to the physical parquet path scans will carry.
+        Only "dir"-layout entries qualify: the JVM rule relies on
+        directory-level PartitionFilters, which the hash/bucketed
+        layouts don't expose."""
+        parts = [
+            f"{base_paths[e.table]},{e.key_col},{e.path}"
+            for e in self._by_name.values()
+            if e.layout == "dir" and e.table in base_paths
+        ]
+        return ";".join(parts)
+
     # -- registration (entry point C, SURVEY §3) --
     def add_index(self, name: str, indexed: Indexed) -> IndexEntry:
         """Materialize ``coll.index_by(key)`` now and register it.

@@ -41,6 +41,7 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS scans-index-not-base",
         "PASS partition-pruned",
         "PASS in-list-pruned",
+        "PASS repository-bridge",
         "PASS no-false-rewrites",
     ):
         assert pin in proc.stdout, proc.stdout[-3000:]

@@ -88,6 +88,32 @@ def main() -> None:
     assert "PartitionFilters" in p5
     print("PASS in-list-pruned")
 
+    # Python IndexRepository artifacts feed the JVM rule directly: build a
+    # directory-partitioned index through the repository API and register
+    # it via catalyst_conf — a RAW spark.read over the base path (no
+    # Python-side rewriter anywhere) must route through it
+    from linqonsteroids_spark.api import lift
+    from linqonsteroids_spark.plans.registry import IndexRepository
+
+    repo_dir = os.path.join(tmp, "repo")
+    repo = IndexRepository(spark, repo_dir)
+    base_df = spark.read.parquet(base_path)
+    repo.add_partitioned_index(
+        "seg_idx", lift(base_df, table="base").index_by(lambda t: t.seg)
+    )
+    spark.conf.set(
+        "spark.linqonsteroids.indexes",
+        repo.catalyst_conf({"base": base_path}),
+    )
+    q6 = spark.read.parquet(base_path).filter(F.col("seg") == 3)
+    vals6 = sorted(tuple(r) for r in q6.collect())
+    assert len(vals6) == 125 and all(v[1] == 3 for v in vals6)
+    p6 = q6._jdf.queryExecution().executedPlan().toString()
+    assert "seg_idx" in p6 and os.path.basename(base_path) not in p6
+    assert "PartitionFilters" in p6
+    print("PASS repository-bridge")
+
+    spark.conf.set("spark.linqonsteroids.indexes", f"{base_path},seg,{idx_path}")
     # no-registry and non-indexed-column queries must be untouched
     spark.conf.set("spark.linqonsteroids.indexes", "")
     p3 = (
