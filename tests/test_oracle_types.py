@@ -88,3 +88,25 @@ def test_oracle_output_types_survive_pandas(con, name, sql):
         "a deterministic joined string (array_to_string) or exploded "
         "(id, pos, value) rows instead"
     )
+
+
+def test_shape_hazard_guard_fires_on_offenders(con):
+    """Guard-of-the-guard: the shape ban must actually catch each
+    non-scalar top-level type DuckDB can emit (the r6 failure class),
+    and must NOT flag scalar projections that merely mention arrays
+    internally (e.g. array_to_string output)."""
+    offenders = [
+        "SELECT [1, 2] AS v",
+        "SELECT {'a': 1} AS v",
+        "SELECT map([1], [2]) AS v",
+        "SELECT string_split('a b', ' ') AS v",
+    ]
+    for sql in offenders:
+        rel = con.sql(sql)
+        assert any(
+            _BANNED_SHAPE.search(str(t)) for t in rel.types
+        ), f"guard missed: {sql} -> {rel.types}"
+    ok = con.sql(
+        "SELECT array_to_string(string_split('a b', ' '), ',') AS v, 1 AS n"
+    )
+    assert not any(_BANNED_SHAPE.search(str(t)) for t in ok.types)
