@@ -141,6 +141,7 @@ EXTRA = [
     "compression_ratio_scores",
     "streaming_outer_purchase_clicks",
     "interval_overlap_orders",
+    "order_price_outliers",
 ]
 
 

@@ -190,6 +190,62 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- robust outlier detection (median/MAD z-score per group) -----------------
+# The data-quality screen that survives the outliers it hunts (mean/std
+# are dragged by the very anomalies being flagged; median/MAD are not):
+# flag orders whose |price - group median| exceeds k * MAD, MAD = median
+# of absolute deviations. Exact interpolating percentiles on both engines
+# (the quartile gate's proven parity); the FLAG comparison happens on
+# round(,4)-stabilized deviations so a last-ulp percentile difference
+# cannot flip a row across the threshold. Scale: two grouped exact
+# percentiles (one shuffle each) + one broadcast-size group-stats join —
+# at 100 TB swap percentile for approx_percentile and keep the shape.
+_MAD_K = 3.0
+
+
+def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "o_orderpriority").withColumn(
+        "is_outlier",
+        F.round("adev", 4) > F.round(F.lit(_MAD_K) * F.col("mad"), 4),
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(F.min("med"), 4).alias("med_price"),
+        F.round(F.min("mad"), 4).alias("mad_price"),
+    )
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+), dev AS (
+  SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS adev, m.med
+  FROM orders o JOIN med m USING (o_orderpriority)
+), mad AS (
+  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN round(d.adev, 4) > round({_MAD_K} * m.mad, 4)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(min(d.med), 4) AS med_price,
+       round(min(m.mad), 4) AS mad_price
+FROM dev d JOIN mad m USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+"""
+
+
 # --- pivot (long → wide reshaping) ----------------------------------------
 # groupBy().pivot(col, values): explicit value list keeps the plan a
 # single-shuffle hash aggregate (no extra distinct-values job, and the
@@ -363,6 +419,7 @@ QUERIES = {
     "collect_urgency_scores": (collect_urgency_scores, COLLECT_SQL),
     "grouping_sets_order_totals": (grouping_sets_order_totals, GROUPING_SETS_SQL),
     "quartile_prices_by_flag": (quartile_prices_by_flag, QUARTILE_SQL),
+    "order_price_outliers": (order_price_outliers, MAD_OUTLIERS_SQL),
     "pivot_status_counts": (pivot_status_counts, PIVOT_SQL),
     "unpivot_flag_metrics": (unpivot_flag_metrics, UNPIVOT_SQL),
 }
