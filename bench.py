@@ -142,6 +142,7 @@ EXTRA = [
     "streaming_outer_purchase_clicks",
     "interval_overlap_orders",
     "order_price_outliers",
+    "embedding_top_component",
 ]
 
 

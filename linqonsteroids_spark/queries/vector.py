@@ -283,8 +283,27 @@ FROM assigned a JOIN reps r USING (cell)
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+# --- dominant principal direction (power iteration) --------------------------
+# similarity/eigen.py: top right-singular direction of the embedding
+# matrix via 3 power-iteration rounds — one pass over X per round, d
+# floats of driver traffic, no Gram materialization. Rows-only gate
+# (per-position float sums differ in summation order across engines);
+# the evidence is the numpy differential in tests/test_similarity.py.
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.similarity.eigen import (
+        power_iteration_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, norm_xv = power_iteration_top_component(emb, iterations=3)
+    rows = [(i, round(c, 6), round(norm_xv, 4)) for i, c in enumerate(v)]
+    return spark.createDataFrame(rows, "pos long, loading double, xv_norm double")
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    # rows-only: cross-engine float-summation order (numpy differential in pytest)
+    "embedding_top_component": (embedding_top_component, None),
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
     "knn_lsh_bucketed": (knn_lsh_bucketed, KNN_LSH_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL),
