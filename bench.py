@@ -143,6 +143,7 @@ EXTRA = [
     "interval_overlap_orders",
     "order_price_outliers",
     "embedding_top_component",
+    "variant_event_props",
 ]
 
 

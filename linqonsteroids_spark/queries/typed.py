@@ -76,6 +76,49 @@ FROM events GROUP BY event_type
 """
 
 
+# --- VARIANT semi-structured processing (Spark 4) ----------------------------
+# The modern replacement for per-path get_json_object re-parsing: props
+# parses ONCE into the binary VARIANT encoding, every extraction is a
+# typed path read on that parsed value (parse_json + try_variant_get —
+# missing paths/type mismatches yield NULL, not errors), and
+# schema_of_variant proves the engine sees typed structure, pinned in
+# pytest rather than gated (its render syntax is Spark-specific). At
+# 100 TB the one-parse property is the difference between J parses and 1
+# per row for J extracted paths. Oracle: DuckDB's JSON extraction over
+# the same paths — VARIANT is an encoding, not a semantics change, so
+# typed values must agree exactly.
+def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    missing = F.try_variant_get(v, "$.absent_path", "long")
+    return (
+        events.select("event_type", k.alias("k"), missing.alias("m"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_high"),
+            F.sum("k").alias("sum_high"),
+            F.count("m").alias("n_absent"),  # try_ semantics: NULL, never error
+        )
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_high,
+       CAST(sum(k) AS BIGINT) AS sum_high,
+       count(CAST(json_extract_string(props, '$.absent_path') AS BIGINT))
+         AS n_absent
+FROM (
+  SELECT event_type, props,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) WHERE k >= 50
+GROUP BY event_type
+"""
+
+
 # --- date/timestamp functions (reference has NO temporal types, §1.3) -----
 def orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -323,6 +366,7 @@ QUERIES = {
     "events_hourly_gapfill": (events_hourly_gapfill, EVENTS_GAPFILL_SQL),
     "typecase_events": (typecase_events, TYPECASE_SQL),
     "events_json_stats": (events_json_stats, EVENTS_JSON_SQL),
+    "variant_event_props": (variant_event_props, VARIANT_PROPS_SQL),
     "orders_monthly_revenue": (orders_monthly_revenue, ORDERS_MONTHLY_SQL),
     "events_time_features": (events_time_features, EVENTS_TIME_SQL),
     "cube_priority_status": (cube_priority_status, CUBE_SQL),

@@ -50,3 +50,27 @@ def test_load_table_events_ts_is_timestamp(spark):
     ).fetchone()[0]
     s = events.agg(F.min("ts")).collect()[0][0]
     assert s == d
+
+
+def test_variant_parses_typed_structure(spark):
+    """The VARIANT gate's docstring promise: props parses into typed
+    structure (schema_of_variant sees OBJECT<k: BIGINT>), and
+    try_variant_get yields NULL — never an error — on missing paths and
+    type mismatches."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(5)
+    rows = ev.select(
+        F.schema_of_variant(F.parse_json("props")).alias("sch"),
+        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+        F.try_variant_get(F.parse_json("props"), "$.nope", "long").alias("m"),
+        F.try_variant_get(F.parse_json("props"), "$", "long").alias("bad"),
+    ).collect()
+    assert all(r.sch == "OBJECT<k: BIGINT>" for r in rows)
+    assert all(r.k is not None and r.m is None for r in rows)
+    # an OBJECT root cannot cast to long: try_ semantics -> NULL, no error
+    # (note scalar casts COERCE where sensible, e.g. long->boolean)
+    assert all(r.bad is None for r in rows)
