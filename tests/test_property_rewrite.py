@@ -127,3 +127,51 @@ def test_connected_components_matches_union_find(spark, edges):
     nodes = {n for e in edges for n in e}
     want = _union_find_components(edges, nodes)
     assert got == want
+
+
+# --- interval-overlap join: property-based equivalence -----------------------
+@st.composite
+def interval_sets(draw):
+    def ivs(tag):
+        n = draw(st.integers(min_value=1, max_value=12))
+        out = []
+        for i in range(n):
+            k = draw(st.integers(min_value=0, max_value=2))
+            s = draw(st.integers(min_value=-50, max_value=120))
+            ln = draw(st.integers(min_value=0, max_value=60))
+            out.append((k, tag * 1000 + i, s, s + ln))
+        return out
+
+    cell = draw(st.sampled_from([1, 7, 10, 64]))
+    return ivs(1), ivs(2), cell
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(interval_sets())
+def test_interval_overlap_join_property(spark, data):
+    """For random interval sets (negative starts, zero-length, straddling
+    spans) and several cell sizes, the grid-bucketed join equals the
+    quadratic brute force, each pair exactly once."""
+    from linqonsteroids_spark.operators.intervals import interval_overlap_join
+
+    rows_l, rows_r, cell = data
+    left = spark.createDataFrame(rows_l, "k long, lid long, ls long, le long")
+    right = spark.createDataFrame(rows_r, "k long, rid long, rs long, re long")
+    got = [
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", cell_size=cell, keys=["k"]
+        ).collect()
+    ]
+    want = {
+        (ld, rd)
+        for (lk, ld, ls, le) in rows_l
+        for (rk, rd, rs, re) in rows_r
+        if lk == rk and max(ls, rs) <= min(le, re)
+    }
+    assert set(got) == want
+    assert len(got) == len(want)  # exactly once, no distinct
