@@ -74,3 +74,38 @@ def test_variant_parses_typed_structure(spark):
     # an OBJECT root cannot cast to long: try_ semantics -> NULL, no error
     # (note scalar casts COERCE where sensible, e.g. long->boolean)
     assert all(r.bad is None for r in rows)
+
+
+def test_observed_metrics_match_direct_aggregates(spark, tmp_path):
+    """observe(): metrics collected during the single write action equal
+    a direct aggregate pass — the zero-extra-scan reconciliation gate a
+    production wash runs on every stage."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.monitoring import observed
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    obs, out = observed(
+        docs,
+        "stage",
+        rows=F.count(F.lit(1)),
+        null_ids=F.count_if(F.col("doc_id").isNull()),
+        text_bytes=F.sum(F.length("text")).cast("long"),
+    )
+    out.write.mode("overwrite").parquet(str(tmp_path / "o"))  # ONE action
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_if(F.col("doc_id").isNull()).alias("null_ids"),
+        F.sum(F.length("text")).cast("long").alias("text_bytes"),
+    ).collect()[0]
+    got = obs.get
+    assert got["rows"] == direct["rows"] > 0
+    assert got["null_ids"] == direct["null_ids"] == 0
+    assert got["text_bytes"] == direct["text_bytes"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one metric"):
+        observed(docs, "empty")
