@@ -144,6 +144,7 @@ EXTRA = [
     "order_price_outliers",
     "embedding_top_component",
     "variant_event_props",
+    "multimodal_keyframes",
 ]
 
 

@@ -328,6 +328,97 @@ def _extract_frame_real(data: bytes, frame_idx: int) -> str:
     raise IndexError(f"frame {frame_idx} out of range")  # pragma: no cover
 
 
+def _frame_luma_stub(data: bytes, frame_idx: int) -> int:
+    """Deterministic fake per-frame mean luma in 0..255. The synthetic
+    payload is ASCII (a hex string cast to binary), so the byte concat
+    here equals STRING concat — which is what makes the stub
+    SQL-replayable: sha256(payload_str || ':' || idx), first hex byte."""
+    h = hashlib.sha256(data + b":" + str(int(frame_idx)).encode()).hexdigest()
+    return int(h[:2], 16)
+
+
+def _frame_luma_real(data: bytes, frame_idx: int) -> int:
+    """Real per-frame mean luma (integer floor mean of the Y plane):
+    pure-stdlib Y4M demux, PyAV for compressed containers when present."""
+    if data[: len(_Y4M_SIG)] == _Y4M_SIG:
+        _, _, frames = _parse_y4m(data)
+        if frame_idx >= len(frames):
+            raise IndexError(f"frame {frame_idx} out of range")
+        plane = frames[frame_idx]
+        return sum(plane) // max(len(plane), 1)
+    if _av is None:
+        raise NotImplementedError(
+            "real frame luma of non-Y4M containers requires PyAV, not "
+            "present in this environment; the stub tier remains active"
+        )
+    import io  # pragma: no cover - env lacks PyAV
+
+    with _av.open(io.BytesIO(data)) as container:  # pragma: no cover
+        for i, frame in enumerate(container.decode(video=0)):
+            if i == frame_idx:
+                plane = frame.to_ndarray(format="gray").tobytes()
+                return sum(plane) // max(len(plane), 1)
+    raise IndexError(f"frame {frame_idx} out of range")  # pragma: no cover
+
+
+LUMA_RESULT_SCHEMA = "doc_id long, frame_idx int, luma int"
+
+
+def frame_lumas(
+    df: DataFrame, id_col: str = "doc_id", extractor: str = "auto"
+) -> DataFrame:
+    """(doc_id, frame_idx, luma) for EVERY frame of every video row —
+    the feature pass keyframe selection consumes. Same dispatch contract
+    as sample_video_frames; the explode is JVM-side, only video rows
+    reach the Arrow stage."""
+    videos = df.filter(F.col("media_meta.format").isin("mp4", "y4m")).select(
+        F.col(id_col).alias("doc_id"),
+        "media_bytes",
+        F.col("media_meta.n_frames").alias("n_frames"),
+    )
+    frames = videos.select(
+        "doc_id",
+        "media_bytes",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    )
+    use_real = HAVE_REAL_VIDEO_DECODER if extractor == "auto" else extractor == "real"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _frame_luma_real if use_real else _frame_luma_stub
+        for pdf in batches:
+            lumas = [
+                fn(bytes(b), int(i))
+                for b, i in zip(pdf["media_bytes"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "luma": lumas,
+                }
+            )
+
+    return frames.mapInPandas(extract, schema=LUMA_RESULT_SCHEMA)
+
+
+def select_keyframes(lumas: DataFrame, threshold: int = 64) -> DataFrame:
+    """Scene-change keyframe selection — the frame-level near-dup filter
+    a video training pipeline runs before feature extraction (consecutive
+    frames are overwhelmingly redundant): keep frame 0 and every frame
+    whose |luma - previous luma| exceeds ``threshold``. Relational and
+    integer-exact: one window shuffled on doc_id. Input is any
+    (doc_id, frame_idx, luma) relation (frame_lumas output)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(F.col("luma") - F.lag("luma").over(w))
+    return (
+        lumas.withColumn("delta", delta)
+        .filter(F.col("delta").isNull() | (F.col("delta") > threshold))
+        .select("doc_id", "frame_idx", "luma")
+    )
+
+
 # --- audio ------------------------------------------------------------------
 
 _WAV_SIG = b"RIFF"

@@ -493,6 +493,64 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+# --- video keyframe selection (frame-level near-dup filtering) ---------------
+# Consecutive video frames are overwhelmingly redundant; a training
+# pipeline keeps frame 0 + scene changes (|Δ mean luma| > threshold).
+# The stub tier's per-frame luma is hex byte 1 of
+# sha256(payload || ':' || idx) — payload is ASCII, so DuckDB's string
+# sha256 replays it exactly; the REAL tier (Y4M luma-plane integer mean)
+# is exercised in tests/test_multimodal.py on a crafted
+# flat-flat-bright-flat sequence. The selection itself is one window
+# over (doc, frame_idx) — identical machinery both tiers.
+_KEYFRAME_THRESHOLD = 64
+
+
+def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.multimodal.media import (
+        frame_lumas,
+        select_keyframes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs)
+    keys = select_keyframes(
+        frame_lumas(media, extractor="stub"), threshold=_KEYFRAME_THRESHOLD
+    )
+    return keys.groupBy("doc_id").agg(
+        F.count("*").alias("n_keyframes"),
+        F.sum("frame_idx").cast("long").alias("idx_sum"),
+        F.max("luma").alias("max_luma"),
+    )
+
+
+KEYFRAMES_SQL = f"""
+WITH vids AS (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS payload,
+         doc_id % 120 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, CAST(unnest(range(n_frames)) AS INT) AS frame_idx, payload
+  FROM vids
+), lumas AS (
+  SELECT doc_id, frame_idx,
+         {_hex_byte_sql("sha256(payload || ':' || CAST(frame_idx AS VARCHAR))", 1)}
+           AS luma
+  FROM frames
+), marked AS (
+  SELECT doc_id, frame_idx, luma,
+         abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+           AS delta
+  FROM lumas
+)
+SELECT doc_id, count(*) AS n_keyframes,
+       CAST(sum(frame_idx) AS BIGINT) AS idx_sum,
+       CAST(max(luma) AS INT) AS max_luma
+FROM marked
+WHERE delta IS NULL OR delta > {_KEYFRAME_THRESHOLD}
+GROUP BY doc_id
+"""
+
+
 # --- multimodal audio (completes the image/audio/video triad) ----------------
 # Same contract as the image gate: synthetic sha2-derived payloads run the
 # STUB tier (all-integer duration/peak/energy from the content hash —
@@ -536,5 +594,6 @@ QUERIES = {
     "udaf_weighted_price": (udaf_weighted_price, UDAF_WAVG_SQL),
     "multimodal_image_stats": (multimodal_image_stats, MULTIMODAL_STATS_SQL),
     "multimodal_frame_counts": (multimodal_frame_counts, FRAME_COUNTS_SQL),
+    "multimodal_keyframes": (multimodal_keyframes, KEYFRAMES_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, AUDIO_STATS_SQL),
 }

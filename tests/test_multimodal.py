@@ -380,3 +380,34 @@ def test_jpeg_library_tier_end_to_end(spark):
     assert row.edge_density == pytest.approx(expected["edge_density"], abs=0)
     assert row.content_hash == expected["content_hash"]
     assert 0.0 < row.mean_luma < 1.0  # decoded real pixels, not the stub
+
+
+def test_keyframe_selection_real_y4m(spark):
+    """Real-tier keyframe selection on a crafted Y4M: three flat dark
+    frames, a bright scene change, then flat again — keyframes must be
+    exactly frame 0 and the scene change, with exact integer lumas."""
+    from linqonsteroids_spark.multimodal.media import (
+        frame_lumas,
+        select_keyframes,
+    )
+
+    planes = [
+        bytes([10] * 48),
+        bytes([12] * 48),  # |Δ|=2: redundant
+        bytes([10] * 48),  # |Δ|=2: redundant
+        bytes([200] * 48),  # |Δ|=190: scene change
+        bytes([201] * 48),  # |Δ|=1: redundant
+    ]
+    data = _encode_y4m(8, 6, planes)
+    df = spark.createDataFrame(
+        [(3, data, ("y4m", 8, 6, len(planes), len(data)))],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,width:int,height:int,n_frames:int,size_bytes:long>",
+    )
+    lumas = frame_lumas(df, extractor="real")
+    got = sorted((r.frame_idx, r.luma) for r in lumas.collect())
+    assert got == [(0, 10), (1, 12), (2, 10), (3, 200), (4, 201)]
+    keys = sorted(
+        r.frame_idx for r in select_keyframes(lumas, threshold=64).collect()
+    )
+    assert keys == [0, 3]
