@@ -145,6 +145,7 @@ EXTRA = [
     "embedding_top_component",
     "variant_event_props",
     "multimodal_keyframes",
+    "pq_codes",
 ]
 
 

@@ -300,8 +300,69 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "pos long, loading double, xv_norm double")
 
 
+# --- product quantization codes (similarity/pq.py) ---------------------------
+# PQ encode against the frozen per-subspace codebook artifact: 8 x 4-bit
+# codes per vector (64x vs float32) plus the reconstruction error that
+# falls out free as the argmin's own minimum. Both engines evaluate the
+# SAME literal arithmetic in the same order, so codes and errors match
+# exactly (the knn/IVF distance-parity class). Codes emitted as one CSV
+# string (SHAPE-HAZARD discipline).
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.similarity.pq import PQ_M, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb)
+    codes = F.concat_ws(
+        ",", *[F.col(f"code_{s}").cast("string") for s in range(PQ_M)]
+    )
+    err2 = None
+    for s in range(PQ_M):
+        err2 = F.col(f"err2_{s}") if err2 is None else err2 + F.col(f"err2_{s}")
+    return enc.select(
+        "vec_id",
+        codes.alias("codes_csv"),
+        (F.round(F.sqrt(err2), 4) + 0.0).alias("recon_err"),
+    )
+
+
+def _pq_sql() -> str:
+    from linqonsteroids_spark.similarity.pq import PQ_CODEBOOK, PQ_D, PQ_K, PQ_M
+
+    dl_cols = []
+    for s in range(PQ_M):
+        dists = []
+        for j in range(PQ_K):
+            c = PQ_CODEBOOK[s][j]
+            terms = " + ".join(
+                f"(x[{s * PQ_D + i + 1}] - {c[i]!r}) * (x[{s * PQ_D + i + 1}] - {c[i]!r})"
+                for i in range(PQ_D)
+            )
+            dists.append(f"({terms})")
+        dl_cols.append(f"[{', '.join(dists)}] AS dl_{s}")
+    codes = " || ',' || ".join(
+        f"CAST(list_position(dl_{s}, list_min(dl_{s})) - 1 AS VARCHAR)"
+        for s in range(PQ_M)
+    )
+    err2 = " + ".join(f"list_min(dl_{s})" for s in range(PQ_M))
+    return f"""
+WITH prep AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), dists AS (
+  SELECT vec_id, {", ".join(dl_cols)} FROM prep
+)
+SELECT vec_id,
+       {codes} AS codes_csv,
+       round(sqrt({err2}), 4) + 0.0 AS recon_err
+FROM dists
+"""
+
+
+PQ_CODES_SQL = _pq_sql()
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    "pq_codes": (pq_codes, PQ_CODES_SQL),
     # rows-only: cross-engine float-summation order (numpy differential in pytest)
     "embedding_top_component": (embedding_top_component, None),
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),

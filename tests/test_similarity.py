@@ -147,3 +147,38 @@ def test_power_iteration_matches_numpy(spark):
     assert norm_xv <= top_sv * (1 + 1e-9)
     assert norm_xv >= 0.8 * top_sv
     assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_pq_encode_matches_reference(spark):
+    """PQ encode vs a direct numpy reference with the same sequential
+    accumulation: identical codes (first-match argmin) and exact
+    per-subspace errors; every code inside [0, K)."""
+    import numpy as np
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.pq import (
+        PQ_CODEBOOK,
+        PQ_D,
+        PQ_K,
+        PQ_M,
+        pq_encode,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {r.vec_id: r for r in pq_encode(emb).collect()}
+    raw = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert set(got) == set(raw)
+    for vid, v in raw.items():
+        x = np.array(v, dtype=np.float64)
+        for s in range(PQ_M):
+            sub = x[s * PQ_D : (s + 1) * PQ_D]
+            book = np.array(PQ_CODEBOOK[s], dtype=np.float64)
+            sq = (sub[None, :] - book) ** 2
+            d = sq[:, 0]
+            for i in range(1, PQ_D):
+                d = d + sq[:, i]
+            r = got[vid]
+            assert 0 <= r[f"code_{s}"] < PQ_K
+            assert r[f"code_{s}"] == int(np.argmin(d))
+            assert r[f"err2_{s}"] == float(np.min(d))  # bit-exact
