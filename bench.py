@@ -146,6 +146,7 @@ EXTRA = [
     "variant_event_props",
     "multimodal_keyframes",
     "pq_codes",
+    "sql_surface_returned_revenue",
 ]
 
 

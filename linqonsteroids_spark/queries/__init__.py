@@ -66,6 +66,7 @@ _ROTATION = [
     "streaming_outer_purchase_clicks", "interval_overlap_orders",
     "order_price_outliers", "embedding_top_component",
     "variant_event_props", "multimodal_keyframes", "pq_codes",
+    "sql_surface_returned_revenue",
     # -- last sampled in round 3 (stalest evidence), alphabetical -----------
     "order_qty_foldhash", "pack_sequences", "pii_scrub",
     "pivot_status_counts", "quartile_prices_by_flag", "quota_per_source",
@@ -81,10 +82,10 @@ _ROTATION = [
     "doc_chunks", "event_funnel_stages", "event_sliding_windows",
     "events_json_stats", "events_running_stats", "events_time_features",
     "events_trailing_hour_value", "events_value_bands", "kmv_distinct_users",
-    "knn_lsh_bucketed", "lang_id",
+    "knn_lsh_bucketed",
     #
-    # ROUND-8 ROTATION NOTE: the 22 remaining r4 gates
-    # (nation_pairs_same_region, nested_array_stats,
+    # ROUND-8 ROTATION NOTE: the 23 remaining r4 gates
+    # (lang_id, nation_pairs_same_region, nested_array_stats,
     # nested_explode_positions, nested_guarded_access, orders_monthly_revenue,
     # sql_surface_revenue, stratified_split, streaming_dedup_events,
     # streaming_enriched_segments, streaming_hourly_events,

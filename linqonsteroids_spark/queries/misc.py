@@ -298,6 +298,44 @@ def sql_surface_local_revenue(spark, sf_dir):
     return spark.sql(SQL_SURFACE_Q5)
 
 
+# Q10-shaped: the returned-item ranking report — 4-table join, grouped
+# revenue, TOP-k. Ranking happens on the ROUNDED revenue with a key
+# tiebreak, so cross-engine float-summation ulps can never reorder the
+# cut line. Catalyst broadcasts customer/nation under the fact side and
+# takes the limit via TakeOrderedAndProject, never a global sort.
+# Revenue accumulates in DECIMAL and is emitted as 4-decimal fixed-point
+# integer (revenue_c4): the first cut of this gate used round(double, 2)
+# and hit a live .005 boundary at sf0.01 — engines' float-sum ulps fell
+# on opposite sides (378060.515 → .51 vs .52). DECIMAL is exact and
+# summation-order-independent, so the ranking and the cut line are too.
+SQL_SURFACE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+            AS BIGINT) AS revenue_c4,
+       count(*) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def sql_surface_returned_revenue(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation"]
+    )
+    return spark.sql(SQL_SURFACE_Q10)
+
+
 # --- exact DECIMAL aggregation (money must not float) ------------------------
 # Revenue as DECIMAL(18,2): the sum is EXACT and aggregation-order-
 # independent on both engines — no rounding anywhere, the strongest
@@ -627,6 +665,10 @@ QUERIES = {
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),
     "bloom_pruned_revenue": (bloom_pruned_revenue, BLOOM_PRUNED_SQL),
     "sql_surface_local_revenue": (sql_surface_local_revenue, SQL_SURFACE_Q5),
+    "sql_surface_returned_revenue": (
+        sql_surface_returned_revenue,
+        SQL_SURFACE_Q10,
+    ),
     "referential_audit": (referential_audit, REFERENTIAL_AUDIT_SQL),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
     "discount_products": (discount_products, DISCOUNT_PRODUCTS_SQL),
