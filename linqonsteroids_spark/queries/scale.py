@@ -450,6 +450,19 @@ def streaming_outer_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFra
     ts_dtype = dict(base.dtypes)["ts"]
 
     stage = tempfile.mkdtemp(prefix="outer_join_stage_")
+    try:
+        return _run_outer_join_staged(spark, sf_dir, base, ts_dtype, stage)
+    finally:
+        # the memory-sink table owns the result once the stream has run;
+        # the staged copy of events.parquet is dead weight (it leaked one
+        # full copy per invocation before round 8).
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _run_outer_join_staged(spark, sf_dir, base, ts_dtype, stage):
+    import os
+    import shutil
+
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0-events.parquet")
     far = (
         F.lit(4102444800 * 10**9).cast("long")

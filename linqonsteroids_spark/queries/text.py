@@ -864,11 +864,16 @@ GROUP BY g.doc_id
 # carries (low entropy = repeated padding/template spam; implausibly
 # high = random bytes): H = log2(n) - (1/n) * sum_c k_c*log2(k_c) over
 # character counts k_c. Character splitting verified identical between
-# engines (split(text, '') / string_split(text, '')); doubles rounded on
+# engines (split(text, '') / string_split(text, '')) — EXCEPT on empty
+# text, where Spark yields [''] and DuckDB [] (row-presence divergence),
+# so both sides filter length(text) > 0: an empty document has no
+# character distribution and is dropped identically. Doubles rounded on
 # both sides per the engine's established convention. Scale: one explode
 # + two map-side-combined aggs, shuffled by doc_id.
 def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
     per = (
         docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
         .groupBy("doc_id", "c")
@@ -895,6 +900,7 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHAR_ENTROPY_SQL = """
 WITH ch AS (
   SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+  WHERE length(text) > 0
 ), per AS (
   SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
 )
@@ -907,18 +913,23 @@ FROM per GROUP BY doc_id
 """
 
 
-# --- TF-IDF top terms per document -------------------------------------------
+# --- keyword top terms per document (tf-then-rarity ranking) -----------------
 # The per-document keyword extraction every retrieval/labeling pipeline
-# runs beside BM25's query-side scoring: smooth-idf TF-IDF
-# (score = tf * (ln((N+1)/(df+1)) + 1), sklearn's smoothing), top-3
-# terms per doc. RANKING is by the integer triple (tf desc, df asc,
-# term asc) — monotone-equivalent to tf*idf within a doc for fixed tf
-# (idf strictly decreases in df) and fully engine-deterministic, so a
-# last-ulp ln() difference can never flip a rank; the double score is
-# display-rounded per the engine convention. N is one bounded driver-side
-# count (the linkage.py bounded-metadata class). Scale: explode + two
-# map-side-combined aggs + one term-keyed join; the rank window
-# partitions by doc.
+# runs beside BM25's query-side scoring. RANKING SEMANTICS, stated
+# honestly: terms rank by the DETERMINISTIC INTEGER TRIPLE
+# (tf desc, df asc, term asc) — "most frequent in the doc, rarest in
+# the corpus" — NOT by the float tf*idf product. The two orders agree
+# within a fixed tf (idf strictly decreases in df) but CAN disagree
+# across tf values (tf=2/df=1 may out-score tf=3/df=large on true
+# tf*idf); the integer ranking is chosen because it is bit-exact on
+# both engines, whereas ranking on the float score would expose the
+# gate to cross-engine ln() last-ulp flips at round boundaries (the
+# Q10 .005-boundary class). The smooth-idf score column
+# (tf * (ln((N+1)/(df+1)) + 1), sklearn's smoothing) is emitted as
+# display metadata, rounded per the engine convention. N is one bounded
+# driver-side count (the linkage.py bounded-metadata class). Scale:
+# explode + two map-side-combined aggs + one term-keyed join; the rank
+# window partitions by doc.
 _TFIDF_TOPK = 3
 
 

@@ -108,11 +108,11 @@ VARIANT_PROPS_SQL = """
 SELECT event_type,
        count(*) AS n_high,
        CAST(sum(k) AS BIGINT) AS sum_high,
-       count(CAST(json_extract_string(props, '$.absent_path') AS BIGINT))
+       count(TRY_CAST(json_extract_string(props, '$.absent_path') AS BIGINT))
          AS n_absent
 FROM (
   SELECT event_type, props,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 ) WHERE k >= 50
 GROUP BY event_type
