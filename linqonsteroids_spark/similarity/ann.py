@@ -1,0 +1,214 @@
+"""ANN top-k join: IVF cell routing x PQ asymmetric-distance scoring.
+
+The operator a billion-vector retrieval/dedup pipeline actually calls
+(Jegou, Douze & Schmid, TPAMI 2011, the "IVFADC" system): the corpus is
+stored as (cell id, M PQ codes) — 8 x 4-bit codes here, a 64x cut vs
+float32 — and a query touches only its ``n_probe`` nearest IVF cells.
+Per query, one M x K lookup table of exact subspace distances to every
+codebook centroid (the "asymmetric" half: the query stays full
+precision) turns candidate scoring into M table lookups + (M-1) adds —
+no per-candidate dot product, no decode.
+
+Spark shape, stage by stage (and the 100 TB reading):
+
+1. corpus -> (cell, codes): nearest-cell assignment is the frozen-
+   centroid ``array_min`` literal trick (similarity/ivf.py), PQ encode
+   is the Arrow kernel (similarity/pq.py) with the cell id passed
+   through — one row-local projection + one mapInPandas stage, ZERO
+   shuffle, and at scale this is the materialized index artifact
+   (9 bytes/vector + id), written once and reused per query batch.
+2. queries -> (probe cells, ADC LUT): one Arrow kernel emits the
+   n_probe nearest cells and the M x K distance table per query. All
+   reductions are explicit SEQUENTIAL accumulations (left-to-right
+   adds, matching ``dot_arrow`` / DuckDB's `+` chains IEEE op for IEEE
+   op) so the LUT — and therefore every ADC score and every rank — is
+   bit-exact across engines.
+3. the join: corpus-with-codes BROADCAST-joins the exploded probe list
+   on cell. The corpus (the 100 TB side) never moves; the probe side is
+   |Q| x n_probe rows x ~1 KB LUT. Candidates per query are
+   |corpus| x n_probe / n_lists by construction — never all-pairs.
+4. score + rank: adc = lut_0[code_0] + ... + lut_{M-1}[code_{M-1}] as a
+   left-assoc JVM `element_at` chain (codegen'd, no UDF), then a
+   per-query row_number top-k.
+
+Recall is a measured property, not an assumption: queries/vector.py
+gates `ann_recall_report` against the exact brute-force top-k in
+integer ppm (the lsh_recall_report pattern).
+
+Reference parity note: /root/reference has no ANN surface at all (its
+§2 operators are relational); this module is north-star scope from the
+build brief (similarity search over embedding columns at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.similarity.ivf import assign_nearest_cell
+from linqonsteroids_spark.similarity.pq import (
+    PQ_CODEBOOK,
+    PQ_D,
+    PQ_K,
+    PQ_M,
+    pq_encode,
+)
+
+
+def _query_probe_luts(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """(query_id, probe_cells array<int>, lut_0..lut_{M-1} array<double>).
+
+    One Arrow kernel over the (tiny, broadcast-destined) query side.
+    Probe ranking mirrors the IVF literal path: -2·q·c + |c|² with the
+    |c|² terms accumulated sequentially in python (so the value equals
+    the literal the oracle embeds), ties broken by cell ASC. LUT entry
+    [s][j] is the sequential sum of squared diffs between query
+    subvector s and codebook centroid j — the pq_encode arithmetic with
+    the query in place of the corpus vector.
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    ccs = []
+    for c in cents:
+        cc = 0.0
+        for x in c:
+            cc += x * x
+        ccs.append(cc)
+    schema = f"{query_id} long, probe_cells array<int>, " + ", ".join(
+        f"lut_{s} array<double>" for s in range(PQ_M)
+    )
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cents, dtype=np.float64)          # (L, dim)
+        cc = np.array(ccs, dtype=np.float64)           # (L,)
+        books = [
+            np.array(PQ_CODEBOOK[s], dtype=np.float64) for s in range(PQ_M)
+        ]
+        n_lists = C.shape[0]
+        for pdf in batches:
+            x = np.array([list(v) for v in pdf[query_vec]], dtype=np.float64)
+            out = {query_id: pdf[query_id].values}
+            # probe scores: dot accumulated left-to-right (dot_arrow
+            # convention == DuckDB list_dot_product), then -2*dot + cc
+            d = x[:, 0, None] * C[None, :, 0]
+            for i in range(1, x.shape[1]):
+                d = d + x[:, i, None] * C[None, :, i]
+            score = -2.0 * d + cc[None, :]
+            probes = []
+            for r in range(x.shape[0]):
+                order = sorted(range(n_lists), key=lambda j: (score[r, j], j))
+                probes.append(np.array(order[:n_probe], dtype=np.int32))
+            out["probe_cells"] = probes
+            for s in range(PQ_M):
+                sub = x[:, s * PQ_D : (s + 1) * PQ_D]
+                diff = sub[:, None, :] - books[s][None, :, :]
+                sq = diff * diff
+                t = sq[:, :, 0]
+                for i in range(1, PQ_D):   # sequential, NOT pairwise sum
+                    t = t + sq[:, :, i]
+                out[f"lut_{s}"] = list(t)  # (K,) float64 rows
+            yield pd.DataFrame(out)
+
+    return queries.select(query_id, query_vec).mapInPandas(kern, schema)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+    refine: int | None = None,
+) -> DataFrame:
+    """IVF-routed PQ asymmetric-distance top-k.
+
+    ``refine=None``: pure ADC — returns (query_id, rnk, neighbor_id,
+    adc_dist) ranked by (adc ASC, neighbor_id ASC); raw adc, caller
+    rounds for display. Deterministic because the ADC arithmetic is
+    bit-exact (module docstring).
+
+    ``refine=R``: the ADC+R stage of IVFADC-R (Jegou et al.) — the ADC
+    pass shortlists the R best codes per query, then the R true vectors
+    are fetched by id and re-ranked by EXACT cosine; returns (query_id,
+    rnk, neighbor_id, cos_sim). This is how production IVF-PQ recovers
+    recall lost to code quantization: the cheap lookup pass touches
+    |corpus| x n_probe / n_lists codes, the exact pass only R vectors
+    per query. The fetch is one broadcast-hash semi-join of the (tiny)
+    shortlist against the corpus by id — at scale, a point-lookup of
+    R x |Q| vectors, the corpus never shuffles."""
+    coded = pq_encode(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_cv"),
+        ).withColumn("cell", assign_nearest_cell("_cv", centroids)),
+        vec_col="_cv",
+        id_col="neighbor_id",
+        passthrough=[("cell", "int")],
+    )
+    probes = _query_probe_luts(
+        queries, centroids, n_probe, query_id, query_vec
+    ).select(
+        query_id,
+        F.explode("probe_cells").alias("cell"),
+        *[f"lut_{s}" for s in range(PQ_M)],
+    )
+    # ADC: element_at is 1-based; codes are 0-based argmins. Left-assoc
+    # `+` chain matches the oracle's `lut[code+1] + ...` chain exactly.
+    adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    for s in range(1, PQ_M):
+        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+    cand = coded.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col(query_id))
+    w = Window.partitionBy(query_id).orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    ranked = cand.withColumn("adc", adc).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    if refine is None:
+        return ranked.filter(F.col("rnk") <= k).select(
+            query_id, "rnk", "neighbor_id", F.col("adc").alias("adc_dist")
+        )
+
+    from linqonsteroids_spark.similarity.knn import cosine_from_norms, l2_norm
+
+    shortlist = ranked.filter(F.col("rnk") <= refine).select(
+        query_id, "neighbor_id"
+    )
+    # attach the query vector to the (|Q| x R) shortlist — tiny x tiny —
+    # then ONE broadcast join fetches the true vectors from the corpus.
+    qv = queries.select(
+        query_id, F.col(query_vec).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    pairs = shortlist.join(qv, query_id)
+    corp = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("_nv"),
+    ).withColumn("_nn", l2_norm(F.col("_nv")))
+    cos = cosine_from_norms(
+        F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        corp.join(F.broadcast(pairs), "neighbor_id")
+        .withColumn("cos_sim", cos)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, "rnk", "neighbor_id", "cos_sim")
+    )

@@ -171,6 +171,32 @@ def _kmeans_probes(
     return assigned, probes
 
 
+def centroid_score_structs(vec: str, centroids: list[list[float]]):
+    """array<struct<score,cell>> of squared-L2 rank scores of ``vec``
+    against the frozen centroid literals: -2·v·c + |c|² (|v|² is constant
+    per row, so it cancels in ranking); the |c|² terms ship as
+    precomputed double literals (sequential python accumulation, so the
+    oracle embeds the character-identical repr) and both engines only
+    evaluate the dot products live. Shared by the IVF literal path and
+    the IVF-PQ ann_join (similarity/ann.py)."""
+    out = []
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        cc = 0.0
+        for x in c:
+            cc += float(x) * float(x)
+        score = F.lit(-2.0) * dot(F.col(vec), cvec) + F.lit(cc)
+        out.append(F.struct(score.alias("score"), F.lit(i).alias("cell")))
+    return F.array(*out)
+
+
+def assign_nearest_cell(vec: str, centroids: list[list[float]]):
+    """Nearest-centroid cell id: `array_min` over the score structs
+    (lexicographic struct order == ORDER BY score ASC, cell ASC — ties
+    deterministic). No window, no explode-then-rank."""
+    return F.array_min(centroid_score_structs(vec, centroids)).getField("cell")
+
+
 def _literal_probes(
     queries: DataFrame,
     corpus_base: DataFrame,
@@ -184,29 +210,16 @@ def _literal_probes(
 
     Entirely JVM-side and shuffle-free: per-row scores against the
     n_lists centroid literals fold into an array of (score, cell)
-    structs; `array_min` picks the corpus cell (lexicographic struct
-    order == ORDER BY score ASC, cell ASC — ties deterministic) and
-    `array_sort` + `slice` picks the query's n_probe nearest cells. No
-    window, no explode-then-rank — nothing for AQE to even rebalance.
-
-    Squared-L2 ranking uses -2·v·c + |c|² (|v|² is constant per row);
-    the |c|² terms ship as precomputed double literals so both engines
-    only evaluate the dot products live.
+    structs (``centroid_score_structs``); `array_min` picks the corpus
+    cell and `array_sort` + `slice` picks the query's n_probe nearest
+    cells — nothing for AQE to even rebalance.
     """
 
     def scores(vec: str):
-        out = []
-        for i, c in enumerate(centroids):
-            cvec = F.array(*[F.lit(float(x)) for x in c])
-            cc = 0.0
-            for x in c:
-                cc += float(x) * float(x)
-            score = F.lit(-2.0) * dot(F.col(vec), cvec) + F.lit(cc)
-            out.append(F.struct(score.alias("score"), F.lit(i).alias("cell")))
-        return F.array(*out)
+        return centroid_score_structs(vec, centroids)
 
     assigned = corpus_base.withColumn(
-        "cell", F.array_min(scores(corpus_vec)).getField("cell")
+        "cell", assign_nearest_cell(corpus_vec, centroids)
     )
     probe_cells = F.transform(
         F.slice(F.array_sort(scores(query_vec)), 1, n_probe), lambda s: s.cell

@@ -39,6 +39,7 @@ ALLOW_ALL_PAIRS = {
     "referential_audit": "1-row violation counts cross-joined per check row",
     "bigram_surprisal": "1-row scalar total broadcast onto the unigram table",
     "lsh_recall_report": "three 1-row counts cross-joined into one row",
+    "ann_recall_report": "three 1-row counts cross-joined into one row",
 }
 
 FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
