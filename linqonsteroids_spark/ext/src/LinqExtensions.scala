@@ -7,18 +7,33 @@
 // filter-by-key over a collection with a lookup into a registered
 // index (HashJoinExperiments.scala:8-37 `filterToGroupBy`, and the
 // paper's §5 index-aware rewriting). Here the same recognition runs
-// INSIDE Catalyst: `Filter(col = lit, Scan(base_table))` is rewritten
-// to `Filter(col = lit, Scan(index_table))` where the registered index
-// table holds the same rows partitioned BY that column — after the
-// rewrite, Catalyst's own PushDownPredicates + PruneFileSourcePartitions
-// turn the equality predicate into directory-level partition pruning,
-// so the scan touches exactly one partition instead of the full base
-// table. At 100 TB that is the difference between a full-table scan
-// and a single-directory read, applied transparently to ANY query over
-// the base path — SQL or DataFrame — with zero Python-side involvement.
+// INSIDE Catalyst: `Filter(col = lit, Scan(base_table))` — and the
+// column-pruned shape `Filter(col = lit, Project(cols, Scan(base)))`
+// — is rewritten to scan the registered index table instead, which
+// holds the same rows partitioned BY that column; Catalyst's own
+// PushDownPredicates + PruneFileSourcePartitions then turn the
+// equality predicate into directory-level partition pruning, so the
+// scan touches exactly one partition instead of the full base table.
+// At 100 TB that is the difference between a full-table scan and a
+// single-directory read, applied transparently to ANY query over the
+// base path — SQL or DataFrame — with zero Python-side involvement.
 //
 // Registry format (runtime-settable, no restart):
 //   spark.linqonsteroids.indexes = basePath,column,indexPath[;...]
+//
+// Robustness contract (round-8 hardening):
+//  - the index relation is loaded AT MOST ONCE per path per JVM
+//    (IndexSubstitution.relationCache); without the cache every
+//    fixpoint iteration of the optimizer re-ran file listing/analysis
+//    on every matching Filter. Each use stamps FRESH exprIds via
+//    newInstance() so two substitutions in one query (self-join)
+//    cannot alias each other's attributes.
+//  - a stale registry entry (deleted/moved index directory, corrupt
+//    footer) must NEVER break the query: the load is wrapped in
+//    try/catch and any failure falls back to the original plan (the
+//    base scan), recording nothing. Deleting the directory AFTER a
+//    successful load behaves like any Spark table deleted mid-session
+//    (execution-time error; re-register or clear the conf).
 //
 // The substituted relation is projected back onto the ORIGINAL output
 // attribute ids (Alias with the old exprId, plus a Cast to the old
@@ -28,6 +43,8 @@
 // the cast from the pushed-down comparison so pruning still fires.
 
 package linqonsteroids.ext
+
+import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
@@ -39,6 +56,14 @@ class LinqExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => IndexSubstitution(session))
   }
+}
+
+object IndexSubstitution {
+  // analyzed index relations, one load per path per JVM; the smoke
+  // (tools/catalyst_ext_smoke.py) asserts loadCount == |distinct paths|
+  // after repeated queries, pinning the no-relist property.
+  private[ext] val relationCache = TrieMap.empty[String, LogicalPlan]
+  @volatile private[ext] var loadCount: Int = 0
 }
 
 case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
@@ -88,26 +113,63 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case _                               => false
     }
 
+  /** Analyzed index relation with FRESH exprIds, or None on any load
+    * failure (stale path, corrupt files) — never throw from the rule. */
+  private def loadIndex(idxPath: String): Option[LogicalPlan] =
+    try {
+      val cached = IndexSubstitution.relationCache.getOrElseUpdate(
+        idxPath, {
+          val analyzed = session.read.parquet(idxPath).queryExecution.analyzed
+          IndexSubstitution.loadCount += 1 // successful loads only
+          analyzed
+        }
+      )
+      Some(cached match {
+        case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+          m.newInstance().asInstanceOf[LogicalPlan]
+        case other => other
+      })
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** The substituted child for a matched (cond, base relation): the
+    * index scan aliased back onto the base relation's exprIds/types. */
+  private def substituted(
+      cond: Expression,
+      rel: LogicalRelation
+  ): Option[LogicalPlan] = {
+    val path = rootPath(rel)
+    registry
+      .find { case (base, col, _) =>
+        path.exists(p => pathMatches(p, base)) && hasPrunablePredOn(cond, col)
+      }
+      .flatMap { case (_, _, idxPath) => loadIndex(idxPath) }
+      .flatMap { idx =>
+        val byName = idx.output.map(a => a.name -> a).toMap
+        if (rel.output.forall(o => byName.contains(o.name))) {
+          val proj = rel.output.map { o =>
+            Alias(Cast(byName(o.name), o.dataType), o.name)(exprId = o.exprId)
+          }
+          Some(Project(proj, idx))
+        } else None
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val reg = registry
-    if (reg.isEmpty) return plan
+    if (registry.isEmpty) return plan
     plan transform {
       case f @ Filter(cond, rel: LogicalRelation) =>
-        val path = rootPath(rel)
-        reg.find { case (base, col, _) =>
-          path.exists(p => pathMatches(p, base)) && hasPrunablePredOn(cond, col)
-        } match {
-          case Some((_, _, idxPath)) =>
-            val idx = session.read.parquet(idxPath).queryExecution.analyzed
-            val byName = idx.output.map(a => a.name -> a).toMap
-            if (rel.output.forall(o => byName.contains(o.name))) {
-              val proj = rel.output.map { o =>
-                Alias(Cast(byName(o.name), o.dataType), o.name)(exprId = o.exprId)
-              }
-              Filter(cond, Project(proj, idx))
-            } else f
-          case None => f
-        }
+        substituted(cond, rel).map(Filter(cond, _)).getOrElse(f)
+      // column-pruned shape: a pass-through Project between the Filter
+      // and the scan (rule-ordering dependent; previously missed). The
+      // alias projection reproduces the base exprIds, so the original
+      // Project stays resolved and collapses onto it.
+      case f @ Filter(cond, Project(projList, rel: LogicalRelation))
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        substituted(cond, rel)
+          .map(sub => Filter(cond, Project(projList, sub)))
+          .getOrElse(f)
     }
   }
 }

@@ -42,6 +42,10 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS partition-pruned",
         "PASS in-list-pruned",
         "PASS repository-bridge",
+        "PASS cast-widened-partition-column",
+        "PASS project-interposed-shapes",
+        "PASS stale-registry-fallback",
+        "PASS relation-load-cached",
         "PASS no-false-rewrites",
     ):
         assert pin in proc.stdout, proc.stdout[-3000:]

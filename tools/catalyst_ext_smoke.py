@@ -113,7 +113,59 @@ def main() -> None:
     assert "PartitionFilters" in p6
     print("PASS repository-bridge")
 
+    # type-widening Cast path: spark.range's seg is BIGINT, but the
+    # index's directory values (seg=0..7) partition-infer as INT — the
+    # rewrite must keep the ORIGINAL schema (Cast back to bigint) while
+    # pruning still fires on the int partition column (pinned above by
+    # PASS partition-pruned on this very index).
     spark.conf.set("spark.linqonsteroids.indexes", f"{base_path},seg,{idx_path}")
+    q7 = spark.read.parquet(base_path).filter(F.col("seg") == 5)
+    assert dict(spark.read.parquet(idx_path).dtypes)["seg"] == "int"
+    assert dict(q7.dtypes)["seg"] == "bigint", q7.dtypes
+    assert q7.schema == spark.read.parquet(base_path).schema
+    print("PASS cast-widened-partition-column")
+
+    # column-pruned shapes: select-then-filter and filter-then-select
+    # both interpose a Project between the Filter and the scan at some
+    # point of optimization — the rule must still route to the index
+    for qp in (
+        spark.read.parquet(base_path).select("k", "seg").filter(F.col("seg") == 5),
+        spark.read.parquet(base_path).filter(F.col("seg") == 5).select("k", "seg"),
+    ):
+        vals = sorted(tuple(r) for r in qp.collect())
+        assert len(vals) == 125 and all(v[1] == 5 for v in vals)
+        pp = qp._jdf.queryExecution().executedPlan().toString()
+        assert os.path.basename(idx_path) in pp, pp[:2000]
+        assert os.path.basename(base_path) not in pp, pp[:2000]
+        assert "PartitionFilters" in pp, pp[:2000]
+    print("PASS project-interposed-shapes")
+
+    # stale registry entry (index directory does not exist): the query
+    # must fall back to the base scan and still answer correctly
+    spark.conf.set(
+        "spark.linqonsteroids.indexes",
+        f"{base_path},seg,{os.path.join(tmp, 'deleted_idx')}",
+    )
+    q8 = spark.read.parquet(base_path).filter(F.col("seg") == 5)
+    assert sorted(tuple(r) for r in q8.collect()) == baseline
+    p8 = q8._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(base_path) in p8, p8[:2000]
+    print("PASS stale-registry-fallback")
+
+    # relation-load caching: the analyzed index plan is built at most
+    # once per path per JVM — repeated queries (and every optimizer
+    # fixpoint iteration inside them) must not re-list the directory
+    spark.conf.set("spark.linqonsteroids.indexes", f"{base_path},seg,{idx_path}")
+    for _ in range(3):
+        spark.read.parquet(base_path).filter(F.col("seg") == 1).collect()
+    cls = spark._jvm.java.lang.Class.forName("linqonsteroids.ext.IndexSubstitution$")
+    mod = cls.getField("MODULE$").get(None)
+    loads = mod.loadCount()
+    # exactly two successful loads this JVM: idx_path and the
+    # repository-bridge index; the stale path must not count
+    assert loads == 2, loads
+    print("PASS relation-load-cached")
+
     # no-registry and non-indexed-column queries must be untouched
     spark.conf.set("spark.linqonsteroids.indexes", "")
     p3 = (
