@@ -524,6 +524,98 @@ JOIN (SELECT source, count(*) AS n_surviving,
 """
 
 
+# --- observe()-collected wash-stage counters ---------------------------------
+# The corpus-wash pipeline instrumented with monitoring.observed():
+# per-stage data-quality counters (docs in, after dedup, surviving, total
+# cleaned chars) are computed WHILE the single washing action runs —
+# df.observe attaches the aggregates to the plan, so a 100 TB wash gets
+# its reconciliation counters with ZERO extra scans (three separate
+# count() calls would be three more full passes). The gate's projection
+# IS the observation output: the returned row is built from obs.get, and
+# the oracle recomputes the same exact-integer counters from the same
+# CTE chain — so the observe() path itself is value-verified, not just
+# pytest-exercised. One action drives all three observation points.
+def wash_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from linqonsteroids_spark.functions.text import punct_chars, token_count
+    from linqonsteroids_spark.monitoring import observed
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", "text", F.md5("text").alias("content_hash")
+    )
+    obs_in, hashed_o = observed(
+        hashed, "wash_in", n_docs_in=F.count(F.lit(1))
+    )
+    deduped = hashed_o.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("content_hash"))
+    ).filter(F.col("doc_id") == F.col("keep_id"))
+    obs_dedup, deduped_o = observed(
+        deduped, "wash_dedup", n_after_dedup=F.count(F.lit(1))
+    )
+    kept = (
+        deduped_o.withColumn("n_punct", punct_chars(F.col("text")).cast("long"))
+        .withColumn("text_len", F.length("text").cast("long"))
+        .withColumn("punct_ppm", F.expr("n_punct * 1000000L div text_len"))
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .filter(
+            (F.col("punct_ppm") < _WASH_MAX_PUNCT_PPM)
+            & (F.col("n_tokens") >= _WASH_MIN_TOKENS)
+        )
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _NUM_RE,
+        "<NUM>",
+    )
+    obs_out, out = observed(
+        kept.select(F.length(clean).cast("long").alias("clean_len")),
+        "wash_out",
+        n_surviving=F.count(F.lit(1)),
+        clean_chars=F.sum("clean_len"),
+    )
+    out.agg(F.count(F.lit(1))).collect()  # ONE action; metrics ride along
+    row = {**obs_in.get, **obs_dedup.get, **obs_out.get}
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_docs_in"]),
+                int(row["n_after_dedup"]),
+                int(row["n_surviving"]),
+                int(row["clean_chars"]),
+            )
+        ],
+        "n_docs_in long, n_after_dedup long, n_surviving long, clean_chars long",
+    )
+
+
+WASH_OBSERVED_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source, text, md5(text) AS content_hash FROM documents
+), deduped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           min(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+    FROM hashed
+  ) WHERE doc_id = keep_id
+), kept AS (
+  SELECT doc_id, source, text FROM deduped
+  WHERE (length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))
+          * 1000000 // length(text) < {_WASH_MAX_PUNCT_PPM}
+    AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        t -> t <> '')) >= {_WASH_MIN_TOKENS}
+)
+SELECT (SELECT count(*) FROM hashed) AS n_docs_in,
+       (SELECT count(*) FROM deduped) AS n_after_dedup,
+       (SELECT count(*) FROM kept) AS n_surviving,
+       (SELECT CAST(sum(length(regexp_replace(
+                 regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_NUM_RE}', '<NUM>', 'g'))) AS BIGINT)
+        FROM kept) AS clean_chars
+"""
+
+
 # --- document chunking: overlapping token windows --------------------------
 # Long documents become fixed-size training chunks: window W tokens, stride
 # S < W (adjacent chunks overlap by W-S so no span is split across a chunk
@@ -821,6 +913,7 @@ QUERIES = {
     "doc_repetition_scores": (doc_repetition_scores, DOC_REPETITION_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "corpus_wash_report": (corpus_wash_report, CORPUS_WASH_SQL),
+    "wash_observed_metrics": (wash_observed_metrics, WASH_OBSERVED_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "stratified_split": (stratified_split, STRATIFIED_SPLIT_SQL),
     "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),

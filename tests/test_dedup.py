@@ -284,3 +284,55 @@ def test_lsh_recall_report_truth_sampling(spark):
     assert samp.n_true > 0  # and still measures something
     assert abs(samp.recall_ppm - full.recall_ppm) <= 100_000
     assert abs(samp.precision_ppm - full.precision_ppm) <= 100_000
+
+
+def test_simhash_64bit_tier_frozen_values(spark):
+    """Value evidence for the PRODUCTION 64-bit xxhash64 tier, which has
+    no DuckDB differential (xxhash64 is not in DuckDB): signatures on a
+    fixed crafted corpus are pinned to frozen literals, AND recomputed
+    independently in python from the per-token xxhash64 values (majority
+    vote over two's-complement bits) — so both the hash tier and the
+    bit-vote aggregation have cross-checked value evidence, not just
+    structural pytest pins."""
+    from linqonsteroids_spark.dedup.simhash import simhash_signatures
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over a lazy dog"),
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df, n_bits=64).collect()}
+    frozen = {
+        1: -7568822615590329869,
+        2: -6997415244563500808,
+        3: 3957502917676552918,
+        4: 6107264898130582690,
+    }
+    assert got == frozen
+
+    # independent recompute: per-token xxhash64 from the engine, majority
+    # vote in python (bit j set iff popcount*2 >= n_tokens, signed 64-bit)
+    toks = {
+        did: sorted(set(text.split()))
+        for did, text in corpus
+    }
+    all_tokens = sorted({t for ts in toks.values() for t in ts})
+    hdf = spark.createDataFrame([(t,) for t in all_tokens], "token string")
+    hmap = {
+        r.token: r.h
+        for r in hdf.select("token", F.xxhash64("token").alias("h")).collect()
+    }
+    for did, ts in toks.items():
+        n = len(ts)
+        sig = 0
+        for j in range(64):
+            votes = sum((hmap[t] >> j) & 1 for t in ts)
+            if votes * 2 >= n:
+                sig += -(2**63) if j == 63 else 2**j
+        assert sig == frozen[did], (did, sig)
+
+    # a single-token doc's signature IS its token hash (every bit wins
+    # its own vote) — pins the two's-complement assembly end to end
+    assert frozen[4] == hmap["single"]
