@@ -155,6 +155,30 @@ def connected_components(
     return labels
 
 
+_RCTE_PROBED: dict[str, bool] = {}
+
+
+def supports_recursive_cte(spark) -> bool:
+    """Capability probe for native ``WITH RECURSIVE`` (Spark 4.0+,
+    SPARK-24497), cached per application: one 3-row recursion, any
+    parse/analysis error means "not supported". Spark's recursion
+    currently allows UNION ALL only (probed 4.1.2: UNION errors with
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which constrains which
+    fixpoints can lower to it — see ``strategy="rcte"`` below."""
+    key = spark.sparkContext.applicationId
+    if key not in _RCTE_PROBED:
+        try:
+            rows = spark.sql(
+                "WITH RECURSIVE _probe(n) AS ("
+                " SELECT 1 UNION ALL SELECT n + 1 FROM _probe WHERE n < 3"
+                ") SELECT count(*) AS c FROM _probe"
+            ).collect()
+            _RCTE_PROBED[key] = rows[0].c == 3
+        except Exception:
+            _RCTE_PROBED[key] = False
+    return _RCTE_PROBED[key]
+
+
 def transitive_closure(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -163,7 +187,19 @@ def transitive_closure(
 ) -> DataFrame:
     """All (src, dst) pairs reachable through the binary relation ``edges``.
 
-    Two strategies, the classic iteration-count vs per-round-cost trade:
+    ``strategy="rcte"`` lowers to the engine's native ``WITH RECURSIVE``
+    (behind ``supports_recursive_cte``; falls back to ``"seminaive"``
+    when the engine lacks it). CONTRACT: the edge relation must be
+    ACYCLIC — Spark's recursion is UNION ALL only, i.e. it enumerates
+    PATHS and dedups at the end, so a cycle would recurse to the
+    engine's cteRecursionLevelLimit instead of converging; the
+    driver-loop strategies handle cyclic graphs (their per-round
+    left-anti dedup IS the distinct-union a cycle needs). Where it
+    applies, the engine schedules the whole fixpoint as one query — no
+    per-round driver sync, no localCheckpoint materializations.
+
+    Driver-loop strategies, the classic iteration-count vs
+    per-round-cost trade:
 
     - ``"doubling"`` (default): after round i ``acc`` holds all paths of
       length ≤ 2^i — a diameter-D graph converges in ⌈log₂ D⌉ joins.
@@ -175,6 +211,25 @@ def transitive_closure(
       tests). Right when the graph is shallow or the doubled ``acc⋈acc``
       intermediate would dwarf |frontier|·|edges|.
     """
+    if strategy == "rcte":
+        spark = edges.sparkSession
+        if not supports_recursive_cte(spark):
+            return transitive_closure(
+                edges, max_iterations, "seminaive", bucket_edges
+            )
+        name = f"tc_edges_rcte_{next(_EDGE_TABLE_IDS)}"
+        edges.select("src", "dst").distinct().createOrReplaceTempView(name)
+        return spark.sql(
+            f"""
+            WITH RECURSIVE tc(src, dst) AS (
+              SELECT src, dst FROM {name}
+              UNION ALL
+              SELECT tc.src, e.dst FROM tc JOIN {name} e ON tc.dst = e.src
+            )
+            SELECT DISTINCT src, dst FROM tc
+            """
+        )
+
     if strategy == "seminaive":
         base = _persist_edges(
             edges.select("src", "dst").distinct(), bucket=bucket_edges, key="src"

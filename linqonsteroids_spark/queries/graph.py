@@ -30,6 +30,32 @@ def nation_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(_edges(spark, sf_dir), max_iterations=32)
 
 
+# --- native recursive-CTE lowering (Spark 4 WITH RECURSIVE) ------------------
+# The engine-scheduled alternative to the driver loop: reachability over
+# an ACYCLIC successor relation (nation k → k+3 and k → k+7, bounded at
+# 25) lowered to one native WITH RECURSIVE query behind the
+# supports_recursive_cte capability probe (falls back to the semi-naive
+# loop elsewhere). Acyclic is the contract because Spark recursion is
+# UNION ALL only — it enumerates paths, dedup happens once at the end —
+# while the cyclic nation permutation above must stay on the driver loop
+# (per-round left-anti dedup). One query, no per-round driver sync, no
+# localCheckpoint barriers.
+def _dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("int")
+    e3 = nation.select(k.alias("src"), (k + 3).alias("dst")).filter(
+        F.col("dst") < 25
+    )
+    e7 = nation.select(k.alias("src"), (k + 7).alias("dst")).filter(
+        F.col("dst") < 25
+    )
+    return e3.unionByName(e7)
+
+
+def dag_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transitive_closure(_dag_edges(spark, sf_dir), strategy="rcte")
+
+
 NATION_TC_SQL = """
 WITH RECURSIVE tc(src, dst) AS (
   SELECT CAST(n_nationkey AS INT) AS src,
@@ -226,8 +252,25 @@ JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 """
 
 
+DAG_RCTE_SQL = """
+WITH RECURSIVE base(src, dst) AS (
+  SELECT CAST(n_nationkey AS INT) AS src, CAST(n_nationkey + 3 AS INT) AS dst
+  FROM nation WHERE n_nationkey + 3 < 25
+  UNION ALL
+  SELECT CAST(n_nationkey AS INT), CAST(n_nationkey + 7 AS INT)
+  FROM nation WHERE n_nationkey + 7 < 25
+), tc(src, dst) AS (
+  SELECT src, dst FROM base
+  UNION
+  SELECT tc.src, e.dst FROM tc JOIN base e ON tc.dst = e.src
+)
+SELECT DISTINCT src, dst FROM tc
+"""
+
+
 QUERIES = {
     "nation_transitive_closure": (nation_transitive_closure, NATION_TC_SQL),
+    "dag_reachability_rcte": (dag_reachability_rcte, DAG_RCTE_SQL),
     "fix_order_contagion": (fix_order_contagion, FIX_CONTAGION_SQL),
     "pagerank_order_parts": (pagerank_order_parts, PAGERANK_SQL),
     "pagerank_order_parts_bucketed": (pagerank_order_parts_bucketed, PAGERANK_SQL),

@@ -243,6 +243,31 @@ def test_transitive_closure_seminaive_equals_doubling(spark):
         assert got == want
 
 
+def test_transitive_closure_rcte_equals_loop_on_dag(spark):
+    """The native WITH RECURSIVE lowering (Spark 4) must equal the
+    driver-loop strategies on its supported domain (acyclic edges), and
+    the capability probe must be positive on this engine. The cyclic
+    case deliberately stays with the loop strategies (UNION ALL
+    recursion enumerates paths forever on a cycle) — contract in the
+    transitive_closure docstring."""
+    from linqonsteroids_spark.operators.fixpoint import (
+        supports_recursive_cte,
+        transitive_closure,
+    )
+
+    assert supports_recursive_cte(spark)  # Spark 4.1.2 has SPARK-24497
+    # DAG: two chains with a cross link and an island edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 5), (2, 4), (4, 5), (8, 9)],
+        "src long, dst long",
+    )
+    want = sorted(map(tuple, transitive_closure(edges).collect()))
+    got = sorted(
+        map(tuple, transitive_closure(edges, strategy="rcte").collect())
+    )
+    assert got == want
+
+
 def test_transitive_closure_bucketed_frontier_join_drops_exchange(spark):
     """Semi-naive TC with bucketed base edges: the per-round frontier⋈edges
     join scans the static side Exchange-free — one fewer Exchange than the
