@@ -40,6 +40,28 @@ from linqonsteroids_spark.plans.registry import (
 )
 
 
+def mine_patterns(q: Lifted) -> tuple[list[tuple[str, str]], list[tuple]]:
+    """Extract the advisable shapes from one query: ``(table, column)``
+    for every conjunct matching the filter→index pattern, and the join
+    signature (tables, keys) for rewritable join chains — side/post
+    filters stay per-query residuals, so ONE join MV serves every
+    differently-filtered repetition. Pure driver-side plan metadata; no
+    data is touched. Shared by live observation (WorkloadAdvisor) and
+    persisted logs (plans/workload.py)."""
+    plan = q.plan
+    filter_pats: list[tuple[str, str]] = []
+    join_sigs: list[tuple] = []
+    if plan.rewritable and plan.base_table and not plan.lets:
+        for f in plan.filters:
+            for conj in split_conjuncts(f):
+                m = match_key_equality(conj)
+                if m is not None:
+                    filter_pats.append((plan.base_table, m[0]))
+    if plan.rewritable and plan.join is not None:
+        join_sigs.append(plan.join.signature)
+    return filter_pats, join_sigs
+
+
 class WorkloadAdvisor:
     """Observes Lifted queries, mines repeated filter-key patterns, and
     auto-registers indexes for the hot ones.
@@ -64,19 +86,22 @@ class WorkloadAdvisor:
     def observe(self, q: Lifted) -> Lifted:
         """Record the query's filter-key and join-chain patterns; returns
         ``q`` unchanged so call sites can wrap submission transparently."""
-        plan = q.plan
-        if plan.rewritable and plan.base_table and not plan.lets:
-            for f in plan.filters:
-                for conj in split_conjuncts(f):
-                    m = match_key_equality(conj)
-                    if m is not None:
-                        self._patterns[(plan.base_table, m[0])] += 1
-        if plan.rewritable and plan.join is not None:
-            # the signature (tables, keys) fully determines the unfiltered
-            # chain — side/post filters stay per-query residuals, so ONE
-            # join MV serves every differently-filtered repetition
-            self._join_patterns[plan.join.signature] += 1
+        filter_pats, join_sigs = mine_patterns(q)
+        self.ingest(filter_pats, join_sigs)
         return q
+
+    def ingest(
+        self,
+        filter_pats: list[tuple[str, str]],
+        join_sigs: list[tuple],
+    ) -> None:
+        """Feed pre-mined patterns into the counters — the replay entry
+        point for persisted workload logs (plans/workload.py), which
+        carry exactly what ``mine_patterns`` extracts live."""
+        for pat in filter_pats:
+            self._patterns[pat] += 1
+        for sig in join_sigs:
+            self._join_patterns[sig] += 1
 
     def advise(self) -> list[tuple[str, str, int]]:
         """(table, column, observations) for every pattern at or above

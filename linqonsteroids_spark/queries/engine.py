@@ -106,6 +106,82 @@ WHERE c_mktsegment = 'HOUSEHOLD' AND c_acctbal > 2500.0
 """
 
 
+# --- saved-workload replay (plans/workload.py, the OFFLINE advisor loop) ----
+# The end-to-end SparkCruise shape: pass 1 RECORDS query shapes to a
+# JSONL log (driver-side metadata, session-independent); pass 2 — a
+# FRESH advisor and repository, as an offline job would be — REPLAYS the
+# log, advises the repeated (orders, o_orderpriority) pattern, and
+# materializes it; a new query with that shape must then rewrite to the
+# replay-advised MV (RAISES otherwise). The replay path itself never
+# runs a query — only the one materialization touches data.
+def workload_replay_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.plans.advisor import WorkloadAdvisor
+    from linqonsteroids_spark.plans.workload import WorkloadLog
+
+    orders = load_table(spark, sf_dir, "orders")
+    storage = cached_scratch_dir("squopt_replay_", sf_dir)
+    log_path = os.path.join(storage, "workload.jsonl")
+    if os.path.exists(log_path):
+        os.remove(log_path)  # idempotent across invocations
+    log = WorkloadLog(log_path)
+
+    def prio_query(p):
+        return lift(orders, table="orders").filter(
+            lambda o: o.o_orderpriority == p
+        )
+
+    # pass 1: the "online" day — shapes logged, nothing advised yet
+    log.record(prio_query("1-URGENT"))
+    log.record(prio_query("3-MEDIUM"))
+    log.record(
+        lift(orders, table="orders").filter(lambda o: o.o_totalprice > 100.0)
+    )  # non-repeated: must NOT be advised
+
+    # pass 2: the "offline" job — fresh advisor, replay, materialize
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    advisor = WorkloadAdvisor(
+        repo,
+        {"orders": lambda: lift(orders, table="orders")},
+        min_count=2,
+    )
+    n = log.replay_into(advisor)
+    advice = advisor.advise()
+    if n != 3:
+        raise RuntimeError(f"replay read {n} log entries, wanted 3")
+    # the repository catalog persists across invocations (storage is
+    # cached per sf_dir): cold run must advise exactly the repeated
+    # pattern; warm run must advise NOTHING (already materialized) —
+    # both legs of the idempotence contract, asserted
+    if ("orders", "o_orderpriority") in repo._by_table_key:
+        if advice:
+            raise RuntimeError(f"re-advised registered index: {advice}")
+    elif advice != [("orders", "o_orderpriority", 2)]:
+        raise RuntimeError(f"replay advice wrong: {advice}")
+    advisor.auto_materialize()
+
+    q = lift(orders, table="orders").filter(
+        lambda o: (o.o_orderpriority == "5-LOW") & (o.o_totalprice > 150000.0)
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("adv_orders_o_orderpriority" in f for f in files):
+        raise RuntimeError("replay-advised index rewrite did not fire")
+    return opt.df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+WORKLOAD_REPLAY_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderpriority = '5-LOW' AND o_totalprice > 150000.0
+"""
+
+
 # --- partitioned type-index (TypeMapping, SubquerySharing.scala:345-448) ---
 # The MV is stored partitionBy(tag): a key equality prunes whole partition
 # DIRECTORIES (PartitionFilters), not just row groups — the right layout
@@ -585,6 +661,7 @@ FROM (
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
+    "workload_replay_lookup": (workload_replay_lookup, WORKLOAD_REPLAY_SQL),
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),
     "udf_event_features": (udf_event_features, UDF_FEATURES_SQL),
     "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),

@@ -100,3 +100,84 @@ def test_advisor_mines_repeated_join_chains(spark, advisor):
     assert "Join" not in plan
     assert sorted(map(tuple, opt.df.collect())) == sorted(map(tuple, q.df.collect()))
     assert advisor.advise_joins() == []
+
+
+# --- saved-workload log replay (plans/workload.py) ---------------------------
+
+
+def test_workload_log_replay_equals_live_observation(spark, advisor, tmp_path):
+    """Recording shapes to the JSONL log and replaying into a FRESH
+    advisor must leave exactly the counters live observation would —
+    filter patterns AND join signatures — so offline advice equals
+    online advice for the same workload."""
+    from linqonsteroids_spark.plans.workload import WorkloadLog
+
+    log = WorkloadLog(str(tmp_path / "wl.jsonl"))
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    def workload():
+        yield _seg_query(spark, "BUILDING")
+        yield _seg_query(spark, "MACHINERY")
+        yield lift(orders, table="orders").filter(
+            lambda o: o.o_orderstatus == "F"
+        )
+        for _ in range(2):  # repeated join chain
+            yield lift(customer, table="customer").join(
+                lift(orders, table="orders"),
+                lambda c: c.c_custkey,
+                lambda o: o.o_custkey,
+            )
+
+    live = advisor
+    for q in workload():
+        live.observe(q)
+        log.record(q)
+
+    repo2 = IndexRepository(spark, str(tmp_path / "adv_idx2"), n_buckets=4)
+    replayed = WorkloadAdvisor(
+        repo2,
+        {
+            "customer": lambda: lift(
+                load_table(spark, SF_SMOKE, "customer"), table="customer"
+            ),
+            "orders": lambda: lift(
+                load_table(spark, SF_SMOKE, "orders"), table="orders"
+            ),
+        },
+        min_count=2,
+    )
+    assert log.replay_into(replayed) == 5
+    assert replayed._patterns == live._patterns
+    assert replayed._join_patterns == live._join_patterns
+    assert replayed.advise() == live.advise()
+    assert replayed.advise_joins() == live.advise_joins()
+    # the join signature survived the JSON round-trip as proper tuples
+    assert replayed.advise_joins(), "repeated join chain must be advised"
+
+
+def test_workload_log_append_merge(spark, tmp_path):
+    """JSONL logs are append-mergeable: two days' logs concatenated
+    replay to the sum of their counters (the multi-process contract)."""
+    from linqonsteroids_spark.plans.workload import WorkloadLog
+
+    p = tmp_path / "wl2.jsonl"
+    log = WorkloadLog(str(p))
+    log.record(_seg_query(spark, "BUILDING"))
+    day1 = p.read_text()
+    log.record(_seg_query(spark, "AUTOMOBILE"))
+    p.write_text(p.read_text() + day1)  # simulate concatenating day 1 again
+
+    repo = IndexRepository(spark, str(tmp_path / "adv_idx3"), n_buckets=4)
+    adv = WorkloadAdvisor(
+        repo,
+        {
+            "customer": lambda: lift(
+                load_table(spark, SF_SMOKE, "customer"), table="customer"
+            )
+        },
+        min_count=3,
+    )
+    assert log.replay_into(adv) == 3
+    assert adv._patterns[("customer", "c_mktsegment")] == 3
+    assert adv.advise() == [("customer", "c_mktsegment", 3)]
