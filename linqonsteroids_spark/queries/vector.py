@@ -556,6 +556,45 @@ WHERE rnk <= {_ANN_K}
 """
 
 
+# --- persisted IVF-PQ index artifact (build once, query many) ----------------
+# The production deployment shape: build_ivfpq_index writes the encoded
+# corpus as parquet PARTITIONED BY cell — a literal on-disk inverted
+# file — and the search reads ONLY the probed cell directories
+# (bounded probe-cell collect -> isin -> PartitionFilters; pinned in
+# tests/test_similarity.py). Encoding is deterministic, so artifact
+# search equals in-memory search bit-for-bit: the oracle is the SAME
+# ADC SQL as ann_ivfpq_adc. The artifact is cached per sf_dir (the
+# cached_scratch_dir build-once discipline).
+def ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.similarity.ann import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(cached_scratch_dir("ivfpq_idx_", sf_dir), "index")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivfpq_index(emb, path, IVF_CENTROIDS)
+    out = ivfpq_index_topk(
+        spark.read.parquet(path),
+        _ann_queries(emb),
+        None,
+        IVF_CENTROIDS,
+        k=_ANN_K,
+        n_probe=_ANN_NPROBE,
+    )
+    return out.select(
+        "query_id",
+        "rnk",
+        "neighbor_id",
+        (F.round("adc_dist", 4) + 0.0).alias("adc_dist"),
+    )
+
+
 # --- ANN recall vs exact brute force (measured quality, integer ppm) ---------
 # The lsh_recall_report pattern for the IVF-PQ path: candidate top-k
 # pairs vs the exact cosine top-k pairs on the SAME query set; all
@@ -638,6 +677,8 @@ QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "ann_ivfpq_adc": (ann_ivfpq_adc, ANN_ADC_SQL),
+    # same oracle by design: the persisted artifact must not change values
+    "ann_index_persisted": (ann_index_persisted, ANN_ADC_SQL),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     # rows-only: cross-engine float-summation order (numpy differential in pytest)

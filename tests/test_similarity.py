@@ -263,3 +263,53 @@ def test_ivfpq_adc_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_persisted_index_equals_inmemory_and_prunes(spark, tmp_path):
+    """The parquet index artifact must (1) return bit-identical results
+    to the in-memory path — encoding is deterministic — including
+    through the refine stage, and (2) physically scan ONLY the probed
+    cell directories (PartitionFilters on cell), the on-disk
+    inverted-file contract."""
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.ann import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        ivfpq_topk,
+    )
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, IVF_CENTROIDS)
+    idx = spark.read.parquet(path)
+
+    mem = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=3)
+    art = ivfpq_index_topk(idx, q, None, IVF_CENTROIDS, k=5, n_probe=3)
+    assert sorted(map(tuple, art.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
+
+    memr = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=5, refine=20)
+    artr = ivfpq_index_topk(idx, q, emb, IVF_CENTROIDS, k=5, n_probe=5, refine=20)
+    assert sorted(map(tuple, artr.collect())) == sorted(
+        map(tuple, memr.collect())
+    )
+
+    plan = art._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in pf, pf
+
+    # one file per cell directory, not one per (task x cell)
+    import glob as _glob
+    import os as _os
+
+    for d in _glob.glob(_os.path.join(path, "cell=*")):
+        files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
