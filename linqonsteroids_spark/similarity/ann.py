@@ -211,6 +211,30 @@ def build_ivfpq_index(
     )
 
 
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental index maintenance: encode ONLY the new batch and
+    append it into the cell directories it lands in — no rebuild, no
+    read of the existing artifact. Because the centroids and codebook
+    are frozen artifacts, old and new entries are encoded identically,
+    so a search over (build(A) + append(B)) equals a search over
+    build(A ∪ B) exactly (pinned in tests). At 100 TB this is the daily
+    ingest path: cost is O(new batch), touching at most the cells the
+    batch maps to. (Deletes are the usual inverted-file tombstone /
+    compaction story — compose with the MERGE machinery in
+    streaming/incremental.py if needed; not implemented here.)"""
+    encode_corpus(new_vectors, centroids, corpus_id, corpus_vec).drop(
+        *[f"err2_{s}" for s in range(PQ_M)]
+    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        path
+    )
+
+
 def ivfpq_index_topk(
     index: DataFrame,
     queries: DataFrame,

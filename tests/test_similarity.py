@@ -313,3 +313,43 @@ def test_ivfpq_persisted_index_equals_inmemory_and_prunes(spark, tmp_path):
     for d in _glob.glob(_os.path.join(path, "cell=*")):
         files = [f for f in _os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_ivfpq_index_append_equals_full_build(spark, tmp_path):
+    """Incremental maintenance contract: build(A) + append(B) must be
+    search-identical to build(A ∪ B) — frozen centroids/codebook encode
+    old and new rows identically, so the artifact is append-safe with
+    O(new batch) work and no rebuild."""
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.ann import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    full_path = str(tmp_path / "full")
+    incr_path = str(tmp_path / "incr")
+    build_ivfpq_index(emb, full_path, IVF_CENTROIDS)
+    build_ivfpq_index(a, incr_path, IVF_CENTROIDS)
+    append_to_ivfpq_index(b, incr_path, IVF_CENTROIDS)
+
+    kwargs = dict(k=5, n_probe=3)
+    full = ivfpq_index_topk(
+        spark.read.parquet(full_path), q, None, IVF_CENTROIDS, **kwargs
+    )
+    incr = ivfpq_index_topk(
+        spark.read.parquet(incr_path), q, None, IVF_CENTROIDS, **kwargs
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, full.collect())
+    )
