@@ -556,6 +556,116 @@ def decode_audio_stats(
     return audio.mapInPandas(decode_batches, schema=AUDIO_RESULT_SCHEMA)
 
 
+def _frame_energy_stub(data: bytes, frame_idx: int) -> int:
+    """Deterministic fake per-frame energy in 0..65535. Same
+    SQL-replayability contract as ``_frame_luma_stub`` (ASCII payload →
+    byte concat == string concat), '@' separator so energies and lumas
+    draw from independent hash streams: sha256(payload || '@' || idx),
+    first two hex bytes big-endian."""
+    h = hashlib.sha256(data + b"@" + str(int(frame_idx)).encode()).digest()
+    return (h[0] << 8) | h[1]
+
+
+def _frame_energy_real(data: bytes, frame_idx: int, frame_ms: int = 20) -> int:
+    """Real tier: integer mean-square energy of one ``frame_ms`` window
+    of a stdlib-parsed PCM16 WAV — no float anywhere, so the value is
+    exact and environment-independent."""
+    rate, nch, samples = _parse_wav(data)
+    spf = max(rate * frame_ms // 1000, 1) * max(nch, 1)
+    seg = samples[frame_idx * spf : (frame_idx + 1) * spf]
+    if not seg:
+        raise IndexError(f"frame {frame_idx} out of range")
+    sumsq = 0
+    for s in seg:
+        sumsq += s * s
+    return sumsq // len(seg)
+
+
+ENERGY_RESULT_SCHEMA = "doc_id long, frame_idx int, energy long"
+
+
+def frame_energies(
+    df: DataFrame,
+    n_frames,
+    id_col: str = "doc_id",
+    extractor: str = "auto",
+    frame_ms: int = 20,
+) -> DataFrame:
+    """(doc_id, frame_idx, energy) for every ``frame_ms`` window of
+    every audio row — the feature pass VAD segmentation consumes.
+    ``n_frames`` is a Column giving the per-row frame count (derived
+    from metadata for stubs, ``duration/frame_ms`` for real audio). The
+    explode is JVM-side; only audio rows reach the Arrow stage."""
+    audio = df.filter(F.col("media_meta.format").isin("wav", "mp3")).select(
+        F.col(id_col).alias("doc_id"),
+        "media_bytes",
+        F.explode(F.sequence(F.lit(0), n_frames.cast("int") - 1)).alias(
+            "frame_idx"
+        ),
+    )
+    def one(b: bytes, i: int) -> int:
+        if extractor == "real":
+            return _frame_energy_real(b, i, frame_ms)
+        if extractor == "stub":
+            return _frame_energy_stub(b, i)
+        # auto: real when the payload is a parseable WAV window, stub
+        # otherwise (same degrade-don't-fail contract as
+        # decode_audio_stats — malformed bytes must not kill the stage)
+        try:
+            return _frame_energy_real(b, i, frame_ms)
+        except Exception:  # noqa: BLE001
+            return _frame_energy_stub(b, i)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [
+                one(bytes(b), int(i))
+                for b, i in zip(pdf["media_bytes"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "energy": pd.Series(vals, dtype="int64"),
+                }
+            )
+
+    return audio.mapInPandas(extract, schema=ENERGY_RESULT_SCHEMA)
+
+
+def vad_segments(energies: DataFrame, threshold: int) -> DataFrame:
+    """Energy-threshold voice-activity segmentation — the ASR-pipeline
+    segmenter that turns raw audio into training utterances: maximal
+    runs of consecutive frames with energy >= threshold become segments
+    (gaps-and-islands: a run starts where an active frame follows an
+    inactive/absent one; segment id = running count of starts). Fully
+    relational and integer-exact: two windows over the same (doc_id,
+    frame_idx) ordering — ONE shuffle — then a grouped aggregate.
+    Input is any (doc_id, frame_idx, energy) relation (frame_energies
+    output). Returns (doc_id, seg_id, start_frame, end_frame, n_frames,
+    sum_energy)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    active = F.col("energy") >= threshold
+    prev_active = F.lag(active.cast("int")).over(w)
+    start = active & (F.coalesce(prev_active, F.lit(0)) == 0)
+    seg_id = F.sum(start.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        energies.withColumn("_seg", seg_id)
+        .filter(active)
+        .groupBy("doc_id", F.col("_seg").alias("seg_id"))
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("sum_energy"),
+        )
+    )
+
+
 def sample_video_frames(
     df: DataFrame,
     every_n: int = 30,

@@ -658,6 +658,72 @@ FROM (
 """
 
 
+# --- audio VAD segmentation (completes the audio feature pass) ---------------
+# The ASR-data-prep segmenter: per-frame energies (stub tier here —
+# sha2-derived, SQL-replayable; the REAL PCM16 tier is pinned in
+# tests/test_multimodal.py on a crafted silence/loud/silence WAV) →
+# gaps-and-islands segmentation (maximal runs of frames above the
+# energy threshold). All integers; ONE shuffle for the windows plus the
+# grouped aggregate.
+_VAD_THRESHOLD = 32768  # half the 0..65535 stub-energy range
+
+
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.multimodal.media import (
+        attach_fake_audio,
+        frame_energies,
+        vad_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    media = attach_fake_audio(docs)
+    energies = frame_energies(
+        media, n_frames=F.col("doc_id") % 40 + 10, extractor="stub"
+    )
+    return vad_segments(energies, threshold=_VAD_THRESHOLD)
+
+
+AUDIO_VAD_SQL = f"""
+WITH aud AS (
+  SELECT doc_id, sha256('aud:' || CAST(doc_id AS VARCHAR)) AS payload,
+         CAST(doc_id % 40 + 10 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 1
+), frames AS (
+  SELECT doc_id, CAST(unnest(range(n_frames)) AS INT) AS frame_idx, payload
+  FROM aud
+), energies AS (
+  SELECT doc_id, frame_idx,
+         {_hex_byte_sql("sha256(payload || '@' || CAST(frame_idx AS VARCHAR))", 1)}
+           * 256 +
+         {_hex_byte_sql("sha256(payload || '@' || CAST(frame_idx AS VARCHAR))", 3)}
+           AS energy
+  FROM frames
+), flagged AS (
+  SELECT doc_id, frame_idx, energy,
+         CASE WHEN energy >= {_VAD_THRESHOLD} THEN 1 ELSE 0 END AS active,
+         coalesce(lag(CASE WHEN energy >= {_VAD_THRESHOLD} THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY frame_idx), 0)
+           AS prev_active
+  FROM energies
+), marked AS (
+  SELECT doc_id, frame_idx, energy, active,
+         sum(CASE WHEN active = 1 AND prev_active = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY frame_idx
+                 ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM flagged
+)
+SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+       min(frame_idx) AS start_frame,
+       max(frame_idx) AS end_frame,
+       count(*) AS n_frames,
+       CAST(sum(energy) AS BIGINT) AS sum_energy
+FROM marked WHERE active = 1
+GROUP BY doc_id, seg_id
+"""
+
+
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
@@ -673,4 +739,5 @@ QUERIES = {
     "multimodal_frame_counts": (multimodal_frame_counts, FRAME_COUNTS_SQL),
     "multimodal_keyframes": (multimodal_keyframes, KEYFRAMES_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, AUDIO_STATS_SQL),
+    "audio_vad_segments": (audio_vad_segments, AUDIO_VAD_SQL),
 }

@@ -411,3 +411,64 @@ def test_keyframe_selection_real_y4m(spark):
         r.frame_idx for r in select_keyframes(lumas, threshold=64).collect()
     )
     assert keys == [0, 3]
+
+
+def test_vad_segments_real_wav(spark):
+    """Real-tier VAD on a crafted PCM16 WAV: silence / loud / silence /
+    loud pattern at 20 ms frames — segments must be exactly the two loud
+    runs, with exact integer mean-square energies."""
+    from linqonsteroids_spark.multimodal.media import (
+        frame_energies,
+        vad_segments,
+    )
+
+    rate = 1000  # 20 ms frame = 20 samples, keeps the fixture tiny
+    spf = 20
+    frames = [0] * spf + [1000] * spf * 2 + [0] * spf + [1000] * spf
+    data = _encode_wav(rate, 1, frames)
+    df = spark.createDataFrame(
+        [(7, data, ("wav", rate, 1, len(data)))],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,sample_rate:int,n_channels:int,size_bytes:long>",
+    )
+    energies = frame_energies(
+        df, n_frames=F.lit(5), extractor="real", frame_ms=20
+    )
+    got = sorted((r.frame_idx, r.energy) for r in energies.collect())
+    # silence frames: 0; loud frames: mean(1000^2) = 1_000_000 exactly
+    assert got == [(0, 0), (1, 1000000), (2, 1000000), (3, 0), (4, 1000000)]
+
+    segs = sorted(
+        (r.seg_id, r.start_frame, r.end_frame, r.n_frames, r.sum_energy)
+        for r in vad_segments(energies, threshold=500000).collect()
+    )
+    assert segs == [(1, 1, 2, 2, 2000000), (2, 4, 4, 1, 1000000)]
+
+
+def test_vad_auto_tier_degrades_to_stub(spark):
+    """Auto dispatch: a parseable WAV takes the real tier; a hash
+    payload (not RIFF) degrades to the stub instead of failing the
+    stage — the corpus-wash degrade-don't-fail contract."""
+    from linqonsteroids_spark.multimodal.media import (
+        _frame_energy_stub,
+        frame_energies,
+    )
+
+    rate = 1000
+    wav = _encode_wav(rate, 1, [100] * 40)
+    junk = b"6a0b" * 8  # ASCII, not RIFF
+    df = spark.createDataFrame(
+        [
+            (1, wav, ("wav", rate, 1, len(wav))),
+            (2, junk, ("mp3", rate, 1, len(junk))),
+        ],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,sample_rate:int,n_channels:int,size_bytes:long>",
+    )
+    out = {
+        (r.doc_id, r.frame_idx): r.energy
+        for r in frame_energies(df, n_frames=F.lit(2), extractor="auto").collect()
+    }
+    assert out[(1, 0)] == 10000  # real: mean(100^2)
+    assert out[(2, 0)] == _frame_energy_stub(junk, 0)
+    assert out[(2, 1)] == _frame_energy_stub(junk, 1)
