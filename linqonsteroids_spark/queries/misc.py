@@ -193,6 +193,66 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+# --- parquet schema evolution (mergeSchema read over mixed batches) ---------
+# The lakehouse ingestion reality a 100 TB dataset lives with: early
+# batches were written before a column existed, later batches carry it,
+# and ONE dataset directory holds both. mergeSchema=true reads the union
+# schema (pre-evolution rows NULL in the added column) without rewriting
+# history — the alternative, a backfill of every old file, is a full
+# rewrite of the table. The gate stages v1 (no o_orderpriority) and v2
+# (with it) batches from a deterministic row split, reads them merged,
+# and aggregates per generation; exact integer cents avoid the
+# float-sum-round boundary class. The staging directory is rebuilt per
+# invocation (append semantics are not idempotent) and removed after.
+def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", cents.alias("cents"), "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="squopt_evo_")
+    try:
+        v1.write.mode("overwrite").parquet(f"{base}/data")
+        v2.write.mode("append").parquet(f"{base}/data")
+        evolved = spark.read.option("mergeSchema", "true").parquet(
+            f"{base}/data"
+        )
+        gen = F.when(
+            F.col("o_orderpriority").isNull(), "v1-pre-evolution"
+        ).otherwise("v2-evolved")
+        out = (
+            evolved.groupBy(gen.alias("generation"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("o_orderpriority").alias("n_priorities"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+        rows = out.collect()  # materialize before the staging dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1-pre-evolution'
+            ELSE 'v2-evolved' END AS generation,
+       count(*) AS n_rows,
+       count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                           THEN o_orderpriority END) AS n_priorities,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
 # --- SQL entry point (Queryable surface, SURVEY §2.1) ----------------------
 # The reference's Queryable mixin makes live collections addressable by
 # name; here catalog tables register as temp views and the SAME SQL text
@@ -679,6 +739,7 @@ QUERIES = {
         SQL_SURFACE_Q12,
     ),
     "format_roundtrip_supplier": (format_roundtrip_supplier, FORMAT_ROUNDTRIP_SQL),
+    "schema_evolution_orders": (schema_evolution_orders, SCHEMA_EVOLUTION_SQL),
     "first_last_order_per_customer": (
         first_last_order_per_customer,
         FIRST_LAST_SQL,
