@@ -94,6 +94,8 @@ def _query_probe_luts(
         ]
         n_lists = C.shape[0]
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: no rows to score
+                continue
             x = np.array([list(v) for v in pdf[query_vec]], dtype=np.float64)
             out = {query_id: pdf[query_id].values}
             # probe scores: dot accumulated left-to-right (dot_arrow

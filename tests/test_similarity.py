@@ -353,3 +353,21 @@ def test_ivfpq_index_append_equals_full_build(spark, tmp_path):
     assert sorted(map(tuple, incr.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_ivfpq_empty_query_side(spark):
+    """Empty query side: empty result with the right schema on both the
+    ADC and index paths — no numpy stack error inside executors (the
+    brute_force_topk empty-side contract extended to IVF-PQ)."""
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.ann import ivfpq_topk
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = spark.createDataFrame(
+        [], "query_id long, query_vec array<float>"
+    )
+    out = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=3)
+    assert out.columns == ["query_id", "rnk", "neighbor_id", "adc_dist"]
+    assert out.count() == 0
