@@ -595,6 +595,83 @@ def ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming ANN ingest (§2.8 x similarity stack composition) --------------
+# The continuous-ingest path a production vector index runs: embedding
+# batches arrive as a stream (two staged files, maxFilesPerTrigger=1 →
+# two real micro-batches) and foreachBatch encodes-and-appends each into
+# the persisted IVF-PQ artifact — O(batch) per trigger, touching only
+# the cells the batch maps to, no rebuild ever. After the stream drains,
+# a search over the STREAMED index must equal the batch-built search
+# bit-for-bit (append ≡ full build by encode determinism), so the gate
+# reuses the ADC oracle. Staging and index dirs are per-invocation and
+# removed in a finally block.
+def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from linqonsteroids_spark.similarity.ann import (
+        append_to_ivfpq_index,
+        ivfpq_index_topk,
+    )
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stage = tempfile.mkdtemp(prefix="ann_ingest_stage_")
+    idx = os.path.join(stage, "index")
+    try:
+        for i, half in enumerate(
+            (
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+            )
+        ):
+            tmp = os.path.join(stage, f"z{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(tmp, f),
+                        os.path.join(stage, f"part-{i}-batch.parquet"),
+                    )
+            shutil.rmtree(tmp)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: append_to_ivfpq_index(
+                    df, idx, IVF_CENTROIDS
+                )
+            )
+            .option("checkpointLocation", os.path.join(stage, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = ivfpq_index_topk(
+            spark.read.parquet(idx),
+            _ann_queries(emb),
+            None,
+            IVF_CENTROIDS,
+            k=_ANN_K,
+            n_probe=_ANN_NPROBE,
+        ).select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            (F.round("adc_dist", 4) + 0.0).alias("adc_dist"),
+        )
+        rows = out.collect()  # materialize before the index dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # --- ANN recall vs exact brute force (measured quality, integer ppm) ---------
 # The lsh_recall_report pattern for the IVF-PQ path: candidate top-k
 # pairs vs the exact cosine top-k pairs on the SAME query set; all
@@ -679,6 +756,8 @@ QUERIES = {
     "ann_ivfpq_adc": (ann_ivfpq_adc, ANN_ADC_SQL),
     # same oracle by design: the persisted artifact must not change values
     "ann_index_persisted": (ann_index_persisted, ANN_ADC_SQL),
+    # same oracle again: streamed ingest must equal the batch build
+    "streaming_ann_ingest": (streaming_ann_ingest, ANN_ADC_SQL),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     # rows-only: cross-engine float-summation order (numpy differential in pytest)

@@ -134,8 +134,18 @@ def ivfpq_topk(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     refine: int | None = None,
+    refine_frac: float | None = None,
 ) -> DataFrame:
     """IVF-routed PQ asymmetric-distance top-k.
+
+    ``refine_frac``: the scale-honest alternative to a fixed ``refine``
+    — R = max(k, ceil(frac * |corpus|)), resolved from one bounded
+    corpus count. A fixed R degrades recall as the corpus grows (the
+    shortlist covers a shrinking fraction of each inverted list:
+    measured 0.80 -> 0.43 going sf0.01 -> sf0.1 at R=50); a fractional
+    R keeps shortlist coverage — and therefore recall — roughly
+    constant, at re-rank cost linear in corpus size per query. Mutually
+    exclusive with ``refine``.
 
     ``refine=None``: pure ADC — returns (query_id, rnk, neighbor_id,
     adc_dist) ranked by (adc ASC, neighbor_id ASC); raw adc, caller
@@ -151,6 +161,13 @@ def ivfpq_topk(
     per query. The fetch is one broadcast-hash semi-join of the (tiny)
     shortlist against the corpus by id — at scale, a point-lookup of
     R x |Q| vectors, the corpus never shuffles."""
+    if refine_frac is not None:
+        if refine is not None:
+            raise ValueError("pass refine or refine_frac, not both")
+        import math
+
+        n = corpus.count()  # one bounded scalar, the n_docs class
+        refine = max(k, math.ceil(n * refine_frac))
     coded = encode_corpus(
         corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec
     )

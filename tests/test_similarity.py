@@ -371,3 +371,28 @@ def test_ivfpq_empty_query_side(spark):
     out = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=3)
     assert out.columns == ["query_id", "rnk", "neighbor_id", "adc_dist"]
     assert out.count() == 0
+
+
+def test_ivfpq_refine_frac_scales_with_corpus(spark):
+    """refine_frac resolves R from the corpus size (R = ceil(frac*n),
+    floored at k) and must equal the explicit-R call at the resolved
+    value — the scale-honest knob the fixed-R recall numbers motivate."""
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.ann import ivfpq_topk
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")  # 500 vectors
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    frac = ivfpq_topk(
+        q, emb, IVF_CENTROIDS, k=5, n_probe=5, refine_frac=0.1
+    )
+    fixed = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=5, refine=50)
+    assert sorted(map(tuple, frac.collect())) == sorted(
+        map(tuple, fixed.collect())
+    )
+    with pytest.raises(ValueError, match="not both"):
+        ivfpq_topk(q, emb, IVF_CENTROIDS, refine=5, refine_frac=0.1)
