@@ -18,8 +18,21 @@
 // single-directory read, applied transparently to ANY query over the
 // base path — SQL or DataFrame — with zero Python-side involvement.
 //
-// Registry format (runtime-settable, no restart):
-//   spark.linqonsteroids.indexes = basePath,column,indexPath[;...]
+// Registry formats (runtime-settable, no restart):
+//   spark.linqonsteroids.indexes     = basePath,column,indexPath[;...]
+//   spark.linqonsteroids.joinindexes = leftPath,leftKey,rightPath,
+//                                      rightKey,mvPath[;...]
+//
+// The join registry is the JVM twin of the Python join-MV rewrite
+// (plans/registry.py lookup_join): an INNER equi-join of the two
+// registered base scans on the registered key pair — the whole join —
+// is replaced by ONE scan of the pre-joined MV (projected back onto
+// both sides' original exprIds), eliminating the join AND both base
+// scans; residual filters/projections above the join survive
+// unchanged. v1 scope, enforced conservatively: bare (or
+// pass-through-projected) parquet scans on both sides, a single
+// EqualTo join condition on exactly the registered pair (either
+// orientation). Anything else is left untouched.
 //
 // Robustness contract (round-8 hardening):
 //  - the index relation is loaded AT MOST ONCE per path per JVM
@@ -48,6 +61,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -68,21 +82,26 @@ object IndexSubstitution {
 
 case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
 
-  private def registry: Seq[(String, String, String)] =
+  private def entries(conf: String, arity: Int): Seq[Array[String]] =
     session.conf
-      .getOption("spark.linqonsteroids.indexes")
+      .getOption(conf)
       .map(
         _.split(";").toSeq
           .map(_.trim)
           .filter(_.nonEmpty)
-          .flatMap { e =>
-            e.split(",").map(_.trim) match {
-              case Array(base, col, idx) => Some((base, col, idx))
-              case _                     => None
-            }
-          }
+          .map(_.split(",").map(_.trim))
+          .filter(_.length == arity)
       )
       .getOrElse(Seq.empty)
+
+  private def registry: Seq[(String, String, String)] =
+    entries("spark.linqonsteroids.indexes", 3).map(a => (a(0), a(1), a(2)))
+
+  /** (leftPath, leftKey, rightPath, rightKey, mvPath) */
+  private def joinRegistry: Seq[(String, String, String, String, String)] =
+    entries("spark.linqonsteroids.joinindexes", 5).map(a =>
+      (a(0), a(1), a(2), a(3), a(4))
+    )
 
   private def rootPath(rel: LogicalRelation): Option[String] =
     rel.relation match {
@@ -156,20 +175,93 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
+  /** Base relation under a chain of pass-through Projects and Filters
+    * (the optimizer pushes user predicates AND inferred isnotnulls
+    * below the join before this rule fires), plus the stripped filter
+    * conditions — they are RE-APPLIED above the substituted MV, so
+    * nothing is lost. Pass-through Projects can be dropped outright:
+    * the substitution re-projects every base column by original exprId
+    * and the Join's own output prunes at the end. */
+  private def stripToScan(
+      p: LogicalPlan
+  ): Option[(LogicalRelation, Seq[Expression])] = p match {
+    case rel: LogicalRelation => Some((rel, Nil))
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToScan(child)
+    case Filter(c, child) =>
+      stripToScan(child).map { case (r, cs) => (r, c +: cs) }
+    case _ => None
+  }
+
+  /** MV scan replacing a registered inner equi-join, aliased onto the
+    * join's original exprIds with residual side-filters re-applied —
+    * or None if anything doesn't match. */
+  private def substitutedJoin(j: Join): Option[LogicalPlan] = {
+    if (j.joinType != Inner) return None
+    val (a, b) = j.condition match {
+      case Some(EqualTo(x: AttributeReference, y: AttributeReference)) =>
+        (x, y)
+      case _ => return None
+    }
+    val (lAttr, rAttr) =
+      if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
+        (a, b)
+      else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+        (b, a)
+      else return None
+    for {
+      ls <- stripToScan(j.left)
+      rs <- stripToScan(j.right)
+      lp <- rootPath(ls._1)
+      rp <- rootPath(rs._1)
+      hit <- joinRegistry.find { case (lPath, lKey, rPath, rKey, _) =>
+        (pathMatches(lp, lPath) && pathMatches(rp, rPath) &&
+          lAttr.name == lKey && rAttr.name == rKey) ||
+        (pathMatches(lp, rPath) && pathMatches(rp, lPath) &&
+          lAttr.name == rKey && rAttr.name == lKey)
+      }
+      mv <- loadIndex(hit._5)
+      byName = mv.output.map(o => o.name -> o).toMap
+      wanted = (ls._1.output ++ rs._1.output)
+      if wanted.forall(o => byName.contains(o.name))
+    } yield {
+      // every base column restored under its ORIGINAL exprId...
+      val restored: LogicalPlan = Project(
+        wanted.map { o =>
+          Alias(Cast(byName(o.name), o.dataType), o.name)(exprId = o.exprId)
+        },
+        mv
+      )
+      // ...then the stripped side-filters verbatim (their attrs resolve
+      // against the restored ids), then the Join's own output pruning
+      val conds = ls._2 ++ rs._2
+      val filtered =
+        if (conds.isEmpty) restored
+        else Filter(conds.reduce(And), restored)
+      Project(j.output.map(o => o: NamedExpression), filtered)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
+    val haveFilters = registry.nonEmpty
+    val haveJoins = joinRegistry.nonEmpty
+    if (!haveFilters && !haveJoins) return plan
     plan transform {
-      case f @ Filter(cond, rel: LogicalRelation) =>
+      case f @ Filter(cond, rel: LogicalRelation) if haveFilters =>
         substituted(cond, rel).map(Filter(cond, _)).getOrElse(f)
       // column-pruned shape: a pass-through Project between the Filter
       // and the scan (rule-ordering dependent; previously missed). The
       // alias projection reproduces the base exprIds, so the original
       // Project stays resolved and collapses onto it.
       case f @ Filter(cond, Project(projList, rel: LogicalRelation))
-          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+          if haveFilters &&
+            projList.forall(_.isInstanceOf[AttributeReference]) =>
         substituted(cond, rel)
           .map(sub => Filter(cond, Project(projList, sub)))
           .getOrElse(f)
+      case j: Join if haveJoins =>
+        substitutedJoin(j).getOrElse(j)
     }
   }
 }

@@ -371,6 +371,25 @@ class IndexRepository:
         ]
         return ";".join(parts)
 
+    def catalyst_join_conf(self, base_paths: dict[str, str]) -> str:
+        """Join-MV bridge to the JVM rule: render every 2-table join MV
+        as ``leftPath,leftKey,rightPath,rightKey,mvPath`` for
+        ``spark.linqonsteroids.joinindexes`` — a raw inner equi-join of
+        the two base parquet paths on the registered key pair is then
+        replaced, inside Catalyst, by one scan of the pre-joined MV.
+        Longer chains stay Python-side (the JVM rule's v1 scope is the
+        2-table shape)."""
+        parts = []
+        for (tables, keys), e in self._joins.items():
+            if len(tables) != 2 or not all(t in base_paths for t in tables):
+                continue
+            ((lk, rk),) = keys
+            parts.append(
+                f"{base_paths[tables[0]]},{lk},"
+                f"{base_paths[tables[1]]},{rk},{e.path}"
+            )
+        return ";".join(parts)
+
     # -- registration (entry point C, SURVEY §3) --
     def add_index(self, name: str, indexed: Indexed) -> IndexEntry:
         """Materialize ``coll.index_by(key)`` now and register it.

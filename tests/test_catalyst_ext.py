@@ -46,6 +46,9 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS project-interposed-shapes",
         "PASS stale-registry-fallback",
         "PASS relation-load-cached",
+        "PASS join-mv-substituted",
+        "PASS join-mv-no-false-rewrites",
+        "PASS join-mv-repository-bridge",
         "PASS no-false-rewrites",
     ):
         assert pin in proc.stdout, proc.stdout[-3000:]

@@ -166,6 +166,78 @@ def main() -> None:
     assert loads == 2, loads
     print("PASS relation-load-cached")
 
+    # --- join-MV substitution (spark.linqonsteroids.joinindexes) ---------
+    dim_path = os.path.join(tmp, "dim")
+    mv_path = os.path.join(tmp, "join_mv")
+    dim = spark.range(8).select(
+        F.col("id").alias("seg_id"),
+        F.concat(F.lit("segment-"), F.col("id")).alias("seg_name"),
+    )
+    dim.write.mode("overwrite").parquet(dim_path)
+    base_df2 = spark.read.parquet(base_path)
+    dim_df = spark.read.parquet(dim_path)
+    base_df2.join(dim_df, base_df2.seg == dim_df.seg_id).write.mode(
+        "overwrite"
+    ).parquet(mv_path)
+
+    spark.conf.set("spark.linqonsteroids.indexes", "")
+    jq = base_df2.join(dim_df, base_df2.seg == dim_df.seg_id).filter(
+        F.col("seg_name") == "segment-5"
+    )
+    want_join = sorted(tuple(r) for r in jq.collect())
+    assert len(want_join) == 125
+
+    spark.conf.set(
+        "spark.linqonsteroids.joinindexes",
+        f"{base_path},seg,{dim_path},seg_id,{mv_path}",
+    )
+    jq2 = base_df2.join(dim_df, base_df2.seg == dim_df.seg_id).filter(
+        F.col("seg_name") == "segment-5"
+    )
+    assert sorted(tuple(r) for r in jq2.collect()) == want_join
+    pj = jq2._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(mv_path) in pj, pj[:2000]
+    assert os.path.basename(base_path) not in pj, pj[:2000]
+    assert os.path.basename(dim_path) not in pj, pj[:2000]
+    assert "Join" not in pj, pj[:2000]  # the join itself is GONE
+    # flipped orientation matches too (inner join commutes)
+    jq3 = dim_df.join(base_df2, base_df2.seg == dim_df.seg_id)
+    p3j = jq3._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(mv_path) in p3j and "Join" not in p3j
+    assert jq3.count() == 1000
+    print("PASS join-mv-substituted")
+
+    # non-registered join key / outer join: untouched
+    jq4 = base_df2.join(dim_df, base_df2.payload == dim_df.seg_id)
+    p4j = jq4._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(mv_path) not in p4j
+    jq5 = base_df2.join(
+        dim_df, base_df2.seg == dim_df.seg_id, "left_outer"
+    )
+    p5j = jq5._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(mv_path) not in p5j
+    print("PASS join-mv-no-false-rewrites")
+
+    # repository bridge: a join MV registered through the Python API
+    # feeds the JVM rule via catalyst_join_conf
+    repo.add_join_index(
+        "base_dim_mv",
+        lift(base_df2, table="base").join(
+            lift(dim, table="dim"),
+            lambda l: l.seg,
+            lambda r: r.seg_id,
+        ),
+    )
+    conf = repo.catalyst_join_conf({"base": base_path, "dim": dim_path})
+    assert conf.count(",") == 4 and "base_dim_mv" in conf, conf
+    spark.conf.set("spark.linqonsteroids.joinindexes", conf)
+    jq6 = base_df2.join(dim_df, base_df2.seg == dim_df.seg_id)
+    p6j = jq6._jdf.queryExecution().executedPlan().toString()
+    assert "base_dim_mv" in p6j and "Join" not in p6j, p6j[:2000]
+    assert jq6.count() == 1000
+    print("PASS join-mv-repository-bridge")
+    spark.conf.set("spark.linqonsteroids.joinindexes", "")
+
     # no-registry and non-indexed-column queries must be untouched
     spark.conf.set("spark.linqonsteroids.indexes", "")
     p3 = (
