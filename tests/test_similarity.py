@@ -396,3 +396,60 @@ def test_ivfpq_refine_frac_scales_with_corpus(spark):
     )
     with pytest.raises(ValueError, match="not both"):
         ivfpq_topk(q, emb, IVF_CENTROIDS, refine=5, refine_frac=0.1)
+
+
+# --- property: IVFADC-R degenerate config == brute force on random input ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _random_corpora(draw):
+    """Small random 64-dim corpora (PQ requires dim = M*D = 64):
+    adversarial shapes included — duplicate vectors, tiny sizes."""
+    rng = draw(st.randoms(use_true_random=False))
+    n = draw(st.integers(min_value=3, max_value=24))
+    vecs = []
+    for i in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        # zero vectors have undefined cosine (hypothesis shrinks straight
+        # to them): the engine raises loudly under ANSI rather than
+        # emitting NaN ranks, which is the behavior we want — so the
+        # property domain is nonzero vectors
+        v[i % 64] += 1.0 if v[i % 64] >= 0 else -1.0
+        vecs.append((i, v))
+    if draw(st.booleans()) and n >= 2:  # inject an exact duplicate pair
+        vecs[1] = (1, list(vecs[0][1]))
+    return vecs
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_random_corpora())
+def test_ivfpq_degenerate_equals_bruteforce_random(spark, vecs):
+    """Full probe + full refine must equal brute force rank-for-rank on
+    ARBITRARY corpora — including exact-duplicate vectors (cos ties
+    broken by neighbor_id on both paths) and tiny corpora where
+    k > |corpus| - 1."""
+    from linqonsteroids_spark.similarity.ann import ivfpq_topk
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    q = corpus.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = ivfpq_topk(
+        q, corpus, IVF_CENTROIDS, k=4,
+        n_probe=len(IVF_CENTROIDS), refine=len(vecs),
+    )
+    exact = brute_force_topk(q, corpus, k=4, exclude_self=True)
+    a = {(r.query_id, r.rnk): r.neighbor_id for r in ann.collect()}
+    e = {(r.query_id, r.rnk): r.neighbor_id for r in exact.collect()}
+    assert a == e
