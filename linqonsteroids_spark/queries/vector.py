@@ -595,6 +595,109 @@ def ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PQ symmetric-distance near-dup pairs (SDC, within-cell) -----------------
+# The corpus-to-corpus half of the PQ toolkit (Jegou's SDC): pair
+# distances come from an 8x16x16 LITERAL table of centroid-to-centroid
+# squared distances indexed by the two vectors' codes — the pair scan
+# never touches a vector, only 4-bit codes. Candidates are WITHIN-CELL
+# pairs only (the IVF partition bounds the quadratic term; n_lists is
+# the parallelism/recall knob and scales with corpus size in
+# production), so this is the embedding near-dup pair generator at
+# 9 bytes/vector memory. Bit-exact across engines: table values ship as
+# literals, only lookups + left-assoc adds run live.
+_SDC_THRESHOLD = 0.7  # ~1.2k of 15.5k within-cell pairs at sf0.01
+
+
+def dedup_pq_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.similarity.ann import encode_corpus
+    from linqonsteroids_spark.similarity.pq import PQ_M, sdc_tables
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = encode_corpus(emb, IVF_CENTROIDS)
+    a = coded.select(
+        F.col("neighbor_id").alias("id_a"),
+        "cell",
+        *[F.col(f"code_{s}").alias(f"ca_{s}") for s in range(PQ_M)],
+    )
+    b = coded.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cell").alias("cell_b"),
+        *[F.col(f"code_{s}").alias(f"cb_{s}") for s in range(PQ_M)],
+    )
+    tables = sdc_tables()
+    sdc = None
+    for s in range(PQ_M):
+        term = F.element_at(
+            F.element_at(F.lit(tables[s]), F.col(f"ca_{s}") + 1),
+            F.col(f"cb_{s}") + 1,
+        )
+        sdc = term if sdc is None else sdc + term
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("sdc", sdc)
+        .filter(F.col("sdc") <= _SDC_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            (F.round("sdc", 4) + 0.0).alias("sdc_dist"),
+        )
+    )
+
+
+def _sdc_sql() -> str:
+    from linqonsteroids_spark.similarity.pq import PQ_M, sdc_tables
+
+    tables = sdc_tables()
+    lits = []
+    for s in range(PQ_M):
+        rows = ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]" for row in tables[s]
+        )
+        lits.append(f"[{rows}]::DOUBLE[][] AS sd_{s}")
+    sdc = " + ".join(
+        f"t.sd_{s}[a.code_{s} + 1][b.code_{s} + 1]" for s in range(PQ_M)
+    )
+    code_cols = ", ".join(
+        f"CAST(list_position(dl_{s}, list_min(dl_{s})) - 1 AS INT) AS code_{s}"
+        for s in range(PQ_M)
+    )
+    cdl = ", ".join(_pq_dist_list_cols("dl"))
+    return f"""
+WITH {_ann_prelude_sql()},
+sdt AS (SELECT {", ".join(lits)}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY -2 * list_dot_product(c.x, ct.cvec) + ct.cc ASC,
+                      ct.cell ASC) AS arnk
+    FROM ann_corpus c CROSS JOIN ann_cent ct
+  ) WHERE arnk = 1
+),
+coded AS (
+  SELECT asn.vec_id, asn.cell, cd.* EXCLUDE (vec_id)
+  FROM assigned asn
+  JOIN (SELECT vec_id, {code_cols}
+        FROM (SELECT vec_id, {cdl} FROM ann_corpus)) cd
+    ON cd.vec_id = asn.vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+       round({sdc}, 4) + 0.0 AS sdc_dist
+FROM coded a
+JOIN coded b ON a.cell = b.cell AND a.vec_id < b.vec_id
+CROSS JOIN sdt t
+WHERE {sdc} <= {_SDC_THRESHOLD}
+"""
+
+
+DEDUP_PQ_SDC_SQL = _sdc_sql()
+
+
 # --- streaming ANN ingest (§2.8 x similarity stack composition) --------------
 # The continuous-ingest path a production vector index runs: embedding
 # batches arrive as a stream (two staged files, maxFilesPerTrigger=1 →
@@ -758,6 +861,7 @@ QUERIES = {
     "ann_index_persisted": (ann_index_persisted, ANN_ADC_SQL),
     # same oracle again: streamed ingest must equal the batch build
     "streaming_ann_ingest": (streaming_ann_ingest, ANN_ADC_SQL),
+    "dedup_pq_sdc_pairs": (dedup_pq_sdc_pairs, DEDUP_PQ_SDC_SQL),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     # rows-only: cross-engine float-summation order (numpy differential in pytest)
