@@ -608,7 +608,9 @@ def ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SDC_THRESHOLD = 0.7  # ~1.2k of 15.5k within-cell pairs at sf0.01
 
 
-def dedup_pq_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_pq_sdc_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = _SDC_THRESHOLD
+) -> DataFrame:
     from linqonsteroids_spark.similarity.ann import encode_corpus
     from linqonsteroids_spark.similarity.pq import PQ_M, sdc_tables
     from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
@@ -639,7 +641,7 @@ def dedup_pq_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")),
         )
         .withColumn("sdc", sdc)
-        .filter(F.col("sdc") <= _SDC_THRESHOLD)
+        .filter(F.col("sdc") <= threshold)
         .select(
             "id_a",
             "id_b",
@@ -649,7 +651,7 @@ def dedup_pq_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sdc_sql() -> str:
+def _sdc_sql(threshold: float = _SDC_THRESHOLD) -> str:
     from linqonsteroids_spark.similarity.pq import PQ_M, sdc_tables
 
     tables = sdc_tables()
@@ -691,11 +693,88 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
 FROM coded a
 JOIN coded b ON a.cell = b.cell AND a.vec_id < b.vec_id
 CROSS JOIN sdt t
-WHERE {sdc} <= {_SDC_THRESHOLD}
+WHERE {sdc} <= {threshold}
 """
 
 
 DEDUP_PQ_SDC_SQL = _sdc_sql()
+
+#: tighter threshold for the SURVIVORS composition: components stay
+#: small (43 pairs at sf0.01 vs 1225 at 0.7), which keeps the dedup
+#: decision honest (only the closest code-space near-dups drop) and the
+#: oracle's recursive closure cheap — at 0.7 random-code collisions
+#: swallowed 92% of the corpus into components.
+_SDC_SURVIVOR_THRESHOLD = 0.5
+
+
+# --- SDC pairs -> components -> survivors (embedding dedup closer) -----------
+# The full embedding-space dedup pipeline as ONE composed query: SDC
+# code-only pair generation (above) -> connected components
+# (min-label + pointer jumping, operators/fixpoint.py) -> keep one
+# representative per component + every unflagged vector — exactly the
+# pairs→components→anti-join shape the text-side dedup_survivors gate
+# runs, now over the PQ-compressed embedding space. The oracle replays
+# the whole chain (SDC pairs as literal-table SQL, recursive closure,
+# anti-join), so the COMPOSITION is value-verified end to end.
+def sdc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.fixpoint import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup_pq_sdc_pairs(
+        spark, sf_dir, threshold=_SDC_SURVIVOR_THRESHOLD
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("vec_id")
+    )
+    kept = emb.select("vec_id", "label").withColumnRenamed(
+        "label", "vec_label"
+    ).join(drops, "vec_id", "left_anti")
+    flagged = comp.select(
+        F.col("node").alias("vec_id"), F.lit(True).alias("was_flagged")
+    )
+    return kept.join(flagged, "vec_id", "left").select(
+        "vec_id",
+        "vec_label",
+        F.coalesce("was_flagged", F.lit(False)).alias("in_dup_cluster"),
+    )
+
+
+# The pair CTE chain re-expressed inline: wrap the SDC pair query as a
+# CTE, symmetrize, recursively close, pick components, anti-join.
+def _sdc_survivors_oracle() -> str:
+    # DEDUP_PQ_SDC_SQL is "WITH <ctes> SELECT ... pairs"; split it so the
+    # whole thing becomes one more CTE in a RECURSIVE chain
+    body = _sdc_sql(_SDC_SURVIVOR_THRESHOLD).strip()
+    assert body.upper().startswith("WITH")
+    ctes, select = body[4:].rsplit("\nSELECT", 1)
+    return f"""
+WITH RECURSIVE {ctes},
+sdc_pairs AS (
+  SELECT id_a, id_b FROM (SELECT{select}) p
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM sdc_pairs
+  UNION
+  SELECT id_b, id_a FROM sdc_pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT v.vec_id, v.label AS vec_label,
+       (c.vec_id IS NOT NULL) AS in_dup_cluster
+FROM embeddings v LEFT JOIN comp c USING (vec_id)
+WHERE v.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component)
+"""
+
+
+SDC_SURVIVORS_SQL = _sdc_survivors_oracle()
 
 
 # --- streaming ANN ingest (§2.8 x similarity stack composition) --------------
@@ -862,6 +941,7 @@ QUERIES = {
     # same oracle again: streamed ingest must equal the batch build
     "streaming_ann_ingest": (streaming_ann_ingest, ANN_ADC_SQL),
     "dedup_pq_sdc_pairs": (dedup_pq_sdc_pairs, DEDUP_PQ_SDC_SQL),
+    "sdc_dedup_survivors": (sdc_dedup_survivors, SDC_SURVIVORS_SQL),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     # rows-only: cross-engine float-summation order (numpy differential in pytest)
