@@ -453,3 +453,34 @@ def test_ivfpq_degenerate_equals_bruteforce_random(spark, vecs):
     a = {(r.query_id, r.rnk): r.neighbor_id for r in ann.collect()}
     e = {(r.query_id, r.rnk): r.neighbor_id for r in exact.collect()}
     assert a == e
+
+
+def test_sdc_tables_consistent_with_codebook():
+    """The SDC lookup tables are a pure derived artifact: symmetric,
+    zero diagonal, and every entry equals the sequential squared-L2
+    between the two codebook centroids (numpy recompute with the same
+    accumulation order)."""
+    import numpy as np
+
+    from linqonsteroids_spark.similarity.pq import (
+        PQ_CODEBOOK,
+        PQ_D,
+        PQ_K,
+        PQ_M,
+        sdc_tables,
+    )
+
+    tables = sdc_tables()
+    assert len(tables) == PQ_M
+    for s in range(PQ_M):
+        t = tables[s]
+        book = np.array(PQ_CODEBOOK[s], dtype=np.float64)
+        for i in range(PQ_K):
+            assert t[i][i] == 0.0
+            for j in range(PQ_K):
+                assert t[i][j] == t[j][i]
+                sq = (book[i] - book[j]) ** 2
+                d = sq[0]
+                for k in range(1, PQ_D):
+                    d = d + sq[k]
+                assert t[i][j] == float(d)  # bit-exact
