@@ -241,6 +241,111 @@ def decode_image_stats(
     return images.mapInPandas(decode_batches, schema=DECODE_RESULT_SCHEMA)
 
 
+# --- resize (the remaining multimodal verb: decode/feature/RESIZE/sample) ----
+
+
+def _resize_nearest(
+    px: list[int], width: int, new_w: int, new_h: int
+) -> list[int]:
+    """Nearest-neighbor grayscale resize, integer-exact: src index =
+    floor(dst * src_dim / dst_dim). Deliberately OUR kernel rather than
+    PIL's NEAREST (whose sampling offsets differ): the library tier only
+    DECODES, resize always runs here, so every tier produces identical
+    bytes (the _luma_stats sharing discipline)."""
+    height = len(px) // max(width, 1)
+    out: list[int] = []
+    for y in range(new_h):
+        row = (y * height // new_h) * width
+        for x in range(new_w):
+            out.append(px[row + x * width // new_w])
+    return out
+
+
+def _resize_stats_stub(data: bytes, new_w: int, new_h: int) -> dict:
+    """Deterministic fake resize stats, SQL-replayable (ASCII payload →
+    byte concat == string concat): sha256(payload || '#WxH')."""
+    h = hashlib.sha256(
+        data + f"#{new_w}x{new_h}".encode()
+    ).digest()
+    return {
+        "out_w": new_w,
+        "out_h": new_h,
+        "mean_luma": h[0],
+        "resized_hash": h.hex()[:16],
+    }
+
+
+def _resize_stats_real(data: bytes, new_w: int, new_h: int) -> dict:
+    """Real tier: decode (PIL when importable, pure-stdlib PNG
+    otherwise), resize with the shared integer kernel, integer floor
+    mean + content hash of the resized plane — every value exact."""
+    if _PIL_Image is not None:  # pragma: no cover - env lacks PIL
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(data)).convert("L")
+        px, width = list(img.getdata()), img.width
+    elif data[:8] == _PNG_SIG:
+        px, width = _decode_png_pure(data)
+    else:
+        raise NotImplementedError(
+            "real resize of non-PNG formats requires PIL, not present in "
+            "this environment; the stub path remains active for them"
+        )
+    out = _resize_nearest(px, width, new_w, new_h)
+    return {
+        "out_w": new_w,
+        "out_h": new_h,
+        "mean_luma": sum(out) // max(len(out), 1),
+        "resized_hash": hashlib.sha256(bytes(out)).hexdigest()[:16],
+    }
+
+
+RESIZE_RESULT_SCHEMA = (
+    "doc_id long, format string, out_w int, out_h int, "
+    "mean_luma int, resized_hash string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    new_w: int,
+    new_h: int,
+    id_col: str = "doc_id",
+    decoder: str = "auto",
+) -> DataFrame:
+    """Image resize → per-item (dims, integer mean luma, resized-plane
+    hash) via mapInPandas, the standard thumbnail/normalization pass of
+    a multimodal training pipeline. Same dispatch contract as
+    decode_image_stats ("auto" tries the real tier per payload and
+    degrades undecodable bytes to the stub); only image rows reach
+    Python; row-local, zero shuffle."""
+    images = df.filter(F.col("media_meta.format").isin("png", "jpeg")).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_bytes"),
+    )
+
+    def one(b: bytes) -> dict:
+        if decoder == "real":
+            return _resize_stats_real(b, new_w, new_h)
+        if decoder == "stub":
+            return _resize_stats_stub(b, new_w, new_h)
+        try:
+            return _resize_stats_real(b, new_w, new_h)
+        except Exception:  # noqa: BLE001 — degrade, don't fail the stage
+            return _resize_stats_stub(b, new_w, new_h)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = [one(bytes(b)) for b in pdf["media_bytes"]]
+            out = pd.DataFrame(stats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "format", pdf["format"].values)
+            yield out
+
+    return images.mapInPandas(batches, schema=RESIZE_RESULT_SCHEMA)
+
+
 FRAME_RESULT_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
 
 

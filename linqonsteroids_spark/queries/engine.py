@@ -551,6 +551,44 @@ FROM (
 """
 
 
+# --- multimodal resize (the remaining verb of decode/feature/resize/sample) --
+# Thumbnail/normalization pass: stub tier here (sha-derived, oracle
+# replays sha256(payload || '#WxH')); the REAL tier — pure-stdlib PNG
+# decode + the shared integer nearest-neighbor kernel, exact pixels —
+# is pinned in tests/test_multimodal.py on a crafted gradient PNG.
+_RESIZE_W = 16
+_RESIZE_H = 16
+
+
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.multimodal.media import (
+        attach_fake_media,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs)
+    return resize_images(
+        media, _RESIZE_W, _RESIZE_H, decoder="stub"
+    )  # payloads are hashes
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       {_RESIZE_W} AS out_w,
+       {_RESIZE_H} AS out_h,
+       {_hex_byte_sql('h', 1)} AS mean_luma,
+       substr(h, 1, 16) AS resized_hash
+FROM (
+  SELECT doc_id,
+         sha256(sha256(CAST(doc_id AS VARCHAR))
+                || '#{_RESIZE_W}x{_RESIZE_H}') AS h
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+)
+"""
+
+
 # --- multimodal frame sampling (explode JVM-side, features in pandas) -----
 # Videos (doc_id % 3 = 2) carry n_frames = doc_id % 120 + 1; sampling every
 # 30th frame yields (n_frames - 1) // 30 + 1 rows — the closed form the
@@ -740,4 +778,5 @@ QUERIES = {
     "multimodal_keyframes": (multimodal_keyframes, KEYFRAMES_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, AUDIO_STATS_SQL),
     "audio_vad_segments": (audio_vad_segments, AUDIO_VAD_SQL),
+    "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),
 }

@@ -472,3 +472,49 @@ def test_vad_auto_tier_degrades_to_stub(spark):
     assert out[(1, 0)] == 10000  # real: mean(100^2)
     assert out[(2, 0)] == _frame_energy_stub(junk, 0)
     assert out[(2, 1)] == _frame_energy_stub(junk, 1)
+
+
+def test_resize_real_png_exact_pixels(spark):
+    """Real-tier resize on a crafted 4x4 gradient PNG: the shared
+    integer nearest-neighbor kernel (src = floor(dst*src/dst)) must pick
+    exactly rows/cols 0 and 2 for a 2x2 target, with exact integer mean
+    and a stable resized-plane hash."""
+    import hashlib
+
+    from linqonsteroids_spark.multimodal.media import (
+        _resize_nearest,
+        resize_images,
+    )
+
+    rows = [
+        [0, 10, 20, 30],
+        [40, 50, 60, 70],
+        [80, 90, 100, 110],
+        [120, 130, 140, 150],
+    ]
+    data = _encode_png(rows, filters=[0, 0, 0, 0])
+    df = spark.createDataFrame(
+        [(9, data, ("png", 4, 4, 1, len(data)))],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,width:int,height:int,n_frames:int,size_bytes:long>",
+    )
+    out = resize_images(df, 2, 2, decoder="real").collect()
+    assert len(out) == 1
+    r = out[0]
+    # floor indexing: rows 0,2 x cols 0,2 -> [0, 20, 80, 100]
+    want = [0, 20, 80, 100]
+    assert _resize_nearest(sum(rows, []), 4, 2, 2) == want
+    assert (r.out_w, r.out_h) == (2, 2)
+    assert r.mean_luma == sum(want) // 4  # == 50
+    assert r.resized_hash == hashlib.sha256(bytes(want)).hexdigest()[:16]
+
+    # auto tier degrades a non-PNG payload to the stub
+    from linqonsteroids_spark.multimodal.media import _resize_stats_stub
+
+    junk = b"0f3a" * 8
+    df2 = spark.createDataFrame(
+        [(2, junk, ("jpeg", 4, 4, 1, len(junk)))],
+        df.schema,
+    )
+    got = resize_images(df2, 2, 2, decoder="auto").collect()[0]
+    assert got.resized_hash == _resize_stats_stub(junk, 2, 2)["resized_hash"]
