@@ -224,6 +224,12 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       mv <- loadIndex(hit._5)
       byName = mv.output.map(o => o.name -> o).toMap
       wanted = (ls._1.output ++ rs._1.output)
+      // name-based restoration is only sound when names are unique
+      // across BOTH sides — a shared column name would silently bind
+      // both sides to the same MV column (the Python repository
+      // enforces uniqueness at MV registration; a hand-written conf
+      // must not bypass that)
+      if wanted.map(_.name).distinct.size == wanted.size
       if wanted.forall(o => byName.contains(o.name))
     } yield {
       // every base column restored under its ORIGINAL exprId...

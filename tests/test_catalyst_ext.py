@@ -47,6 +47,7 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS stale-registry-fallback",
         "PASS relation-load-cached",
         "PASS join-mv-substituted",
+        "PASS join-mv-ambiguous-name-untouched",
         "PASS join-mv-no-false-rewrites",
         "PASS join-mv-repository-bridge",
         "PASS no-false-rewrites",

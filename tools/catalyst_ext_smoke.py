@@ -207,6 +207,29 @@ def main() -> None:
     assert jq3.count() == 1000
     print("PASS join-mv-substituted")
 
+    # ambiguous column names across the two sides: a hand-written conf
+    # pointing at tables that SHARE a column name must not rewrite —
+    # name-based restoration would silently bind both sides to one MV
+    # column (the Python repository rejects such MVs at registration)
+    dim_amb_path = os.path.join(tmp, "dim_amb")
+    spark.range(8).select(
+        F.col("id").alias("seg_id"),
+        (F.col("id") * 100).alias("payload"),  # clashes with base.payload
+    ).write.mode("overwrite").parquet(dim_amb_path)
+    amb_df = spark.read.parquet(dim_amb_path)
+    spark.conf.set(
+        "spark.linqonsteroids.joinindexes",
+        f"{base_path},seg,{dim_amb_path},seg_id,{mv_path}",
+    )
+    jq_amb = base_df2.join(amb_df, base_df2.seg == amb_df.seg_id)
+    p_amb = jq_amb._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(mv_path) not in p_amb, p_amb[:2000]
+    print("PASS join-mv-ambiguous-name-untouched")
+    spark.conf.set(
+        "spark.linqonsteroids.joinindexes",
+        f"{base_path},seg,{dim_path},seg_id,{mv_path}",
+    )
+
     # non-registered join key / outer join: untouched
     jq4 = base_df2.join(dim_df, base_df2.payload == dim_df.seg_id)
     p4j = jq4._jdf.queryExecution().executedPlan().toString()
