@@ -35,6 +35,16 @@ Recall is a measured property, not an assumption: queries/vector.py
 gates `ann_recall_report` against the exact brute-force top-k in
 integer ppm (the lsh_recall_report pattern).
 
+Residual encoding (the full IVFADC encodes x - centroid[cell] and
+builds one LUT per probed cell) was MEASURED and deliberately not
+taken: on this corpus the IVF centroids carry little energy (mean |c|
+0.27 vs unit vectors; residuals retain 92.7% of raw energy) and
+recall at the production config is identical — 0.80 residual vs 0.80
+raw at (n_probe 5, R 50), sf0.01. Raw-vector codes keep the query LUT
+per-query instead of per-(query, cell) and keep the codebook usable
+without the cell assignment, at zero measured recall cost. On a
+corpus with strong cluster structure the trade reverses; revisit then.
+
 Reference parity note: /root/reference has no ANN surface at all (its
 §2 operators are relational); this module is north-star scope from the
 build brief (similarity search over embedding columns at 100 TB).
