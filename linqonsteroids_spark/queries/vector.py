@@ -681,7 +681,7 @@ assigned AS (
     FROM ann_corpus c CROSS JOIN ann_cent ct
   ) WHERE arnk = 1
 ),
-coded AS (
+coded AS MATERIALIZED (
   SELECT asn.vec_id, asn.cell, cd.* EXCLUDE (vec_id)
   FROM assigned asn
   JOIN (SELECT vec_id, {code_cols}
@@ -750,7 +750,7 @@ def _sdc_survivors_oracle() -> str:
     ctes, select = body[4:].rsplit("\nSELECT", 1)
     return f"""
 WITH RECURSIVE {ctes},
-sdc_pairs AS (
+sdc_pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM (SELECT{select}) p
 ),
 edges AS (
