@@ -612,7 +612,7 @@ def dedup_pq_sdc_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = _SDC_THRESHOLD
 ) -> DataFrame:
     from linqonsteroids_spark.similarity.ann import encode_corpus
-    from linqonsteroids_spark.similarity.pq import PQ_M, sdc_tables
+    from linqonsteroids_spark.similarity.pq import PQ_K, PQ_M, sdc_tables
     from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -630,9 +630,14 @@ def dedup_pq_sdc_pairs(
     tables = sdc_tables()
     sdc = None
     for s in range(PQ_M):
+        # FLAT 256-entry literal + computed index, not a nested list:
+        # F.lit of a flat python list folds to ONE array Literal, while
+        # a nested list builds CreateArray-of-arrays re-evaluated per
+        # row (the measured literal trap — see spark-perf notes)
+        flat = [v for row in tables[s] for v in row]
         term = F.element_at(
-            F.element_at(F.lit(tables[s]), F.col(f"ca_{s}") + 1),
-            F.col(f"cb_{s}") + 1,
+            F.lit(flat),
+            (F.col(f"ca_{s}") * PQ_K + F.col(f"cb_{s}") + 1).cast("int"),
         )
         sdc = term if sdc is None else sdc + term
     return (
