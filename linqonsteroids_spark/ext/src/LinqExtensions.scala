@@ -76,8 +76,27 @@ object IndexSubstitution {
   // analyzed index relations, one load per path per JVM; the smoke
   // (tools/catalyst_ext_smoke.py) asserts loadCount == |distinct paths|
   // after repeated queries, pinning the no-relist property.
+  //
+  // Invalidation: the cache holds the index's FILE LISTING for the JVM
+  // lifetime, so an index/MV directory rewritten in-session would
+  // silently serve the stale listing. The Python repository bumps
+  // spark.linqonsteroids.cacheEpoch whenever it (re)materializes an
+  // entry; a changed epoch clears the cache before the next rewrite
+  // (round-8 ADVICE). clearCache() is the direct hook for callers that
+  // rewrite index data without going through the repository.
   private[ext] val relationCache = TrieMap.empty[String, LogicalPlan]
   @volatile private[ext] var loadCount: Int = 0
+  @volatile private[ext] var epochSeen: String = "0"
+
+  def clearCache(): Unit = relationCache.clear()
+
+  private[ext] def syncEpoch(epoch: String): Unit =
+    if (epoch != epochSeen) synchronized {
+      if (epoch != epochSeen) {
+        relationCache.clear()
+        epochSeen = epoch
+      }
+    }
 }
 
 case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
@@ -253,6 +272,11 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val haveFilters = registry.nonEmpty
     val haveJoins = joinRegistry.nonEmpty
     if (!haveFilters && !haveJoins) return plan
+    IndexSubstitution.syncEpoch(
+      session.conf
+        .getOption("spark.linqonsteroids.cacheEpoch")
+        .getOrElse("0")
+    )
     plan transform {
       case f @ Filter(cond, rel: LogicalRelation) if haveFilters =>
         substituted(cond, rel).map(Filter(cond, _)).getOrElse(f)

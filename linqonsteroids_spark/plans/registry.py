@@ -197,6 +197,28 @@ class JoinIndexEntry:
     columns: tuple[str, ...] = ()
 
 
+# -- JVM relation-cache epoch ------------------------------------------------
+# The Catalyst rule (ext/src/LinqExtensions.scala) caches each index/MV's
+# analyzed relation — file listing included — for the JVM lifetime.  Every
+# actual materialization in this process bumps this counter; publishing it
+# as spark.linqonsteroids.cacheEpoch makes the rule drop its cache before
+# the next rewrite, so an index rewritten in-session is never served from
+# a stale listing (round-8 ADVICE).  Process-global on purpose: one driver
+# process == one JVM, and ANY repository instance rebuilding ANY path must
+# invalidate (the JVM cache is keyed by path, not by repository).
+_catalyst_epoch = 0
+
+
+def _bump_catalyst_epoch() -> None:
+    global _catalyst_epoch
+    _catalyst_epoch += 1
+
+
+def catalyst_epoch() -> str:
+    """Current epoch value for ``spark.linqonsteroids.cacheEpoch``."""
+    return str(_catalyst_epoch)
+
+
 class IndexRepository:
     """Precomputed-query repository (Optimization.scala:26-63 analogue).
 
@@ -339,6 +361,7 @@ class IndexRepository:
         if self._entry_built(layout, path, meta):
             return
         build()
+        _bump_catalyst_epoch()
         if layout == "table":
             loc = self._table_location(path)
             if loc is not None:
@@ -389,6 +412,19 @@ class IndexRepository:
                 f"{base_paths[tables[1]]},{rk},{e.path}"
             )
         return ";".join(parts)
+
+    def install_catalyst_conf(self, base_paths: dict[str, str]) -> None:
+        """Publish this repository to the JVM rule in one shot: both
+        registry confs plus the cache epoch, so a re-materialized index
+        is never served from the rule's stale relation cache."""
+        self.spark.conf.set(
+            "spark.linqonsteroids.indexes", self.catalyst_conf(base_paths)
+        )
+        self.spark.conf.set(
+            "spark.linqonsteroids.joinindexes",
+            self.catalyst_join_conf(base_paths),
+        )
+        self.spark.conf.set("spark.linqonsteroids.cacheEpoch", catalyst_epoch())
 
     # -- registration (entry point C, SURVEY §3) --
     def add_index(self, name: str, indexed: Indexed) -> IndexEntry:

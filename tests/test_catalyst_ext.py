@@ -46,6 +46,7 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS project-interposed-shapes",
         "PASS stale-registry-fallback",
         "PASS relation-load-cached",
+        "PASS cache-epoch-invalidation",
         "PASS join-mv-substituted",
         "PASS join-mv-ambiguous-name-untouched",
         "PASS join-mv-no-false-rewrites",

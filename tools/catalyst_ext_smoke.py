@@ -166,6 +166,47 @@ def main() -> None:
     assert loads == 2, loads
     print("PASS relation-load-cached")
 
+    # cache-epoch invalidation: rewrite the index directory IN-SESSION
+    # (new payload values), bump spark.linqonsteroids.cacheEpoch, and the
+    # rule must reload the relation — serving the NEW data, exactly one
+    # extra load. Without the bump the rule would keep serving the
+    # cached (now deleted) file listing.
+    epoch_base = os.path.join(tmp, "epoch_base")
+    epoch_idx = os.path.join(tmp, "epoch_idx")
+    df.write.mode("overwrite").parquet(epoch_base)
+    df.repartition("seg").write.mode("overwrite").partitionBy("seg").parquet(
+        epoch_idx
+    )
+    spark.conf.set(
+        "spark.linqonsteroids.indexes", f"{epoch_base},seg,{epoch_idx}"
+    )
+    qe = spark.read.parquet(epoch_base).filter(F.col("seg") == 5)
+    assert sorted(r.payload for r in qe.collect())[0] == 15
+    loads_before = mod.loadCount()
+    # in-session rewrite: same directory, payload shifted by 1000
+    df.withColumn("payload", F.col("payload") + 1000).repartition(
+        "seg"
+    ).write.mode("overwrite").partitionBy("seg").parquet(epoch_idx)
+    from linqonsteroids_spark.plans.registry import (
+        _bump_catalyst_epoch,
+        catalyst_epoch,
+    )
+
+    _bump_catalyst_epoch()
+    spark.conf.set("spark.linqonsteroids.cacheEpoch", catalyst_epoch())
+    qe2 = spark.read.parquet(epoch_base).filter(F.col("seg") == 5)
+    vals_e = sorted(r.payload for r in qe2.collect())
+    assert vals_e[0] == 1015 and len(vals_e) == 125, vals_e[:3]
+    pe = qe2._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(epoch_idx) in pe, pe[:2000]
+    # one reload for epoch_idx, one for idx_path (both were evicted by
+    # the clear; idx_path reloads lazily on its next use, not here)
+    assert mod.loadCount() == loads_before + 1, (loads_before, mod.loadCount())
+    # unchanged epoch: repeated queries stay cached
+    spark.read.parquet(epoch_base).filter(F.col("seg") == 3).collect()
+    assert mod.loadCount() == loads_before + 1
+    print("PASS cache-epoch-invalidation")
+
     # --- join-MV substitution (spark.linqonsteroids.joinindexes) ---------
     dim_path = os.path.join(tmp, "dim")
     mv_path = os.path.join(tmp, "join_mv")
