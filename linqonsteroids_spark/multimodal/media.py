@@ -481,7 +481,8 @@ def frame_lumas(
         "media_bytes",
         F.col("media_meta.n_frames").alias("n_frames"),
     )
-    frames = videos.select(
+    # n_frames == 0 must emit no rows (sequence(0, -1) is [0, -1])
+    frames = videos.filter(F.col("n_frames") > 0).select(
         "doc_id",
         "media_bytes",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
@@ -701,12 +702,18 @@ def frame_energies(
     ``n_frames`` is a Column giving the per-row frame count (derived
     from metadata for stubs, ``duration/frame_ms`` for real audio). The
     explode is JVM-side; only audio rows reach the Arrow stage."""
-    audio = df.filter(F.col("media_meta.format").isin("wav", "mp3")).select(
-        F.col(id_col).alias("doc_id"),
-        "media_bytes",
-        F.explode(F.sequence(F.lit(0), n_frames.cast("int") - 1)).alias(
-            "frame_idx"
-        ),
+    # sequence(0, -1) is DESCENDING [0, -1], not empty — a 0-frame row
+    # must emit no rows, not two spurious frames (round-8 ADVICE)
+    audio = (
+        df.filter(F.col("media_meta.format").isin("wav", "mp3"))
+        .filter(n_frames.cast("int") > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "media_bytes",
+            F.explode(F.sequence(F.lit(0), n_frames.cast("int") - 1)).alias(
+                "frame_idx"
+            ),
+        )
     )
     def one(b: bytes, i: int) -> int:
         if extractor == "real":
@@ -792,7 +799,8 @@ def sample_video_frames(
         F.col("media_bytes"),
         F.col("media_meta.n_frames").alias("n_frames"),
     )
-    sampled = videos.select(
+    # n_frames == 0 must emit no rows (sequence(0, -1) is [0, -1])
+    sampled = videos.filter(F.col("n_frames") > 0).select(
         "doc_id",
         "media_bytes",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias(

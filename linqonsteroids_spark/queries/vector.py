@@ -790,8 +790,12 @@ SDC_SURVIVORS_SQL = _sdc_survivors_oracle()
 # the cells the batch maps to, no rebuild ever. After the stream drains,
 # a search over the STREAMED index must equal the batch-built search
 # bit-for-bit (append ≡ full build by encode determinism), so the gate
-# reuses the ADC oracle. Staging and index dirs are per-invocation and
-# removed in a finally block.
+# reuses the ADC oracle. Source batches, checkpoint, and the output
+# index live under SIBLING directories (base/src, base/_chk,
+# base/index) so the file-stream source only ever lists input batches —
+# never its own output or state (round-8 ADVICE; previously all three
+# shared one dir, leaning on the '_' prefix filter and the trigger's
+# listing snapshot). All per-invocation, removed in a finally block.
 def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
@@ -804,8 +808,11 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
 
     emb = load_table(spark, sf_dir, "embeddings")
-    stage = tempfile.mkdtemp(prefix="ann_ingest_stage_")
-    idx = os.path.join(stage, "index")
+    base = tempfile.mkdtemp(prefix="ann_ingest_")
+    src = os.path.join(base, "src")
+    idx = os.path.join(base, "index")
+    chk = os.path.join(base, "_chk")
+    os.makedirs(src)
     try:
         for i, half in enumerate(
             (
@@ -813,20 +820,20 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb.filter(F.col("vec_id") % 2 == 1),
             )
         ):
-            tmp = os.path.join(stage, f"z{i}")
+            tmp = os.path.join(base, f"z{i}")
             half.coalesce(1).write.mode("overwrite").parquet(tmp)
             for f in os.listdir(tmp):
                 if f.endswith(".parquet"):
                     shutil.move(
                         os.path.join(tmp, f),
-                        os.path.join(stage, f"part-{i}-batch.parquet"),
+                        os.path.join(src, f"part-{i}-batch.parquet"),
                     )
             shutil.rmtree(tmp)
 
         stream = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", "1")
-            .parquet(stage)
+            .parquet(src)
         )
         q = (
             stream.writeStream.foreachBatch(
@@ -834,7 +841,7 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     df, idx, IVF_CENTROIDS
                 )
             )
-            .option("checkpointLocation", os.path.join(stage, "_chk"))
+            .option("checkpointLocation", chk)
             .trigger(availableNow=True)
             .start()
         )
@@ -856,7 +863,7 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # materialize before the index dir dies
         return spark.createDataFrame(rows, out.schema)
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # --- ANN recall vs exact brute force (measured quality, integer ppm) ---------

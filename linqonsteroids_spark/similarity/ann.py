@@ -290,9 +290,14 @@ def ivfpq_index_topk(
     ``refine`` is set (the exact re-rank fetches true vectors)."""
     if refine is not None and corpus is None:
         raise ValueError("refine requires the corpus for the exact re-rank")
+    # one probe-kernel run total: the localCheckpoint materializes the
+    # Arrow stage at the cells collect, and the ADC join below reuses the
+    # checkpointed partitions instead of re-running the kernel (round-8
+    # ADVICE). Driver traffic stays the bounded cell-id set; the LUT
+    # payload never leaves the executors.
     probes = _query_probe_luts(
         queries, centroids, n_probe, query_id, query_vec
-    )
+    ).localCheckpoint(eager=False)
     cells = sorted(
         {c for r in probes.select("probe_cells").collect() for c in r[0]}
     )  # bounded: <= n_lists values
@@ -310,6 +315,7 @@ def ivfpq_index_topk(
         corpus_vec=corpus_vec,
         exclude_self=exclude_self,
         refine=refine,
+        probes=probes,
     )
 
 
@@ -326,10 +332,13 @@ def _topk_from_coded(
     corpus_vec: str,
     exclude_self: bool,
     refine: int | None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
-    probes = _query_probe_luts(
-        queries, centroids, n_probe, query_id, query_vec
-    ).select(
+    if probes is None:
+        probes = _query_probe_luts(
+            queries, centroids, n_probe, query_id, query_vec
+        )
+    probes = probes.select(
         query_id,
         F.explode("probe_cells").alias("cell"),
         *[f"lut_{s}" for s in range(PQ_M)],

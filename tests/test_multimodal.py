@@ -518,3 +518,41 @@ def test_resize_real_png_exact_pixels(spark):
     )
     got = resize_images(df2, 2, 2, decoder="auto").collect()[0]
     assert got.resized_hash == _resize_stats_stub(junk, 2, 2)["resized_hash"]
+
+
+def test_zero_frames_emit_no_rows(spark):
+    """n_frames == 0 must produce ZERO exploded rows: sequence(0, -1)
+    is the DESCENDING sequence [0, -1], so without the >0 guard a
+    0-frame row emitted two spurious frames (round-8 ADVICE) — the real
+    tier raised on frame -1 and the auto tier silently degraded it to
+    stub energies."""
+    from linqonsteroids_spark.multimodal.media import (
+        frame_energies,
+        frame_lumas,
+        sample_video_frames,
+    )
+
+    rate = 1000
+    wav = _encode_wav(rate, 1, [100] * 40)
+    audio = spark.createDataFrame(
+        [(1, wav, ("wav", rate, 1, len(wav))), (2, wav, ("wav", rate, 1, len(wav)))],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,sample_rate:int,n_channels:int,size_bytes:long>",
+    )
+    # per-row frame count: doc 1 gets 2 frames, doc 2 gets 0
+    n = F.when(F.col("doc_id") == 1, F.lit(2)).otherwise(F.lit(0))
+    got = frame_energies(audio, n_frames=n, extractor="auto").collect()
+    assert sorted((r.doc_id, r.frame_idx) for r in got) == [(1, 0), (1, 1)]
+
+    video = spark.createDataFrame(
+        [
+            (3, b"vid3" * 8, ("mp4", 8, 8, 2, 32)),
+            (4, b"vid4" * 8, ("mp4", 8, 8, 0, 32)),
+        ],
+        "doc_id long, media_bytes binary, "
+        "media_meta struct<format:string,width:int,height:int,n_frames:int,size_bytes:long>",
+    )
+    lumas = frame_lumas(video, extractor="stub").collect()
+    assert sorted((r.doc_id, r.frame_idx) for r in lumas) == [(3, 0), (3, 1)]
+    sampled = sample_video_frames(video, every_n=1, extractor="stub").collect()
+    assert sorted((r.doc_id, r.frame_idx) for r in sampled) == [(3, 0), (3, 1)]
