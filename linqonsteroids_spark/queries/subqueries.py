@@ -1,0 +1,240 @@
+"""Subquery-decorrelation surface: the Fegaras–Maier unnesting family
+the reference implements as hand-written rewrite rules, exercised here as
+one-SQL-text-both-engines gates that Catalyst must unnest on its own.
+
+Reference parity: the reference's `existsUnnester` / `generalUnnesting`
+(`optimization/Unnesting.scala:52-84,101-134`) turn nested `exists` /
+flatMap-of-flatMap comprehensions into joins; Catalyst's
+`RewritePredicateSubquery` (EXISTS/IN → semi/anti join) and
+`DecorrelateInnerQuery`/`RewriteCorrelatedScalarSubquery` (correlated
+scalar → aggregate + outer join) are the built-in equivalents. Each gate
+below is a TPC-H-shaped query whose naive reading is a per-row subquery
+rescan — O(rows × subquery) — and whose decorrelated plan is a constant
+number of joins/aggregates; at 100 TB the rewrite IS the feasibility
+line. The repo-wide plan audit (tools/plan_audit.py) asserts none of
+them degrades to a cartesian/nested-loop shape.
+
+Hash discipline (MEMORY: oracle-hash-pitfalls): money accumulates in
+DECIMAL(18,2) and is emitted as fixed-point BIGINT (cents / c4); counts
+and quantity sums (integer-valued doubles, exact under any summation
+order) cast to BIGINT; rank cut lines order by integers only. One SQL
+text serves Spark and the DuckDB oracle verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _run(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, tables)
+    return spark.sql(sql)
+
+
+# Q17-shaped: CORRELATED SCALAR subquery — each lineitem compares against
+# its part's average quantity. Catalyst decorrelates to a grouped
+# aggregate of lineitem joined back on l_partkey (two passes over the
+# fact, one shuffle each), never a per-row rescan. The avg threshold is
+# ulp-safe: l_quantity is integer-valued (sum exact in double under any
+# order), so 0.2 * avg is bit-identical on both engines.
+SQL_Q17_SMALL_QTY = """
+SELECT CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 0) * 100
+            AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size < 15
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def sql_surface_small_qty_revenue(spark, sf_dir):
+    return _run(spark, sf_dir, ["lineitem", "part"], SQL_Q17_SMALL_QTY)
+
+
+# Q18-shaped: aggregated IN-subquery — the membership set is itself a
+# GROUP BY ... HAVING aggregate. Catalyst plans a semi join of orders
+# against the aggregated lineitem (map-side-combined), then the detail
+# join; the top-k cut orders by exact integer cents with a key tiebreak.
+SQL_Q18_LARGE_ORDERS = """
+SELECT c_name, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_cents,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c_name, o_orderkey, o_totalprice
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 50
+"""
+
+
+def sql_surface_large_orders(spark, sf_dir):
+    return _run(
+        spark, sf_dir, ["customer", "orders", "lineitem"], SQL_Q18_LARGE_ORDERS
+    )
+
+
+# Q21-shaped: DOUBLE-correlated EXISTS + NOT EXISTS on the same fact —
+# suppliers who were the ONLY 'R'-flag line on a multi-supplier finished
+# order. The reference's existsUnnester handles one level
+# (Unnesting.scala:52-84); Catalyst's RewritePredicateSubquery plans BOTH
+# as one semi and one anti join on l_orderkey, three passes over
+# lineitem total, no per-row rescan.
+SQL_Q21_WAITING_SUPPLIERS = """
+SELECT s_name, n_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
+def sql_surface_waiting_suppliers(spark, sf_dir):
+    return _run(
+        spark,
+        sf_dir,
+        ["supplier", "lineitem", "orders", "nation"],
+        SQL_Q21_WAITING_SUPPLIERS,
+    )
+
+
+# Q22-shaped: UNCORRELATED scalar threshold (computed once, broadcast)
+# + NOT EXISTS anti join — above-average-balance customers who never
+# placed an urgent order. The scalar avg is a one-row subquery both
+# engines evaluate once; the anti join replaces the per-customer rescan.
+SQL_Q22_IDLE_RICH = """
+SELECT c_mktsegment AS segment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS totacctbal_cents
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def sql_surface_idle_rich_customers(spark, sf_dir):
+    return _run(spark, sf_dir, ["customer", "orders"], SQL_Q22_IDLE_RICH)
+
+
+# Q7-shaped: the SAME dimension joined twice under different aliases
+# (supplier nation vs customer nation) — alias-scoped attribute
+# resolution plus two independent broadcasts of one table; the
+# disjunctive nation pair filter pushes into both dimension scans.
+# year() is cast to BIGINT on both engines (Spark types it INT, DuckDB
+# BIGINT — the cast pins the gated type).
+SQL_Q7_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+            AS BIGINT) AS revenue_c4
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+"""
+
+
+def sql_surface_volume_shipping(spark, sf_dir):
+    return _run(
+        spark,
+        sf_dir,
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+        SQL_Q7_VOLUME_SHIPPING,
+    )
+
+
+# Q15-shaped: CTE reused twice — once as the join side, once under a
+# scalar max() — the "top-1 of an aggregate" idiom. Revenue is exact
+# fixed-point BIGINT BEFORE the max, so the cut line is integer-exact;
+# ties (several suppliers at the max) are all returned, same both sides.
+SQL_Q15_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+              AS BIGINT) AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_c4
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_c4 = (SELECT max(total_revenue_c4) FROM revenue)
+"""
+
+
+def sql_surface_top_supplier(spark, sf_dir):
+    return _run(spark, sf_dir, ["supplier", "lineitem"], SQL_Q15_TOP_SUPPLIER)
+
+
+# Q14-shaped: conditional revenue share — both the filtered and the
+# total sum in one pass (the CASE factor stays integer so the DECIMAL
+# product type matches on both engines). Emitted as two exact
+# fixed-point columns, not a float ratio (no boundary exists).
+SQL_Q14_PROMO_REVENUE = """
+SELECT CAST(sum((CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END)
+               * CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+            AS BIGINT) AS promo_rev_c4,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+            AS BIGINT) AS total_rev_c4,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def sql_surface_promo_revenue(spark, sf_dir):
+    return _run(spark, sf_dir, ["lineitem", "part"], SQL_Q14_PROMO_REVENUE)
+
+
+QUERIES = {
+    "sql_surface_small_qty_revenue": (
+        sql_surface_small_qty_revenue,
+        SQL_Q17_SMALL_QTY,
+    ),
+    "sql_surface_large_orders": (sql_surface_large_orders, SQL_Q18_LARGE_ORDERS),
+    "sql_surface_waiting_suppliers": (
+        sql_surface_waiting_suppliers,
+        SQL_Q21_WAITING_SUPPLIERS,
+    ),
+    "sql_surface_idle_rich_customers": (
+        sql_surface_idle_rich_customers,
+        SQL_Q22_IDLE_RICH,
+    ),
+    "sql_surface_volume_shipping": (
+        sql_surface_volume_shipping,
+        SQL_Q7_VOLUME_SHIPPING,
+    ),
+    "sql_surface_top_supplier": (sql_surface_top_supplier, SQL_Q15_TOP_SUPPLIER),
+    "sql_surface_promo_revenue": (
+        sql_surface_promo_revenue,
+        SQL_Q14_PROMO_REVENUE,
+    ),
+}
