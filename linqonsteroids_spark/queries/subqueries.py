@@ -214,6 +214,73 @@ def sql_surface_promo_revenue(spark, sf_dir):
     return _run(spark, sf_dir, ["lineitem", "part"], SQL_Q14_PROMO_REVENUE)
 
 
+# LATERAL correlated LIMIT — top-2 priciest lineitems PER ORDER as a
+# lateral subquery (the reference's generalUnnesting shape,
+# Unnesting.scala:101-134: flatMap of a correlated inner query).
+# Catalyst decorrelates ORDER BY ... LIMIT under LATERAL into
+# WindowGroupLimit + row_number + one hash join (verified in the plan) —
+# NOT a per-order rescan; DuckDB evaluates the same text natively.
+SQL_LATERAL_TOPK = """
+SELECT o_orderkey, t.l_linenumber,
+       CAST(CAST(t.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+FROM orders JOIN LATERAL (
+  SELECT l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey = o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2
+) t ON true
+WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def sql_surface_lateral_topk(spark, sf_dir):
+    return _run(spark, sf_dir, ["orders", "lineitem"], SQL_LATERAL_TOPK)
+
+
+# Correlated scalar COUNT in the SELECT list — the classic "count bug"
+# case: a naive decorrelation to inner join + group drops zero-match
+# outer rows (nations with no suppliers must report 0, not vanish or go
+# NULL). Catalyst's RewriteCorrelatedScalarSubquery inserts the left
+# outer join + coalesce; the gate fails if either engine gets the
+# zero-group semantics wrong.
+SQL_NATION_CENSUS = """
+SELECT n_name,
+       (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers,
+       (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_customers
+FROM nation
+"""
+
+
+def sql_surface_nation_census(spark, sf_dir):
+    return _run(
+        spark, sf_dir, ["nation", "supplier", "customer"], SQL_NATION_CENSUS
+    )
+
+
+# NOT IN over a NULLABLE inner column — three-valued logic forces the
+# null-AWARE anti join (a plain anti join is wrong the moment the inner
+# side can hold a NULL). The CASE types the column nullable while the
+# WHERE keeps actual NULLs out, so the gate has non-trivial output; the
+# reachable-NULL poison case (NOT IN over a set containing NULL selects
+# NOTHING) is pinned separately in pytest where the inner set is a
+# literal table that does contain one.
+SQL_NULL_AWARE_ANTI = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE p_size NOT IN (SELECT CASE WHEN l_quantity > 45 THEN NULL
+                                 ELSE CAST(l_linenumber AS INT) END
+                     FROM lineitem
+                     WHERE l_returnflag = 'A' AND l_quantity <= 45)
+GROUP BY p_brand
+"""
+
+
+def sql_surface_null_aware_anti(spark, sf_dir):
+    return _run(spark, sf_dir, ["part", "lineitem"], SQL_NULL_AWARE_ANTI)
+
+
 QUERIES = {
     "sql_surface_small_qty_revenue": (
         sql_surface_small_qty_revenue,
@@ -236,5 +303,11 @@ QUERIES = {
     "sql_surface_promo_revenue": (
         sql_surface_promo_revenue,
         SQL_Q14_PROMO_REVENUE,
+    ),
+    "sql_surface_lateral_topk": (sql_surface_lateral_topk, SQL_LATERAL_TOPK),
+    "sql_surface_nation_census": (sql_surface_nation_census, SQL_NATION_CENSUS),
+    "sql_surface_null_aware_anti": (
+        sql_surface_null_aware_anti,
+        SQL_NULL_AWARE_ANTI,
     ),
 }

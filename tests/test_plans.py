@@ -407,3 +407,44 @@ def test_runtime_bloom_filter_injected_on_selective_dim_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    # generalUnnesting (Unnesting.scala:101-134): the correlated
+    # ORDER BY ... LIMIT under LATERAL must become a per-key window
+    # top-k feeding ONE equi-join — never a per-outer-row rescan or a
+    # nested-loop join.
+    from linqonsteroids_spark.queries.subqueries import sql_surface_lateral_topk
+
+    plan = _physical(sql_surface_lateral_topk(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "row_number" in plan, plan[:3000]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:3000]
+
+
+def test_not_in_with_reachable_null_selects_nothing(spark):
+    # Three-valued logic: NOT IN over a set CONTAINING a NULL is never
+    # true — the null-aware anti join must return zero rows, where a
+    # plain anti join would wrongly keep non-matching outer rows. The
+    # gated query (sql_surface_null_aware_anti) keeps actual NULLs out
+    # to stay non-trivial; this pins the poison case it documents.
+    outer = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+    outer.createOrReplaceTempView("poison_outer")
+    inner = spark.createDataFrame([(2,), (None,)], "w int")
+    inner.createOrReplaceTempView("poison_inner")
+    got = spark.sql(
+        "SELECT v FROM poison_outer "
+        "WHERE v NOT IN (SELECT w FROM poison_inner)"
+    ).collect()
+    assert got == []
+    # and without the NULL the anti join keeps exactly the non-members
+    inner2 = spark.createDataFrame([(2,)], "w int")
+    inner2.createOrReplaceTempView("poison_inner2")
+    got2 = sorted(
+        r.v
+        for r in spark.sql(
+            "SELECT v FROM poison_outer "
+            "WHERE v NOT IN (SELECT w FROM poison_inner2)"
+        ).collect()
+    )
+    assert got2 == [1, 3]
