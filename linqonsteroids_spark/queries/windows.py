@@ -265,8 +265,66 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+# --- the full ranking-function family over TIED keys ----------------------
+# rank vs dense_rank vs ntile vs percent_rank vs cume_dist, ordered by a
+# deliberately low-cardinality key (order month: ~3 distinct values per
+# priority partition, tie groups in the hundreds) so the tie semantics
+# of each function actually differentiate: rank jumps after a tie group,
+# dense_rank doesn't, cume_dist counts the whole group, percent_rank its
+# start. ntile orders by the UNIQUE key instead — its assignment under
+# ties is order-dependent and would be nondeterministic. The two
+# fractional functions are exact small-integer ratios ((rank-1)/(n-1),
+# peers/n) — identical IEEE doubles on both engines — emitted as ppm via
+# floor. One shuffle on the partition key serves all five (same window),
+# plus one for the ntile ordering.
+def orders_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_m = Window.partitionBy("o_orderpriority").orderBy(F.month("o_orderdate"))
+    w_k = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w_m).cast("long").alias("rnk"),
+        F.dense_rank().over(w_m).cast("long").alias("drnk"),
+        F.ntile(4).over(w_k).cast("long").alias("quartile"),
+        F.floor(F.lit(1000000) * F.percent_rank().over(w_m))
+        .cast("long")
+        .alias("prank_ppm"),
+        F.floor(F.lit(1000000) * F.cume_dist().over(w_m))
+        .cast("long")
+        .alias("cdist_ppm"),
+    )
+
+
+RANKING_FUNCTIONS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(rank() OVER (PARTITION BY o_orderpriority
+                         ORDER BY month(o_orderdate)) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                               ORDER BY month(o_orderdate)) AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_orderkey) AS BIGINT) AS quartile,
+       CAST(floor(1000000 * percent_rank() OVER (PARTITION BY o_orderpriority
+                                                 ORDER BY month(o_orderdate)))
+            AS BIGINT) AS prank_ppm,
+       CAST(floor(1000000 * cume_dist() OVER (PARTITION BY o_orderpriority
+                                              ORDER BY month(o_orderdate)))
+            AS BIGINT) AS cdist_ppm
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
 QUERIES = {
     "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
+    "orders_ranking_functions": (
+        orders_ranking_functions,
+        RANKING_FUNCTIONS_SQL,
+    ),
     "batch_user_sessions": (batch_user_sessions, BATCH_SESSIONS_SQL),
     "event_funnel_stages": (event_funnel_stages, EVENT_FUNNEL_SQL),
     "events_running_stats": (events_running_stats, EVENTS_RUNNING_SQL),
