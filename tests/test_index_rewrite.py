@@ -577,3 +577,39 @@ def test_stale_definition_rebuilds_not_reuses(spark, tmp_path):
         lift(slim, table="customer").index_by(lambda c: c.c_mktsegment),
     )
     assert len(spark.read.parquet(mv_dir).columns) == 2 != n_cols_v1
+
+
+def test_materialization_bumps_catalyst_epoch_and_installs_conf(spark, tmp_path):
+    # The JVM rule's relation cache is invalidated by the cacheEpoch conf
+    # (ext/src/LinqExtensions.scala); the Python side of that contract is
+    # (a) every ACTUAL materialization bumps the process-global epoch,
+    # (b) reuse does not, (c) install_catalyst_conf publishes all three
+    # confs in one shot. The JVM half is pinned in the extension smoke
+    # (PASS cache-epoch-invalidation).
+    from linqonsteroids_spark.plans.registry import catalyst_epoch
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    before = int(catalyst_epoch())
+    r = IndexRepository(spark, str(tmp_path / "epoch_idx"), n_buckets=4)
+    r.add_partitioned_index(
+        "cust_seg_dir",
+        lift(customer, table="customer").index_by(lambda c: c.c_mktsegment),
+    )
+    after_build = int(catalyst_epoch())
+    assert after_build > before  # build happened -> epoch moved
+
+    # metadata-only reuse (same definition, same path): no bump
+    r2 = IndexRepository(spark, str(tmp_path / "epoch_idx"), n_buckets=4)
+    r2.add_partitioned_index(
+        "cust_seg_dir",
+        lift(customer, table="customer").index_by(lambda c: c.c_mktsegment),
+    )
+    assert int(catalyst_epoch()) == after_build
+
+    base_path = f"{SF_SMOKE}/customer.parquet"
+    r.install_catalyst_conf({"customer": base_path})
+    assert spark.conf.get("spark.linqonsteroids.cacheEpoch") == catalyst_epoch()
+    assert base_path in spark.conf.get("spark.linqonsteroids.indexes")
+    # leave the shared session clean for other tests
+    spark.conf.set("spark.linqonsteroids.indexes", "")
+    spark.conf.set("spark.linqonsteroids.joinindexes", "")
