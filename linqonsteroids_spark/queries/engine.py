@@ -762,8 +762,60 @@ GROUP BY doc_id, seg_id
 """
 
 
+# --- custom Python Data Source (Spark 4 connector surface) ----------------
+# The registered linq_synth source (sources/pydatasource.py) read as a
+# first-class leaf: 32 declared partitions, the id-range predicate
+# absorbed by pushFilters BEFORE row generation (the post-scan Filter
+# keeps only isnotnull — pinned in tests/test_pydatasource.py), and a
+# grouped rollup on top. The oracle regenerates the same deterministic
+# rows from DuckDB's range(); every column is exact integer/string
+# arithmetic, so the gate is bit-stable by construction.
+def pyds_ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.sources.pydatasource import (
+        register as register_pyds,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_pyds(spark)
+    src = (
+        spark.read.format("linq_synth")
+        .option("n", 60000)
+        .option("parts", 32)
+        .load()
+    )
+    return (
+        src.filter((F.col("i") >= 10000) & (F.col("i") < 40000))
+        .groupBy("bucket", "tag")
+        .agg(
+            F.sum("amount").alias("total_amount"),
+            F.count("*").alias("n"),
+            F.min("i").alias("min_i"),
+            F.max("i").alias("max_i"),
+        )
+    )
+
+
+PYDS_ROLLUP_SQL = """
+WITH src AS (
+  SELECT i, CAST(i % 16 AS INT) AS bucket,
+         (i * 2654435761) % 100000 AS amount,
+         'tag_' || CAST(i % 7 AS VARCHAR) AS tag
+  FROM range(60000) t(i)
+)
+SELECT bucket, tag,
+       CAST(sum(amount) AS BIGINT) AS total_amount,
+       count(*) AS n,
+       CAST(min(i) AS BIGINT) AS min_i,
+       CAST(max(i) AS BIGINT) AS max_i
+FROM src
+WHERE i >= 10000 AND i < 40000
+GROUP BY bucket, tag
+"""
+
+
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
+    "pyds_ledger_rollup": (pyds_ledger_rollup, PYDS_ROLLUP_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
     "workload_replay_lookup": (workload_replay_lookup, WORKLOAD_REPLAY_SQL),
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),

@@ -1,0 +1,123 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource`): the
+"user-defined collection leaf" surface done Spark-natively.
+
+Reference parity: the reference lets any Scala collection become a query
+leaf (`Queryable`/`pureColl`, see sources/parquet.py citations); the
+Spark-4 equivalent for a NON-FILE source (a service, a generator, a
+proprietary store) is a registered Python DataSource. This module ships
+a deterministic synthetic-ledger source that demonstrates the three
+properties a 100 TB connector must have:
+
+- **partitioned reads**: `partitions()` splits the keyspace into
+  `parts` contiguous ranges, one task each — the driver never
+  materializes rows, and parallelism is declared, not collected;
+- **source-level filter pushdown**: `pushFilters` accepts >=/</<=/>
+  and = predicates on the row id `i` and narrows each partition's
+  range BEFORE any row is generated (Spark's planner sees the accepted
+  filters removed from the post-scan Filter) — rows outside the pushed
+  range are never yielded, the connector-side analogue of parquet
+  row-group pruning;
+- **exact determinism**: every column is an integer/string function of
+  `i`, so a SQL oracle (DuckDB `range(n)`) reproduces the source
+  bit-for-bit.
+
+The row function (Knuth multiplicative hash, small-modulus buckets) is
+arbitrary but frozen: gates and oracles embed the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+SYNTH_SCHEMA = "i bigint, bucket int, amount bigint, tag string"
+
+# Knuth's multiplicative constant; i stays <= ~1e6 so i * KNUTH is far
+# below 2^63 — the same expression is exact BIGINT arithmetic in DuckDB.
+_KNUTH = 2654435761
+
+
+def synth_row(i: int) -> tuple:
+    return (i, i % 16, (i * _KNUTH) % 100000, f"tag_{i % 7}")
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start  # inclusive
+        self.end = end  # exclusive
+
+
+class SyntheticLedgerReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 4))
+        # range narrowed by pushed-down predicates on i
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters):
+        # accept only range/equality predicates on the id column `i`;
+        # everything else is returned for Spark to evaluate post-scan
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col != ("i",):
+                yield f
+                continue
+            if isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f
+
+    def partitions(self):
+        # contiguous id ranges AFTER pushdown narrowing: pruned-away
+        # partitions simply never exist
+        lo, hi = self.lo, max(self.lo, self.hi)
+        parts = max(1, self.parts)
+        span = max(1, -(-(hi - lo) // parts))  # ceil
+        out = []
+        s = lo
+        while s < hi:
+            out.append(_RangePartition(s, min(s + span, hi)))
+            s += span
+        return out or [_RangePartition(0, 0)]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+
+class SyntheticLedgerDataSource(DataSource):
+    """spark.read.format("linq_synth").option("n", N).option("parts", P)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "linq_synth"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticLedgerReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the custom source on a session."""
+    spark.dataSource.register(SyntheticLedgerDataSource)

@@ -1,0 +1,64 @@
+"""Custom Python Data Source (Spark 4): the non-file connector leaf.
+
+Pins the three connector properties the module documents: declared
+partitioned reads, source-level filter pushdown (accepted predicates
+vanish from the post-scan Filter; unsupported ones are handed back),
+and exact determinism against the frozen row function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.sources.pydatasource import register, synth_row
+
+
+def _df(spark, n=10000, parts=8):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    return (
+        spark.read.format("linq_synth")
+        .option("n", n)
+        .option("parts", parts)
+        .load()
+    )
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_values_match_frozen_row_function(spark):
+    got = sorted(tuple(r) for r in _df(spark, n=500, parts=3).collect())
+    assert got == [synth_row(i) for i in range(500)]
+
+
+def test_declared_partitions_reach_the_scan(spark):
+    assert _df(spark, n=10000, parts=8).rdd.getNumPartitions() == 8
+
+
+def test_range_predicate_absorbed_by_pushdown(spark):
+    df = _df(spark).filter((F.col("i") >= 2000) & (F.col("i") < 2500))
+    plan = _physical(df)
+    # the range predicate is gone from the post-scan Filter: only the
+    # planner's isnotnull remains
+    post = plan.split("BatchScan")[0]
+    assert "2000" not in post and "2500" not in post, plan[:1500]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [synth_row(i) for i in range(2000, 2500)]
+
+
+def test_unsupported_predicate_handed_back(spark):
+    # bucket is not pushable: the source yields the filter back and
+    # Spark evaluates it post-scan — values stay correct either way
+    df = _df(spark, n=2000, parts=4).filter(F.col("bucket") == 3)
+    plan = _physical(df)
+    post = plan.split("BatchScan")[0]
+    assert "bucket" in post, plan[:1500]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [synth_row(i) for i in range(2000) if i % 16 == 3]
+
+
+def test_equality_pushdown_narrows_to_one_row(spark):
+    df = _df(spark).filter(F.col("i") == 4242)
+    assert [tuple(r) for r in df.collect()] == [synth_row(4242)]
