@@ -795,6 +795,74 @@ def pyds_ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming twin: the SAME registered source read as a micro-batch
+# stream (partition-planned DataSourceStreamReader — offsets advance by
+# `batch` ids per trigger, each micro-batch split into `parts` executor
+# ranges; replayable offsets = the exactly-once-source contract). The
+# stream drains via processAllAvailable (5 genuine micro-batches — the
+# custom source has no availableNow admission control, unlike file
+# sources), lands as parquet, and the gate aggregates the landed table.
+# Oracle: the same deterministic rows from range().
+def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        register as register_pyds,
+    )
+
+    register_pyds(spark)
+    base = tempfile.mkdtemp(prefix="pyds_stream_")
+    out, chk = os.path.join(base, "out"), os.path.join(base, "chk")
+    try:
+        stream = (
+            spark.readStream.format("linq_synth")
+            .option("n", 30000)
+            .option("batch", 6000)
+            .option("parts", 8)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        res = (
+            spark.read.parquet(out)
+            .groupBy("tag")
+            .agg(
+                F.sum("amount").alias("total_amount"),
+                F.count("*").alias("n"),
+                F.min("i").alias("min_i"),
+                F.max("i").alias("max_i"),
+            )
+        )
+        rows = res.collect()  # materialize before the staging dir dies
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+PYDS_STREAM_SQL = """
+WITH src AS (
+  SELECT i, (i * 2654435761) % 100000 AS amount,
+         'tag_' || CAST(i % 7 AS VARCHAR) AS tag
+  FROM range(30000) t(i)
+)
+SELECT tag,
+       CAST(sum(amount) AS BIGINT) AS total_amount,
+       count(*) AS n,
+       CAST(min(i) AS BIGINT) AS min_i,
+       CAST(max(i) AS BIGINT) AS max_i
+FROM src
+GROUP BY tag
+"""
+
+
 PYDS_ROLLUP_SQL = """
 WITH src AS (
   SELECT i, CAST(i % 16 AS INT) AS bucket,
@@ -816,6 +884,7 @@ GROUP BY bucket, tag
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "pyds_ledger_rollup": (pyds_ledger_rollup, PYDS_ROLLUP_SQL),
+    "pyds_stream_ingest": (pyds_stream_ingest, PYDS_STREAM_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
     "workload_replay_lookup": (workload_replay_lookup, WORKLOAD_REPLAY_SQL),
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),

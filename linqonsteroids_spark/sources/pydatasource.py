@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -104,8 +105,52 @@ class SyntheticLedgerReader(DataSourceReader):
             yield synth_row(i)
 
 
+class SyntheticLedgerStreamReader(DataSourceStreamReader):
+    """Micro-batch twin of the batch reader: offsets are positions in
+    the id space, each trigger advances by ``batch`` ids, and
+    ``partitions(start, end)`` splits every micro-batch into ``parts``
+    ranges read ON EXECUTORS — the partition-planned
+    DataSourceStreamReader, not the driver-side Simple variant, because
+    a real ingest source must scale horizontally per trigger. Offsets
+    are replayable (any [start, end) regenerates identical rows), which
+    is exactly the exactly-once-source contract Structured Streaming
+    asks of a connector."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 250))
+        self.parts = int(options.get("parts", 4))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.batch, self.n)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        span = max(1, -(-(hi - lo) // max(1, self.parts)))
+        out = []
+        s = lo
+        while s < hi:
+            out.append(_RangePartition(s, min(s + span, hi)))
+            s += span
+        return out or [_RangePartition(0, 0)]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticLedgerDataSource(DataSource):
-    """spark.read.format("linq_synth").option("n", N).option("parts", P)"""
+    """spark.read.format("linq_synth").option("n", N).option("parts", P)
+    — or spark.readStream with an extra option("batch", B) for rows per
+    micro-batch."""
 
     @classmethod
     def name(cls) -> str:
@@ -116,6 +161,9 @@ class SyntheticLedgerDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticLedgerReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return SyntheticLedgerStreamReader(self.options)
 
 
 def register(spark) -> None:

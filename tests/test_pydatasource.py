@@ -62,3 +62,32 @@ def test_unsupported_predicate_handed_back(spark):
 def test_equality_pushdown_narrows_to_one_row(spark):
     df = _df(spark).filter(F.col("i") == 4242)
     assert [tuple(r) for r in df.collect()] == [synth_row(4242)]
+
+
+def test_stream_reader_drains_in_declared_micro_batches(spark, tmp_path):
+    # partition-planned DataSourceStreamReader: offsets advance by
+    # `batch` ids per trigger, so n=2000/batch=500 must take 4 genuine
+    # micro-batches, and the landed rows equal the frozen row function
+    import os
+
+    register(spark)
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    stream = (
+        spark.readStream.format("linq_synth")
+        .option("n", 2000)
+        .option("batch", 500)
+        .option("parts", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    last_batch = q.lastProgress["batchId"]
+    q.stop()
+    assert last_batch >= 3  # 4 batches: ids 0..3 (+ possibly one empty)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [synth_row(i) for i in range(2000)]
