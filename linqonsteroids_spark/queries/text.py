@@ -1029,8 +1029,57 @@ def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Python UDTF surface (Spark 4 @udtf via LATERAL) -----------------------
+# The registered table function (functions/udtf.py) consumed the way a
+# user would — FROM documents, LATERAL linq_bigrams(text) — then rolled
+# up per document. The oracle rebuilds the identical bigram relation
+# declaratively (split + list_transform + unnest), so the gate checks
+# the UDTF's one-to-many emission, the lateral correlation, AND the
+# tokenization contract in one go. All outputs integer-exact.
+def udtf_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.functions.udtf import register_udtfs
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT d.doc_id, count(*) AS n_bigrams,
+               count(DISTINCT t.w1 || '_' || t.w2) AS n_distinct,
+               CAST(min(t.pos) AS BIGINT) AS first_pos,
+               CAST(max(t.pos) AS BIGINT) AS last_pos
+        FROM documents d, LATERAL linq_bigrams(d.text) t
+        GROUP BY d.doc_id
+        """
+    )
+
+
+UDTF_BIGRAMS_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(pos := i - 1,
+                                   w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM toked WHERE len(toks) >= 2
+  )
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       count(DISTINCT w1 || '_' || w2) AS n_distinct,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos
+FROM bg GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
+    "udtf_bigram_stats": (udtf_bigram_stats, UDTF_BIGRAMS_SQL),
     "char_entropy_scores": (char_entropy_scores, CHAR_ENTROPY_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     # rows-only: DuckDB has no zlib; pytest differential is the evidence
