@@ -847,6 +847,71 @@ def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# Write side of the connector: the manifest-committed JSONL sink. The
+# job writes one uniquely-named file per task and publishes the
+# manifest atomically in commit(); the read-back resolves the MANIFEST,
+# not the directory listing, so dead-attempt orphans are invisible
+# (exactly-once pinned in tests/test_pydatasource.py). Roundtrip gated:
+# source -> custom write -> manifest read -> rollup vs the range()
+# oracle.
+def pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        SYNTH_SCHEMA,
+        read_jsonl_manifest,
+    )
+    from linqonsteroids_spark.sources.pydatasource import (
+        register as register_pyds,
+    )
+
+    register_pyds(spark)
+    base = tempfile.mkdtemp(prefix="pyds_write_")
+    sink = os.path.join(base, "sink")
+    try:
+        src = (
+            spark.read.format("linq_synth")
+            .option("n", 20000)
+            .option("parts", 16)
+            .load()
+        )
+        src.write.format("linq_synth").option("path", sink).mode(
+            "append"
+        ).save()
+        res = (
+            read_jsonl_manifest(spark, sink, SYNTH_SCHEMA)
+            .groupBy("bucket")
+            .agg(
+                F.sum("amount").alias("total_amount"),
+                F.count("*").alias("n"),
+                F.min("i").alias("min_i"),
+                F.max("i").alias("max_i"),
+            )
+        )
+        rows = res.collect()  # materialize before the staging dir dies
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+PYDS_WRITE_SQL = """
+WITH src AS (
+  SELECT i, CAST(i % 16 AS INT) AS bucket,
+         (i * 2654435761) % 100000 AS amount
+  FROM range(20000) t(i)
+)
+SELECT bucket,
+       CAST(sum(amount) AS BIGINT) AS total_amount,
+       count(*) AS n,
+       CAST(min(i) AS BIGINT) AS min_i,
+       CAST(max(i) AS BIGINT) AS max_i
+FROM src
+GROUP BY bucket
+"""
+
+
 PYDS_STREAM_SQL = """
 WITH src AS (
   SELECT i, (i * 2654435761) % 100000 AS amount,
@@ -885,6 +950,7 @@ QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
     "pyds_ledger_rollup": (pyds_ledger_rollup, PYDS_ROLLUP_SQL),
     "pyds_stream_ingest": (pyds_stream_ingest, PYDS_STREAM_SQL),
+    "pyds_write_roundtrip": (pyds_write_roundtrip, PYDS_WRITE_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
     "workload_replay_lookup": (workload_replay_lookup, WORKLOAD_REPLAY_SQL),
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),

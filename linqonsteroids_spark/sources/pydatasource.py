@@ -27,16 +27,20 @@ arbitrary but frozen: gates and oracles embed the same arithmetic.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -147,6 +151,83 @@ class SyntheticLedgerStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+MANIFEST = "_manifest.json"
+
+
+class LedgerJsonlWriter(DataSourceWriter):
+    """Manifest-committed JSONL sink — the exactly-once WRITE contract a
+    custom connector owes Structured query jobs: each task writes its
+    rows to a uniquely-named data file (partitionId + taskAttemptId, so
+    speculative/retried attempts never collide) and returns it as a
+    commit message; ``commit`` runs ONCE on the driver after all tasks
+    succeed and atomically publishes the manifest listing exactly the
+    committed files; ``abort`` removes everything the failed job wrote.
+    Readers resolve the manifest, never the directory listing — orphan
+    files from dead attempts are invisible (pinned in tests)."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("linq_synth write requires .option('path', dir)")
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, name)
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(path=path, n_rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = [
+            {"path": m.path, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        tmp = os.path.join(self.dir, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f)
+        os.replace(tmp, os.path.join(self.dir, MANIFEST))  # atomic publish
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_jsonl_manifest(spark, path: str, schema: str):
+    """Read a LedgerJsonlWriter output: exactly the manifest-listed
+    files, with a mandatory schema (JSONL carries no types)."""
+    import json
+    import os
+
+    with open(os.path.join(path, MANIFEST)) as f:
+        files = [e["path"] for e in json.load(f)["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 class SyntheticLedgerDataSource(DataSource):
     """spark.read.format("linq_synth").option("n", N).option("parts", P)
     — or spark.readStream with an extra option("batch", B) for rows per
@@ -165,7 +246,15 @@ class SyntheticLedgerDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return SyntheticLedgerStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return LedgerJsonlWriter(self.options)
+
 
 def register(spark) -> None:
-    """Idempotent registration of the custom source on a session."""
+    """Idempotent registration of the custom source on a session.
+
+    Also enables spark.sql.python.filterPushdown.enabled: a reader that
+    implements pushFilters() is an ERROR to plan while the conf is off,
+    so registration and the conf belong together."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticLedgerDataSource)

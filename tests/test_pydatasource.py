@@ -91,3 +91,57 @@ def test_stream_reader_drains_in_declared_micro_batches(spark, tmp_path):
     assert last_batch >= 3  # 4 batches: ids 0..3 (+ possibly one empty)
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got == [synth_row(i) for i in range(2000)]
+
+
+def test_writer_roundtrip_manifest_ignores_orphans(spark, tmp_path):
+    # exactly-once: readers resolve the MANIFEST, not the directory
+    # listing — a file from a dead task attempt is invisible
+    import json
+    import os
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        MANIFEST,
+        SYNTH_SCHEMA,
+        read_jsonl_manifest,
+    )
+
+    register(spark)
+    sink = str(tmp_path / "sink")
+    df = _df(spark, n=3000, parts=5)
+    df.write.format("linq_synth").option("path", sink).mode("append").save()
+    assert MANIFEST in os.listdir(sink)
+    orphan = os.path.join(sink, "part-99999-0.jsonl")
+    with open(orphan, "w") as f:
+        f.write(
+            json.dumps({"i": 999999, "bucket": 0, "amount": 0, "tag": "x"})
+            + "\n"
+        )
+    got = sorted(
+        tuple(r) for r in read_jsonl_manifest(spark, sink, SYNTH_SCHEMA).collect()
+    )
+    assert got == [synth_row(i) for i in range(3000)]
+
+
+def test_writer_abort_removes_written_files(tmp_path):
+    # driver-side abort contract: every file named in a commit message
+    # is deleted; no manifest is ever published
+    import os
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        MANIFEST,
+        LedgerJsonlWriter,
+        _FileCommit,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    paths = []
+    for k in range(3):
+        p = os.path.join(sink, f"part-{k:05d}-{k}.jsonl")
+        with open(p, "w") as f:
+            f.write("{}\n")
+        paths.append(p)
+    w = LedgerJsonlWriter({"path": sink})
+    w.abort([_FileCommit(path=p, n_rows=1) for p in paths] + [None])
+    assert os.listdir(sink) == []
+    assert not os.path.exists(os.path.join(sink, MANIFEST))
