@@ -361,8 +361,48 @@ FROM spine s LEFT JOIN counts c
 """
 
 
+# --- XML parse path (Spark 4 native to_xml/from_xml) -----------------------
+# The semi-structured triad completed: JSON (events_json_stats), VARIANT
+# (variant_event_props), and XML. Each order row is serialized to an XML
+# fragment and parsed back through from_xml with an explicit schema —
+# the parse path under test is Spark's, the values are the base table's,
+# so the oracle is plain SQL over orders: any drift (type coercion,
+# field loss, encoding) breaks the hash. Money re-aggregates through
+# DECIMAL cents per the established discipline.
+def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    xml = orders.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x", "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r.o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("r.o_orderkey")).alias("key_sum"),
+        (F.sum(F.col("r.o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+XML_ROUNDTRIP_SQL = """
+SELECT o_orderstatus AS status, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "typefilter_clicks": (typefilter_clicks, TYPEFILTER_SQL),
+    "xml_roundtrip_orders": (xml_roundtrip_orders, XML_ROUNDTRIP_SQL),
     "events_hourly_gapfill": (events_hourly_gapfill, EVENTS_GAPFILL_SQL),
     "typecase_events": (typecase_events, TYPECASE_SQL),
     "events_json_stats": (events_json_stats, EVENTS_JSON_SQL),
