@@ -22,6 +22,21 @@
 //   spark.linqonsteroids.indexes     = basePath,column,indexPath[;...]
 //   spark.linqonsteroids.joinindexes = leftPath,leftKey,rightPath,
 //                                      rightKey,mvPath[;...]
+//   spark.linqonsteroids.aggindexes  = basePath,keyCol,aggMvPath[;...]
+//
+// The agg registry is the transparent-ROLLUP substitution: a whole
+// Aggregate node grouping the registered base scan by exactly the
+// registered key — aggregates limited to count(*) / sum / min / max of
+// plain columns, non-distinct, unfiltered — is replaced by ONE scan of
+// the pre-aggregated MV (naming convention: cnt_star, sum_<col>,
+// min_<col>, max_<col>; the Python repository writes exactly these).
+// Filters BELOW the aggregate are allowed only on the group key itself
+// (they commute with the grouping) and are re-applied above the MV
+// scan. The physical win is categorical: the plan has NO aggregation
+// operator at all — a grouped rollup over 100 TB becomes a read of
+// n_groups rows. Anything outside the recognized shape (avg, distinct,
+// expressions over aggregates, filters on non-key columns, multi-key
+// grouping) leaves the plan untouched.
 //
 // The join registry is the JVM twin of the Python join-MV rewrite
 // (plans/registry.py lookup_join): an INNER equi-join of the two
@@ -61,6 +76,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -121,6 +137,10 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     entries("spark.linqonsteroids.joinindexes", 5).map(a =>
       (a(0), a(1), a(2), a(3), a(4))
     )
+
+  /** (basePath, keyCol, aggMvPath) */
+  private def aggRegistry: Seq[(String, String, String)] =
+    entries("spark.linqonsteroids.aggindexes", 3).map(a => (a(0), a(1), a(2)))
 
   private def rootPath(rel: LogicalRelation): Option[String] =
     rel.relation match {
@@ -268,10 +288,92 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** MV column the naming convention assigns to a recognized aggregate
+    * function — None for anything the rollup cannot answer. count(*)
+    * reaches here as Count(Literal(1)) (foldable child); count(col) has
+    * a non-foldable child and correctly falls through (its null
+    * semantics differ from cnt_star). */
+  private def aggMvColumn(fn: AggregateFunction): Option[String] = fn match {
+    case c: Count if c.children.sizeIs == 1 && c.children.head.foldable =>
+      Some("cnt_star")
+    case s: Sum =>
+      s.children match {
+        case Seq(a: AttributeReference) => Some(s"sum_${a.name}")
+        case _                          => None
+      }
+    case m: Min =>
+      m.children match {
+        case Seq(a: AttributeReference) => Some(s"min_${a.name}")
+        case _                          => None
+      }
+    case m: Max =>
+      m.children match {
+        case Seq(a: AttributeReference) => Some(s"max_${a.name}")
+        case _                          => None
+      }
+    case _ => None
+  }
+
+  /** MV scan replacing a registered single-key rollup — or None if the
+    * Aggregate isn't exactly the shape the MV answers. */
+  private def substitutedAgg(a: Aggregate): Option[LogicalPlan] = {
+    val g = a.groupingExpressions match {
+      case Seq(attr: AttributeReference) => attr
+      case _                             => return None
+    }
+    for {
+      stripped <- stripToScan(a.child)
+      (rel, conds) = stripped
+      // filters below the aggregate commute with the grouping ONLY when
+      // they touch nothing but the group key (by exprId, not name — a
+      // same-named column from elsewhere must not slip through)
+      if conds.forall(_.references.forall(_.exprId == g.exprId))
+      p <- rootPath(rel)
+      hit <- aggRegistry.find { case (base, key, _) =>
+        pathMatches(p, base) && g.name == key
+      }
+      mv <- loadIndex(hit._3)
+      byName = mv.output.map(o => o.name -> o).toMap
+      if byName.contains(g.name)
+      proj <- {
+        val maybe: Seq[Option[NamedExpression]] = a.aggregateExpressions.map {
+          case attr: AttributeReference if attr.semanticEquals(g) =>
+            Some(
+              Alias(Cast(byName(g.name), attr.dataType), attr.name)(
+                exprId = attr.exprId
+              )
+            )
+          case al @ Alias(ae: AggregateExpression, nm)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            aggMvColumn(ae.aggregateFunction)
+              .flatMap(byName.get)
+              .map(c => Alias(Cast(c, ae.dataType), nm)(exprId = al.exprId))
+          case _ => None // expressions over aggregates, etc.: bail
+        }
+        if (maybe.forall(_.isDefined)) Some(maybe.map(_.get)) else None
+      }
+    } yield {
+      // group-key filters re-applied over the MV scan, rebound to the
+      // MV's key attribute (cast to the base key type in case types
+      // differ). Matching by exprId terminates: the replacement's child
+      // attribute carries the MV's exprId, so transformDown cannot
+      // re-wrap it (matching by NAME looped — the MV key shares the
+      // name — and stack-overflowed the optimizer).
+      val fixed = conds.map(_.transform {
+        case ar: AttributeReference if ar.exprId == g.exprId =>
+          Cast(byName(g.name), ar.dataType)
+      })
+      val filtered =
+        if (fixed.isEmpty) mv else Filter(fixed.reduce(And), mv)
+      Project(proj, filtered)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val haveFilters = registry.nonEmpty
     val haveJoins = joinRegistry.nonEmpty
-    if (!haveFilters && !haveJoins) return plan
+    val haveAggs = aggRegistry.nonEmpty
+    if (!haveFilters && !haveJoins && !haveAggs) return plan
     IndexSubstitution.syncEpoch(
       session.conf
         .getOption("spark.linqonsteroids.cacheEpoch")
@@ -292,6 +394,8 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           .getOrElse(f)
       case j: Join if haveJoins =>
         substitutedJoin(j).getOrElse(j)
+      case a: Aggregate if haveAggs =>
+        substitutedAgg(a).getOrElse(a)
     }
   }
 }

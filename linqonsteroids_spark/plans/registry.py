@@ -197,6 +197,24 @@ class JoinIndexEntry:
     columns: tuple[str, ...] = ()
 
 
+@dataclass
+class AggIndexEntry:
+    """A pre-aggregated rollup MV: one row per distinct key, columns
+    following the cnt_star / sum_<col> / min_<col> / max_<col> naming
+    convention the JVM rule's substitutedAgg recognizes. MV size is
+    n_groups rows, NOT partitioned by key (one directory per group would
+    be the small-files trap for high-cardinality keys; the rollup itself
+    is already the compression — scanning it whole is the cheap path)."""
+
+    name: str
+    table: str
+    key_col: str
+    path: str
+    sums: tuple[str, ...] = ()
+    mins: tuple[str, ...] = ()
+    maxs: tuple[str, ...] = ()
+
+
 # -- JVM relation-cache epoch ------------------------------------------------
 # The Catalyst rule (ext/src/LinqExtensions.scala) caches each index/MV's
 # analyzed relation — file listing included — for the JVM lifetime.  Every
@@ -245,6 +263,7 @@ class IndexRepository:
         self._by_table_key: dict[tuple[str, str], IndexEntry] = {}
         self._by_name: dict[str, IndexEntry] = {}
         self._joins: dict[tuple, JoinIndexEntry] = {}
+        self._agg_mvs: dict[tuple[str, str], AggIndexEntry] = {}
         self._load_catalog()
 
     # -- persistent catalog (survives process restarts) --
@@ -314,6 +333,16 @@ class IndexRepository:
                 e["path"], e["n_buckets"], columns=tuple(e["columns"]),
             )
             self._joins[(entry.tables, entry.keys)] = entry
+        for e in data.get("agg_indexes", []):
+            meta = e.get("meta") or {}
+            if not self._entry_built("hash", e["path"], meta):
+                continue
+            entry = AggIndexEntry(
+                e["name"], e["table"], e["key_col"], e["path"],
+                sums=tuple(e["sums"]), mins=tuple(e["mins"]),
+                maxs=tuple(e["maxs"]),
+            )
+            self._agg_mvs[(entry.table, entry.key_col)] = entry
 
     def _save_catalog(self) -> None:
         if not _is_local(self.storage_dir):
@@ -341,6 +370,15 @@ class IndexRepository:
                     "meta": _read_json(os.path.join(e.path, _SIDECAR)),
                 }
                 for e in self._joins.values()
+            ],
+            "agg_indexes": [
+                {
+                    "name": e.name, "table": e.table, "key_col": e.key_col,
+                    "path": e.path, "sums": list(e.sums),
+                    "mins": list(e.mins), "maxs": list(e.maxs),
+                    "meta": _read_json(os.path.join(e.path, _SIDECAR)),
+                }
+                for e in self._agg_mvs.values()
             ],
         }
         _write_json(self._catalog_path(), payload)
@@ -413,8 +451,24 @@ class IndexRepository:
             )
         return ";".join(parts)
 
+    def catalyst_agg_conf(self, base_paths: dict[str, str]) -> str:
+        """Rollup-MV bridge to the JVM rule: render every agg MV as
+        ``basePath,keyCol,aggMvPath`` for
+        ``spark.linqonsteroids.aggindexes`` — an Aggregate grouping the
+        raw base path by the registered key (count(*)/sum/min/max only)
+        is then replaced, inside Catalyst, by one scan of this
+        pre-aggregated table. The MV's column names (cnt_star, sum_*,
+        min_*, max_*) ARE the contract; add_agg_index writes exactly
+        those."""
+        parts = [
+            f"{base_paths[e.table]},{e.key_col},{e.path}"
+            for e in self._agg_mvs.values()
+            if e.table in base_paths
+        ]
+        return ";".join(parts)
+
     def install_catalyst_conf(self, base_paths: dict[str, str]) -> None:
-        """Publish this repository to the JVM rule in one shot: both
+        """Publish this repository to the JVM rule in one shot: all three
         registry confs plus the cache epoch, so a re-materialized index
         is never served from the rule's stale relation cache."""
         self.spark.conf.set(
@@ -423,6 +477,10 @@ class IndexRepository:
         self.spark.conf.set(
             "spark.linqonsteroids.joinindexes",
             self.catalyst_join_conf(base_paths),
+        )
+        self.spark.conf.set(
+            "spark.linqonsteroids.aggindexes",
+            self.catalyst_agg_conf(base_paths),
         )
         self.spark.conf.set("spark.linqonsteroids.cacheEpoch", catalyst_epoch())
 
@@ -517,6 +575,69 @@ class IndexRepository:
         )
         self._install(entry)
         return entry
+
+    def add_agg_index(
+        self,
+        name: str,
+        indexed: Indexed,
+        sums: tuple[str, ...] | list[str] = (),
+        mins: tuple[str, ...] | list[str] = (),
+        maxs: tuple[str, ...] | list[str] = (),
+    ) -> AggIndexEntry:
+        """Materialize a single-key rollup of an unfiltered base-table
+        scan: one row per distinct key with ``cnt_star`` plus
+        ``sum_/min_/max_<col>`` for each requested column — the naming
+        convention the JVM rule's Aggregate substitution matches. The
+        100 TB story is categorical: a grouped rollup over the base
+        becomes a read of n_groups pre-aggregated rows, with NO
+        aggregation operator in the plan at all."""
+        src = indexed.src
+        table = src.plan.base_table
+        if table is None or not src.plan.rewritable or src.plan.filters:
+            raise ValueError(
+                "add_agg_index needs an unfiltered base-table scan "
+                "(lift(df, table=...).index_by(...))"
+            )
+        if src.plan.lets:
+            raise ValueError("add_agg_index does not support computed keys")
+        key = canon_key(indexed.key.node)
+        if key is None or not key.startswith("col:"):
+            raise ValueError("agg-index key must be a plain column")
+        key_col = key.split(":", 1)[1]
+        sums, mins, maxs = tuple(sums), tuple(mins), tuple(maxs)
+        path = os.path.join(self.storage_dir, name)
+        meta = {
+            "table": table, "key_col": key_col, "layout": "agg",
+            "sums": list(sums), "mins": list(mins), "maxs": list(maxs),
+            "source_schema": src.df.schema.simpleString(),
+        }
+        aggs = [F.count(F.lit(1)).alias("cnt_star")]
+        aggs += [F.sum(c).alias(f"sum_{c}") for c in sums]
+        aggs += [F.min(c).alias(f"min_{c}") for c in mins]
+        aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
+        self._reuse_or_build(
+            "hash", path, meta,
+            lambda: (
+                src.df.groupBy(F.col(key_col))
+                .agg(*aggs)
+                .write.mode("overwrite")
+                .parquet(path)
+            ),
+        )
+        entry = AggIndexEntry(
+            name, table, key_col, path, sums=sums, mins=mins, maxs=maxs
+        )
+        self._agg_mvs[(table, key_col)] = entry
+        self._save_catalog()
+        return entry
+
+    def lookup_agg(self, table: str, key_col: str) -> DataFrame:
+        """Scan a registered rollup MV directly (the explicit-lookup
+        twin of the transparent JVM substitution)."""
+        entry = self._agg_mvs.get((table, key_col))
+        if entry is None:
+            raise KeyError(f"no agg index for ({table}, {key_col})")
+        return self.spark.read.parquet(entry.path)
 
     def add_join_index(self, name: str, joined: Lifted) -> JoinIndexEntry:
         """Materialize a left-deep equi-join chain of base tables as an MV

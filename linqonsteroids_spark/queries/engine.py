@@ -762,6 +762,47 @@ GROUP BY doc_id, seg_id
 """
 
 
+# --- aggregate-MV rollup artifact (the transparent-rollup substrate) -------
+# add_agg_index materializes the single-key rollup (cnt_star / sum_ /
+# min_ / max_ naming — the contract the JVM rule's Aggregate
+# substitution matches; tools/catalyst_ext_smoke.py pins the transparent
+# rewrite in its own JVM). This gate drives the artifact through the
+# repository: RAISES unless the lookup scans the rollup files, then
+# checks the pre-aggregated contents against the oracle RECOMPUTING the
+# aggregation from the base table — MV semantics, not scan plumbing.
+def agg_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    storage = cached_scratch_dir("squopt_aggmv_", sf_dir)
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_agg_index(
+        "orders_rollup",
+        lift(orders, table="orders").index_by(lambda o: o.o_orderpriority),
+        sums=["o_orderkey"],
+        mins=["o_totalprice"],
+        maxs=["o_totalprice"],
+    )
+    mv = repo.lookup_agg("orders", "o_orderpriority")
+    files = mv.inputFiles()
+    if not files or not all("orders_rollup" in f for f in files):
+        raise RuntimeError("agg MV lookup is not scanning the rollup artifact")
+    return mv.select(
+        "o_orderpriority",
+        F.col("cnt_star").alias("n_orders"),
+        F.col("sum_o_orderkey").alias("key_sum"),
+        F.round("min_o_totalprice", 2).alias("min_price"),
+        F.round("max_o_totalprice", 2).alias("max_price"),
+    )
+
+
+AGG_MV_ROLLUP_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --- custom Python Data Source (Spark 4 connector surface) ----------------
 # The registered linq_synth source (sources/pydatasource.py) read as a
 # first-class leaf: 32 declared partitions, the id-range predicate
@@ -951,6 +992,7 @@ QUERIES = {
     "pyds_ledger_rollup": (pyds_ledger_rollup, PYDS_ROLLUP_SQL),
     "pyds_stream_ingest": (pyds_stream_ingest, PYDS_STREAM_SQL),
     "pyds_write_roundtrip": (pyds_write_roundtrip, PYDS_WRITE_SQL),
+    "agg_mv_rollup": (agg_mv_rollup, AGG_MV_ROLLUP_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
     "workload_replay_lookup": (workload_replay_lookup, WORKLOAD_REPLAY_SQL),
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),

@@ -51,6 +51,10 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS join-mv-ambiguous-name-untouched",
         "PASS join-mv-no-false-rewrites",
         "PASS join-mv-repository-bridge",
+        "PASS agg-mv-substituted",
+        "PASS agg-mv-key-filter",
+        "PASS agg-mv-sql-surface",
+        "PASS agg-mv-no-false-rewrites",
         "PASS no-false-rewrites",
     ):
         assert pin in proc.stdout, proc.stdout[-3000:]

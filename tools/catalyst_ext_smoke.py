@@ -302,6 +302,94 @@ def main() -> None:
     print("PASS join-mv-repository-bridge")
     spark.conf.set("spark.linqonsteroids.joinindexes", "")
 
+    # --- aggregate-MV substitution (spark.linqonsteroids.aggindexes) -----
+    # the transparent rollup: a grouped count/sum/min/max over the raw
+    # base path is answered by ONE scan of the pre-aggregated MV — the
+    # physical plan contains NO aggregation operator at all
+    repo.add_agg_index(
+        "base_rollup",
+        lift(base_df2, table="base").index_by(lambda t: t.seg),
+        sums=["payload"],
+        mins=["k"],
+        maxs=["k"],
+    )
+    spark.conf.set("spark.linqonsteroids.aggindexes", "")
+
+    def rollup_q():
+        return (
+            spark.read.parquet(base_path)
+            .groupBy("seg")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("payload").alias("psum"),
+                F.min("k").alias("kmin"),
+                F.max("k").alias("kmax"),
+            )
+        )
+
+    want_agg = sorted(tuple(r) for r in rollup_q().collect())
+    p_off = rollup_q()._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in p_off  # the conf-off baseline really aggregates
+    agg_conf = repo.catalyst_agg_conf({"base": base_path})
+    assert "base_rollup" in agg_conf, agg_conf
+    spark.conf.set("spark.linqonsteroids.aggindexes", agg_conf)
+    qa = rollup_q()
+    assert sorted(tuple(r) for r in qa.collect()) == want_agg
+    pa = qa._jdf.queryExecution().executedPlan().toString()
+    assert "base_rollup" in pa, pa[:2000]
+    # the base directory itself (not the rollup, whose name contains
+    # "base") must be gone from the scan locations
+    assert f"file:{base_path}]" not in pa, pa[:2000]
+    assert "Aggregate" not in pa, pa[:2000]  # no HashAggregate anywhere
+    print("PASS agg-mv-substituted")
+
+    # group-key filter below the aggregate commutes and is re-applied
+    # above the MV scan
+    qf = (
+        spark.read.parquet(base_path)
+        .filter(F.col("seg") == 3)
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("psum"))
+    )
+    rows_f = qf.collect()
+    assert len(rows_f) == 1 and rows_f[0].n == 125
+    assert rows_f[0].psum == sum(i * 3 for i in range(1000) if i % 8 == 3)
+    pf = qf._jdf.queryExecution().executedPlan().toString()
+    assert "base_rollup" in pf and "Aggregate" not in pf, pf[:2000]
+    print("PASS agg-mv-key-filter")
+
+    # the SAME SQL text over a view of the base path routes too
+    spark.read.parquet(base_path).createOrReplaceTempView("agg_base_v")
+    qs = spark.sql(
+        "SELECT seg, count(*) AS n, sum(payload) AS psum "
+        "FROM agg_base_v GROUP BY seg"
+    )
+    assert sorted((r.seg, r.n, r.psum) for r in qs.collect()) == sorted(
+        (w[0], w[1], w[2]) for w in want_agg
+    )
+    ps = qs._jdf.queryExecution().executedPlan().toString()
+    assert "base_rollup" in ps and "Aggregate" not in ps, ps[:2000]
+    print("PASS agg-mv-sql-surface")
+
+    # shapes the rollup CANNOT answer must keep the base aggregate:
+    # avg, count(col), distinct, expressions over aggregates, filters on
+    # non-key columns, multi-key grouping
+    base_sc = spark.read.parquet(base_path)
+    for bad in (
+        base_sc.groupBy("seg").agg(F.avg("payload").alias("x")),
+        base_sc.groupBy("seg").agg(F.count("payload").alias("x")),
+        base_sc.groupBy("seg").agg(F.countDistinct("payload").alias("x")),
+        base_sc.groupBy("seg").agg((F.sum("payload") + 1).alias("x")),
+        base_sc.filter(F.col("payload") > 100).groupBy("seg").count(),
+        base_sc.groupBy("seg", "payload").count(),
+        base_sc.groupBy("payload").count(),
+    ):
+        pb = bad._jdf.queryExecution().executedPlan().toString()
+        assert os.path.basename(base_path) in pb, pb[:2000]
+        assert "base_rollup" not in pb, pb[:2000]
+    print("PASS agg-mv-no-false-rewrites")
+    spark.conf.set("spark.linqonsteroids.aggindexes", "")
+
     # no-registry and non-indexed-column queries must be untouched
     spark.conf.set("spark.linqonsteroids.indexes", "")
     p3 = (
