@@ -613,3 +613,57 @@ def test_materialization_bumps_catalyst_epoch_and_installs_conf(spark, tmp_path)
     # leave the shared session clean for other tests
     spark.conf.set("spark.linqonsteroids.indexes", "")
     spark.conf.set("spark.linqonsteroids.joinindexes", "")
+
+
+def test_agg_index_build_reuse_and_rebuild(spark, tmp_path):
+    # the addIndex contract extended to rollups: identical definition →
+    # metadata-only reuse (no rebuild, no epoch bump); changed aggregate
+    # set → fingerprint mismatch → rebuild with the new columns
+    import os
+
+    from linqonsteroids_spark.plans.registry import catalyst_epoch
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    r = IndexRepository(spark, str(tmp_path / "aggidx"), n_buckets=4)
+    r.add_agg_index(
+        "orders_rollup",
+        lift(orders, table="orders").index_by(lambda o: o.o_orderpriority),
+        sums=["o_orderkey"],
+    )
+    mv = r.lookup_agg("orders", "o_orderpriority")
+    assert set(mv.columns) == {"o_orderpriority", "cnt_star", "sum_o_orderkey"}
+    base = orders.groupBy("o_orderpriority").count().collect()
+    want = {(row.o_orderpriority, row["count"]) for row in base}
+    got = {(row.o_orderpriority, row.cnt_star) for row in mv.collect()}
+    assert got == want
+
+    # identical re-registration: reuse, not rebuild
+    epoch_before = catalyst_epoch()
+    r2 = IndexRepository(spark, str(tmp_path / "aggidx"), n_buckets=4)
+    r2.add_agg_index(
+        "orders_rollup",
+        lift(orders, table="orders").index_by(lambda o: o.o_orderpriority),
+        sums=["o_orderkey"],
+    )
+    assert catalyst_epoch() == epoch_before
+
+    # changed definition at the same name/path: rebuild with new columns
+    r2.add_agg_index(
+        "orders_rollup",
+        lift(orders, table="orders").index_by(lambda o: o.o_orderpriority),
+        sums=["o_orderkey"],
+        maxs=["o_totalprice"],
+    )
+    assert catalyst_epoch() != epoch_before
+    assert "max_o_totalprice" in r2.lookup_agg("orders", "o_orderpriority").columns
+
+    # filtered sources are rejected — the rollup must cover the base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        r2.add_agg_index(
+            "bad",
+            lift(orders, table="orders")
+            .filter(lambda o: o.o_orderpriority == "1-URGENT")
+            .index_by(lambda o: o.o_orderpriority),
+        )
