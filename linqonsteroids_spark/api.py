@@ -315,6 +315,21 @@ class PlanInfo:
     rewritable: bool = True
     join: "JoinInfo | None" = None
     lets: list[tuple[str, Node]] = field(default_factory=list)
+    agg: "AggInfo | None" = None
+
+
+@dataclass(frozen=True)
+class AggInfo:
+    """Recorded rollup structure (``Indexed.agg_summary``): the grouped
+    count/sum/min/max shape ``IndexRepository.optimize`` can substitute
+    with a registered rollup MV — the Python twin of the JVM rule's
+    Aggregate substitution (ext/src/LinqExtensions.scala)."""
+
+    table: str
+    key_col: str
+    sums: tuple[str, ...] = ()
+    mins: tuple[str, ...] = ()
+    maxs: tuple[str, ...] = ()
 
 
 class Lifted:
@@ -757,6 +772,48 @@ class Indexed:
             *[v.col.alias(k) for k, v in aggs.items()]
         )
         return self.src._with(df)
+
+    def agg_summary(
+        self,
+        sums: tuple[str, ...] | list[str] = (),
+        mins: tuple[str, ...] | list[str] = (),
+        maxs: tuple[str, ...] | list[str] = (),
+    ) -> Lifted:
+        """TRACKED rollup: ``cnt_star`` plus ``sum_/min_/max_<col>``
+        grouped by the index key — the column naming IS the rollup-MV
+        contract, so ``IndexRepository.optimize`` can substitute a
+        registered ``add_agg_index`` artifact for the whole aggregation
+        (and the JVM rule does the same transparently for raw scans).
+        Structure is recorded only for the rewritable shape: a plain
+        column key over an unfiltered base-table scan; anything else
+        computes normally and is never substituted."""
+        sums, mins, maxs = tuple(sums), tuple(mins), tuple(maxs)
+        aggs = [F.count(F.lit(1)).alias("cnt_star")]
+        aggs += [F.sum(c).alias(f"sum_{c}") for c in sums]
+        aggs += [F.min(c).alias(f"min_{c}") for c in mins]
+        aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
+        df = self.src.df.groupBy(self.key.col).agg(*aggs)
+        src_plan = self.src.plan
+        info = None
+        if (
+            src_plan.base_table is not None
+            and src_plan.rewritable
+            and not src_plan.filters
+            and not src_plan.lets
+            and self.key.node.kind == "col"
+        ):
+            info = AggInfo(
+                src_plan.base_table,
+                self.key.node.args[0],
+                sums=sums,
+                mins=mins,
+                maxs=maxs,
+            )
+        return Lifted(
+            df,
+            kind=self.src.kind,
+            plan=PlanInfo(base_table=None, rewritable=info is not None, agg=info),
+        )
 
     def count(self) -> Lifted:
         return self.agg(n=Expr(F.count("*")))

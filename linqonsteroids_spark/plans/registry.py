@@ -34,7 +34,14 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linqonsteroids_spark.api import Indexed, JoinInfo, Lifted, Node, PlanInfo
+from linqonsteroids_spark.api import (
+    AggInfo,
+    Indexed,
+    JoinInfo,
+    Lifted,
+    Node,
+    PlanInfo,
+)
 
 
 # --- canonical forms -------------------------------------------------------
@@ -722,6 +729,10 @@ class IndexRepository:
         plan = q.plan
         if not plan.rewritable:
             return q
+        if plan.agg is not None:
+            out = self._optimize_agg(q, plan.agg)
+            if out is not None:
+                return out
         if plan.join is not None:
             out = self._optimize_join(q, plan.join, plan.filters)
             if out is not None:
@@ -760,6 +771,35 @@ class IndexRepository:
                 plan=PlanInfo(base_table=None, rewritable=False),
             )
         return q
+
+    def _optimize_agg(self, q: Lifted, ai: AggInfo) -> Lifted | None:
+        """Substitute a registered rollup MV for a tracked
+        ``agg_summary`` shape: the MV must cover the requested column
+        set (subset matching — a wider MV answers a narrower query); the
+        substituted scan is projected to exactly the query's columns in
+        the query's order, so it is a drop-in replacement. None when no
+        entry matches — the query computes normally, never wrongly."""
+        entry = self._agg_mvs.get((ai.table, ai.key_col))
+        if entry is None:
+            return None
+        if not (
+            set(ai.sums) <= set(entry.sums)
+            and set(ai.mins) <= set(entry.mins)
+            and set(ai.maxs) <= set(entry.maxs)
+        ):
+            return None
+        cols = (
+            [ai.key_col, "cnt_star"]
+            + [f"sum_{c}" for c in ai.sums]
+            + [f"min_{c}" for c in ai.mins]
+            + [f"max_{c}" for c in ai.maxs]
+        )
+        df = self.spark.read.parquet(entry.path).select(*cols)
+        return Lifted(
+            df,
+            kind=q.kind,
+            plan=PlanInfo(base_table=None, rewritable=False),
+        )
 
     def _optimize_join(
         self, q: Lifted, ji: JoinInfo, post_filters: list[Node]

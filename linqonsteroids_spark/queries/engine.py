@@ -803,6 +803,49 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# The QUERY-path twin: the tracked agg_summary shape runs through
+# repository.optimize(), which substitutes the registered rollup MV by
+# SUBSET matching (the MV here is built wider than the query asks).
+# RAISES unless the optimized plan scans the rollup files; the oracle
+# recomputes the aggregation from the base table — the reference's
+# indexingTest discipline applied to grouping MVs
+# (Optimization.scala's shareSubqueries family).
+def agg_mv_optimized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    storage = cached_scratch_dir("squopt_aggopt_", sf_dir)
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_agg_index(
+        "orders_rollup_wide",
+        lift(orders, table="orders").index_by(lambda o: o.o_orderpriority),
+        sums=["o_orderkey"],
+        mins=["o_totalprice"],
+        maxs=["o_totalprice"],
+    )
+    q = (
+        lift(orders, table="orders")
+        .index_by(lambda o: o.o_orderpriority)
+        .agg_summary(sums=["o_orderkey"], maxs=["o_totalprice"])
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("orders_rollup_wide" in f for f in files):
+        raise RuntimeError("agg-MV substitution did not fire in optimize()")
+    return opt.df.select(
+        "o_orderpriority",
+        F.col("cnt_star").alias("n_orders"),
+        F.col("sum_o_orderkey").alias("key_sum"),
+        F.round("max_o_totalprice", 2).alias("max_price"),
+    )
+
+
+AGG_MV_OPTIMIZED_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --- custom Python Data Source (Spark 4 connector surface) ----------------
 # The registered linq_synth source (sources/pydatasource.py) read as a
 # first-class leaf: 32 declared partitions, the id-range predicate
@@ -993,6 +1036,7 @@ QUERIES = {
     "pyds_stream_ingest": (pyds_stream_ingest, PYDS_STREAM_SQL),
     "pyds_write_roundtrip": (pyds_write_roundtrip, PYDS_WRITE_SQL),
     "agg_mv_rollup": (agg_mv_rollup, AGG_MV_ROLLUP_SQL),
+    "agg_mv_optimized_rollup": (agg_mv_optimized_rollup, AGG_MV_OPTIMIZED_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
     "workload_replay_lookup": (workload_replay_lookup, WORKLOAD_REPLAY_SQL),
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),

@@ -667,3 +667,56 @@ def test_agg_index_build_reuse_and_rebuild(spark, tmp_path):
             .filter(lambda o: o.o_orderpriority == "1-URGENT")
             .index_by(lambda o: o.o_orderpriority),
         )
+
+
+def test_agg_summary_optimize_substitutes_by_subset(spark, tmp_path):
+    # the tracked rollup shape: optimize() must swap in the registered
+    # MV when it covers the requested columns (wider MV, narrower
+    # query), and must leave the query untouched when no entry matches
+    # or a requested column is missing from the MV
+    orders = load_table(spark, SF_SMOKE, "orders")
+    r = IndexRepository(spark, str(tmp_path / "aggopt"), n_buckets=4)
+    r.add_agg_index(
+        "orders_rollup",
+        lift(orders, table="orders").index_by(lambda o: o.o_orderpriority),
+        sums=["o_orderkey"],
+        mins=["o_totalprice"],
+        maxs=["o_totalprice"],
+    )
+    q = (
+        lift(orders, table="orders")
+        .index_by(lambda o: o.o_orderpriority)
+        .agg_summary(sums=["o_orderkey"], maxs=["o_totalprice"])
+    )
+    plain = _sorted_rows(q.df)
+    opt = r.optimize(q)
+    files = opt.df.inputFiles()
+    assert files and all("orders_rollup" in f for f in files)
+    assert _sorted_rows(opt.df) == plain
+    assert opt.df.columns == q.df.columns  # drop-in projection
+
+    # unregistered key: unchanged object, still computes correctly
+    q2 = (
+        lift(orders, table="orders")
+        .index_by(lambda o: o.o_orderstatus)
+        .agg_summary(sums=["o_orderkey"])
+    )
+    assert r.optimize(q2) is q2
+
+    # column the MV lacks: unchanged
+    q3 = (
+        lift(orders, table="orders")
+        .index_by(lambda o: o.o_orderpriority)
+        .agg_summary(sums=["o_custkey"])
+    )
+    assert r.optimize(q3) is q3
+
+    # filtered source: structure is never recorded, never substituted
+    q4 = (
+        lift(orders, table="orders")
+        .filter(lambda o: o.o_orderpriority == "1-URGENT")
+        .index_by(lambda o: o.o_orderpriority)
+        .agg_summary(sums=["o_orderkey"])
+    )
+    assert q4.plan.agg is None
+    assert r.optimize(q4) is q4
