@@ -980,6 +980,80 @@ def pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# Streaming write side of the connector (DataSourceStreamWriter): the
+# custom stream source drains INTO the custom stream sink — one
+# manifest per micro-batch, published atomically by the driver commit,
+# keyed by batchId so a replayed batch overwrites only its own listing
+# (exactly-once pinned in tests/test_pydatasource.py, including the
+# orphan-file and batch-replay shapes). Read-back resolves the batch
+# manifests, never the directory; the oracle regenerates the rows from
+# DuckDB range() — the full stream-in/stream-out connector matrix in
+# one gate.
+def pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        SYNTH_SCHEMA,
+        read_jsonl_stream_manifests,
+    )
+    from linqonsteroids_spark.sources.pydatasource import (
+        register as register_pyds,
+    )
+
+    register_pyds(spark)
+    base = tempfile.mkdtemp(prefix="pyds_streamsink_")
+    sink, chk = os.path.join(base, "sink"), os.path.join(base, "chk")
+    try:
+        stream = (
+            spark.readStream.format("linq_synth")
+            .option("n", 24000)
+            .option("batch", 6000)
+            .option("parts", 8)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("linq_synth")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        res = (
+            read_jsonl_stream_manifests(spark, sink, SYNTH_SCHEMA)
+            .groupBy("bucket", "tag")
+            .agg(
+                F.sum("amount").alias("total_amount"),
+                F.count("*").alias("n"),
+                F.min("i").alias("min_i"),
+                F.max("i").alias("max_i"),
+            )
+        )
+        rows = res.collect()  # materialize before the staging dir dies
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+PYDS_STREAM_SINK_SQL = """
+WITH src AS (
+  SELECT i, CAST(i % 16 AS INT) AS bucket,
+         (i * 2654435761) % 100000 AS amount,
+         'tag_' || CAST(i % 7 AS VARCHAR) AS tag
+  FROM range(24000) t(i)
+)
+SELECT bucket, tag,
+       CAST(sum(amount) AS BIGINT) AS total_amount,
+       count(*) AS n,
+       CAST(min(i) AS BIGINT) AS min_i,
+       CAST(max(i) AS BIGINT) AS max_i
+FROM src
+GROUP BY bucket, tag
+"""
+
+
 PYDS_WRITE_SQL = """
 WITH src AS (
   SELECT i, CAST(i % 16 AS INT) AS bucket,
@@ -1035,6 +1109,7 @@ QUERIES = {
     "pyds_ledger_rollup": (pyds_ledger_rollup, PYDS_ROLLUP_SQL),
     "pyds_stream_ingest": (pyds_stream_ingest, PYDS_STREAM_SQL),
     "pyds_write_roundtrip": (pyds_write_roundtrip, PYDS_WRITE_SQL),
+    "pyds_stream_sink": (pyds_stream_sink, PYDS_STREAM_SINK_SQL),
     "agg_mv_rollup": (agg_mv_rollup, AGG_MV_ROLLUP_SQL),
     "agg_mv_optimized_rollup": (agg_mv_optimized_rollup, AGG_MV_OPTIMIZED_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),

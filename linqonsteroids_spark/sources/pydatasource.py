@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -160,6 +161,27 @@ class _FileCommit(WriterCommitMessage):
 MANIFEST = "_manifest.json"
 
 
+def _write_jsonl_task(directory: str, iterator):
+    """Executor-side half of both sinks: stream rows into a uniquely
+    named file (partitionId + taskAttemptId — speculative/retried
+    attempts never collide) and return it as a commit message."""
+    import json
+    import os
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, name)
+    n = 0
+    with open(path, "w") as f:
+        for row in iterator:
+            f.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _FileCommit(path=path, n_rows=n)
+
+
 class LedgerJsonlWriter(DataSourceWriter):
     """Manifest-committed JSONL sink — the exactly-once WRITE contract a
     custom connector owes Structured query jobs: each task writes its
@@ -177,21 +199,7 @@ class LedgerJsonlWriter(DataSourceWriter):
             raise ValueError("linq_synth write requires .option('path', dir)")
 
     def write(self, iterator):
-        import json
-        import os
-
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
-        os.makedirs(self.dir, exist_ok=True)
-        path = os.path.join(self.dir, name)
-        n = 0
-        with open(path, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _FileCommit(path=path, n_rows=n)
+        return _write_jsonl_task(self.dir, iterator)
 
     def commit(self, messages):
         import json
@@ -228,6 +236,76 @@ def read_jsonl_manifest(spark, path: str, schema: str):
     return spark.read.schema(schema).json(files)
 
 
+class LedgerJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the batch sink: one manifest PER MICRO-BATCH
+    (``_manifest-<batchId>.json``), published atomically by the driver
+    in ``commit(messages, batchId)``. Exactly-once follows from the
+    batch-keyed idempotent manifests: a batch replayed after a failure
+    (the source's offsets are replayable) rewrites ITS OWN manifest
+    with the new attempt's files, so readers — which resolve manifests,
+    never the directory listing — see each batch's rows exactly once;
+    dead-attempt orphans and half-written batches are invisible.
+    ``abort`` additionally removes the failed attempt's files eagerly.
+    This completes the connector matrix: batch read (pushdown), stream
+    read (partition-planned offsets), batch write (job manifest),
+    stream write (per-batch manifests)."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError(
+                "linq_synth stream write requires .option('path', dir)"
+            )
+
+    def write(self, iterator):
+        return _write_jsonl_task(self.dir, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        files = [
+            {"path": m.path, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        name = batch_manifest_name(batchId)
+        tmp = os.path.join(self.dir, name + ".tmp")
+        os.makedirs(self.dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batchId, "files": files}, f)
+        os.replace(tmp, os.path.join(self.dir, name))  # atomic, idempotent
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def batch_manifest_name(batch_id: int) -> str:
+    return f"_manifest-{batch_id:010d}.json"
+
+
+def read_jsonl_stream_manifests(spark, path: str, schema: str):
+    """Read a LedgerJsonlStreamWriter output: the union of every
+    committed batch's manifest-listed files, in batch order. Files not
+    named by any manifest (failed attempts, concurrent writers) are
+    invisible by construction."""
+    import glob
+    import json
+    import os
+
+    files = []
+    for mp in sorted(glob.glob(os.path.join(path, "_manifest-*.json"))):
+        with open(mp) as f:
+            files.extend(e["path"] for e in json.load(f)["files"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 class SyntheticLedgerDataSource(DataSource):
     """spark.read.format("linq_synth").option("n", N).option("parts", P)
     — or spark.readStream with an extra option("batch", B) for rows per
@@ -248,6 +326,11 @@ class SyntheticLedgerDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return LedgerJsonlWriter(self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return LedgerJsonlStreamWriter(self.options)
 
 
 def register(spark) -> None:

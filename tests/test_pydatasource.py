@@ -122,6 +122,110 @@ def test_writer_roundtrip_manifest_ignores_orphans(spark, tmp_path):
     assert got == [synth_row(i) for i in range(3000)]
 
 
+def test_stream_sink_commits_one_manifest_per_batch(spark, tmp_path):
+    # DataSourceStreamWriter end-to-end: the custom stream source drains
+    # into the custom stream sink; every non-empty micro-batch publishes
+    # its own _manifest-<batchId>.json, and the manifest-resolved
+    # read-back equals the frozen row function exactly — with a planted
+    # orphan file staying invisible
+    import glob
+    import json
+    import os
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        SYNTH_SCHEMA,
+        read_jsonl_stream_manifests,
+    )
+
+    register(spark)
+    sink, chk = str(tmp_path / "sink"), str(tmp_path / "chk")
+    stream = (
+        spark.readStream.format("linq_synth")
+        .option("n", 2000)
+        .option("batch", 500)
+        .option("parts", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("linq_synth")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    manifests = sorted(glob.glob(os.path.join(sink, "_manifest-*.json")))
+    assert len(manifests) >= 4  # 2000/500: batches 0..3 (+ maybe empty)
+    orphan = os.path.join(sink, "part-99999-0.jsonl")
+    with open(orphan, "w") as f:
+        f.write(
+            json.dumps({"i": 999999, "bucket": 0, "amount": 0, "tag": "x"})
+            + "\n"
+        )
+    got = sorted(
+        tuple(r)
+        for r in read_jsonl_stream_manifests(spark, sink, SYNTH_SCHEMA).collect()
+    )
+    assert got == [synth_row(i) for i in range(2000)]
+
+
+def test_stream_sink_batch_replay_is_idempotent(spark, tmp_path):
+    # the exactly-once core: a batch re-committed after a failure (same
+    # batchId, new attempt's files) REPLACES its own manifest — readers
+    # see the new attempt's rows once, never both attempts'
+    import json
+    import os
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        SYNTH_SCHEMA,
+        LedgerJsonlStreamWriter,
+        _FileCommit,
+        read_jsonl_stream_manifests,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+
+    def _plant(name, rows):
+        p = os.path.join(sink, name)
+        with open(p, "w") as f:
+            for i in rows:
+                f.write(json.dumps(dict(zip(
+                    ("i", "bucket", "amount", "tag"), synth_row(i)
+                ))) + "\n")
+        return _FileCommit(path=p, n_rows=len(rows))
+
+    w = LedgerJsonlStreamWriter({"path": sink})
+    # first attempt of batch 0 commits, then the batch replays (e.g.
+    # checkpoint recovered before the offset commit landed)
+    w.commit([_plant("part-00000-1.jsonl", range(0, 5))], 0)
+    w.commit([_plant("part-00000-7.jsonl", range(0, 5))], 0)
+    w.commit([_plant("part-00000-9.jsonl", range(5, 8)), None], 1)
+    got = sorted(
+        tuple(r)
+        for r in read_jsonl_stream_manifests(spark, sink, SYNTH_SCHEMA).collect()
+    )
+    assert got == [synth_row(i) for i in range(8)]
+
+
+def test_stream_sink_abort_removes_attempt_files(tmp_path):
+    import os
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        LedgerJsonlStreamWriter,
+        _FileCommit,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    p = os.path.join(sink, "part-00000-3.jsonl")
+    with open(p, "w") as f:
+        f.write("{}\n")
+    w = LedgerJsonlStreamWriter({"path": sink})
+    w.abort([_FileCommit(path=p, n_rows=1), None], 5)
+    assert os.listdir(sink) == []
+
+
 def test_writer_abort_removes_written_files(tmp_path):
     # driver-side abort contract: every file named in a commit message
     # is deleted; no manifest is ever published
