@@ -396,6 +396,137 @@ def sql_surface_returned_revenue(spark, sf_dir):
     return spark.sql(SQL_SURFACE_Q10)
 
 
+# Q8-shaped: national market share — the widest star join in the suite
+# (8 relations: fact lineitem against part, supplier, orders, customer,
+# region, and nation TWICE under different roles — customer's nation
+# routes the region filter, supplier's nation is the share subject).
+# Catalyst's join reordering keeps the fact table on the streaming side
+# and broadcasts every dimension (all are orders-of-magnitude smaller;
+# at 100 TB this is one shuffle-free pass over lineitem plus the
+# orders join). The share is emitted as TWO exact fixed-point columns
+# (conditional and total volume), never a float ratio — the Q14
+# discipline; the CASE factor stays integer so the DECIMAL product type
+# matches across engines.
+SQL_SURFACE_Q8 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum((CASE WHEN n2.n_name = 'NATION_5' THEN 1 ELSE 0 END)
+               * CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+            AS BIGINT) AS nation_volume_c4,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+            AS BIGINT) AS total_volume_c4,
+       count(*) AS n_lines
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+"""
+
+
+def sql_surface_market_share(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(
+        spark, sf_dir,
+        ["part", "lineitem", "supplier", "orders", "customer", "nation",
+         "region"],
+    )
+    return spark.sql(SQL_SURFACE_Q8)
+
+
+# Q9-shaped (sans partsupp, which the testdata lacks): profit
+# contribution by SUPPLIER nation × order year, the part filter a LIKE
+# over an unanchored substring — a predicate no index helps, pushed to
+# the part scan and broadcast into the fact join. Group keys are a
+# dimension string and an exact integer year (cast BIGINT on both
+# engines); money accumulates in DECIMAL, emitted c4 fixed-point.
+SQL_SURFACE_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+            AS BIGINT) AS profit_c4,
+       count(*) AS n_lines
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+"""
+
+
+def sql_surface_nation_profit(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(
+        spark, sf_dir,
+        ["part", "lineitem", "supplier", "nation", "orders"],
+    )
+    return spark.sql(SQL_SURFACE_Q9)
+
+
+# Q13-shaped: the customer order-count DISTRIBUTION — a two-level
+# aggregation where the first level's COUNT becomes the second level's
+# GROUP KEY, and the left outer join keeps zero-order customers as the
+# n_orders = 0 bucket (an inner join silently drops the most important
+# row of the histogram). All-integer output: the strongest
+# hash-stability class, no rounding anywhere.
+SQL_SURFACE_Q13 = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_customer
+GROUP BY n_orders
+"""
+
+
+def sql_surface_custdist(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(SQL_SURFACE_Q13)
+
+
+# Q19-shaped: DISJUNCTION of per-branch conjunctions over an equi-join.
+# The join key stays a plain hash join; Catalyst additionally derives
+# the per-side OR-of-ANDs filters (brand/size terms to the part scan,
+# quantity terms to the lineitem scan) so both inputs shrink BEFORE the
+# join — the pattern that turns a "filter after join" query into a
+# pruned scan at 100 TB. One-row exact fixed-point output.
+SQL_SURFACE_Q19 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+            AS BIGINT) AS revenue_c4,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def sql_surface_disjunctive_parts(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(SQL_SURFACE_Q19)
+
+
 # --- exact DECIMAL aggregation (money must not float) ------------------------
 # Revenue as DECIMAL(18,2): the sum is EXACT and aggregation-order-
 # independent on both engines — no rounding anywhere, the strongest
@@ -728,6 +859,13 @@ QUERIES = {
     "sql_surface_returned_revenue": (
         sql_surface_returned_revenue,
         SQL_SURFACE_Q10,
+    ),
+    "sql_surface_market_share": (sql_surface_market_share, SQL_SURFACE_Q8),
+    "sql_surface_nation_profit": (sql_surface_nation_profit, SQL_SURFACE_Q9),
+    "sql_surface_custdist": (sql_surface_custdist, SQL_SURFACE_Q13),
+    "sql_surface_disjunctive_parts": (
+        sql_surface_disjunctive_parts,
+        SQL_SURFACE_Q19,
     ),
     "referential_audit": (referential_audit, REFERENTIAL_AUDIT_SQL),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
