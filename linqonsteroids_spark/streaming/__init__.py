@@ -17,8 +17,11 @@ from linqonsteroids_spark.streaming.incremental import (  # noqa: F401
     VersionedCdcMV,
     apply_change_feed_to_group_sum,
     StreamingIndex,
+    ROCKSDB_PROVIDER,
+    has_tws_runtime,
     sessionized_counts,
     stateful_running_totals,
+    stateful_typed_totals,
     stream_stream_interval_join,
     streaming_index_by,
     windowed_aggregate,

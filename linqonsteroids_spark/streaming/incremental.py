@@ -127,6 +127,107 @@ def stateful_running_totals(
     )
 
 
+def has_tws_runtime() -> bool:
+    """Whether ``transformWithStateInPandas`` can execute here: its
+    streaming Python runner speaks protobuf to the JVM, so the API is
+    importable but UNRUNNABLE without the ``google.protobuf`` package
+    (the runner crashes at init, before any user code). Same declared
+    environment boundary as the PIL/PyAV media tiers — the operator
+    below is real, its test skips where the runtime is absent."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def stateful_typed_totals(
+    stream: DataFrame,
+    key: str,
+    value_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Spark 4 typed-state stateful operator (``transformWithStateInPandas``,
+    the StatefulProcessor API): per-key ValueState holding the running
+    (count, sum, max) PLUS an independent MapState of per-``type_col``
+    counts — the successor to ``applyInPandasWithState``
+    (``stateful_running_totals`` above) where state is a set of NAMED,
+    independently-evolvable typed variables instead of one monolithic
+    tuple, and timers/TTL are first-class. Requires the RocksDB state
+    store provider (``ROCKSDB_PROVIDER`` — the changelog-checkpointed
+    backend that holds 100 TB-scale state off-heap); the caller sets
+    ``spark.sql.streaming.stateStore.providerClass`` before starting.
+
+    Output mode "Update": one row per key per batch carrying the
+    cumulative state, so the max-``n_events`` row per key is the final
+    state — the same adjudication contract as the applyInPandasWithState
+    twin. Gate ``has_tws_runtime()`` before calling; the runner needs
+    ``google.protobuf`` at execution time.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        f"{key} long, n_events long, total double, max_value double, "
+        "n_types long"
+    )
+
+    class _TypedTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._totals = handle.getValueState(
+                "totals", "n long, total double, mx double"
+            )
+            self._type_counts = handle.getMapState(
+                "type_counts", "t string", "c long"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            import pandas as pd
+
+            n, total, mx = (
+                self._totals.get() if self._totals.exists() else (0, 0.0, None)
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+                m = float(pdf[value_col].max())
+                mx = m if mx is None else max(mx, m)
+                for t, c in pdf[type_col].value_counts().items():
+                    cur = self._type_counts.getValue((t,))
+                    self._type_counts.updateValue(
+                        (t,), ((cur[0] if cur else 0) + int(c),)
+                    )
+            self._totals.update((n, total, mx))
+            n_types = sum(1 for _ in self._type_counts.keys())
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "n_events": [n],
+                    "total": [total],
+                    "max_value": [mx],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        _TypedTotals(), out_schema, "Update", "None"
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -143,6 +143,63 @@ def test_stateful_running_totals_across_microbatches(spark, dirs):
     assert got == {(1, 3, 10.0, 5.0), (2, 1, 7.0, 7.0), (3, 1, 9.0, 9.0)}
 
 
+def test_stateful_typed_totals_across_microbatches(spark, dirs):
+    # transformWithStateInPandas successor of the test above: ValueState
+    # totals + MapState per-kind counts must both carry across batches.
+    # The runner speaks protobuf to the JVM — skip where the runtime is
+    # absent (declared environment boundary, same pattern as PIL/PyAV);
+    # the processor's update logic mirrors stateful_running_totals,
+    # which runs everywhere.
+    from linqonsteroids_spark.streaming import (
+        ROCKSDB_PROVIDER,
+        has_tws_runtime,
+        stateful_typed_totals,
+    )
+
+    if not has_tws_runtime():
+        pytest.skip("google.protobuf absent: TWS runner cannot start here")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        _write_batch(spark, dirs["src"], BATCH1)
+        _write_batch(spark, dirs["src"], BATCH2)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dirs["src"])
+        )
+        out = stateful_typed_totals(
+            stream, key="user_id", value_col="value", type_col="kind"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_sink")
+            .outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql(
+            """SELECT user_id, n_events, total, max_value, n_types FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) AS rn
+                 FROM tws_sink) WHERE rn = 1"""
+        ).collect()
+        got = {
+            (r.user_id, r.n_events, r.total, r.max_value, r.n_types)
+            for r in rows
+        }
+        assert got == {
+            (1, 3, 10.0, 5.0, 2),
+            (2, 1, 7.0, 7.0, 1),
+            (3, 1, 9.0, 9.0, 1),
+        }
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_stream_join_across_microbatches(spark, dirs):
     # delta-join maintenance (Prototype.scala:56-61): a purchase arriving in
     # micro-batch 2 must join clicks buffered from micro-batch 1 (A⋈ΔB) as
