@@ -448,3 +448,48 @@ def test_not_in_with_reachable_null_selects_nothing(spark):
         ).collect()
     )
     assert got2 == [1, 3]
+
+
+def test_market_share_star_broadcasts_all_dimensions(spark):
+    # Q8 shape (sql_surface_market_share): 8-relation star — every
+    # dimension join must be a BroadcastHashJoin (the fact side streams;
+    # one shuffle-free pass at 100 TB), never a SortMergeJoin on a
+    # dimension or a cartesian anywhere
+    from linqonsteroids_spark.queries.misc import sql_surface_market_share
+
+    plan = _physical(sql_surface_market_share(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:3000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # orders is the one join that may legitimately shuffle at scale;
+    # every nation/region/part/supplier/customer join must not
+    assert plan.count("SortMergeJoin") <= 1, plan[:3000]
+
+
+def test_disjunctive_join_pushes_per_side_or_filters(spark):
+    # Q19 shape (sql_surface_disjunctive_parts): Catalyst must derive
+    # the per-side OR-of-ANDs filters from the cross-side disjunction so
+    # BOTH scans shrink before the join — visible as an Or predicate
+    # over p_brand/p_size in part's scan-side filter and over l_quantity
+    # on the lineitem side, while the join itself stays an equi hash join
+    from linqonsteroids_spark.queries.misc import (
+        sql_surface_disjunctive_parts,
+    )
+
+    df = sql_surface_disjunctive_parts(spark, SF_SMOKE)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    opt = _optimized(df)
+    filters = [ln for ln in opt.splitlines() if "Filter " in ln]
+    li_side = [
+        ln
+        for ln in filters
+        if "l_quantity" in ln and " OR " in ln and "p_brand" not in ln
+    ]
+    part_side = [
+        ln
+        for ln in filters
+        if "p_brand" in ln and " OR " in ln and "l_quantity" not in ln
+    ]
+    assert li_side, opt[:3000]
+    assert part_side, opt[:3000]
