@@ -351,8 +351,109 @@ FROM probe_cells GROUP BY user_id, cnt
 """
 
 
+# --- engine-native approximate aggregates, gated on their ERROR CONTRACT -----
+# approx_count_distinct (HyperLogLog++) and approx_percentile
+# (QuantileSummaries) have engine-specific sketch internals whose
+# estimates can never hash-match DuckDB's. What IS cross-engine
+# checkable is the published error bound: each gate computes the exact
+# truth (identical on both engines) AND, Spark-side only, an integer
+# verdict that the estimate satisfies its contract; the oracle emits
+# the exact truth with a literal verdict of 1. A bound violation turns
+# the gate red — the contract, not the sketch internals, is what a
+# 100 TB user actually relies on (estimate-only plans replace the exact
+# pass entirely at scale; the exact column exists to measure truth
+# under the gate, same note as the KMV module header).
+
+_HLL_RSD = 0.05
+
+
+def hll_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact distinct users next to a verdict that the
+    HLL++ estimate (rsd=0.05) lands within 3 standard errors — one
+    aggregation pass computes both (HLL++ is a map-side-combinable
+    sketch, so the shuffle carries one register block per group, not
+    user ids)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", _HLL_RSD).alias("_hll"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_hll") - F.col("exact_users"))
+                <= 3 * _HLL_RSD * F.col("exact_users") + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("hll_within_3se"),
+        )
+    )
+
+
+HLL_BOUNDS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       1 AS hll_within_3se
+FROM events GROUP BY event_type
+"""
+
+
+_PCTL_ACCURACY = 1000
+
+
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per l_returnflag: verdict that approx_percentile's median lands
+    within its guaranteed RANK error (n / accuracy). Pass 1 computes the
+    estimate per group (one grouped agg); pass 2 broadcasts the 3-row
+    estimate table back onto the fact to count rows <= estimate — the
+    exact rank — and checks |rank - n/2| <= n/accuracy + 1. The
+    broadcast-join-back pattern is the scale shape: the second pass is
+    one more map-side scan, no extra shuffle of the fact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", 0.5, _PCTL_ACCURACY
+        ).alias("_p50"),
+        F.count("*").alias("n_rows"),
+    )
+    ranked = li.join(
+        F.broadcast(est.select("l_returnflag", "_p50")), "l_returnflag"
+    )
+    rank = ranked.groupBy("l_returnflag").agg(
+        F.sum(
+            (F.col("l_extendedprice") <= F.col("_p50")).cast("bigint")
+        ).alias("_rank")
+    )
+    return (
+        est.join(rank, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (
+                F.abs(F.col("_rank") - F.col("n_rows") / 2)
+                <= F.col("n_rows") / _PCTL_ACCURACY + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("median_within_rank_bound"),
+        )
+    )
+
+
+PCTL_BOUNDS_SQL = """
+SELECT l_returnflag, count(*) AS n_rows, 1 AS median_within_rank_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "kmv_distinct_users": (kmv_distinct_users, KMV_DISTINCT_SQL),
     "kmv_sketch_union": (kmv_sketch_union, KMV_UNION_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, CMS_SQL),
+    "hll_distinct_bounds": (hll_distinct_bounds, HLL_BOUNDS_SQL),
+    "approx_quantile_bounds": (approx_quantile_bounds, PCTL_BOUNDS_SQL),
 }
