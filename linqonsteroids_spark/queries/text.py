@@ -1054,6 +1054,52 @@ def udtf_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Polymorphic twin: the SAME lateral consumption but through
+# linq_ngrams(text, 3), whose (pos, w1, w2, w3) schema exists only
+# because analyze() computed it from the constant 3 at plan time — the
+# dynamic-schema UDTF surface gated end-to-end (schema width + values).
+# Docs with fewer than 3 tokens emit nothing and drop out of the group.
+def udtf_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.functions.udtf import register_udtfs
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT d.doc_id, count(*) AS n_trigrams,
+               count(DISTINCT t.w1 || '_' || t.w2 || '_' || t.w3)
+                 AS n_distinct,
+               CAST(max(t.pos) AS BIGINT) AS last_pos
+        FROM documents d, LATERAL linq_ngrams(d.text, 3) t
+        GROUP BY d.doc_id
+        """
+    )
+
+
+UDTF_TRIGRAMS_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), tg AS (
+  SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2, b.w3 AS w3 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  i -> struct_pack(pos := i - 1,
+                                   w1 := toks[i], w2 := toks[i + 1],
+                                   w3 := toks[i + 2]))) AS b
+    FROM toked WHERE len(toks) >= 3
+  )
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       count(DISTINCT w1 || '_' || w2 || '_' || w3) AS n_distinct,
+       CAST(max(pos) AS BIGINT) AS last_pos
+FROM tg GROUP BY doc_id
+"""
+
+
 UDTF_BIGRAMS_SQL = """
 WITH toked AS (
   SELECT doc_id,
@@ -1080,6 +1126,7 @@ FROM bg GROUP BY doc_id
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
     "udtf_bigram_stats": (udtf_bigram_stats, UDTF_BIGRAMS_SQL),
+    "udtf_trigram_stats": (udtf_trigram_stats, UDTF_TRIGRAMS_SQL),
     "char_entropy_scores": (char_entropy_scores, CHAR_ENTROPY_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     # rows-only: DuckDB has no zlib; pytest differential is the evidence

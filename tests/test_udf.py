@@ -44,3 +44,35 @@ def test_vectorized_execution(spark):
     # the pandas UDF appears as ArrowEvalPython (vectorized), not BatchEvalPython
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_polymorphic_udtf_schema_follows_constant_arg(spark):
+    # analyze() computes (pos, w1..wn) from the CONSTANT n at plan time:
+    # different n, different column set; same tokenization as the bigram
+    # UDTF; non-constant n is rejected during analysis, before execution
+    from pyspark.sql.utils import AnalysisException
+
+    from linqonsteroids_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [("a b c d e",), ("x y",), ("solo",)], "text string"
+    ).createOrReplaceTempView("udtf_poly_t")
+    df2 = spark.sql(
+        "SELECT g.* FROM udtf_poly_t, LATERAL linq_ngrams(text, 2) g"
+    )
+    df4 = spark.sql(
+        "SELECT g.* FROM udtf_poly_t, LATERAL linq_ngrams(text, 4) g"
+    )
+    assert df2.columns == ["pos", "w1", "w2"]
+    assert df4.columns == ["pos", "w1", "w2", "w3", "w4"]
+    assert df2.count() == 5  # 4 bigrams + 1; 'solo' emits nothing
+    assert [tuple(r) for r in df4.collect()] == [
+        (0, "a", "b", "c", "d"),
+        (1, "b", "c", "d", "e"),
+    ]
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT g.* FROM udtf_poly_t, "
+            "LATERAL linq_ngrams(text, length(text)) g"
+        ).collect()
