@@ -527,6 +527,42 @@ def sql_surface_disjunctive_parts(spark, sf_dir):
     return spark.sql(SQL_SURFACE_Q19)
 
 
+# Spark 4 SQL PIPE syntax (|>): the linear FROM → WHERE → EXTEND →
+# AGGREGATE form of the Q1 pricing rollup. The pipe dialect is pure
+# surface — Catalyst plans it identically to the classic text — so the
+# oracle IS the classic text (DuckDB has no pipe dialect), which gates
+# both the parser surface and the plan equivalence in one row set.
+SQL_PIPE_PRICING = """
+FROM lineitem
+|> WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+|> EXTEND CAST(year(l_shipdate) AS BIGINT) AS ship_year
+|> AGGREGATE count(*) AS n_rows,
+     CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       AS revenue_cents
+   GROUP BY l_returnflag, l_linestatus, ship_year
+"""
+
+SQL_PIPE_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       count(*) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus, ship_year
+"""
+
+
+def sql_pipe_pricing_summary(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(SQL_PIPE_PRICING)
+
+
 # --- exact DECIMAL aggregation (money must not float) ------------------------
 # Revenue as DECIMAL(18,2): the sum is EXACT and aggregation-order-
 # independent on both engines — no rounding anywhere, the strongest
@@ -866,6 +902,10 @@ QUERIES = {
     "sql_surface_disjunctive_parts": (
         sql_surface_disjunctive_parts,
         SQL_SURFACE_Q19,
+    ),
+    "sql_pipe_pricing_summary": (
+        sql_pipe_pricing_summary,
+        SQL_PIPE_PRICING_ORACLE,
     ),
     "referential_audit": (referential_audit, REFERENTIAL_AUDIT_SQL),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
