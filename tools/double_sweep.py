@@ -1,0 +1,72 @@
+"""Same-session double-invocation sweep: every registered gate runs
+TWICE in one SparkSession and must return identical row sets.
+
+What this catches that the oracle differential cannot: stateful
+artifacts that drift across invocations — scratch-dir caching that
+reuses a stale MV, streaming checkpoints that resume instead of
+restart, registries that accumulate, temp views that collide. Zero
+drift is the repository-semantics contract (build → reuse must be
+bit-identical to build → rebuild).
+
+Usage: python tools/double_sweep.py [sf_dir] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(sf_dir: str, only: set[str] | None = None) -> int:
+    from linqonsteroids_spark.queries import ALL
+    from linqonsteroids_spark.session import get_spark
+
+    spark = get_spark("double_sweep")
+    failures = 0
+    n_runs = 0
+    for name, (fn, _sql) in sorted(ALL.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+            second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+            n_runs += 2
+        except Exception as e:  # noqa: BLE001
+            print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if first != second:
+            diff = sum(1 for a, b in zip(first, second) if a != b)
+            diff += abs(len(first) - len(second))
+            print(
+                f"  DRIFT {name}: rows {len(first)} vs {len(second)}, "
+                f"{diff} differing [{time.time() - t0:.1f}s]"
+            )
+            failures += 1
+        else:
+            print(
+                f"  PASS {name}: {len(first)} rows x2 identical "
+                f"[{time.time() - t0:.1f}s]"
+            )
+    print(
+        f"{'ALL STABLE' if not failures else f'{failures} FAILURES'} "
+        f"({n_runs} invocations)"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(
+                a.split("=", 1)[1].split(",")
+                if "=" in a
+                else sys.argv[sys.argv.index(a) + 1].split(",")
+            )
+    sf = args[0] if args else "/root/testdata/sf0.001"
+    raise SystemExit(main(sf, only))
