@@ -563,6 +563,50 @@ def sql_pipe_pricing_summary(spark, sf_dir):
     return spark.sql(SQL_PIPE_PRICING)
 
 
+# Spark 4 SQL SCRIPTING (BEGIN/DECLARE/REPEAT): a data-dependent loop —
+# double the price cutoff until fewer than half the orders lie above it
+# (the doubling phase of a median-bracketing search; each trip is one
+# counting scan, so the loop is O(log range) scans — the scripted form
+# of driver-side iterate-until in procedural engines). DuckDB has no
+# scripting dialect, so the oracle UNROLLS the loop declaratively:
+# counts for every power-of-two cutoff, first row past the stop
+# condition. All-integer output; REPEAT runs its body at least once,
+# which the oracle mirrors by starting at k=1.
+SQL_SCRIPT_THRESHOLD = """
+BEGIN
+  DECLARE cutoff DOUBLE DEFAULT 1000;
+  DECLARE total BIGINT DEFAULT 0;
+  DECLARE n BIGINT DEFAULT 0;
+  SET total = (SELECT count(*) FROM orders);
+  REPEAT
+    SET cutoff = cutoff * 2;
+    SET n = (SELECT count(*) FROM orders WHERE o_totalprice > cutoff);
+  UNTIL n * 2 < total END REPEAT;
+  SELECT CAST(cutoff AS BIGINT) AS final_cutoff, n AS n_above;
+END
+"""
+
+SQL_SCRIPT_THRESHOLD_ORACLE = """
+WITH total AS (SELECT count(*) AS c FROM orders),
+counts AS (
+  SELECT k, CAST(1000 * power(2, k) AS BIGINT) AS final_cutoff,
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice > 1000 * power(2, k)) AS n_above
+  FROM range(1, 40) t(k)
+)
+SELECT final_cutoff, n_above
+FROM counts, total WHERE n_above * 2 < c ORDER BY k LIMIT 1
+"""
+
+
+def sql_script_threshold_search(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(SQL_SCRIPT_THRESHOLD)
+
+
 # --- exact DECIMAL aggregation (money must not float) ------------------------
 # Revenue as DECIMAL(18,2): the sum is EXACT and aggregation-order-
 # independent on both engines — no rounding anywhere, the strongest
@@ -906,6 +950,10 @@ QUERIES = {
     "sql_pipe_pricing_summary": (
         sql_pipe_pricing_summary,
         SQL_PIPE_PRICING_ORACLE,
+    ),
+    "sql_script_threshold_search": (
+        sql_script_threshold_search,
+        SQL_SCRIPT_THRESHOLD_ORACLE,
     ),
     "referential_audit": (referential_audit, REFERENTIAL_AUDIT_SQL),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),
