@@ -40,17 +40,23 @@ from linqonsteroids_spark.plans.registry import (
 )
 
 
-def mine_patterns(q: Lifted) -> tuple[list[tuple[str, str]], list[tuple]]:
+def mine_patterns(
+    q: Lifted,
+) -> tuple[list[tuple[str, str]], list[tuple], list[tuple]]:
     """Extract the advisable shapes from one query: ``(table, column)``
-    for every conjunct matching the filter→index pattern, and the join
+    for every conjunct matching the filter→index pattern, the join
     signature (tables, keys) for rewritable join chains — side/post
     filters stay per-query residuals, so ONE join MV serves every
-    differently-filtered repetition. Pure driver-side plan metadata; no
-    data is touched. Shared by live observation (WorkloadAdvisor) and
-    persisted logs (plans/workload.py)."""
+    differently-filtered repetition — and the rollup signature
+    ``(table, key_col, sums, mins, maxs)`` for tracked ``agg_summary``
+    shapes (a wider MV serves every narrower repetition, so the advisor
+    accumulates the UNION of requested columns). Pure driver-side plan
+    metadata; no data is touched. Shared by live observation
+    (WorkloadAdvisor) and persisted logs (plans/workload.py)."""
     plan = q.plan
     filter_pats: list[tuple[str, str]] = []
     join_sigs: list[tuple] = []
+    agg_sigs: list[tuple] = []
     if plan.rewritable and plan.base_table and not plan.lets:
         for f in plan.filters:
             for conj in split_conjuncts(f):
@@ -59,7 +65,10 @@ def mine_patterns(q: Lifted) -> tuple[list[tuple[str, str]], list[tuple]]:
                     filter_pats.append((plan.base_table, m[0]))
     if plan.rewritable and plan.join is not None:
         join_sigs.append(plan.join.signature)
-    return filter_pats, join_sigs
+    if plan.agg is not None:
+        ai = plan.agg
+        agg_sigs.append((ai.table, ai.key_col, ai.sums, ai.mins, ai.maxs))
+    return filter_pats, join_sigs, agg_sigs
 
 
 class WorkloadAdvisor:
@@ -82,18 +91,25 @@ class WorkloadAdvisor:
         self.min_count = min_count
         self._patterns: Counter[tuple[str, str]] = Counter()
         self._join_patterns: Counter[tuple] = Counter()
+        self._agg_patterns: Counter[tuple[str, str]] = Counter()
+        # (table, key_col) -> [set(sums), set(mins), set(maxs)]: the
+        # UNION of every observed request, so one covering MV answers
+        # all of them by subset matching
+        self._agg_cols: dict[tuple[str, str], list[set]] = {}
 
     def observe(self, q: Lifted) -> Lifted:
-        """Record the query's filter-key and join-chain patterns; returns
-        ``q`` unchanged so call sites can wrap submission transparently."""
-        filter_pats, join_sigs = mine_patterns(q)
-        self.ingest(filter_pats, join_sigs)
+        """Record the query's filter-key, join-chain, and rollup
+        patterns; returns ``q`` unchanged so call sites can wrap
+        submission transparently."""
+        filter_pats, join_sigs, agg_sigs = mine_patterns(q)
+        self.ingest(filter_pats, join_sigs, agg_sigs)
         return q
 
     def ingest(
         self,
         filter_pats: list[tuple[str, str]],
         join_sigs: list[tuple],
+        agg_sigs: list[tuple] = (),
     ) -> None:
         """Feed pre-mined patterns into the counters — the replay entry
         point for persisted workload logs (plans/workload.py), which
@@ -102,6 +118,14 @@ class WorkloadAdvisor:
             self._patterns[pat] += 1
         for sig in join_sigs:
             self._join_patterns[sig] += 1
+        for table, key_col, sums, mins, maxs in agg_sigs:
+            self._agg_patterns[(table, key_col)] += 1
+            cols = self._agg_cols.setdefault(
+                (table, key_col), [set(), set(), set()]
+            )
+            cols[0] |= set(sums)
+            cols[1] |= set(mins)
+            cols[2] |= set(maxs)
 
     def advise(self) -> list[tuple[str, str, int]]:
         """(table, column, observations) for every pattern at or above
@@ -132,6 +156,32 @@ class WorkloadAdvisor:
             out.append((sig, n))
         return out
 
+    def advise_aggs(self) -> list[tuple[str, str, int, tuple, tuple, tuple]]:
+        """(table, key_col, observations, sums, mins, maxs) for repeated
+        rollup shapes with no registered agg MV yet — column tuples are
+        the sorted UNION of every observed request (one covering MV
+        answers all of them by subset matching)."""
+        out = []
+        for (table, key_col), n in self._agg_patterns.most_common():
+            if n < self.min_count:
+                break
+            if (table, key_col) in self.repo._agg_mvs:
+                continue
+            if table not in self.sources:
+                continue
+            sums, mins, maxs = self._agg_cols[(table, key_col)]
+            out.append(
+                (
+                    table,
+                    key_col,
+                    n,
+                    tuple(sorted(sums)),
+                    tuple(sorted(mins)),
+                    tuple(sorted(maxs)),
+                )
+            )
+        return out
+
     def _rebuild_chain(self, sig: tuple) -> Lifted:
         """Reconstruct the UNFILTERED left-deep chain from its signature —
         what add_join_index materializes (observed queries carry filters;
@@ -159,4 +209,16 @@ class WorkloadAdvisor:
             tables, _keys = sig
             name = "adv_join_" + "_".join(tables)
             entries.append(self.repo.add_join_index(name, self._rebuild_chain(sig)))
+        for table, key_col, _n, sums, mins, maxs in self.advise_aggs():
+            src = self.sources[table]()
+            indexed = src.index_by(lambda r, c=key_col: r[c], key_name=key_col)
+            entries.append(
+                self.repo.add_agg_index(
+                    f"adv_agg_{table}_{key_col}",
+                    indexed,
+                    sums=sums,
+                    mins=mins,
+                    maxs=maxs,
+                )
+            )
         return entries

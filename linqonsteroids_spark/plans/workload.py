@@ -38,7 +38,8 @@ class WorkloadLog:
     """Append-only JSONL log of advisable query shapes.
 
     One line per recorded query:
-    ``{"filters": [[table, col], ...], "joins": [[tables, keys], ...]}``.
+    ``{"filters": [[table, col], ...], "joins": [[tables, keys], ...],
+    "aggs": [[table, key, sums, mins, maxs], ...]}``.
     """
 
     def __init__(self, path: str):
@@ -47,12 +48,16 @@ class WorkloadLog:
     def record(self, q: Lifted) -> Lifted:
         """Mine and append ``q``'s shapes; returns ``q`` unchanged so
         call sites wrap submission transparently (the observe contract)."""
-        filter_pats, join_sigs = mine_patterns(q)
+        filter_pats, join_sigs, agg_sigs = mine_patterns(q)
         entry = {
             "filters": [list(p) for p in filter_pats],
             "joins": [
                 [list(tables), [list(k) for k in keys]]
                 for tables, keys in join_sigs
+            ],
+            "aggs": [
+                [table, key, list(sums), list(mins), list(maxs)]
+                for table, key, sums, mins, maxs in agg_sigs
             ],
         }
         with open(self.path, "a") as f:
@@ -76,6 +81,10 @@ class WorkloadLog:
                 (tuple(tables), tuple(tuple(k) for k in keys))
                 for tables, keys in e.get("joins", [])
             ]
-            advisor.ingest(filter_pats, join_sigs)
+            agg_sigs = [
+                (table, key, tuple(sums), tuple(mins), tuple(maxs))
+                for table, key, sums, mins, maxs in e.get("aggs", [])
+            ]
+            advisor.ingest(filter_pats, join_sigs, agg_sigs)
             n += 1
         return n

@@ -182,6 +182,85 @@ WHERE o_orderpriority = '5-LOW' AND o_totalprice > 150000.0
 """
 
 
+# The rollup leg of the SparkCruise loop: two logged agg_summary shapes
+# with DIFFERENT column subsets replay into ONE advised covering MV
+# (the union), and a THIRD, narrower query — never observed — then
+# substitutes to it by subset matching. RAISES unless the advised MV is
+# what the optimized plan scans; oracle recomputes the rollup from the
+# base table.
+def advised_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.plans.advisor import WorkloadAdvisor
+    from linqonsteroids_spark.plans.workload import WorkloadLog
+
+    orders = load_table(spark, sf_dir, "orders")
+    storage = cached_scratch_dir("squopt_aggadv_", sf_dir)
+    log_path = os.path.join(storage, "workload.jsonl")
+    if os.path.exists(log_path):
+        os.remove(log_path)  # idempotent across invocations
+    log = WorkloadLog(log_path)
+
+    def rollup(**kw):
+        return (
+            lift(orders, table="orders")
+            .index_by(lambda o: o.o_orderpriority)
+            .agg_summary(**kw)
+        )
+
+    log.record(rollup(sums=["o_orderkey"]))
+    log.record(rollup(maxs=["o_totalprice"], mins=["o_totalprice"]))
+
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    advisor = WorkloadAdvisor(
+        repo,
+        {"orders": lambda: lift(orders, table="orders")},
+        min_count=2,
+    )
+    n = log.replay_into(advisor)
+    if n != 2:
+        raise RuntimeError(f"replay read {n} log entries, wanted 2")
+    advice = advisor.advise_aggs()
+    if ("orders", "o_orderpriority") in repo._agg_mvs:
+        if advice:  # warm leg: already materialized, nothing re-advised
+            raise RuntimeError(f"re-advised registered rollup: {advice}")
+    elif advice != [
+        (
+            "orders",
+            "o_orderpriority",
+            2,
+            ("o_orderkey",),
+            ("o_totalprice",),
+            ("o_totalprice",),
+        )
+    ]:
+        raise RuntimeError(f"rollup advice wrong: {advice}")
+    advisor.auto_materialize()
+
+    # never-observed narrower query: served by the covering MV
+    q = rollup(sums=["o_orderkey"], mins=["o_totalprice"])
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all(
+        "adv_agg_orders_o_orderpriority" in f for f in files
+    ):
+        raise RuntimeError("advised rollup substitution did not fire")
+    return opt.df.select(
+        "o_orderpriority",
+        F.col("cnt_star").alias("n_orders"),
+        F.col("sum_o_orderkey").alias("key_sum"),
+        F.round("min_o_totalprice", 2).alias("min_price"),
+    )
+
+
+ADVISED_AGG_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(min(o_totalprice), 2) AS min_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --- partitioned type-index (TypeMapping, SubquerySharing.scala:345-448) ---
 # The MV is stored partitionBy(tag): a key equality prunes whole partition
 # DIRECTORIES (PartitionFilters), not just row groups — the right layout
@@ -1114,6 +1193,7 @@ QUERIES = {
     "agg_mv_optimized_rollup": (agg_mv_optimized_rollup, AGG_MV_OPTIMIZED_SQL),
     "advised_segment_lookup": (advised_segment_lookup, ADVISED_LOOKUP_SQL),
     "workload_replay_lookup": (workload_replay_lookup, WORKLOAD_REPLAY_SQL),
+    "advised_agg_rollup": (advised_agg_rollup, ADVISED_AGG_SQL),
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),
     "udf_event_features": (udf_event_features, UDF_FEATURES_SQL),
     "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),

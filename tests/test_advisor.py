@@ -181,3 +181,66 @@ def test_workload_log_append_merge(spark, tmp_path):
     assert log.replay_into(adv) == 3
     assert adv._patterns[("customer", "c_mktsegment")] == 3
     assert adv.advise() == [("customer", "c_mktsegment", 3)]
+
+
+def test_advisor_mines_repeated_rollups_and_covers_union(spark, advisor):
+    # two agg_summary shapes on the same (orders, o_orderpriority) with
+    # DIFFERENT column subsets → one advised covering MV over the UNION;
+    # a one-off rollup on another key is not advised; after
+    # auto_materialize both original queries substitute to the same MV
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    def rollup(**kw):
+        return (
+            lift(orders, table="orders")
+            .index_by(lambda o: o.o_orderpriority)
+            .agg_summary(**kw)
+        )
+
+    q1 = rollup(sums=["o_orderkey"])
+    q2 = rollup(maxs=["o_totalprice"])
+    advisor.observe(q1)
+    advisor.observe(q2)
+    advisor.observe(
+        lift(orders, table="orders")
+        .index_by(lambda o: o.o_orderstatus)
+        .agg_summary(sums=["o_orderkey"])
+    )
+    advised = advisor.advise_aggs()
+    assert advised == [
+        ("orders", "o_orderpriority", 2, ("o_orderkey",), (), ("o_totalprice",))
+    ]
+    entries = advisor.auto_materialize()
+    assert any(
+        getattr(e, "key_col", None) == "o_orderpriority"
+        and getattr(e, "sums", None) == ("o_orderkey",)
+        and getattr(e, "maxs", None) == ("o_totalprice",)
+        for e in entries
+    )
+    for q in (q1, q2):
+        opt = advisor.repo.optimize(q)
+        files = opt.df.inputFiles()
+        assert files and all("adv_agg_orders_o_orderpriority" in f for f in files)
+        assert sorted(map(tuple, opt.df.collect())) == sorted(
+            map(tuple, q.df.collect())
+        )
+    # idempotent: nothing new advised after materialization
+    assert advisor.advise_aggs() == []
+
+
+def test_workload_log_persists_rollup_shapes(spark, advisor, tmp_path):
+    from linqonsteroids_spark.plans.workload import WorkloadLog
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    log = WorkloadLog(str(tmp_path / "wl.jsonl"))
+    for _ in range(2):
+        log.record(
+            lift(orders, table="orders")
+            .index_by(lambda o: o.o_orderpriority)
+            .agg_summary(sums=["o_orderkey"], mins=["o_totalprice"])
+        )
+    assert log.replay_into(advisor) == 2
+    advised = advisor.advise_aggs()
+    assert advised == [
+        ("orders", "o_orderpriority", 2, ("o_orderkey",), ("o_totalprice",), ())
+    ]
