@@ -450,10 +450,213 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- Apache DataSketches integration (Spark 4.1 built-ins) ------------------
+# hll_sketch_agg / theta_sketch_agg / kll_sketch_agg_* / approx_top_k_*
+# are the engine-native MERGEABLE sketch objects — the 100 TB shape where
+# per-partition/per-day sketches are persisted and rolled up without
+# re-touching raw rows. Same error-contract gate discipline as above
+# (sketch internals can't hash-match DuckDB; the published bound and the
+# exact-arithmetic invariants — element counts, set-op truths — can),
+# with one exception: approx_top_k is EXACT below maxItemsTracked, so its
+# lifecycle gate gets a full value differential, the strongest evidence a
+# sketch op can have.
+
+_HLL_LGK = 14  # rse = 1.04/sqrt(2^14) ~ 0.81%; verdicts use 3 se + 1
+_THETA_RSE = 1.0 / 64  # default nominal 4096 entries -> 1/sqrt(4096)
+
+
+def _register(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, tables)
+
+
+def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: exact distinct custkeys next to verdicts that (a) the
+    UNION of per-priority HLL sketches and (b) a direct global sketch
+    both land within 3 standard errors of truth. (a) is the mergeability
+    contract — per-group register blocks union'd without revisiting rows
+    (union can re-encode the registers, so merged != direct bit-wise;
+    the shared bound is what holds). Grouped sketch build is one
+    map-side-combined shuffle of register blocks, never of custkeys."""
+    _register(spark, sf_dir, ["orders"])
+    bound = f"3 * 1.04 / sqrt(pow(2, {_HLL_LGK})) * d.exact + 1"
+    return spark.sql(f"""
+        WITH per_g AS (SELECT o_orderpriority,
+                              hll_sketch_agg(o_custkey, {_HLL_LGK}) AS sk
+                       FROM orders GROUP BY o_orderpriority),
+         m AS (SELECT hll_sketch_estimate(hll_union_agg(sk, true)) AS est
+               FROM per_g),
+         d AS (SELECT hll_sketch_estimate(
+                          hll_sketch_agg(o_custkey, {_HLL_LGK})) AS est,
+                      count(DISTINCT o_custkey) AS exact FROM orders)
+        SELECT d.exact AS exact_custkeys,
+               CAST(abs(m.est - d.exact) <= {bound} AS BIGINT)
+                   AS merged_within_3se,
+               CAST(abs(d.est - d.exact) <= {bound} AS BIGINT)
+                   AS direct_within_3se
+        FROM m, d""")
+
+
+HLL_MERGE_SQL = """
+SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+       1 AS merged_within_3se, 1 AS direct_within_3se
+FROM orders
+"""
+
+
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches carry SET OPERATIONS, not just cardinality: the
+    estimated union / intersection / difference of urgent-vs-low
+    customer-key sets, each gated within 3 relative-standard-errors of
+    the exact truth (error of derived set ops scales with the UNION
+    size, the published theta contract — below the 4096-entry nominal
+    the sketch is in exact mode and the estimates ARE the truth). The
+    100 TB use: overlap/containment between corpus partitions from
+    per-partition sketches, no pairwise row joins."""
+    _register(spark, sf_dir, ["orders"])
+    bound = f"3 * {_THETA_RSE} * ex.ex_union + 1"
+    return spark.sql(f"""
+        WITH a AS (SELECT theta_sketch_agg(o_custkey) AS sk FROM orders
+                   WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT theta_sketch_agg(o_custkey) AS sk FROM orders
+               WHERE o_orderpriority = '5-LOW'),
+         est AS (SELECT
+             theta_sketch_estimate(theta_union(a.sk, b.sk)) AS e_union,
+             theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS e_int,
+             theta_sketch_estimate(theta_difference(a.sk, b.sk)) AS e_diff
+             FROM a, b),
+         ua AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+         ub AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '5-LOW'),
+         ex AS (SELECT
+             (SELECT count(*) FROM (SELECT * FROM ua UNION SELECT * FROM ub))
+                 AS ex_union,
+             (SELECT count(*)
+              FROM (SELECT * FROM ua INTERSECT SELECT * FROM ub)) AS ex_int,
+             (SELECT count(*)
+              FROM (SELECT * FROM ua EXCEPT SELECT * FROM ub)) AS ex_diff)
+        SELECT ex.ex_union AS exact_union, ex.ex_int AS exact_intersect,
+               ex.ex_diff AS exact_diff,
+               CAST(abs(est.e_union - ex.ex_union) <= {bound} AS BIGINT)
+                   AS union_within_3se,
+               CAST(abs(est.e_int - ex.ex_int) <= {bound} AS BIGINT)
+                   AS intersect_within_3se,
+               CAST(abs(est.e_diff - ex.ex_diff) <= {bound} AS BIGINT)
+                   AS diff_within_3se
+        FROM est, ex""")
+
+
+THETA_SETOPS_SQL = """
+WITH ua AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+ ub AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+SELECT (SELECT count(*) FROM (SELECT * FROM ua UNION SELECT * FROM ub))
+           AS exact_union,
+       (SELECT count(*) FROM (SELECT * FROM ua INTERSECT SELECT * FROM ub))
+           AS exact_intersect,
+       (SELECT count(*) FROM (SELECT * FROM ua EXCEPT SELECT * FROM ub))
+           AS exact_diff,
+       1 AS union_within_3se, 1 AS intersect_within_3se, 1 AS diff_within_3se
+"""
+
+
+_KLL_K = 400  # 99%-confidence rank eps ~1%; verdict bound 5% absorbs
+# the randomized-compaction variance across merge orders
+
+
+def kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches per l_returnflag PLUS a '*ALL*' row whose
+    sketch is the fold-merge of the per-group sketches (2-ary
+    kll_sketch_merge_double over the collected list — what a per-day
+    rollup does). Exact invariants gated exactly: get_n equals the true
+    row count on every row including the merged one (n is additive and
+    deterministic). The median estimate is gated on rank error: rows at
+    or below the estimate must sit within 5% * n of n/2, checked by one
+    broadcast-join-back counting pass (no second fact shuffle)."""
+    _register(spark, sf_dir, ["lineitem"])
+    return spark.sql(f"""
+        WITH sk AS (SELECT l_returnflag,
+                           kll_sketch_agg_double(l_extendedprice, {_KLL_K})
+                               AS sk,
+                           count(*) AS n
+                    FROM lineitem GROUP BY l_returnflag),
+         merged AS (SELECT '*ALL*' AS l_returnflag,
+                           aggregate(slice(l, 2, size(l) - 1),
+                                     element_at(l, 1),
+                                     (acc, x) ->
+                                         kll_sketch_merge_double(acc, x))
+                               AS sk,
+                           n_total AS n
+                    FROM (SELECT collect_list(sk) AS l, sum(n) AS n_total
+                          FROM sk)),
+         both AS (SELECT * FROM sk UNION ALL SELECT * FROM merged),
+         est AS (SELECT l_returnflag, n,
+                        kll_sketch_get_n_double(sk) AS sketch_n,
+                        kll_sketch_get_quantile_double(sk, 0.5d) AS p50
+                 FROM both),
+         ranked AS (SELECT e.l_returnflag,
+                           sum(CASE WHEN li.l_extendedprice <= e.p50
+                                    THEN 1 ELSE 0 END) AS rnk
+                    FROM est e JOIN lineitem li
+                      ON e.l_returnflag = li.l_returnflag
+                    GROUP BY e.l_returnflag
+                    UNION ALL
+                    SELECT '*ALL*',
+                           sum(CASE WHEN l_extendedprice <=
+                               (SELECT p50 FROM est
+                                WHERE l_returnflag = '*ALL*')
+                               THEN 1 ELSE 0 END)
+                    FROM lineitem)
+        SELECT e.l_returnflag, CAST(e.n AS BIGINT) AS n_rows,
+               CAST(e.sketch_n = e.n AS BIGINT) AS sketch_n_exact,
+               CAST(abs(r.rnk - e.n / 2) <= 0.05 * e.n + 1 AS BIGINT)
+                   AS median_within_rank_bound
+        FROM est e JOIN ranked r ON e.l_returnflag = r.l_returnflag""")
+
+
+KLL_SKETCH_SQL = """
+SELECT l_returnflag, count(*) AS n_rows,
+       1 AS sketch_n_exact, 1 AS median_within_rank_bound
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT '*ALL*', count(*), 1, 1 FROM lineitem
+"""
+
+
+def approx_topk_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx_top_k accumulate -> combine -> estimate lifecycle —
+    per-bucket partial sketches merged into one, exactly the partial-
+    aggregation contract a 1000-executor rollup relies on. Below
+    maxItemsTracked the sketch is EXACT, so this gate gets the full
+    value differential (not just a bound verdict): the estimated counts
+    must equal count(*) GROUP BY, every item, every count."""
+    _register(spark, sf_dir, ["events"])
+    return spark.sql("""
+        WITH acc AS (SELECT pmod(xxhash64(user_id), 4) AS bucket,
+                            approx_top_k_accumulate(event_type, 10) AS st
+                     FROM events GROUP BY 1),
+         comb AS (SELECT approx_top_k_combine(st) AS c FROM acc),
+         est AS (SELECT explode(approx_top_k_estimate(c, 10)) AS kv
+                 FROM comb)
+        SELECT kv.item AS event_type, CAST(kv.count AS BIGINT) AS n_events
+        FROM est""")
+
+
+APPROX_TOPK_SQL = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "kmv_distinct_users": (kmv_distinct_users, KMV_DISTINCT_SQL),
     "kmv_sketch_union": (kmv_sketch_union, KMV_UNION_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, CMS_SQL),
     "hll_distinct_bounds": (hll_distinct_bounds, HLL_BOUNDS_SQL),
     "approx_quantile_bounds": (approx_quantile_bounds, PCTL_BOUNDS_SQL),
+    "hll_sketch_mergeability": (hll_sketch_mergeability, HLL_MERGE_SQL),
+    "theta_sketch_setops": (theta_sketch_setops, THETA_SETOPS_SQL),
+    "kll_quantile_sketch": (kll_quantile_sketch, KLL_SKETCH_SQL),
+    "approx_topk_lifecycle": (approx_topk_lifecycle, APPROX_TOPK_SQL),
 }

@@ -40,6 +40,8 @@ ALLOW_ALL_PAIRS = {
     "bigram_surprisal": "1-row scalar total broadcast onto the unigram table",
     "lsh_recall_report": "three 1-row counts cross-joined into one row",
     "ann_recall_report": "three 1-row counts cross-joined into one row",
+    "hll_sketch_mergeability": "two 1-row sketch aggregates cross-joined",
+    "theta_sketch_setops": "1-row sketch/exact aggregates cross-joined",
 }
 
 FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
