@@ -894,6 +894,89 @@ GROUP BY c_mktsegment
 """
 
 
+# --- state-store reader: the streaming-ops surface -------------------------
+# Spark 4's `statestore` batch source reads a streaming query's RocksDB/
+# HDFS state files directly — the tool for inspecting, auditing, or
+# repairing a 100 TB pipeline's state WITHOUT replaying the stream. The
+# gate runs a stateful count+sum aggregation to a checkpoint, then reads
+# the raw per-key state back and compares it to the batch truth: if the
+# state bytes decode to exactly the GROUP BY result, the checkpoint is
+# provably consistent. Money accumulates as per-row DECIMAL(18,2) cents
+# summed in BIGINT, so state equals oracle bit-exactly (no float order).
+
+
+def statestore_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    agg = (
+        stream.select("event_type", cents.alias("_cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_cents").alias("value_cents"),
+        )
+    )
+    # checkpoint is key-stable per sf_dir: a re-invocation restarts from
+    # the checkpoint, lists no new files, and leaves the state unchanged
+    # (the repository build->reuse contract, double-sweep verified)
+    chk = f"{cached_scratch_dir('squopt_sstate_', sf_dir)}/chk"
+    name = f"mv_sstate_{next(_MV_IDS)}"
+    _run_stream_to_memory_checkpointed(spark, agg, name, "complete", chk)
+    # state value struct fields carry the AGG BUFFER names (count/sum),
+    # one row per key (a key lives in exactly one shuffle partition)
+    return (
+        spark.read.format("statestore")
+        .load(chk)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").alias("value_cents"),
+        )
+    )
+
+
+def _run_stream_to_memory_checkpointed(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    checkpoint: str,
+    state_partitions: int = 4,
+) -> None:
+    """_run_stream_to_memory with an explicit checkpoint so the state
+    outlives the query (the statestore source reads checkpoint files)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+STATESTORE_READER_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
@@ -921,4 +1004,5 @@ QUERIES = {
     "incremental_mv_time_travel": (incremental_mv_time_travel, TIME_TRAVEL_SQL),
     "mv_change_feed": (mv_change_feed, CHANGE_FEED_SQL),
     "streaming_trending_users": (streaming_trending_users, STREAMING_TRENDING_SQL),
+    "statestore_reader_counts": (statestore_reader_counts, STATESTORE_READER_SQL),
 }

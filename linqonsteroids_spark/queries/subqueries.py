@@ -281,6 +281,117 @@ def sql_surface_null_aware_anti(spark, sf_dir):
     return _run(spark, sf_dir, ["part", "lineitem"], SQL_NULL_AWARE_ANTI)
 
 
+# --- canon completion: the remaining classic shapes this schema can ---------
+# express (Q2/Q4/Q6/Q11/Q12/Q16/Q20 need partsupp / commitdate /
+# shipmode columns the testdata lacks; these five adapt each query's
+# REWRITE-relevant structure — the part Catalyst must decorrelate or
+# specialize — onto the available columns). With these, every TPC-H
+# optimization shape is registry-covered.
+
+# Q4-shaped: correlated EXISTS against the fact with a PER-ROW date
+# comparison (l_shipdate > o_orderdate) — not a constant predicate, so
+# the semi join must carry the outer column into the join condition.
+SQL_Q4_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def sql_surface_priority_check(spark, sf_dir):
+    return _run(spark, sf_dir, ["orders", "lineitem"], SQL_Q4_PRIORITY_CHECK)
+
+
+# Q6-shaped: the pure scan-filter-aggregate — no join at all; the whole
+# query should collapse to one pushed-filter parquet scan plus a single
+# partial/final agg pair. Revenue = price * discount accumulates in
+# DECIMAL (scale 4 after the product), emitted fixed-point.
+SQL_Q6_FORECAST_REVENUE = """
+SELECT CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2))), 0) * 10000
+            AS BIGINT) AS revenue_c4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def sql_surface_forecast_revenue(spark, sf_dir):
+    return _run(spark, sf_dir, ["lineitem"], SQL_Q6_FORECAST_REVENUE)
+
+
+# Q11-shaped: group-HAVING against a SCALAR SUBQUERY over the same
+# grouped CTE — the value-concentration cut. Threshold arithmetic stays
+# all-DECIMAL/BIGINT (v * 10n > 12 * total, i.e. share > 1.2x average)
+# so the boundary is exact on both engines; avg() is avoided because
+# DuckDB's DECIMAL avg degrades to DOUBLE.
+SQL_Q11_VALUE_CONCENTRATION = """
+WITH pv AS (SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, CAST(v * 100 AS BIGINT) AS value_cents, n_lines
+FROM pv
+WHERE v * (SELECT 10 * count(*) FROM pv) > (SELECT 12 * sum(v) FROM pv)
+"""
+
+
+def sql_surface_value_concentration(spark, sf_dir):
+    return _run(spark, sf_dir, ["lineitem"], SQL_Q11_VALUE_CONCENTRATION)
+
+
+# Q16-shaped: COUNT DISTINCT over a join, minus a NOT IN supplier
+# exclusion set — the distinct-agg expands to two-phase (partial
+# distinct then count) and the NOT IN plans as an anti join (inner side
+# non-null, so no null-aware penalty). Top-40 cut is fully tiebroken.
+SQL_Q16_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000.0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 40
+"""
+
+
+def sql_surface_supplier_variety(spark, sf_dir):
+    return _run(
+        spark, sf_dir, ["lineitem", "part", "supplier"], SQL_Q16_SUPPLIER_VARIETY
+    )
+
+
+# Q20-shaped: IN-subquery whose inner is itself a grouped HAVING
+# against a scalar global aggregate — the two-level nesting (semi join
+# of supplier against an aggregate of a join). sum(l_quantity) is
+# integer-valued, so the 0.001 * total threshold is one IEEE multiply
+# of an exact value — identical on both engines.
+SQL_Q20_EXCESS_SUPPLIERS = """
+SELECT s_name,
+       CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'large%'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > (SELECT 0.001 * sum(l_quantity) FROM lineitem))
+"""
+
+
+def sql_surface_excess_suppliers(spark, sf_dir):
+    return _run(
+        spark, sf_dir, ["supplier", "lineitem", "part"], SQL_Q20_EXCESS_SUPPLIERS
+    )
+
+
 QUERIES = {
     "sql_surface_small_qty_revenue": (
         sql_surface_small_qty_revenue,
@@ -309,5 +420,25 @@ QUERIES = {
     "sql_surface_null_aware_anti": (
         sql_surface_null_aware_anti,
         SQL_NULL_AWARE_ANTI,
+    ),
+    "sql_surface_priority_check": (
+        sql_surface_priority_check,
+        SQL_Q4_PRIORITY_CHECK,
+    ),
+    "sql_surface_forecast_revenue": (
+        sql_surface_forecast_revenue,
+        SQL_Q6_FORECAST_REVENUE,
+    ),
+    "sql_surface_value_concentration": (
+        sql_surface_value_concentration,
+        SQL_Q11_VALUE_CONCENTRATION,
+    ),
+    "sql_surface_supplier_variety": (
+        sql_surface_supplier_variety,
+        SQL_Q16_SUPPLIER_VARIETY,
+    ),
+    "sql_surface_excess_suppliers": (
+        sql_surface_excess_suppliers,
+        SQL_Q20_EXCESS_SUPPLIERS,
     ),
 }

@@ -493,3 +493,30 @@ def test_disjunctive_join_pushes_per_side_or_filters(spark):
     ]
     assert li_side, opt[:3000]
     assert part_side, opt[:3000]
+
+
+def test_q6_shape_is_joinless_pushed_scan(spark):
+    # the Q6-shaped gate must collapse to scan -> partial/final agg:
+    # no join operator anywhere, and the shipdate/discount/quantity
+    # filters pushed to the parquet scan
+    from linqonsteroids_spark.queries.subqueries import (
+        sql_surface_forecast_revenue,
+    )
+
+    plan = _physical(sql_surface_forecast_revenue(spark, SF_SMOKE))
+    assert "Join" not in plan, plan[:3000]
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:400], plan[:3000]
+
+
+def test_q4_exists_is_semi_join_with_row_condition(spark):
+    # the correlated EXISTS carries the per-row l_shipdate > o_orderdate
+    # comparison into a LeftSemi join condition — never a per-row rescan
+    from linqonsteroids_spark.queries.subqueries import (
+        sql_surface_priority_check,
+    )
+
+    plan = _physical(sql_surface_priority_check(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -829,3 +829,27 @@ def test_change_feed_delta_apply_equals_recompute(spark, dirs):
     assert got == want
     want_dict = dict((g, (n, t)) for g, n, t in want)
     assert want_dict == {"blue": (2, 450.0), "red": (1, 400.0)}
+
+
+def test_statestore_reader_matches_batch_truth(spark):
+    # the raw checkpoint state must decode to exactly the batch GROUP BY
+    # result — one row per key, counts and integer-cents sums identical
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.queries.scale import statestore_reader_counts
+    from tests.conftest import SF_SMOKE
+
+    state = {
+        r.event_type: (r.n_events, r.value_cents)
+        for r in statestore_reader_counts(spark, SF_SMOKE).collect()
+    }
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    truth = {
+        r.event_type: (r.n, r.c)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("c"))
+        .collect()
+    }
+    assert state == truth
