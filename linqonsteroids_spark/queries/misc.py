@@ -607,6 +607,41 @@ def sql_script_threshold_search(spark, sf_dir):
     return spark.sql(SQL_SCRIPT_THRESHOLD)
 
 
+# --- SQL session variables + EXECUTE IMMEDIATE parameter markers -------------
+# The session-state surface a BI tool / notebook leans on: a DECLAREd
+# variable filled from a DATA-DEPENDENT scalar (max price / 2 — one
+# exact IEEE divide, identical on both engines), then consumed through
+# EXECUTE IMMEDIATE's `?` parameter marker, which plans the inner text
+# with the value bound as a literal — so the filter still reaches the
+# scan as a pushed predicate, exactly as if inlined. DECLARE OR REPLACE
+# keeps the gate idempotent across invocations; the oracle inlines the
+# scalar subquery the variable was set from.
+SESSIONVAR_PARAM_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_above,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS price_cents
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+def sessionvar_param_exec(spark, sf_dir):
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cut DOUBLE DEFAULT 0")
+    spark.sql(
+        "SET VARIABLE price_cut = (SELECT max(o_totalprice) / 2 FROM orders)"
+    )
+    return spark.sql("""EXECUTE IMMEDIATE
+        'SELECT o_orderpriority, count(*) AS n_above,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                    AS price_cents
+         FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority'
+        USING price_cut""")
+
+
 # --- exact DECIMAL aggregation (money must not float) ------------------------
 # Revenue as DECIMAL(18,2): the sum is EXACT and aggregation-order-
 # independent on both engines — no rounding anywhere, the strongest
@@ -954,6 +989,10 @@ QUERIES = {
     "sql_script_threshold_search": (
         sql_script_threshold_search,
         SQL_SCRIPT_THRESHOLD_ORACLE,
+    ),
+    "sessionvar_param_exec": (
+        sessionvar_param_exec,
+        SESSIONVAR_PARAM_ORACLE,
     ),
     "referential_audit": (referential_audit, REFERENTIAL_AUDIT_SQL),
     "decimal_exact_totals": (decimal_exact_totals, DECIMAL_TOTALS_SQL),

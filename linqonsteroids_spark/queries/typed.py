@@ -400,8 +400,59 @@ GROUP BY o_orderstatus
 """
 
 
+# --- string collations (Spark 4): case-insensitive semantics in the type ---
+# UTF8_LCASE moves case-insensitivity INTO the column type — grouping,
+# equality, and DISTINCT all honor it with no per-row lower() in the
+# user's query (at scale: one collated sort key instead of a derived
+# column, and the semantics survive into every downstream operator).
+# The gate mixes case deterministically (even custkeys lowered), groups
+# by the COLLATED value, and counts collated-equality matches against a
+# deliberately mixed-case literal ('bUiLdInG'). Projection lowers and
+# re-CASTs to plain STRING: lower() of either case representative is
+# identical, so the output never depends on WHICH representative the
+# agg kept. The oracle compiles the same semantics to lower().
+# Known engine trade-off (visible in tools/plan_audit.py as a warn):
+# collated group keys have an immutable agg-buffer type, so Spark plans
+# SortAggregate instead of HashAggregate — at 100 TB, grouping on a
+# derived lower() column keeps the hash agg if that cost matters more
+# than keeping the semantics in the type.
+COLLATED_SEGMENT_SQL = """
+SELECT lower(seg) AS segment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS bal_cents,
+       CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_building_ci
+FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg,
+             c_acctbal
+      FROM customer)
+GROUP BY 1
+"""
+
+
+def collated_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql("""
+        SELECT CAST(lower(seg_ci) AS STRING) AS segment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS bal_cents,
+               CAST(sum(CASE WHEN seg_ci = 'bUiLdInG' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_building_ci
+        FROM (SELECT collate(CASE WHEN c_custkey % 2 = 0
+                                  THEN lower(c_mktsegment)
+                                  ELSE c_mktsegment END,
+                             'UTF8_LCASE') AS seg_ci,
+                     c_acctbal
+              FROM customer)
+        GROUP BY seg_ci""")
+
+
 QUERIES = {
     "typefilter_clicks": (typefilter_clicks, TYPEFILTER_SQL),
+    "collated_segment_stats": (collated_segment_stats, COLLATED_SEGMENT_SQL),
     "xml_roundtrip_orders": (xml_roundtrip_orders, XML_ROUNDTRIP_SQL),
     "events_hourly_gapfill": (events_hourly_gapfill, EVENTS_GAPFILL_SQL),
     "typecase_events": (typecase_events, TYPECASE_SQL),
