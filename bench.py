@@ -147,6 +147,20 @@ EXTRA = [
     "multimodal_keyframes",
     "pq_codes",
     "sql_surface_returned_revenue",
+    # round 8-9 additions (kept to the fast high-signal heads: the
+    # driver's bench window is finite and its log capture is
+    # tail-truncated, so streaming-floor gates with documented fixed
+    # costs stay out)
+    "ann_ivfpq_topk",
+    "dag_reachability_rcte",
+    "sql_surface_small_qty_revenue",
+    "hll_sketch_mergeability",
+    "theta_sketch_setops",
+    "kll_quantile_sketch",
+    "approx_topk_lifecycle",
+    "sql_surface_forecast_revenue",
+    "sql_surface_supplier_variety",
+    "collated_segment_stats",
 ]
 
 

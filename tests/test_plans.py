@@ -520,3 +520,60 @@ def test_q4_exists_is_semi_join_with_row_condition(spark):
     plan = _physical(sql_surface_priority_check(spark, SF_SMOKE))
     assert "LeftSemi" in plan, plan[:3000]
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_analyze_column_stats_flip_join_strategy(spark):
+    # CBO: without column statistics the planner sizes the filtered
+    # dimension by its file bytes (scaled only by column pruning) and
+    # plans a SortMergeJoin below the broadcast threshold; ANALYZE ...
+    # FOR COLUMNS lets FilterEstimation see the predicate's selectivity,
+    # the estimate drops under the threshold, and the SAME query plans a
+    # BroadcastHashJoin. At 100 TB this decision is the difference
+    # between shipping a dimension and shuffling a fact.
+    import shutil
+
+    from tests.conftest import SF_SMOKE
+
+    q = """SELECT f.o_orderpriority, count(*) AS n
+    FROM cbo_pin.fact f JOIN cbo_pin.dim d ON f.o_custkey = d.c_custkey
+    WHERE d.c_mktsegment = 'BUILDING' AND d.c_acctbal < 100
+    GROUP BY f.o_orderpriority"""
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    try:
+        spark.sql("CREATE DATABASE IF NOT EXISTS cbo_pin")
+        for t in ("dim", "fact"):
+            spark.sql(f"DROP TABLE IF EXISTS cbo_pin.{t}")
+        shutil.rmtree(
+            warehouse.removeprefix("file:") + "/cbo_pin.db",
+            ignore_errors=True,
+        )
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_pin.dim")
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_pin.fact")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # scan down to a threshold where the UNANALYZED dim is too big
+        # to broadcast (robust to testdata size changes)
+        for thr in (4096, 2048, 1024, 512, 256):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+            if "SortMergeJoin" in _physical(spark.sql(q)):
+                break
+        else:
+            raise AssertionError("dim broadcasts even at 256 bytes")
+        spark.sql(
+            "ANALYZE TABLE cbo_pin.dim COMPUTE STATISTICS "
+            "FOR COLUMNS c_mktsegment, c_acctbal, c_custkey"
+        )
+        plan = _physical(spark.sql(q))
+        assert "BroadcastHashJoin" in plan, plan[:3000]
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        for t in ("dim", "fact"):
+            spark.sql(f"DROP TABLE IF EXISTS cbo_pin.{t}")
+        spark.sql("DROP DATABASE IF EXISTS cbo_pin")
