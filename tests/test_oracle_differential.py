@@ -88,7 +88,10 @@ def test_driver_window_covers_rotation():
     from linqonsteroids_spark.queries import _ROTATION, queries
 
     window = list(queries())[:50]
-    assert len(_ROTATION) == 50
-    assert window == _ROTATION
+    # _ROTATION may extend past 50: the tail deterministically pins the
+    # positions just outside the sample (the ROUND-10 note refers to
+    # them by position). The driver's window is exactly the first 50.
+    assert len(_ROTATION) >= 50
+    assert window == _ROTATION[:50]
     missing = [n for n in _ROTATION if n not in ALL]
     assert not missing, f"rotation names not registered: {missing}"
