@@ -31,8 +31,15 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
             continue
         t0 = time.time()
         try:
-            first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
-            second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+            # repr-keyed sort: total order even when rollup/cube rows
+            # carry NULL group keys (None < str raises under the default
+            # tuple ordering)
+            first = sorted(
+                (tuple(r) for r in fn(spark, sf_dir).collect()), key=repr
+            )
+            second = sorted(
+                (tuple(r) for r in fn(spark, sf_dir).collect()), key=repr
+            )
             n_runs += 2
         except Exception as e:  # noqa: BLE001
             print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
