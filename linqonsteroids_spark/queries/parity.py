@@ -410,8 +410,48 @@ JOIN (VALUES ('AUTOMOBILE', 'auto'), ('MACHINERY', 'mach'),
 """
 
 
+# --- schema-drift union: unionByName(allowMissingColumns=True) -------------
+# The operator a long-lived ingestion pipeline actually calls when a new
+# field appears mid-stream: frames with DIFFERENT column sets union by
+# NAME (never by position), absent columns null-filled. Old-schema rows
+# surface under the '<missing>' bucket; the oracle is DuckDB's native
+# UNION ALL BY NAME of the same two projections.
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old_schema = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_schema = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    unioned = old_schema.unionByName(new_schema, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<missing>")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+        ).cast("bigint").alias("price_cents"),
+    )
+
+
+UNION_BY_NAME_SQL = """
+WITH unioned AS (
+  (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0)
+  UNION ALL BY NAME
+  (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+   WHERE o_orderkey % 3 <> 0))
+SELECT coalesce(o_orderpriority, '<missing>') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS price_cents
+FROM unioned GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_full_outer_counts": (nation_full_outer_counts, FULL_OUTER_SQL),
+    "union_by_name_evolution": (union_by_name_evolution, UNION_BY_NAME_SQL),
     "null_safe_segment_join": (null_safe_segment_join, NULL_SAFE_JOIN_SQL),
     "small_quantity_revenue": (small_quantity_revenue, Q17_SQL),
     "events_trailing_hour_value": (events_trailing_hour_value, RANGE_FRAME_SQL),

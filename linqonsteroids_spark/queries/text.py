@@ -1123,8 +1123,57 @@ FROM bg GROUP BY doc_id
 """
 
 
+# --- mapInArrow: the zero-pandas Python tier --------------------------------
+# One API tier below mapInPandas: the kernel receives pyarrow
+# RecordBatches and never materializes a DataFrame — no pandas object
+# boxing, no index, the columns stay Arrow buffers end to end. The right
+# tier for columnar kernels (pyarrow.compute is C++) over wide batches;
+# this engine's media/codec paths use mapInPandas because they need
+# per-row Python objects — this gate pins the leaner tier with exact
+# cross-engine semantics (single-space split counts and an ASCII
+# uppercase regex count, both deterministic).
+def arrow_native_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int64(),
+                    ),
+                    pc.cast(
+                        pc.count_substring_regex(text, "[A-Z]"), pa.int64()
+                    ),
+                ],
+                ["doc_id", "n_parts", "n_upper"],
+            )
+
+    return docs.mapInArrow(
+        kernel, "doc_id long, n_parts long, n_upper long"
+    )
+
+
+ARROW_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_parts,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+FROM documents
+"""
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
+    "arrow_native_token_stats": (
+        arrow_native_token_stats,
+        ARROW_TOKEN_STATS_SQL,
+    ),
     "udtf_bigram_stats": (udtf_bigram_stats, UDTF_BIGRAMS_SQL),
     "udtf_trigram_stats": (udtf_trigram_stats, UDTF_TRIGRAMS_SQL),
     "char_entropy_scores": (char_entropy_scores, CHAR_ENTROPY_SQL),
