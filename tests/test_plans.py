@@ -577,3 +577,39 @@ def test_analyze_column_stats_flip_join_strategy(spark):
         for t in ("dim", "fact"):
             spark.sql(f"DROP TABLE IF EXISTS cbo_pin.{t}")
         spark.sql("DROP DATABASE IF EXISTS cbo_pin")
+
+
+def test_aqe_runtime_replans_smj_to_broadcast(spark):
+    # AQE's second planning pass: the STATIC estimate keeps the dim above
+    # the broadcast threshold (initial plan = SortMergeJoin), but the
+    # ACTUAL shuffle-stage output is small, so at runtime AQE re-plans
+    # the join as a BroadcastHashJoin — the adaptive safety net a 100 TB
+    # job leans on when estimates are off by orders of magnitude.
+    from linqonsteroids_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(10 * 1024 * 1024),
+        )
+        orders = load_table(spark, SF_SMOKE, "orders")
+        cust = load_table(spark, SF_SMOKE, "customer")
+        df = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        pe = df._jdf.queryExecution()
+        assert "SortMergeJoin" in pe.executedPlan().toString()
+        df.collect()
+        final = pe.executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        adaptive = final.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in adaptive, adaptive[:3000]
+        assert "SortMergeJoin" not in adaptive, adaptive[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
