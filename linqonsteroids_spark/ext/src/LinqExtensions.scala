@@ -228,7 +228,13 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     case Project(projList, child)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       stripToScan(child)
-    case Filter(c, child) =>
+    // only DETERMINISTIC filters may be relocated: a stripped filter is
+    // re-applied ABOVE the substituted MV — above a join it runs once
+    // per joined row instead of once per base row, and above an
+    // aggregate once per group instead of once per row. rand() < 0.5
+    // has no column references, so reference-based guards alone admit
+    // it; nondeterminism must veto the strip itself.
+    case Filter(c, child) if c.deterministic =>
       stripToScan(child).map { case (r, cs) => (r, c +: cs) }
     case _ => None
   }
@@ -292,9 +298,13 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     * function — None for anything the rollup cannot answer. count(*)
     * reaches here as Count(Literal(1)) (foldable child); count(col) has
     * a non-foldable child and correctly falls through (its null
-    * semantics differ from cnt_star). */
+    * semantics differ from cnt_star). A foldable child that evaluates
+    * to NULL (count(NULL), count(cast(null as int))) is 0 per group,
+    * not count(*), so it must also fall through. */
   private def aggMvColumn(fn: AggregateFunction): Option[String] = fn match {
-    case c: Count if c.children.sizeIs == 1 && c.children.head.foldable =>
+    case c: Count
+        if c.children.sizeIs == 1 && c.children.head.foldable &&
+          c.children.head.eval() != null =>
       Some("cnt_star")
     case s: Sum =>
       s.children match {

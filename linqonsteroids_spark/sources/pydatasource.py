@@ -211,6 +211,10 @@ class LedgerJsonlWriter(DataSourceWriter):
             if m is not None
         ]
         tmp = os.path.join(self.dir, MANIFEST + ".tmp")
+        # a zero-task job (empty input) reaches commit without any write()
+        # having created the directory — publish an empty manifest, don't
+        # FileNotFoundError (the streaming twin below already does this)
+        os.makedirs(self.dir, exist_ok=True)
         with open(tmp, "w") as f:
             json.dump({"files": files}, f)
         os.replace(tmp, os.path.join(self.dir, MANIFEST))  # atomic publish

@@ -249,3 +249,28 @@ def test_writer_abort_removes_written_files(tmp_path):
     w.abort([_FileCommit(path=p, n_rows=1) for p in paths] + [None])
     assert os.listdir(sink) == []
     assert not os.path.exists(os.path.join(sink, MANIFEST))
+
+
+def test_writer_empty_input_publishes_empty_manifest(spark, tmp_path):
+    # r9 ADVICE: a zero-row write produces zero tasks/files, so commit()
+    # runs before anything created the sink dir — it must makedirs and
+    # publish an EMPTY manifest, not die with FileNotFoundError
+    import os
+
+    from linqonsteroids_spark.sources.pydatasource import (
+        MANIFEST,
+        SYNTH_SCHEMA,
+        read_jsonl_manifest,
+    )
+
+    register(spark)
+    sink = str(tmp_path / "never_created" / "sink")
+    assert not os.path.exists(sink)
+    empty = _df(spark, n=3000, parts=5).filter(F.col("i") < 0)
+    empty.write.format("linq_synth").option("path", sink).mode(
+        "append"
+    ).save()
+    assert MANIFEST in os.listdir(sink)
+    back = read_jsonl_manifest(spark, sink, SYNTH_SCHEMA)
+    assert back.count() == 0
+    assert back.schema == _df(spark).schema

@@ -280,6 +280,15 @@ def main() -> None:
     )
     p5j = jq5._jdf.queryExecution().executedPlan().toString()
     assert os.path.basename(mv_path) not in p5j
+    # a nondeterministic side-filter below the join must veto the strip:
+    # re-applied above the join it would sample per JOINED row instead
+    # of per base row (different semantics when the join fans out).
+    # 0.5, not an always-true bound — Catalyst folds rand() < 2.0 away.
+    jq6 = base_df2.filter(F.rand(11) < F.lit(0.5)).join(
+        dim_df, base_df2.seg == dim_df.seg_id
+    )
+    p6j = jq6._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(mv_path) not in p6j, p6j[:2000]
     print("PASS join-mv-no-false-rewrites")
 
     # repository bridge: a join MV registered through the Python API
@@ -383,6 +392,21 @@ def main() -> None:
         base_sc.filter(F.col("payload") > 100).groupBy("seg").count(),
         base_sc.groupBy("seg", "payload").count(),
         base_sc.groupBy("payload").count(),
+        # a NONDETERMINISTIC filter has no column references, so the
+        # key-only reference guard alone would vacuously admit it — but
+        # re-applying it above the MV turns per-row sampling into
+        # per-group sampling (wrong aggregates). Must keep the base agg.
+        # (0.5, not an always-true bound: Catalyst knows rand() ∈ [0,1)
+        # and folds e.g. rand() < 2.0 away entirely)
+        base_sc.filter(F.rand(7) < F.lit(0.5))
+        .groupBy("seg")
+        .agg(F.count("*").alias("x")),
+        # count(NULL) is 0 per group, NOT count(*): a foldable-but-null
+        # child must not map to cnt_star
+        base_sc.groupBy("seg").agg(F.count(F.lit(None)).alias("x")),
+        base_sc.groupBy("seg").agg(
+            F.count(F.lit(None).cast("int")).alias("x")
+        ),
     ):
         pb = bad._jdf.queryExecution().executedPlan().toString()
         assert os.path.basename(base_path) in pb, pb[:2000]

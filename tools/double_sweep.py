@@ -66,14 +66,22 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = None
-    for a in sys.argv[1:]:
+    consumed: set[int] = set()
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--only"):
-            only = set(
-                a.split("=", 1)[1].split(",")
-                if "=" in a
-                else sys.argv[sys.argv.index(a) + 1].split(",")
-            )
+            if "=" in a:
+                only = set(a.split("=", 1)[1].split(","))
+            else:
+                # space-separated form: the value is the NEXT argv entry
+                # and must not also be taken as the positional sf_dir
+                only = set(argv[i + 1].split(","))
+                consumed.add(i + 1)
+    args = [
+        a
+        for i, a in enumerate(argv)
+        if not a.startswith("--") and i not in consumed
+    ]
     sf = args[0] if args else "/root/testdata/sf0.001"
     raise SystemExit(main(sf, only))
