@@ -938,24 +938,34 @@ def pyds_ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         register as register_pyds,
     )
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from linqonsteroids_spark.session import conf_guard
+
     register_pyds(spark)
-    src = (
-        spark.read.format("linq_synth")
-        .option("n", 60000)
-        .option("parts", 32)
-        .load()
-    )
-    return (
-        src.filter((F.col("i") >= 10000) & (F.col("i") < 40000))
-        .groupBy("bucket", "tag")
-        .agg(
-            F.sum("amount").alias("total_amount"),
-            F.count("*").alias("n"),
-            F.min("i").alias("min_i"),
-            F.max("i").alias("max_i"),
+    # filterPushdown is consumed when the V2 scan is planned — lazily,
+    # after this function returns — so the guard forces optimizedPlan
+    # INSIDE the block: the cached QueryExecution keeps the pushed scan
+    # while the session conf is restored for whatever gate runs next
+    with conf_guard(
+        spark, "spark.sql.python.filterPushdown.enabled", "true"
+    ):
+        src = (
+            spark.read.format("linq_synth")
+            .option("n", 60000)
+            .option("parts", 32)
+            .load()
         )
-    )
+        out = (
+            src.filter((F.col("i") >= 10000) & (F.col("i") < 40000))
+            .groupBy("bucket", "tag")
+            .agg(
+                F.sum("amount").alias("total_amount"),
+                F.count("*").alias("n"),
+                F.min("i").alias("min_i"),
+                F.max("i").alias("max_i"),
+            )
+        )
+        out._jdf.queryExecution().optimizedPlan()
+        return out
 
 
 # Streaming twin: the SAME registered source read as a micro-batch
@@ -1030,33 +1040,41 @@ def pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         register as register_pyds,
     )
 
+    from linqonsteroids_spark.session import conf_guard
+
     register_pyds(spark)
     base = tempfile.mkdtemp(prefix="pyds_write_")
     sink = os.path.join(base, "sink")
-    try:
-        src = (
-            spark.read.format("linq_synth")
-            .option("n", 20000)
-            .option("parts", 16)
-            .load()
-        )
-        src.write.format("linq_synth").option("path", sink).mode(
-            "append"
-        ).save()
-        res = (
-            read_jsonl_manifest(spark, sink, SYNTH_SCHEMA)
-            .groupBy("bucket")
-            .agg(
-                F.sum("amount").alias("total_amount"),
-                F.count("*").alias("n"),
-                F.min("i").alias("min_i"),
-                F.max("i").alias("max_i"),
+    # the batch reader implements pushFilters(), which Spark refuses to
+    # even INITIALIZE while the conf is off — and all the eager work
+    # (save + collect) happens inside this gate, so the guard covers it
+    with conf_guard(
+        spark, "spark.sql.python.filterPushdown.enabled", "true"
+    ):
+        try:
+            src = (
+                spark.read.format("linq_synth")
+                .option("n", 20000)
+                .option("parts", 16)
+                .load()
             )
-        )
-        rows = res.collect()  # materialize before the staging dir dies
-        return spark.createDataFrame(rows, res.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+            src.write.format("linq_synth").option("path", sink).mode(
+                "append"
+            ).save()
+            res = (
+                read_jsonl_manifest(spark, sink, SYNTH_SCHEMA)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("amount").alias("total_amount"),
+                    F.count("*").alias("n"),
+                    F.min("i").alias("min_i"),
+                    F.max("i").alias("max_i"),
+                )
+            )
+            rows = res.collect()  # materialize before staging dir dies
+            return spark.createDataFrame(rows, res.schema)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 # Streaming write side of the connector (DataSourceStreamWriter): the

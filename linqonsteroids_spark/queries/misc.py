@@ -586,13 +586,20 @@ BEGIN
 END
 """
 
+# The declarative unroll enumerates doublings k=1..53: 1000*2^53 ≈
+# 9.0e18 is the last cutoff that fits the BIGINT final_cutoff column
+# (DuckDB casts every enumerated row eagerly, so k=54 would overflow
+# the CAST) — i.e. the cap is as wide as the gate's own output type
+# allows, not an arbitrary bound. Spark's REPEAT loop terminates at the
+# first k where n*2 < total (k≈9 at the testdata's price range); the
+# LIMIT 1 over the ordered unroll picks the same k.
 SQL_SCRIPT_THRESHOLD_ORACLE = """
 WITH total AS (SELECT count(*) AS c FROM orders),
 counts AS (
   SELECT k, CAST(1000 * power(2, k) AS BIGINT) AS final_cutoff,
          (SELECT count(*) FROM orders
           WHERE o_totalprice > 1000 * power(2, k)) AS n_above
-  FROM range(1, 40) t(k)
+  FROM range(1, 54) t(k)
 )
 SELECT final_cutoff, n_above
 FROM counts, total WHERE n_above * 2 < c ORDER BY k LIMIT 1
@@ -600,11 +607,15 @@ FROM counts, total WHERE n_above * 2 < c ORDER BY k LIMIT 1
 
 
 def sql_script_threshold_search(spark, sf_dir):
+    from linqonsteroids_spark.session import conf_guard
     from linqonsteroids_spark.sources.parquet import register_views
 
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     register_views(spark, sf_dir, ["orders"])
-    return spark.sql(SQL_SCRIPT_THRESHOLD)
+    # scripting.enabled is consumed at parse time (spark.sql below), so
+    # the guard can restore before the returned frame is collected —
+    # verified: the script result collects correctly after restore
+    with conf_guard(spark, "spark.sql.scripting.enabled", "true"):
+        return spark.sql(SQL_SCRIPT_THRESHOLD)
 
 
 # --- SQL session variables + EXECUTE IMMEDIATE parameter markers -------------

@@ -908,28 +908,37 @@ GROUP BY c_mktsegment
 def statestore_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linqonsteroids_spark.session import cached_scratch_dir
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
-    agg = (
-        stream.select("event_type", cents.alias("_cents"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("_cents").alias("value_cents"),
+    from linqonsteroids_spark.session import conf_guard
+
+    # nanosAsLong is consumed by the EAGER work inside the guard (the
+    # schema read and the availableNow stream run); the returned frame
+    # reads the checkpoint's statestore files, which carry no nanos
+    # timestamps, so restoring before return is safe
+    with conf_guard(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
-    )
-    # checkpoint is key-stable per sf_dir: a re-invocation restarts from
-    # the checkpoint, lists no new files, and leaves the state unchanged
-    # (the repository build->reuse contract, double-sweep verified)
-    chk = f"{cached_scratch_dir('squopt_sstate_', sf_dir)}/chk"
-    name = f"mv_sstate_{next(_MV_IDS)}"
-    _run_stream_to_memory_checkpointed(spark, agg, name, "complete", chk)
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        agg = (
+            stream.select("event_type", cents.alias("_cents"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("_cents").alias("value_cents"),
+            )
+        )
+        # checkpoint is key-stable per sf_dir: a re-invocation restarts
+        # from the checkpoint, lists no new files, and leaves the state
+        # unchanged (the repository build->reuse contract, double-sweep
+        # verified)
+        chk = f"{cached_scratch_dir('squopt_sstate_', sf_dir)}/chk"
+        name = f"mv_sstate_{next(_MV_IDS)}"
+        _run_stream_to_memory_checkpointed(
+            spark, agg, name, "complete", chk
+        )
     # state value struct fields carry the AGG BUFFER names (count/sum),
     # one row per key (a key lives in exactly one shuffle partition)
     return (

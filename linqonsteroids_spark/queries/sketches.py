@@ -278,14 +278,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("db.d", "db.bucket")
         .agg(F.sum("cnt").alias("cell"))
     )
+    # top-k probe selection via orderBy().limit(): plans
+    # TakeOrderedAndProject (per-partition partial top-k merged on the
+    # driver) — NOT a global row_number window, which would funnel every
+    # distinct user through one Exchange SinglePartition task at scale
     probes = (
-        hx.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("user_id"))
-            ),
-        )
-        .filter(F.col("rn") <= _CMS_TOPK)
+        hx.orderBy(F.col("cnt").desc(), F.col("user_id"))
+        .limit(_CMS_TOPK)
         .select("user_id", "cnt", "h")
     )
     # probe each heavy hitter's d cells; cells is tiny (d*w rows) and

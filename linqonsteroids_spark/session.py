@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -53,6 +54,34 @@ def cached_scratch_dir(prefix: str, key: str) -> str:
     if k not in _SCRATCH_CACHE:
         _SCRATCH_CACHE[k] = scratch_dir(prefix)
     return _SCRATCH_CACHE[k]
+
+
+@contextmanager
+def conf_guard(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block, restoring the
+    prior value (or unsetting, if it had none) on exit.
+
+    Gates that need a non-default planner/parser conf must not leave it
+    behind session-wide — the driver runs every gate through ONE shared
+    session, so an unrestored conf silently poisons whichever gate runs
+    next and happens to rely on the default. Confs consumed lazily (at
+    plan/collect time, after the gate returned) must be bound inside the
+    block by forcing the plan: ``df._jdf.queryExecution().optimizedPlan()``
+    materializes V2 pushdown and friends under the guarded value; the
+    later collect reuses that cached QueryExecution.
+    """
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 def get_spark(app_name: str = "linqonsteroids_spark", cpus: int | None = None) -> SparkSession:

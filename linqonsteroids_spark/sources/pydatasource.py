@@ -340,8 +340,10 @@ class SyntheticLedgerDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the custom source on a session.
 
-    Also enables spark.sql.python.filterPushdown.enabled: a reader that
-    implements pushFilters() is an ERROR to plan while the conf is off,
-    so registration and the conf belong together."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    Deliberately does NOT touch spark.sql.python.filterPushdown.enabled:
+    with the conf off the scan still plans correctly (pushFilters is
+    simply never consulted and the predicate stays post-scan), and a
+    library registration must not mutate session-wide planner state.
+    Callers that want pushdown bind the conf around plan forcing — see
+    queries/engine.py pyds_ledger_rollup's conf_guard."""
     spark.dataSource.register(SyntheticLedgerDataSource)

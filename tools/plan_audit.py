@@ -13,6 +13,11 @@ For each query in the registry, renders the executed plan and flags:
 - ``SortAggregate`` — HashAggregate silently degrades to sort-based when
   an aggregate buffer type is immutable (e.g. min/max over strings);
   two extra sorts per aggregation at scale. Flagged as WARN.
+- single-partition ``Window`` — a Window with an EMPTY partition spec
+  requires AllTuples, so Spark plans ``Exchange SinglePartition`` under
+  it: the whole input serializes through one task. Fatal at 100 TB
+  unless the input is provably bounded (tiny dims, lossless-proof
+  paths) and allowlisted in ``ALLOW_GLOBAL_WINDOW``.
 
 Exit code 1 on any non-allowlisted fatal flag — wired into tests so plan
 regressions fail CI, the same way the reference pins optimizer output
@@ -44,8 +49,66 @@ ALLOW_ALL_PAIRS = {
     "theta_sketch_setops": "1-row sketch/exact aggregates cross-joined",
 }
 
+#: queries where a Window with an empty partition spec (one-task
+#: Exchange SinglePartition) is justified, with the reason. Encoded so
+#: an UNjustified global window fails the audit the day it appears.
+ALLOW_GLOBAL_WINDOW = {
+    # KMV direct path exists only to prove the merged path lossless
+    "kmv_sketch_union": "direct KMV path is a prove-losslessness oracle",
+    # 25-row nation dim: bounded by the data model
+    "nations_indexed": "25-row dimension; zipWithIndex declares an order",
+}
+
 FATAL = ("CartesianProduct", "BroadcastNestedLoopJoin")
 WARN = ("SortAggregate",)
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents in a plan line suffix."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def global_windows(plan: str) -> bool:
+    """True if any Window node has an EMPTY partition spec.
+
+    Window renders ``[functions]`` then an optional ``[partitionSpec]``
+    then an optional ``[orderSpec]``. The partition spec is plain
+    expressions; the order spec carries ASC/DESC sort markers. So the
+    window is global exactly when the group AFTER the functions is an
+    order spec (or absent entirely): 3 groups → partitioned; 2 groups →
+    partitioned iff the second has no sort marker; 1 group → global.
+    """
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_groups(m.group(1))
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            continue  # [functions], [partitionSpec] — no order, fine
+        return True
+    return False
 
 
 def audit(name: str, df) -> tuple[list[str], list[str]]:
@@ -57,6 +120,10 @@ def audit(name: str, df) -> tuple[list[str], list[str]]:
     for marker in WARN:
         if marker in plan:
             warns.append(marker)
+    if global_windows(plan):
+        (warns if name in ALLOW_GLOBAL_WINDOW else fatals).append(
+            "single-partition Window (empty partition spec)"
+        )
     if re.search(r"\bBatchEvalPython\b", plan):
         fatals.append("BatchEvalPython (row-at-a-time Python UDF)")
     return fatals, warns
@@ -80,7 +147,9 @@ def main(sf_dir: str) -> int:
             n_fatal += 1
             print(f"  FATAL {name}: {', '.join(fatals)}")
         elif warns:
-            note = ALLOW_ALL_PAIRS.get(name)
+            note = ALLOW_ALL_PAIRS.get(name) or ALLOW_GLOBAL_WINDOW.get(
+                name
+            )
             suffix = f" (allowed: {note})" if note else ""
             print(f"  warn  {name}: {', '.join(warns)}{suffix}")
         else:
