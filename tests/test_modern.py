@@ -1,0 +1,88 @@
+"""Round-10 modern-SQL-surface gates (queries/modern.py): plan-shape
+pins for the properties the oracle differential can't see — analyzer
+sugar must cost nothing, SQL UDFs must inline, the lateral API must
+decorrelate, and TVF parameters must reach the scan as pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lateral_api_decorrelates_to_window_group_limit(spark):
+    # the correlated limit-1 subquery must become a ranked join — a
+    # WindowGroupLimit (with a map-side partial pass before the
+    # exchange) feeding a plain LeftOuter hash join — never a
+    # per-customer rescan (BNLJ/CartesianProduct)
+    from linqonsteroids_spark.queries.modern import lateral_api_latest_order
+
+    plan = _plan(lateral_api_latest_order(spark, SF))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "LeftOuter" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_udf_inlines_into_the_plan(spark):
+    # the SQL-defined function is analyzer-inlined: the physical plan
+    # has no Python eval node of any tier, and the CASE body lands
+    # directly in the aggregate/scan stage (full codegen through it)
+    from linqonsteroids_spark.queries.modern import sql_udf_price_tiers
+
+    plan = _plan(sql_udf_price_tiers(spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, plan[:2000]
+    assert "CASE WHEN" in plan, plan[:2000]
+
+
+def test_sql_table_udf_parameter_reaches_the_scan(spark):
+    # the TVF body inlines with the argument bound as a literal, so the
+    # predicate must appear in the parquet scan's PushedFilters
+    from linqonsteroids_spark.queries.modern import sql_table_udf_big_orders
+
+    plan = _plan(sql_table_udf_big_orders(spark, SF))
+    assert "GreaterThan(o_totalprice,150000" in plan, plan[:2500]
+
+
+def test_groupby_all_plans_like_the_explicit_form(spark):
+    # GROUP BY ALL / ORDER BY ALL are pure resolution sugar: grouping
+    # keys resolved from the select list, ordering from the output row,
+    # and the ORDER BY ALL + LIMIT collapses to TakeOrderedAndProject —
+    # the same physical strategy the explicit query gets
+    from linqonsteroids_spark.queries.modern import groupby_all_pricing
+
+    plan = _plan(groupby_all_pricing(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert plan.count("Exchange") <= 1, plan[:2000]
+
+
+def test_mode_deterministic_breaks_ties_to_lowest(spark):
+    # mode(x, true): ties broken to the LOWEST value — the only mode a
+    # cross-engine differential can gate on
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("b",), ("a",), ("c",)], ["x"]
+    )
+    got = df.agg(F.expr("mode(x, true)").alias("m")).collect()[0].m
+    assert got == "a"
+
+
+def test_bitmap_merge_equals_direct_distinct(spark):
+    # bitmap_or_agg over per-group segments is LOSSLESS: the global
+    # row the gate derives from per-flag bitmaps equals a direct
+    # count(DISTINCT) — exactness is the whole point vs the HLL rollup
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.queries.modern import bitmap_exact_distinct
+
+    rows = {
+        r.l_returnflag: r.nd_parts
+        for r in bitmap_exact_distinct(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    exact = li.agg(F.countDistinct("l_partkey").alias("nd")).collect()[0].nd
+    assert rows["_ALL"] == exact
