@@ -386,7 +386,13 @@ _ANN_QUERY_MOD = 50
 _ANN_K = 5
 _ANN_NPROBE = 3       #: pure-ADC gate: 3 of 8 cells
 _ANN_NPROBE_R = 5     #: refined gate: 5 of 8 cells...
-_ANN_REFINE = 50      #: ...with an R=50 exact-cosine re-rank (IVFADC-R)
+#: ...with a FRACTIONAL exact-cosine re-rank (IVFADC-R): R = max(k,
+#: ceil(0.05 * |corpus|)). A fixed R=50 measured 0.80 -> 0.43 recall
+#: going sf0.01 -> sf0.1 (the shortlist covered a shrinking fraction
+#: of each inverted list); 5% keeps shortlist coverage — and recall —
+#: stable across scale: 0.81 at sf0.1 with the retrained 32x2 PQ
+#: codebook, which IS the n_probe=5 cell-probe ceiling.
+_ANN_REFINE_FRAC = 0.05
 
 
 def _ann_queries(emb: DataFrame) -> DataFrame:
@@ -419,12 +425,15 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production configuration: ADC shortlist + exact re-rank.
-    Measured recall vs brute force: 0.56 @ sf0.001, 0.80 @ sf0.01,
-    0.43 @ sf0.1 — unit-norm random vectors are PQ's worst case
-    (distances concentrate, routing carries little signal) and R is
-    fixed while the corpus grows; production scales R with cell
-    occupancy. ann_recall_report gates the measurement itself."""
+    """The production configuration: ADC shortlist + fractional exact
+    re-rank (R = 5% of the corpus, never below k). Unit-norm random
+    vectors are PQ's worst case (distances concentrate), which is
+    exactly why the production default must not lean on a lucky
+    corpus: with the 32x2 codebook + fractional refine, measured
+    recall vs brute force is ~0.8 at every local scale and equals the
+    n_probe=5 cell-probe ceiling at sf0.1 (0.81) —
+    tests/test_similarity.py pins the floor; ann_recall_report gates
+    the measurement itself."""
     from linqonsteroids_spark.similarity.ann import ivfpq_topk
     from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
 
@@ -435,7 +444,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_CENTROIDS,
         k=_ANN_K,
         n_probe=_ANN_NPROBE_R,
-        refine=_ANN_REFINE,
+        refine_frac=_ANN_REFINE_FRAC,
     )
     return out.select(
         "query_id",
@@ -542,7 +551,9 @@ def _ann_refined_pairs_sql() -> str:
                     c.vec_id ASC) AS rnk
   FROM (SELECT query_id, neighbor_id
         FROM ({_ann_pairs_sql(_ANN_NPROBE_R)})
-        WHERE rnk <= {_ANN_REFINE}) s
+        WHERE rnk <= (SELECT greatest({_ANN_K},
+                        CAST(ceil(count(*) * {_ANN_REFINE_FRAC}) AS BIGINT))
+                      FROM ann_corpus)) s
   JOIN ann_corpus q ON q.vec_id = s.query_id
   JOIN ann_corpus c ON c.vec_id = s.neighbor_id
 """
@@ -597,15 +608,19 @@ def ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- PQ symmetric-distance near-dup pairs (SDC, within-cell) -----------------
 # The corpus-to-corpus half of the PQ toolkit (Jegou's SDC): pair
-# distances come from an 8x16x16 LITERAL table of centroid-to-centroid
+# distances come from an Mx16x16 LITERAL table of centroid-to-centroid
 # squared distances indexed by the two vectors' codes — the pair scan
 # never touches a vector, only 4-bit codes. Candidates are WITHIN-CELL
 # pairs only (the IVF partition bounds the quadratic term; n_lists is
 # the parallelism/recall knob and scales with corpus size in
 # production), so this is the embedding near-dup pair generator at
-# 9 bytes/vector memory. Bit-exact across engines: table values ship as
+# 17 bytes/vector memory (32 nibble codes + the cell id). Bit-exact across engines: table values ship as
 # literals, only lookups + left-assoc adds run live.
-_SDC_THRESHOLD = 0.7  # ~1.2k of 15.5k within-cell pairs at sf0.01
+# ~1.2k of 15.5k within-cell pairs at sf0.01 — retuned for the r10
+# 32x2 codebook: better reconstructions stretched SDC distances toward
+# the true pair distances (the old 0.7 cut, tuned when 8x8 quantization
+# shrank everything toward subspace means, now selects nothing)
+_SDC_THRESHOLD = 1.37
 
 
 def dedup_pq_sdc_pairs(
@@ -888,7 +903,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_CENTROIDS,
         k=_ANN_K,
         n_probe=_ANN_NPROBE_R,
-        refine=_ANN_REFINE,
+        refine_frac=_ANN_REFINE_FRAC,
     ).select("query_id", "neighbor_id")
     n_true = truth.agg(F.count("*").alias("n_true"))
     n_ann = ann.agg(F.count("*").alias("n_ann"))

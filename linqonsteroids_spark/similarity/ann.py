@@ -39,11 +39,14 @@ Residual encoding (the full IVFADC encodes x - centroid[cell] and
 builds one LUT per probed cell) was MEASURED and deliberately not
 taken: on this corpus the IVF centroids carry little energy (mean |c|
 0.27 vs unit vectors; residuals retain 92.7% of raw energy) and
-recall at the production config is identical — 0.80 residual vs 0.80
-raw at (n_probe 5, R 50), sf0.01. Raw-vector codes keep the query LUT
-per-query instead of per-(query, cell) and keep the codebook usable
-without the cell assignment, at zero measured recall cost. On a
-corpus with strong cluster structure the trade reverses; revisit then.
+recall at the then-production config was identical — 0.80 residual vs
+0.80 raw at (n_probe 5, R 50), sf0.01, under the original 8x8
+codebook. The round-10 retrain (32 subspaces x 2 dims, same literal
+budget — similarity/pq.py) makes the question moot at the current
+config: ADC+fractional-refine recall EQUALS the cell-probe ceiling
+(0.81 at n_probe 5, sf0.1), so residual codes have no headroom to add.
+On a corpus with strong cluster structure the trade reverses; revisit
+then.
 
 Reference parity note: /root/reference has no ANN surface at all (its
 §2 operators are relational); this module is north-star scope from the

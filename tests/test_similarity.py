@@ -216,15 +216,18 @@ def test_ivfpq_full_probe_full_refine_equals_brute_force(spark):
 
 
 def test_ivfpq_production_config_recall_floor(spark):
-    """The gated configuration (n_probe 5/8, R=50) must clear a recall
-    floor vs exact brute force on the real corpus. Unit-norm random-ish
-    vectors are PQ's WORST case — distances concentrate and cell routing
-    carries little signal — so measured recall is corpus-luck-dependent:
-    offline sweep 0.56 @ sf0.001, 0.80 @ sf0.01, 0.43 @ sf0.1 (R fixed
-    while the corpus grows; production would scale R with cell
-    occupancy). Pin a conservative 0.45 at sf0.001: regeneration noise
-    cannot flake it, while a real regression (broken LUT / probe / code)
-    lands near random-pick recall k/|corpus| ~ 0.01, far below."""
+    """The gated configuration (n_probe 5/8, refine_frac 5%) must clear
+    a recall floor vs exact brute force on the real corpus. Unit-norm
+    random-ish vectors are PQ's WORST case — distances concentrate and
+    cell routing carries little signal — which is exactly why the
+    production default must not lean on a lucky corpus. With the r10
+    32x2 codebook + fractional refine, measured recall is 0.76 @
+    sf0.001, 0.90 @ sf0.01, 0.81 @ sf0.1 — and 0.81 IS the n_probe=5
+    cell-probe ceiling at sf0.1 (exact re-rank of every probed
+    candidate scores the same), so the ADC stage loses nothing. Pin
+    0.70 at sf0.001: regeneration noise cannot flake it, while a real
+    regression (broken LUT / probe / code) lands near random-pick
+    recall k/|corpus| ~ 0.01, far below."""
     from linqonsteroids_spark.catalog import load_table
     from linqonsteroids_spark.similarity.ann import ivfpq_topk
     from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
@@ -235,9 +238,23 @@ def test_ivfpq_production_config_recall_floor(spark):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    ann = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=5, refine=50)
+    ann = ivfpq_topk(
+        q, emb, IVF_CENTROIDS, k=5, n_probe=5, refine_frac=0.05
+    )
     exact = brute_force_topk(q, emb, k=5, exclude_self=True)
-    assert _recall(_pairs(ann), _pairs(exact)) >= 0.45
+    assert _recall(_pairs(ann), _pairs(exact)) >= 0.70
+
+
+def test_ivfpq_recall_clears_production_target_at_sf01(spark):
+    """The r9 verdict's one quality gap: the production default must
+    clear 0.8 recall at the LARGEST local scale. ann_recall_report at
+    sf0.1 (2000 vectors, 40 queries) measured 810000 ppm — which equals
+    the n_probe=5 cell-probe ceiling. Pin >= 0.78 (ceiling minus
+    regeneration slack); a codebook/refine regression falls far below."""
+    from linqonsteroids_spark.queries.vector import ann_recall_report
+
+    r = ann_recall_report(spark, "/root/testdata/sf0.1").collect()[0]
+    assert r.recall_ppm >= 780_000, r
 
 
 def test_ivfpq_adc_plan_shape(spark):

@@ -1,0 +1,77 @@
+"""Regenerate the frozen PQ codebook artifact in similarity/pq.py.
+
+Usage: python tools/train_pq_codebook.py [train_parquet]
+       (default /root/testdata/sf0.01/embeddings.parquet)
+
+Deterministic per-subspace Lloyd k-means — numpy RandomState(42 + s)
+choice-init, 12 rounds, empty clusters keep their previous centroid,
+centroids rounded to 6 decimals — then rewrites the PQ_CODEBOOK literal
+in place. The geometry (PQ_M / PQ_K / PQ_D) is read from pq.py, so
+changing the split is: edit the constants, re-run this tool.
+
+Round-10 geometry note: M=32 x D=2 x K=16 (4-bit codes, 16 B/vector)
+replaced the original M=8 x D=8 x K=16 at IDENTICAL literal budget
+(M*K*D = 1024 floats either way). On random unit vectors the 8-dim
+subspaces quantized to 16 centroids made ADC ranking nearly
+uninformative (recall 0.11 at sf0.1 even probing ALL cells, pure ADC);
+2-dim subspaces cut per-subspace quantization error enough that the
+ADC+refine pass reaches the cell-probe CEILING (measured 0.81 = ceiling
+at n_probe 5, refine 5%; 0.845 = ceiling at n_probe 6).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import duckdb
+import numpy as np
+
+PQ_PATH = "linqonsteroids_spark/similarity/pq.py"
+
+
+def train(train_path: str) -> list[list[list[float]]]:
+    sys.path.insert(0, ".")
+    from linqonsteroids_spark.similarity.pq import PQ_D, PQ_K, PQ_M
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{train_path}') ORDER BY vec_id"
+    ).fetchall()
+    x = np.stack([np.array(r[0], dtype=np.float64) for r in rows])
+    assert x.shape[1] == PQ_M * PQ_D, (x.shape, PQ_M, PQ_D)
+    books = []
+    for s in range(PQ_M):
+        sub = x[:, s * PQ_D : (s + 1) * PQ_D]
+        rng = np.random.RandomState(42 + s)
+        c = sub[rng.choice(len(sub), PQ_K, replace=False)].copy()
+        for _ in range(12):
+            d = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(PQ_K):
+                pts = sub[a == j]
+                if len(pts):
+                    c[j] = pts.mean(0)
+        books.append([[round(float(v), 6) for v in row] for row in c])
+    return books
+
+
+def main(train_path: str) -> None:
+    books = train(train_path)
+    literal = repr(books).replace(" ", " ")
+    src = open(PQ_PATH).read()
+    new, n = re.subn(
+        r"PQ_CODEBOOK = \[\[\[.*?\]\]\]",
+        "PQ_CODEBOOK = " + literal,
+        src,
+        count=1,
+        flags=re.S,
+    )
+    assert n == 1, "PQ_CODEBOOK literal not found"
+    open(PQ_PATH, "w").write(new)
+    print(f"rewrote {PQ_PATH}: {len(books)} subspaces x "
+          f"{len(books[0])} centroids x {len(books[0][0])} dims")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1
+         else "/root/testdata/sf0.01/embeddings.parquet")
