@@ -164,10 +164,44 @@ EXTRA = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed single-threaded CPU-bound loop (~0.3 s on a quiet core).
+
+    Round-9 postmortem: the same code measured 9.9 s in the morning and
+    11.4-14.7 s in the afternoon under ambient CPU steal — every query
+    uniformly 1.2-1.5x slower, nothing attributable to the diff. This
+    canary makes that machine state VISIBLE in the bench artifact: if
+    calib_*_sec is inflated vs other rounds, suite drift is machine
+    noise, not a regression. Pure-python xorshift so the number depends
+    on nothing but the interpreter and the core it runs on."""
+    t0 = time.time()
+    x = 88172645463325252
+    for _ in range(3_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    return round(time.time() - t0, 3)
+
+
+def _proc_stat_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from linqonsteroids_spark.queries import ALL
     from linqonsteroids_spark.session import get_spark
+
+    calib_before = _calibrate()
+    stat_before = _proc_stat_ticks()
 
     spark = get_spark("bench")
     # warm-up: JVM classloading + codegen paths, plus one tiny pandas stage
@@ -212,6 +246,16 @@ def main() -> None:
     extra = {name: measure(name) for name in EXTRA if name in ALL}
 
     total = round(sum(timings.values()), 3)
+    calib_after = _calibrate()
+    stat_after = _proc_stat_ticks()
+    steal_pct = None
+    if stat_before and stat_after and stat_after[1] > stat_before[1]:
+        steal_pct = round(
+            100.0
+            * (stat_after[0] - stat_before[0])
+            / (stat_after[1] - stat_before[1]),
+            2,
+        )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     line = json.dumps(
         {
@@ -222,6 +266,13 @@ def main() -> None:
             "extra_queries": extra,
             "method": f"median of <= {REPS_MAX} steady-state runs, CoV cutoff {COV_CUTOFF}",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            # machine-state canaries (round-9 ambient-steal postmortem):
+            # a fixed single-core python loop timed before/after the
+            # suite, plus /proc/stat steal-tick share across the run —
+            # inflated canaries mean machine noise, not a regression
+            "calib_before_sec": calib_before,
+            "calib_after_sec": calib_after,
+            "steal_pct": steal_pct,
             # duplicated LAST on purpose: the driver captures stdout's
             # TAIL, so when the line is truncated the head (with "value")
             # is what's lost — the trailing copy keeps the headline total

@@ -13,6 +13,15 @@ surface a standalone engine needs. Two scale disciplines baked in:
   everything. They are ingest/interchange formats; convert to parquet (or
   a bucketed table) at the pipeline boundary and query that. ORC is
   columnar like parquet and keeps pushdown.
+
+Environment boundary (the PIL/PyAV pattern, declared not hidden): Avro
+is NOT covered here because this container ships Spark's core avro
+codec jars but not the ``spark-avro`` data-source module, and there is
+no network to fetch it. On a cluster with the connector on the
+classpath, ``spark.read.format("avro")`` composes with everything in
+this module unchanged (explicit schema via ``avroSchema``, same
+FAILFAST discipline); XML joined the covered set in round 9 via
+``from_xml``/``to_xml``.
 """
 
 from __future__ import annotations
