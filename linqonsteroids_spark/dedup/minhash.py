@@ -38,6 +38,11 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+#: the incremental-dedup split: doc_id % MOD == 0 is the "newly arrived
+#: batch", the rest is the already-indexed corpus (queries/dedup.py
+#: dedup_incremental_lsh and its oracle share this literal)
+INCREMENTAL_BATCH_MOD = 10
+
 #: hex digits parsed per half (32-bit h1 and h2); the oracle SQL parses
 #: these from the md5 hex string, the pandas stage slices the same bytes
 #: from the binary digest
@@ -265,9 +270,36 @@ FROM {threshold_table} d LEFT JOIN comp c USING (doc_id)
 WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 """
     )
+    # incremental verdicts: per NEW-batch doc (doc_id % INCREMENTAL_
+    # BATCH_MOD = 0), how many already-indexed docs and how many
+    # batch-mates share a band. count(CASE ...) stays BIGINT in DuckDB
+    # (sum would degrade to HUGEINT through the driver's pandas path).
+    incremental = (
+        base
+        + f"""
+, newb AS (SELECT * FROM bands WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id, o.doc_id AS other
+  FROM newb n JOIN bands o
+    ON o.band = n.band AND o.band_key = n.band_key
+   AND o.doc_id <> n.doc_id
+)
+SELECT d.doc_id,
+       CAST(count(CASE WHEN c.other % {INCREMENTAL_BATCH_MOD} <> 0
+                       THEN 1 END) AS BIGINT) AS n_index_cands,
+       CAST(count(CASE WHEN c.other % {INCREMENTAL_BATCH_MOD} = 0
+                       THEN 1 END) AS BIGINT) AS n_batch_cands,
+       count(c.other) > 0 AS is_dup
+FROM (SELECT doc_id FROM {threshold_table}
+      WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0) d
+LEFT JOIN cand c ON c.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+    )
     return {
         "signatures": signatures,
         "pairs": pairs,
         "clusters": clusters,
         "survivors": survivors,
+        "incremental": incremental,
     }

@@ -86,3 +86,27 @@ def test_bitmap_merge_equals_direct_distinct(spark):
     li = load_table(spark, SF, "lineitem")
     exact = li.agg(F.countDistinct("l_partkey").alias("nd")).collect()[0].nd
     assert rows["_ALL"] == exact
+
+
+def test_incremental_lsh_index_side_never_shuffles(spark):
+    # the persisted band index must feed the candidate join directly —
+    # a BroadcastHashJoin building on the (tiny) batch side, with NO
+    # Exchange between the index FileScan and the join. At 100 TB the
+    # corpus index is the big side by construction; shuffling it per
+    # arriving batch would be the bug this pin exists to catch.
+    from linqonsteroids_spark.queries.dedup import dedup_incremental_lsh
+
+    plan = _plan(dedup_incremental_lsh(spark, SF))
+    assert "BroadcastHashJoin [band" in plan, plan[:3000]
+    idx_scan = None
+    for i, line in enumerate(plan.splitlines()):
+        if "FileScan parquet [doc_id" in line and "band_key" in line:
+            idx_scan = i
+            break
+    assert idx_scan is not None, plan[:3000]
+    # walk UP from the index scan to its join: no Exchange in between
+    lines = plan.splitlines()
+    for j in range(idx_scan - 1, max(idx_scan - 4, -1), -1):
+        if "BroadcastHashJoin" in lines[j]:
+            break
+        assert "Exchange" not in lines[j], lines[j]
