@@ -905,7 +905,50 @@ WHERE abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_MAX_DIST}
 """
 
 
+# --- small-file compaction (operators/compact.py) ---------------------------
+# The maintenance op every incremental writer eventually owes: the gate
+# reproduces the small-file leak deliberately (events rewritten as 64
+# fragments — the measured partitionBy/streaming-sink failure mode),
+# bin-packs it shuffle-free to ~4 MB files via coalesce, and aggregates
+# from the COMPACTED copy. The oracle aggregates the original table:
+# equality proves compaction moved bytes, not values. File-count and
+# shuffle-free pins live in tests/test_modern.py; both artifacts build
+# once per sf_dir (the repository build->reuse contract).
+def compaction_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.operators.compact import compact_parquet
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_compact_", sf_dir)
+    frag = os.path.join(base, "frag")
+    packed = os.path.join(base, "packed")
+    if not os.path.exists(os.path.join(packed, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        events.repartition(64).write.mode("overwrite").parquet(frag)
+        compact_parquet(spark, frag, packed, target_bytes=4 << 20)
+    back = spark.read.parquet(packed)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        back.select("event_type", cents.alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_c").cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+COMPACTION_STATS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "corpus_mix_sample": (corpus_mix_sample, CORPUS_MIX_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),

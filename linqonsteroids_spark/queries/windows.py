@@ -319,6 +319,51 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+# --- time-RANGE window frame (value-based, not row-based) ------------------
+# The frame every "activity in the trailing hour" metric needs: RANGE
+# BETWEEN bounds select by ORDER-key VALUE, so gaps and ties behave
+# correctly where a ROWS frame silently lies (a row-frame of N rows is
+# N rows regardless of how much TIME they span; a RANGE frame of one
+# hour is one hour regardless of how many rows landed in it, and ties
+# on the key enter the frame together as peers). Ordered by integer
+# epoch-micros so the frame bound (3.6e9 us) is exact on both engines;
+# money as DECIMAL-accumulated cents.
+def events_range_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    base = events.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        cents.alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).cast("bigint").alias("hour_cents"),
+        F.count("*").over(w).cast("bigint").alias("hour_events"),
+    )
+
+
+EVENTS_RANGE_FRAME_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(cents) OVER w AS BIGINT) AS hour_cents,
+       CAST(count(*) OVER w AS BIGINT) AS hour_events
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE user_id < 50
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
     "orders_ranking_functions": (
@@ -328,6 +373,10 @@ QUERIES = {
     "batch_user_sessions": (batch_user_sessions, BATCH_SESSIONS_SQL),
     "event_funnel_stages": (event_funnel_stages, EVENT_FUNNEL_SQL),
     "events_running_stats": (events_running_stats, EVENTS_RUNNING_SQL),
+    "events_range_frame_sums": (
+        events_range_frame_sums,
+        EVENTS_RANGE_FRAME_SQL,
+    ),
     "event_sliding_windows": (event_sliding_windows, EVENT_SLIDING_SQL),
     "nations_indexed": (nations_indexed, NATIONS_INDEXED_SQL),
 }

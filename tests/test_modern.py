@@ -110,3 +110,34 @@ def test_incremental_lsh_index_side_never_shuffles(spark):
         if "BroadcastHashJoin" in lines[j]:
             break
         assert "Exchange" not in lines[j], lines[j]
+
+
+def test_compaction_bins_files_and_preserves_values(spark, tmp_path):
+    # compaction contract: ceil(bytes/target) output files, zero value
+    # drift, and NO shuffle in the rewrite (coalesce, not repartition)
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.compact import (
+        compact_parquet,
+        directory_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "packed")
+    events = load_table(spark, SF, "events")
+    events.repartition(16).write.parquet(src)
+    n_before, bytes_before = directory_stats(src)
+    assert n_before == 16
+    stats = compact_parquet(spark, src, dst, target_bytes=bytes_before)
+    assert stats["files_after"] == 1
+    before = sorted(map(tuple, spark.read.parquet(src).collect()))
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert before == after
+    # shuffle-free: the compaction read->write plan has no Exchange
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
