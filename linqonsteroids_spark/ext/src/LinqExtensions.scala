@@ -168,7 +168,21 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         a.name == col
       case InSet(a: AttributeReference, _) => a.name == col
-      case _                               => false
+      // RANGE predicates prune too: the index layout is directory-
+      // partitioned by the key, so once the scan is substituted the
+      // re-applied filter becomes PartitionFilters and skips whole
+      // directories (BETWEEN = two of these conjuncts). The registry
+      // opt-in remains the cost guard — a barely-selective range on an
+      // indexed key scans most directories, same as a huge IN-list.
+      case GreaterThan(a: AttributeReference, _: Literal)        => a.name == col
+      case GreaterThan(_: Literal, a: AttributeReference)        => a.name == col
+      case GreaterThanOrEqual(a: AttributeReference, _: Literal) => a.name == col
+      case GreaterThanOrEqual(_: Literal, a: AttributeReference) => a.name == col
+      case LessThan(a: AttributeReference, _: Literal)           => a.name == col
+      case LessThan(_: Literal, a: AttributeReference)           => a.name == col
+      case LessThanOrEqual(a: AttributeReference, _: Literal)    => a.name == col
+      case LessThanOrEqual(_: Literal, a: AttributeReference)    => a.name == col
+      case _                                                     => false
     }
 
   /** Analyzed index relation with FRESH exprIds, or None on any load

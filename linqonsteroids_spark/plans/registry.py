@@ -130,6 +130,24 @@ def match_key_equality(conj: Node) -> tuple[str, object] | None:
     return None
 
 
+def match_key_range(conj: Node) -> tuple[str, str, object] | None:
+    """Recognize col <op> const (the range leg, r10): returns (col,
+    normalized-op, value) with the operator flipped when the literal is
+    on the left. Range predicates are index-serviceable because every
+    index layout is key-ordered: the hash layout sorts within buckets
+    (row-group min/max skipping), the partitioned layout prunes whole
+    key directories."""
+    if conj.kind != "cmp":
+        return None
+    sym, l, r = conj.args
+    if l.kind == "col" and r.kind == "lit":
+        return l.args[0], sym, r.args[0]
+    if r.kind == "col" and l.kind == "lit":
+        flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+        return r.args[0], flip[sym], l.args[0]
+    return None
+
+
 def node_to_column(node: Node) -> Column | None:
     """Rebuild a Spark Column from predicate structure; None if any part is
     opaque (then the rewrite bails — same conservatism as the reference,
@@ -744,9 +762,20 @@ class IndexRepository:
             conjuncts.extend(split_conjuncts(f))
         for i, conj in enumerate(conjuncts):
             m = match_key_equality(conj)
-            if m is None:
-                continue
-            col, value = m
+            if m is not None:
+                col, value = m
+                pred = F.col(col) == F.lit(value)
+            else:
+                kr = match_key_range(conj)
+                if kr is None:
+                    continue
+                col, sym, value = kr
+                pred = {
+                    "<": F.col(col) < F.lit(value),
+                    "<=": F.col(col) <= F.lit(value),
+                    ">": F.col(col) > F.lit(value),
+                    ">=": F.col(col) >= F.lit(value),
+                }[sym]
             entry = self._by_table_key.get((plan.base_table, col))
             if entry is None:
                 continue
@@ -759,7 +788,7 @@ class IndexRepository:
             res_cols = [node_to_column(c) for c in residual]
             if any(c is None for c in res_cols):
                 continue  # unrecognized residual: bail, don't risk wrong rewrite
-            df = self._scan(entry).filter(F.col(col) == F.lit(value))
+            df = self._scan(entry).filter(pred)
             if entry.columns:
                 df = df.select(*entry.columns)
             for c in res_cols:

@@ -61,6 +61,48 @@ WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
 """
 
 
+# --- RANGE-predicate index lookup (r10: the range leg of the rewrite) ------
+# The reference's substitution recognizes equality only; every index
+# layout here is key-ORDERED, so a range conjunct is just as
+# serviceable — the hash layout sorts within buckets (row-group min/max
+# skip), the partitioned layout prunes key directories. The gate RAISES
+# unless the optimizer actually rerouted the scan to index files (the
+# indexed_segment_lookup discipline); the JVM twin is pinned in the
+# Catalyst smoke's range-pruned case.
+def indexed_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    storage = cached_scratch_dir("squopt_idx_", sf_dir)
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_index(
+        "orders_by_price",
+        lift(orders, table="orders").index_by(lambda o: o.o_totalprice),
+    )
+    q = lift(orders, table="orders").filter(
+        lambda o: (o.o_totalprice >= 280000.0)
+        & (o.o_orderstatus == "F")
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("orders_by_price" in f for f in files):
+        raise RuntimeError("range index rewrite did not fire")
+    return opt.df.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+INDEXED_RANGE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_totalprice >= 280000.0 AND o_orderstatus = 'F'
+"""
+
+
 # --- workload-advised index (SparkCruise-style computation reuse) ----------
 # No human calls add_index here: the advisor OBSERVES two queries sharing
 # a filter-key pattern, mines the repetition, and materializes the index
@@ -1215,6 +1257,7 @@ QUERIES = {
     "typeindex_event_lookup": (typeindex_event_lookup, TYPEINDEX_LOOKUP_SQL),
     "udf_event_features": (udf_event_features, UDF_FEATURES_SQL),
     "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),
+    "indexed_range_lookup": (indexed_range_lookup, INDEXED_RANGE_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),
     "bucketed_mv_join": (bucketed_mv_join, BUCKETED_MV_SQL),

@@ -41,6 +41,7 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS scans-index-not-base",
         "PASS partition-pruned",
         "PASS in-list-pruned",
+        "PASS range-pruned",
         "PASS repository-bridge",
         "PASS cast-widened-partition-column",
         "PASS project-interposed-shapes",

@@ -88,6 +88,30 @@ def main() -> None:
     assert "PartitionFilters" in p5
     print("PASS in-list-pruned")
 
+    # RANGE predicates route through the index too (r10): the re-applied
+    # filter becomes PartitionFilters on the directory-partitioned index,
+    # so seg >= 6 reads exactly 2 of 8 directories
+    q6 = spark.read.parquet(base_path).filter(F.col("seg") >= 6)
+    vals6 = sorted(tuple(r) for r in q6.collect())
+    assert len(vals6) == 250 and all(v[1] >= 6 for v in vals6)
+    p6 = q6._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(idx_path) in p6 and os.path.basename(base_path) not in p6
+    pf6 = re.search(r"PartitionFilters: \[([^\]]*)\]", p6)
+    assert pf6 and ">= 6" in pf6.group(1), p6[:2000]
+    # BETWEEN (two range conjuncts) prunes to the enclosed directories
+    q7 = spark.read.parquet(base_path).filter(
+        (F.col("seg") >= 3) & (F.col("seg") < 5)
+    )
+    vals7 = sorted(tuple(r) for r in q7.collect())
+    assert len(vals7) == 250 and all(3 <= v[1] < 5 for v in vals7)
+    p7 = q7._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(idx_path) in p7 and os.path.basename(base_path) not in p7
+    # a range on a NON-indexed column must not reroute
+    q8 = spark.read.parquet(base_path).filter(F.col("payload") > 2900)
+    p8 = q8._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(idx_path) not in p8, p8[:2000]
+    print("PASS range-pruned")
+
     # Python IndexRepository artifacts feed the JVM rule directly: build a
     # directory-partitioned index through the repository API and register
     # it via catalyst_conf — a RAW spark.read over the base path (no
