@@ -161,6 +161,17 @@ EXTRA = [
     "sql_surface_forecast_revenue",
     "sql_surface_supplier_variety",
     "collated_segment_stats",
+    # round 10: the modern-SQL heads + the new scale operators (the
+    # index/compaction/dedup gates keyed by cached artifacts measure
+    # steady-state probe cost, same as the other indexed heads)
+    "groupby_all_pricing",
+    "bitmap_exact_distinct",
+    "filter_clause_status_matrix",
+    "lateral_api_latest_order",
+    "events_range_frame_sums",
+    "indexed_range_lookup",
+    "dedup_incremental_lsh",
+    "compaction_event_stats",
 ]
 
 
