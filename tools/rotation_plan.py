@@ -55,6 +55,17 @@ def main() -> None:
         max((int(p.rsplit("r", 1)[1].split(".")[0]) for p in rounds), default=0)
     )]
     print(f"# outside window without latest-round green: {len(stale_out)}")
+    # the full ordering past the window, so next round's note never has
+    # to reconstruct cohort tails by hand (r10 lesson)
+    print("# next in line (positions 51+, same staleness order):")
+    for n in ranked[50:]:
+        if last_green.get(n, 0) >= max(
+            (int(p.rsplit("r", 1)[1].split(".")[0]) for p in rounds),
+            default=0,
+        ):
+            break
+        print(f'    "{n}",  # green r{last_green.get(n, "-")} '
+              f'checked r{checked.get(n, "-")}')
 
 
 if __name__ == "__main__":
