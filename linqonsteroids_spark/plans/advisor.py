@@ -36,6 +36,7 @@ from linqonsteroids_spark.plans.registry import (
     IndexEntry,
     IndexRepository,
     match_key_equality,
+    match_key_range,
     split_conjuncts,
 )
 
@@ -63,6 +64,14 @@ def mine_patterns(
                 m = match_key_equality(conj)
                 if m is not None:
                     filter_pats.append((plan.base_table, m[0]))
+                    continue
+                # range conjuncts mine to the SAME (table, column)
+                # pattern (r10): the key-ordered index serves both
+                # shapes, so an equality query and a range query on one
+                # column jointly justify one index
+                kr = match_key_range(conj)
+                if kr is not None:
+                    filter_pats.append((plan.base_table, kr[0]))
     if plan.rewritable and plan.join is not None:
         join_sigs.append(plan.join.signature)
     if plan.agg is not None:

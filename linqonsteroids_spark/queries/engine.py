@@ -148,6 +148,58 @@ WHERE c_mktsegment = 'HOUSEHOLD' AND c_acctbal > 2500.0
 """
 
 
+# --- workload-advised RANGE index (r10: the advisor's range leg) ------------
+# Two range queries with DIFFERENT bounds on the same column are one
+# repeated (table, column) pattern — the key-ordered index serves any
+# bound — so the advisor materializes one index from them, and a THIRD
+# range query with yet another bound must reroute to it (RAISES
+# otherwise, the established discipline).
+def advised_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.plans.advisor import WorkloadAdvisor
+
+    orders = load_table(spark, sf_dir, "orders")
+    storage = cached_scratch_dir("squopt_advrng_", sf_dir)
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    advisor = WorkloadAdvisor(
+        repo,
+        {"orders": lambda: lift(orders, table="orders")},
+        min_count=2,
+    )
+
+    def price_above(cut):
+        return lift(orders, table="orders").filter(
+            lambda o: o.o_totalprice >= cut
+        )
+
+    advisor.observe(price_above(250000.0))
+    advisor.observe(price_above(310000.0))
+    advisor.auto_materialize()
+
+    q = lift(orders, table="orders").filter(
+        lambda o: (o.o_totalprice >= 290000.0) & (o.o_orderstatus == "O")
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("adv_orders_o_totalprice" in f for f in files):
+        raise RuntimeError("advised range index rewrite did not fire")
+    return opt.df.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+ADVISED_RANGE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_totalprice >= 290000.0 AND o_orderstatus = 'O'
+"""
+
+
 # --- saved-workload replay (plans/workload.py, the OFFLINE advisor loop) ----
 # The end-to-end SparkCruise shape: pass 1 RECORDS query shapes to a
 # JSONL log (driver-side metadata, session-independent); pass 2 — a
@@ -1258,6 +1310,7 @@ QUERIES = {
     "udf_event_features": (udf_event_features, UDF_FEATURES_SQL),
     "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),
     "indexed_range_lookup": (indexed_range_lookup, INDEXED_RANGE_SQL),
+    "advised_range_lookup": (advised_range_lookup, ADVISED_RANGE_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),
     "bucketed_mv_join": (bucketed_mv_join, BUCKETED_MV_SQL),
