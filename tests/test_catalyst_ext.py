@@ -55,6 +55,7 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS agg-mv-substituted",
         "PASS agg-mv-key-filter",
         "PASS agg-mv-sql-surface",
+        "PASS agg-mv-having",
         "PASS agg-mv-no-false-rewrites",
         "PASS no-false-rewrites",
     ):

@@ -404,6 +404,21 @@ def main() -> None:
     assert "base_rollup" in ps and "Aggregate" not in ps, ps[:2000]
     print("PASS agg-mv-sql-surface")
 
+    # HAVING composes: the post-aggregate Filter references the
+    # substitution's aliased output (original exprIds preserved), so it
+    # survives as a plain filter over the MV scan
+    qh = spark.sql(
+        "SELECT seg, count(*) AS n, sum(payload) AS psum "
+        "FROM agg_base_v GROUP BY seg HAVING count(*) > 100"
+    )
+    rows_h = qh.collect()
+    assert sorted((r.seg, r.n) for r in rows_h) == sorted(
+        (w[0], w[1]) for w in want_agg if w[1] > 100
+    )
+    ph = qh._jdf.queryExecution().executedPlan().toString()
+    assert "base_rollup" in ph and "Aggregate" not in ph, ph[:2000]
+    print("PASS agg-mv-having")
+
     # shapes the rollup CANNOT answer must keep the base aggregate:
     # avg, count(col), distinct, expressions over aggregates, filters on
     # non-key columns, multi-key grouping
