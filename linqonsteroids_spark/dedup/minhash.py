@@ -296,10 +296,33 @@ LEFT JOIN cand c ON c.doc_id = d.doc_id
 GROUP BY d.doc_id
 """
     )
+    # the streaming twin's verdicts: vs-corpus candidates only (a
+    # stream cannot see batch-mates that haven't arrived; batch-internal
+    # pairs are the batch gate's job)
+    incremental_vs_corpus = (
+        base
+        + f"""
+, newb AS (SELECT * FROM bands WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id, o.doc_id AS other
+  FROM newb n JOIN bands o
+    ON o.band = n.band AND o.band_key = n.band_key
+   AND o.doc_id % {INCREMENTAL_BATCH_MOD} <> 0
+)
+SELECT d.doc_id,
+       CAST(count(c.other) AS BIGINT) AS n_index_cands,
+       count(c.other) > 0 AS is_dup
+FROM (SELECT doc_id FROM {threshold_table}
+      WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0) d
+LEFT JOIN cand c ON c.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+    )
     return {
         "signatures": signatures,
         "pairs": pairs,
         "clusters": clusters,
         "survivors": survivors,
         "incremental": incremental,
+        "incremental_vs_corpus": incremental_vs_corpus,
     }

@@ -414,6 +414,28 @@ FROM documents d LEFT JOIN ({clusters}) c USING (doc_id)
 """
 
 
+def _lsh_band_index(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> str:
+    """Build-once-per-corpus banded-signature index (the repository
+    build->reuse contract): range-partitioned + sorted by band_key so
+    lookups skip row groups via parquet min/max on the key. Shared by
+    the batch and streaming incremental-dedup gates."""
+    import os
+
+    from linqonsteroids_spark.dedup.minhash import _banded, minhash_signatures
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    idx = os.path.join(cached_scratch_dir("squopt_lshidx_", sf_dir), "bands")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        (
+            _banded(minhash_signatures(corpus), "doc_id")
+            .repartitionByRange(4, "band_key")
+            .sortWithinPartitions("band_key")
+            .write.parquet(idx)
+        )
+    return idx
+
+
+
 # --- incremental LSH dedup against a persisted band index --------------------
 # The arrival-time shape of the dedup problem: a NEW batch of documents
 # (doc_id % INCREMENTAL_BATCH_MOD = 0) must be checked against a corpus
@@ -441,18 +463,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(~is_batch)
     batch = docs.filter(is_batch)
 
-    idx = os.path.join(cached_scratch_dir("squopt_lshidx_", sf_dir), "bands")
-    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        # build once per corpus (the repository build->reuse contract):
-        # range-partitioned + sorted by band_key so lookups skip row
-        # groups via parquet min/max on the key
-        (
-            _banded(minhash_signatures(corpus), "doc_id")
-            .repartitionByRange(4, "band_key")
-            .sortWithinPartitions("band_key")
-            .write.parquet(idx)
-        )
-    index = spark.read.parquet(idx)
+    index = spark.read.parquet(_lsh_band_index(spark, sf_dir, corpus))
 
     nb = _banded(minhash_signatures(batch), "doc_id").select(
         F.col("doc_id").alias("new_id"), "band", "band_key"
@@ -509,11 +520,118 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- STREAMING incremental dedup against the persisted band index -----------
+# The arrival pipeline end-to-end: new documents land as a STREAM (two
+# micro-batches via maxFilesPerTrigger), and each micro-batch is
+# checked against the SAME persisted corpus index the batch gate uses
+# (one artifact, two consumers — the build->reuse contract), verdicts
+# appended per batch through foreachBatch. Per-batch work is
+# O(|micro-batch|) hashing + one broadcast join; the corpus index is
+# scanned, never shuffled, never re-hashed. Verdicts here are
+# vs-corpus only (batch-internal pairs are the batch gate's job — a
+# stream cannot see docs that haven't arrived). The oracle replays the
+# whole split declaratively.
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from linqonsteroids_spark.dedup.minhash import (
+        INCREMENTAL_BATCH_MOD,
+        _banded,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    idx = _lsh_band_index(spark, sf_dir, docs.filter(~is_batch))
+    batch = docs.filter(is_batch)
+
+    base = tempfile.mkdtemp(prefix="lsh_ingest_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "verdicts")
+    chk = os.path.join(base, "_chk")
+    os.makedirs(src)
+    try:
+        # batch ids are multiples of MOD; halves split on the next bit
+        two_mod = 2 * INCREMENTAL_BATCH_MOD
+        for i, half in enumerate(
+            (
+                batch.filter(F.col("doc_id") % two_mod == 0),
+                batch.filter(
+                    F.col("doc_id") % two_mod == INCREMENTAL_BATCH_MOD
+                ),
+            )
+        ):
+            tmp = os.path.join(base, f"z{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(tmp, f),
+                        os.path.join(src, f"part-{i}-batch.parquet"),
+                    )
+            shutil.rmtree(tmp)
+
+        def handle(df, _bid):
+            nb = _banded(minhash_signatures(df), "doc_id").select(
+                F.col("doc_id").alias("new_id"), "band", "band_key"
+            )
+            hits = (
+                spark.read.parquet(idx)
+                .join(F.broadcast(nb), ["band", "band_key"])
+                .groupBy("new_id")
+                .agg(
+                    F.countDistinct("doc_id")
+                    .cast("bigint")
+                    .alias("n_index_cands")
+                )
+            )
+            (
+                df.select(F.col("doc_id").alias("new_id"))
+                .distinct()
+                .join(hits, "new_id", "left")
+                .select(
+                    F.col("new_id").alias("doc_id"),
+                    F.coalesce("n_index_cands", F.lit(0))
+                    .cast("bigint")
+                    .alias("n_index_cands"),
+                    (F.coalesce("n_index_cands", F.lit(0)) > 0).alias(
+                        "is_dup"
+                    ),
+                )
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        res = spark.read.parquet(out)
+        rows = res.collect()  # materialize before the staging dir dies
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
     "dedup_incremental_lsh": (
         dedup_incremental_lsh,
         minhash_oracle_sql()["incremental"],
+    ),
+    "streaming_dedup_ingest": (
+        streaming_dedup_ingest,
+        minhash_oracle_sql()["incremental_vs_corpus"],
     ),
     "leakage_safe_split": (leakage_safe_split, _leakage_safe_split_sql()),
     "lsh_recall_report": (lsh_recall_report, _lsh_recall_sql()),
