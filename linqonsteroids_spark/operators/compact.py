@@ -28,15 +28,31 @@ from pyspark.sql import SparkSession
 
 
 def directory_stats(path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) for a parquet directory."""
-    files = [
-        f
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-        + glob.glob(os.path.join(path, "part-*"))
-        if os.path.isfile(f) and not f.endswith(".crc")
-    ]
+    """(n_data_files, total_bytes) for a parquet directory, RECURSIVE —
+    a hive-partitioned layout keeps its data files in key=value
+    subdirectories, and sizing from the top level alone would read the
+    whole dataset as zero bytes."""
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".crc") or n.startswith(("_", ".")):
+                continue
+            if n.endswith(".parquet") or n.startswith("part-"):
+                files.append(os.path.join(root, n))
     files = sorted(set(files))
     return len(files), sum(os.path.getsize(f) for f in files)
+
+
+def _partition_dirs(path: str) -> list[str]:
+    """Immediate ``key=value`` subdirectories (hive partition layout)."""
+    try:
+        return [
+            d
+            for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        ]
+    except OSError:
+        return []
 
 
 def compact_parquet(
@@ -45,11 +61,25 @@ def compact_parquet(
     dst: str,
     target_bytes: int = 128 << 20,
 ) -> dict:
-    """Rewrite ``src`` into ``dst`` as ceil(bytes/target) files.
+    """Rewrite the FLAT parquet directory ``src`` into ``dst`` as
+    ceil(bytes/target) files.
 
     Shuffle-free (coalesce); values are preserved exactly — the caller
     gates that, tests pin it. Returns before/after stats so a
-    maintenance job can log its effect."""
+    maintenance job can log its effect.
+
+    Hive-partitioned inputs are REFUSED rather than silently flattened:
+    a blind read-and-coalesce would drop the partition columns from the
+    layout (and a whole-dataset coalesce would defeat per-partition
+    maintenance anyway). Compact each leaf partition directory — where
+    the small files actually accumulate — with its own call."""
+    parts = _partition_dirs(src)
+    if parts:
+        raise ValueError(
+            f"{src} is hive-partitioned ({parts[0]}, ...): compact each "
+            "leaf partition directory separately — a flat rewrite would "
+            "silently drop the partition layout"
+        )
     n_before, bytes_before = directory_stats(src)
     n_out = max(1, math.ceil(bytes_before / target_bytes))
     df = spark.read.parquet(src)

@@ -426,11 +426,15 @@ def _lsh_band_index(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> str:
 
     idx = os.path.join(cached_scratch_dir("squopt_lshidx_", sf_dir), "bands")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        # overwrite, not error-if-exists: a build that died mid-write
+        # leaves the dir present WITHOUT _SUCCESS, and the rebuild must
+        # replace it rather than throw path-already-exists forever
         (
             _banded(minhash_signatures(corpus), "doc_id")
             .repartitionByRange(4, "band_key")
             .sortWithinPartitions("band_key")
-            .write.parquet(idx)
+            .write.mode("overwrite")
+            .parquet(idx)
         )
     return idx
 

@@ -341,9 +341,12 @@ def register(spark) -> None:
     """Idempotent registration of the custom source on a session.
 
     Deliberately does NOT touch spark.sql.python.filterPushdown.enabled:
-    with the conf off the scan still plans correctly (pushFilters is
-    simply never consulted and the predicate stays post-scan), and a
-    library registration must not mutate session-wide planner state.
-    Callers that want pushdown bind the conf around plan forcing — see
-    queries/engine.py pyds_ledger_rollup's conf_guard."""
+    a library registration must not mutate session-wide planner state.
+    CALLERS OWN THE CONF for batch reads — a reader that implements
+    pushFilters() refuses to even initialize while the conf is off
+    (DATA_SOURCE_PUSHDOWN_DISABLED, raised at first execution, not at
+    explain), so every batch-read site binds it with conf_guard: around
+    eager work (pyds_write_roundtrip) or by forcing the plan under the
+    guard (pyds_ledger_rollup). Stream reads are unaffected (the stream
+    reader has no pushFilters)."""
     spark.dataSource.register(SyntheticLedgerDataSource)

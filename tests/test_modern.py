@@ -141,3 +141,36 @@ def test_compaction_bins_files_and_preserves_values(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_compaction_refuses_partitioned_layout(spark, tmp_path):
+    # a hive-partitioned input must be REFUSED, not silently flattened —
+    # and directory_stats must size it recursively (the data files live
+    # in key=value subdirs; a top-level glob reads the dataset as 0 B)
+    import pytest
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.compact import (
+        compact_parquet,
+        directory_stats,
+    )
+
+    src = str(tmp_path / "by_type")
+    events = load_table(spark, SF, "events")
+    events.repartition("event_type").write.partitionBy(
+        "event_type"
+    ).parquet(src)
+    n, b = directory_stats(src)
+    assert n > 0 and b > 0  # recursive sizing sees the leaf files
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, src, str(tmp_path / "out"))
+    # the supported path: compact one leaf partition directory
+    import os
+
+    leaf = next(
+        os.path.join(src, d) for d in os.listdir(src) if "=" in d
+    )
+    stats = compact_parquet(
+        spark, leaf, str(tmp_path / "leaf_out"), target_bytes=1 << 30
+    )
+    assert stats["files_after"] == 1

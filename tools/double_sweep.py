@@ -76,6 +76,10 @@ if __name__ == "__main__":
             else:
                 # space-separated form: the value is the NEXT argv entry
                 # and must not also be taken as the positional sf_dir
+                if i + 1 >= len(argv):
+                    raise SystemExit(
+                        "usage: --only=a,b or --only a,b (value missing)"
+                    )
                 only = set(argv[i + 1].split(","))
                 consumed.add(i + 1)
     args = [

@@ -57,7 +57,7 @@ def train(train_path: str) -> list[list[list[float]]]:
 
 def main(train_path: str) -> None:
     books = train(train_path)
-    literal = repr(books).replace(" ", " ")
+    literal = repr(books)  # the committed literal IS this repr format
     src = open(PQ_PATH).read()
     new, n = re.subn(
         r"PQ_CODEBOOK = \[\[\[.*?\]\]\]",
