@@ -172,6 +172,7 @@ EXTRA = [
     "indexed_range_lookup",
     "dedup_incremental_lsh",
     "compaction_event_stats",
+    "advised_range_lookup",
 ]
 
 
