@@ -2,7 +2,7 @@
 
 The operator a billion-vector retrieval/dedup pipeline actually calls
 (Jegou, Douze & Schmid, TPAMI 2011, the "IVFADC" system): the corpus is
-stored as (cell id, M PQ codes) — 8 x 4-bit codes here, a 64x cut vs
+stored as (cell id, M PQ codes) — 32 x 4-bit codes here, a 16x cut vs
 float32 — and a query touches only its ``n_probe`` nearest IVF cells.
 Per query, one M x K lookup table of exact subspace distances to every
 codebook centroid (the "asymmetric" half: the query stays full
@@ -16,7 +16,7 @@ Spark shape, stage by stage (and the 100 TB reading):
    is the Arrow kernel (similarity/pq.py) with the cell id passed
    through — one row-local projection + one mapInPandas stage, ZERO
    shuffle, and at scale this is the materialized index artifact
-   (9 bytes/vector + id), written once and reused per query batch.
+   (17 bytes/vector + id), written once and reused per query batch.
 2. queries -> (probe cells, ADC LUT): one Arrow kernel emits the
    n_probe nearest cells and the M x K distance table per query. All
    reductions are explicit SEQUENTIAL accumulations (left-to-right
