@@ -174,3 +174,25 @@ def test_compaction_refuses_partitioned_layout(spark, tmp_path):
         spark, leaf, str(tmp_path / "leaf_out"), target_bytes=1 << 30
     )
     assert stats["files_after"] == 1
+
+
+def test_compaction_bins_to_ceil_bytes_over_target(spark, tmp_path):
+    # the multi-bin contract: ceil(bytes/target) outputs, not just 1
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.compact import (
+        compact_parquet,
+        directory_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    load_table(spark, SF, "events").repartition(16).write.parquet(src)
+    _, bytes_before = directory_stats(src)
+    target = bytes_before // 3 + 1  # => ceil = 3 bins
+    stats = compact_parquet(
+        spark, src, str(tmp_path / "packed"), target_bytes=target
+    )
+    assert stats["files_after"] == 3, stats
+    assert (
+        spark.read.parquet(str(tmp_path / "packed")).count()
+        == spark.read.parquet(src).count()
+    )

@@ -30,6 +30,14 @@ ATOMS = [
     ).lit(seg) == c.c_mktsegment),
     ("bal_gt", lambda c, seg, bal: c.c_acctbal > bal),
     ("bal_le", lambda c, seg, bal: c.c_acctbal <= bal),
+    # ranges on the INDEXED column (string comparison): the r10 range
+    # leg makes these fire the rewrite, including the flipped form
+    # whose operator must be normalized (lit >= col ⇒ col <= lit)
+    ("seg_ge", lambda c, seg, bal: c.c_mktsegment >= seg),
+    ("seg_lt", lambda c, seg, bal: c.c_mktsegment < seg),
+    ("seg_ge_flip", lambda c, seg, bal: __import__(
+        "linqonsteroids_spark.api", fromlist=["lit"]
+    ).lit(seg) >= c.c_mktsegment),
     ("key_eq", lambda c, seg, bal: c.c_custkey == 7),
     ("name_contains", lambda c, seg, bal: c.c_name.contains("1")),
     ("not_seg", lambda c, seg, bal: ~(c.c_mktsegment == seg)),
