@@ -62,17 +62,30 @@ def compact_parquet(
     target_bytes: int = 128 << 20,
 ) -> dict:
     """Rewrite the FLAT parquet directory ``src`` into ``dst`` as
-    ceil(bytes/target) files.
+    ``min(ceil(bytes/target), read-partitions)`` files.
 
     Shuffle-free (coalesce); values are preserved exactly — the caller
     gates that, tests pin it. Returns before/after stats so a
     maintenance job can log its effect.
+
+    ``coalesce`` can only MERGE read partitions, so the bin count is
+    bounded by how Spark splits the scan. To make that bound
+    environment-independent (not a function of ``defaultParallelism``
+    on the machine that happens to run maintenance), the read is
+    planned and executed under a pinned ``maxPartitionBytes =
+    target_bytes`` / ``openCostInBytes = 0``: ``maxSplitBytes =
+    min(maxPartitionBytes, max(openCost, bytes/cores))`` then never
+    exceeds the target, so the scan yields at least ceil(bytes/target)
+    partitions even on a 1-core host. ``n_out`` is still capped by the
+    actual scan partition count as a belt-and-braces guard.
 
     Hive-partitioned inputs are REFUSED rather than silently flattened:
     a blind read-and-coalesce would drop the partition columns from the
     layout (and a whole-dataset coalesce would defeat per-partition
     maintenance anyway). Compact each leaf partition directory — where
     the small files actually accumulate — with its own call."""
+    from linqonsteroids_spark.session import conf_guard
+
     parts = _partition_dirs(src)
     if parts:
         raise ValueError(
@@ -82,9 +95,16 @@ def compact_parquet(
         )
     n_before, bytes_before = directory_stats(src)
     n_out = max(1, math.ceil(bytes_before / target_bytes))
-    df = spark.read.parquet(src)
-    n_out = min(n_out, max(1, n_before))  # coalesce cannot split files
-    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    with conf_guard(
+        spark, "spark.sql.files.maxPartitionBytes", str(target_bytes)
+    ), conf_guard(spark, "spark.sql.files.openCostInBytes", "0"):
+        df = spark.read.parquet(src)
+        # coalesce cannot split: cap by input files and by what the scan
+        # actually planned (empty under the pinned confs only if the
+        # directory itself is empty)
+        n_out = min(n_out, max(1, n_before))
+        n_out = min(n_out, max(1, df.rdd.getNumPartitions()))
+        df.coalesce(n_out).write.mode("overwrite").parquet(dst)
     n_after, bytes_after = directory_stats(dst)
     return {
         "files_before": n_before,

@@ -453,8 +453,6 @@ def _lsh_band_index(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> str:
 # Verdict per new doc: candidate counts from each source + an is_dup
 # flag. The oracle replays the whole split declaratively.
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from linqonsteroids_spark.dedup.minhash import (
         INCREMENTAL_BATCH_MOD,
         _banded,

@@ -1035,10 +1035,14 @@ def pyds_ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linqonsteroids_spark.session import conf_guard
 
     register_pyds(spark)
-    # filterPushdown is consumed when the V2 scan is planned — lazily,
-    # after this function returns — so the guard forces optimizedPlan
-    # INSIDE the block: the cached QueryExecution keeps the pushed scan
-    # while the session conf is restored for whatever gate runs next
+    # filterPushdown is consumed when the V2 scan EXECUTES (a reader
+    # with pushFilters refuses to initialize when it's off) — and any
+    # consumer that derives a new Dataset from the returned frame (an
+    # orderBy, a createDataFrame round-trip) would re-plan OUTSIDE the
+    # guard and fail. So the gate materializes inside the guard and
+    # returns a local frame: the conf dependency ends here instead of
+    # leaking into the caller's contract (bounded: one row per
+    # (bucket, tag) pair).
     with conf_guard(
         spark, "spark.sql.python.filterPushdown.enabled", "true"
     ):
@@ -1058,8 +1062,8 @@ def pyds_ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("i").alias("max_i"),
             )
         )
-        out._jdf.queryExecution().optimizedPlan()
-        return out
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # Streaming twin: the SAME registered source read as a micro-batch
