@@ -53,9 +53,11 @@ class Node:
 
 OPAQUE = Node("opaque")
 
-#: node kinds the rewriter can rebuild into a Spark Column
+#: node kinds the rewriter can rebuild into a Spark Column.
+#: "in" is ('in', col-node, (v1, v2, ...)) — a literal value tuple, not
+#: child Nodes, mirroring Catalyst's In(attr, Seq[Literal]).
 _RECONSTRUCTIBLE_KINDS = frozenset(
-    {"col", "lit", "eq", "cmp", "and", "or", "not", "arith", "neg"}
+    {"col", "lit", "eq", "cmp", "and", "or", "not", "arith", "neg", "in"}
 )
 
 
@@ -183,7 +185,32 @@ class Expr:
         return Expr(self.col.cast(t))
 
     def isin(self, *vals):
-        return Expr(self.col.isin(*vals))
+        """Membership test; structure-tracked when every value is a plain
+        literal (the IN-list leg of the filter→index rewrite, r11 —
+        Catalyst's In(attr, Seq[Literal]) shape). Any Expr/Column value
+        keeps the result opaque: the rewriter must never reconstruct a
+        partially-literal IN."""
+        if all(not isinstance(v, (Expr, Column)) for v in vals):
+            node = Node("in", (self.node, tuple(vals)))
+        else:
+            node = OPAQUE
+        return Expr(self.col.isin(*[_lift(v).col for v in vals]), node)
+
+    def between(self, lo, hi):
+        """Inclusive range test, tracked as TWO cmp conjuncts — exactly
+        what ``split_conjuncts`` + ``match_key_range`` already consume,
+        so BETWEEN rides the r10 range-index leg with no new matcher
+        (the same lowering Catalyst applies: And(GreaterThanOrEqual,
+        LessThanOrEqual))."""
+        lo_e, hi_e = _lift(lo), _lift(hi)
+        node = Node(
+            "and",
+            (
+                Node("cmp", (">=", self.node, lo_e.node)),
+                Node("cmp", ("<=", self.node, hi_e.node)),
+            ),
+        )
+        return Expr(self.col.between(lo_e.col, hi_e.col), node)
 
     # --- Option ops (Lifting.scala:39-99): null-valued columns ---
     def is_defined(self):

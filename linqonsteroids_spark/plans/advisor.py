@@ -36,6 +36,7 @@ from linqonsteroids_spark.plans.registry import (
     IndexEntry,
     IndexRepository,
     match_key_equality,
+    match_key_in,
     match_key_range,
     split_conjuncts,
 )
@@ -72,6 +73,12 @@ def mine_patterns(
                 kr = match_key_range(conj)
                 if kr is not None:
                     filter_pats.append((plan.base_table, kr[0]))
+                    continue
+                # IN-list conjuncts too (r11): a union of equalities on
+                # one column is the same advisable pattern
+                ki = match_key_in(conj)
+                if ki is not None:
+                    filter_pats.append((plan.base_table, ki[0]))
     if plan.rewritable and plan.join is not None:
         join_sigs.append(plan.join.signature)
     if plan.agg is not None:

@@ -148,6 +148,20 @@ def match_key_range(conj: Node) -> tuple[str, str, object] | None:
     return None
 
 
+def match_key_in(conj: Node) -> tuple[str, tuple] | None:
+    """Recognize col IN (v1, v2, ...) — the IN-list leg (r11). A
+    membership atom is index-serviceable like a union of equalities: the
+    hash layout skips row groups per value via sorted min/max, the
+    partitioned layout prunes to the union of the named key
+    directories."""
+    if conj.kind != "in":
+        return None
+    col_node, vals = conj.args
+    if col_node.kind != "col":
+        return None
+    return col_node.args[0], tuple(vals)
+
+
 def node_to_column(node: Node) -> Column | None:
     """Rebuild a Spark Column from predicate structure; None if any part is
     opaque (then the rewrite bails — same conservatism as the reference,
@@ -186,6 +200,10 @@ def node_to_column(node: Node) -> Column | None:
     if k == "neg":
         x = node_to_column(node.args[0])
         return None if x is None else -x
+    if k == "in":
+        col_node, vals = node.args
+        c = node_to_column(col_node)
+        return None if c is None else c.isin(*vals)
     return None
 
 
@@ -240,6 +258,29 @@ class AggIndexEntry:
     maxs: tuple[str, ...] = ()
 
 
+def base_snapshot(df: DataFrame) -> str:
+    """Snapshot id of the base data a query or materialization reads:
+    a digest over the sorted (path, size) list of the plan's input
+    files. Two frames reading the same committed files get the same id;
+    any append, overwrite, or compaction changes the file list (Spark
+    writers always mint fresh part-file names) and therefore the id.
+    This is the cheap, listing-only freshness primitive the MV SLA
+    (``refresh_mode='on_read_stale'``) compares — no data is read. On
+    object stores the same role is played by the table-format snapshot
+    id; here the file listing IS the snapshot."""
+    import hashlib
+
+    entries = []
+    for f in sorted(df.inputFiles()):
+        p = f[5:] if f.startswith("file:") else f
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            size = -1
+        entries.append(f"{f}:{size}")
+    return hashlib.sha256("\n".join(entries).encode()).hexdigest()
+
+
 # -- JVM relation-cache epoch ------------------------------------------------
 # The Catalyst rule (ext/src/LinqExtensions.scala) caches each index/MV's
 # analyzed relation — file listing included — for the JVM lifetime.  Every
@@ -280,11 +321,25 @@ class IndexRepository:
         storage_dir: str,
         n_buckets: int = 32,
         table_backed: bool = False,
+        refresh_mode: str = "manual",
     ):
+        if refresh_mode not in ("manual", "on_read_stale"):
+            raise ValueError(
+                "refresh_mode must be 'manual' or 'on_read_stale'"
+            )
         self.spark = spark
         self.storage_dir = storage_dir
         self.n_buckets = n_buckets
         self.table_backed = table_backed
+        #: MV freshness SLA (r11). 'manual': substitution trusts the
+        #: registry (the classic addIndex contract — refresh is the
+        #: operator's job). 'on_read_stale': before substituting,
+        #: optimize() compares the QUERY's own base-file snapshot
+        #: against the one recorded when the MV materialized; a grown or
+        #: rewritten base disables the rewrite for that query, which
+        #: then computes from the base scan — stale data is never
+        #: served, at the cost of one file listing per optimize().
+        self.refresh_mode = refresh_mode
         self._by_table_key: dict[tuple[str, str], IndexEntry] = {}
         self._by_name: dict[str, IndexEntry] = {}
         self._joins: dict[tuple, JoinIndexEntry] = {}
@@ -327,6 +382,18 @@ class IndexRepository:
         if getattr(entry, "layout", "hash") == "table":
             return self.spark.table(entry.path)
         return self.spark.read.parquet(entry.path)
+
+    def _stale_for(self, entry, q: Lifted) -> bool:
+        """True when substitution must be withheld under the
+        'on_read_stale' SLA: the query's base-file snapshot differs from
+        the one the MV recorded at materialization (or the MV predates
+        snapshot recording — unprovable freshness counts as stale).
+        Under 'manual' mode this never fires."""
+        if self.refresh_mode != "on_read_stale":
+            return False
+        meta = self._sidecar_of(entry) or {}
+        recorded = meta.get("base_snapshot")
+        return recorded is None or recorded != base_snapshot(q.df)
 
     def _load_catalog(self) -> None:
         """Rehydrate registrations from the storage dir's catalog. An entry
@@ -534,6 +601,7 @@ class IndexRepository:
             "table": table, "key_col": key_col, "n_buckets": self.n_buckets,
             "lets": [list(p) for p in lets],
             "source_schema": src.df.schema.simpleString(),
+            "base_snapshot": base_snapshot(src.df),
         }
         if self.table_backed:
             from linqonsteroids_spark.sources.parquet import write_bucketed_table
@@ -589,6 +657,7 @@ class IndexRepository:
             "table": table, "key_col": key_col, "layout": "dir",
             "lets": [list(p) for p in lets],
             "source_schema": src.df.schema.simpleString(),
+            "base_snapshot": base_snapshot(src.df),
         }
         self._reuse_or_build(
             "dir", path, meta,
@@ -635,6 +704,7 @@ class IndexRepository:
             "table": table, "key_col": key_col, "layout": "agg",
             "sums": list(sums), "mins": list(mins), "maxs": list(maxs),
             "source_schema": src.df.schema.simpleString(),
+            "base_snapshot": base_snapshot(src.df),
         }
         aggs = [F.count(F.lit(1)).alias("cnt_star")]
         aggs += [F.sum(c).alias(f"sum_{c}") for c in sums]
@@ -687,6 +757,7 @@ class IndexRepository:
             "tables": list(ji.tables), "keys": [list(k) for k in ji.keys],
             "n_buckets": self.n_buckets,
             "source_schema": joined.df.schema.simpleString(),
+            "base_snapshot": base_snapshot(joined.df),
         }
         self._reuse_or_build(
             "hash", path, meta,
@@ -725,11 +796,100 @@ class IndexRepository:
             sidecar = os.path.join(e.path, _SIDECAR)
         if old_meta is not None and sidecar is not None:
             # the overwrite cleared the sidecar with the data; restore the
-            # fingerprint (schema may have evolved with the refresh df)
+            # fingerprint (schema may have evolved with the refresh df,
+            # and the base snapshot advances to what was just read)
             _write_json(
                 sidecar,
-                {**old_meta, "source_schema": df.schema.simpleString()},
+                {
+                    **old_meta,
+                    "source_schema": df.schema.simpleString(),
+                    "base_snapshot": base_snapshot(df),
+                },
             )
+        _bump_catalyst_epoch()
+
+    def refresh_agg_index(
+        self, name: str, delta: DataFrame, base: DataFrame
+    ) -> AggIndexEntry:
+        """Incrementally refresh a rollup MV from an APPEND delta — the
+        batch form of Δ(indexBy) maintenance (SURVEY §2.8): the refresh
+        reads O(|delta| + |MV|) rows, never the base. count/sum/min/max
+        are all self-mergeable, so the new MV is ``re-aggregate(old MV ∪
+        rollup(delta))`` — sums of sums, mins of mins; the same identity
+        that makes the aggregation map-side-combinable makes it
+        delta-refreshable. Deletes/updates are NOT expressible this way
+        (min/max are not subtractable); those go through full
+        re-materialization (``add_agg_index`` over the new base), which
+        the snapshot fingerprint forces automatically.
+
+        ``base`` is the post-append base scan — its file snapshot is
+        recorded so 'on_read_stale' reads see the refreshed MV as fresh.
+        Bumps the JVM cache epoch (the rule must drop its cached
+        relation for the rewritten path)."""
+        entry = None
+        for e in self._agg_mvs.values():
+            if e.name == name:
+                entry = e
+                break
+        if entry is None:
+            raise KeyError(f"no agg index named {name!r}")
+        old_meta = _read_json(os.path.join(entry.path, _SIDECAR)) or {}
+        key_col = entry.key_col
+        aggs = [F.count(F.lit(1)).cast("long").alias("cnt_star")]
+        aggs += [F.sum(c).alias(f"sum_{c}") for c in entry.sums]
+        aggs += [F.min(c).alias(f"min_{c}") for c in entry.mins]
+        aggs += [F.max(c).alias(f"max_{c}") for c in entry.maxs]
+        delta_rollup = delta.groupBy(F.col(key_col)).agg(*aggs)
+        old_mv = self.spark.read.parquet(entry.path)
+        merge_aggs = [F.sum("cnt_star").cast("long").alias("cnt_star")]
+        merge_aggs += [
+            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in entry.sums
+        ]
+        merge_aggs += [
+            F.min(f"min_{c}").alias(f"min_{c}") for c in entry.mins
+        ]
+        merge_aggs += [
+            F.max(f"max_{c}").alias(f"max_{c}") for c in entry.maxs
+        ]
+        cols = old_mv.columns
+        merged = (
+            old_mv.unionByName(
+                delta_rollup.select(
+                    # the delta rollup's agg output types can widen past
+                    # the MV's (sum over DECIMAL(p,s) → p+10); pin every
+                    # column to the MV's published schema so refresh
+                    # never drifts what substituted queries read
+                    *[
+                        F.col(c).cast(old_mv.schema[c].dataType).alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+            .groupBy(F.col(key_col))
+            .agg(*merge_aggs)
+            .select(
+                *[
+                    F.col(c).cast(old_mv.schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+        )
+        # the merge reads the MV it replaces: stage then swap
+        tmp = f"{entry.path}__refresh_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            entry.path
+        )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        _write_json(
+            os.path.join(entry.path, _SIDECAR),
+            {**old_meta, "base_snapshot": base_snapshot(base)},
+        )
+        _bump_catalyst_epoch()
+        self._save_catalog()
+        return entry
 
     def lookup(self, name: str, key_value) -> DataFrame:
         """Direct index probe: ``indexMap(k)`` (SubquerySharing.scala:26-31).
@@ -767,18 +927,28 @@ class IndexRepository:
                 pred = F.col(col) == F.lit(value)
             else:
                 kr = match_key_range(conj)
-                if kr is None:
+                ki = None if kr is not None else match_key_in(conj)
+                if kr is not None:
+                    col, sym, value = kr
+                    pred = {
+                        "<": F.col(col) < F.lit(value),
+                        "<=": F.col(col) <= F.lit(value),
+                        ">": F.col(col) > F.lit(value),
+                        ">=": F.col(col) >= F.lit(value),
+                    }[sym]
+                elif ki is not None:
+                    # IN-list (r11): a union of key equalities — the dir
+                    # layout prunes to the union of key directories, the
+                    # hash layout row-group-skips per value
+                    col, values = ki
+                    pred = F.col(col).isin(*values)
+                else:
                     continue
-                col, sym, value = kr
-                pred = {
-                    "<": F.col(col) < F.lit(value),
-                    "<=": F.col(col) <= F.lit(value),
-                    ">": F.col(col) > F.lit(value),
-                    ">=": F.col(col) >= F.lit(value),
-                }[sym]
             entry = self._by_table_key.get((plan.base_table, col))
             if entry is None:
                 continue
+            if self._stale_for(entry, q):
+                continue  # SLA: base moved on; compute from the base scan
             if _lets_canon(plan.lets) != entry.lets:
                 # the MV's computed columns must be structurally identical
                 # to the query's (normalized f(x)==k matching); anything
@@ -811,6 +981,8 @@ class IndexRepository:
         entry = self._agg_mvs.get((ai.table, ai.key_col))
         if entry is None:
             return None
+        if self._stale_for(entry, q):
+            return None  # SLA: base moved on; aggregate the base scan
         if not (
             set(ai.sums) <= set(entry.sums)
             and set(ai.mins) <= set(entry.mins)
@@ -841,6 +1013,8 @@ class IndexRepository:
         entry = self._joins.get(ji.signature)
         if entry is None:
             return None
+        if self._stale_for(entry, q):
+            return None  # SLA: a side grew since the MV materialized
         residual: list[Node] = []
         for f in [*ji.filters, *post_filters]:
             residual.extend(split_conjuncts(f))

@@ -355,6 +355,247 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def _split_base(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Scratch base table for the MV-freshness gates: OVERWRITTEN with
+    the o_orderkey%3!=0 two-thirds of orders on every invocation, so
+    each run replays the same append story deterministically (the
+    previous run's grown base and its MV become provably stale — which
+    is the point)."""
+    import os
+
+    base = os.path.join(cached_scratch_dir(prefix, sf_dir), "base")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 3 != 0)
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    return base
+
+
+def _append_rest(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """Append the held-back third of orders to ``base`` and return its
+    CHANGE FEED — the appended files, read back directly. For an
+    append-only table the new-file set IS the delta; no diffing of row
+    contents is ever needed (O(|delta|), not O(|base|))."""
+    orders = load_table(spark, sf_dir, "orders")
+    pre_files = set(spark.read.parquet(base).inputFiles())
+    (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .write.mode("append")
+        .parquet(base)
+    )
+    new_files = sorted(set(spark.read.parquet(base).inputFiles()) - pre_files)
+    if not new_files:
+        raise RuntimeError("append produced no new files")
+    return spark.read.parquet(*new_files)
+
+
+# --- MV freshness SLA (r11): stale MVs fall back, refreshed MVs return ------
+# The failure mode this closes: a rollup MV materialized last week, a
+# base table that grew since, and a query that silently reads week-old
+# aggregates. Under refresh_mode='on_read_stale' the repository compares
+# the query's OWN base-file snapshot against the one recorded at
+# materialization — a listing-only check, no data read — and withholds
+# the substitution when they differ. Three phases, each RAISING on the
+# wrong plan: (1) fresh MV → substitution fires; (2) base appended → the
+# SAME query must NOT read the MV (it computes grown-base truth from the
+# base scan); (3) incremental refresh from the change feed → the
+# substitution returns, now serving grown-base truth from the MV. The
+# oracle recomputes the final rollup over the full orders table (the two
+# splits union to exactly it).
+def mv_stale_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _split_base(spark, sf_dir, "squopt_mvsla_")
+    storage = cached_scratch_dir("squopt_mvsla_store_", sf_dir)
+    repo = IndexRepository(
+        spark, storage, n_buckets=8, refresh_mode="on_read_stale"
+    )
+
+    def rollup(b):
+        return (
+            lift(spark.read.parquet(b), table="orders_sla")
+            .index_by(lambda o: o.o_orderpriority)
+            .agg_summary(sums=["o_orderkey"], maxs=["o_totalprice"])
+        )
+
+    repo.add_agg_index(
+        "orders_sla_rollup",
+        lift(spark.read.parquet(base), table="orders_sla").index_by(
+            lambda o: o.o_orderpriority
+        ),
+        sums=["o_orderkey"],
+        maxs=["o_totalprice"],
+    )
+    opt1 = repo.optimize(rollup(base))
+    files1 = opt1.df.inputFiles()
+    if not files1 or not all("orders_sla_rollup" in f for f in files1):
+        raise RuntimeError("fresh MV was not substituted")
+
+    delta = _append_rest(spark, sf_dir, base)
+
+    opt2 = repo.optimize(rollup(base))
+    files2 = opt2.df.inputFiles()
+    if any("orders_sla_rollup" in f for f in files2):
+        raise RuntimeError("STALE MV served after base append")
+    # the fallback path must already be grown-base-correct
+    n_total = spark.read.parquet(base).count()
+    n_fallback = opt2.df.agg(F.sum("cnt_star")).collect()[0][0]
+    if n_fallback != n_total:
+        raise RuntimeError(
+            f"fallback rollup covers {n_fallback} rows, base has {n_total}"
+        )
+
+    repo.refresh_agg_index(
+        "orders_sla_rollup", delta, spark.read.parquet(base)
+    )
+    opt3 = repo.optimize(rollup(base))
+    files3 = opt3.df.inputFiles()
+    if not files3 or not all("orders_sla_rollup" in f for f in files3):
+        raise RuntimeError("substitution did not return after refresh")
+    return opt3.df.select(
+        "o_orderpriority",
+        F.col("cnt_star").alias("n_orders"),
+        F.col("sum_o_orderkey").alias("key_sum"),
+        F.round("max_o_totalprice", 2).alias("max_price"),
+    )
+
+
+MV_STALE_FALLBACK_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- advisor refresh-through-substitution, end to end (r11) -----------------
+# The loop the r9/r10 verdicts asked for, in one gate: the advisor mines
+# two observed rollup shapes and auto-materializes a covering MV; the
+# query substitutes; the base table APPENDS; the change feed (the
+# appended files) drives refresh_agg_index — an O(|delta|+|MV|) merge,
+# the base is never rescanned — which re-stamps the snapshot and BUMPS
+# the JVM cache epoch (raised-unless-bumped); the SAME query then
+# substitutes again and must hash-match an oracle recomputed over the
+# grown base. The JVM-rule twin of this loop is pinned in
+# tools/catalyst_ext_smoke.py (PASS agg-mv-refresh-loop), where the
+# refreshed rollup is read through spark.sql.extensions.
+def advised_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.plans.advisor import WorkloadAdvisor
+    from linqonsteroids_spark.plans.registry import catalyst_epoch
+
+    base = _split_base(spark, sf_dir, "squopt_advrefresh_")
+    storage = cached_scratch_dir("squopt_advrefresh_store_", sf_dir)
+    repo = IndexRepository(
+        spark, storage, n_buckets=8, refresh_mode="on_read_stale"
+    )
+    advisor = WorkloadAdvisor(
+        repo,
+        {
+            "orders_ref": lambda: lift(
+                spark.read.parquet(base), table="orders_ref"
+            )
+        },
+        min_count=2,
+    )
+
+    def rollup(**kw):
+        return (
+            lift(spark.read.parquet(base), table="orders_ref")
+            .index_by(lambda o: o.o_orderpriority)
+            .agg_summary(**kw)
+        )
+
+    advisor.observe(rollup(sums=["o_orderkey"]))
+    advisor.observe(rollup(maxs=["o_totalprice"]))
+    advisor.auto_materialize()
+    # warm invocations: the persisted catalog rehydrates LAST run's MV
+    # (built over last run's grown base), which is stale against the
+    # freshly rewritten split base. Re-registering through the same API
+    # is a no-op when fresh and a forced rebuild when the snapshot
+    # mismatches — the idempotence contract of _reuse_or_build.
+    repo.add_agg_index(
+        "adv_agg_orders_ref_o_orderpriority",
+        lift(spark.read.parquet(base), table="orders_ref").index_by(
+            lambda o: o.o_orderpriority
+        ),
+        sums=("o_orderkey",),
+        maxs=("o_totalprice",),
+    )
+
+    q1 = rollup(sums=["o_orderkey"], maxs=["o_totalprice"])
+    opt1 = repo.optimize(q1)
+    files1 = opt1.df.inputFiles()
+    if not files1 or not all(
+        "adv_agg_orders_ref_o_orderpriority" in f for f in files1
+    ):
+        raise RuntimeError("advised rollup substitution did not fire")
+
+    delta = _append_rest(spark, sf_dir, base)
+    epoch_before = catalyst_epoch()
+    repo.refresh_agg_index(
+        "adv_agg_orders_ref_o_orderpriority",
+        delta,
+        spark.read.parquet(base),
+    )
+    if catalyst_epoch() == epoch_before:
+        raise RuntimeError("refresh did not bump the JVM cache epoch")
+    # the republished bridge conf must carry the new epoch — what makes
+    # the JVM rule drop its cached relation for the rewritten MV path
+    # (conf-hygiene: snapshot and restore; these keys are inert without
+    # the extension loaded, but the shared driver session stays clean)
+    _bridge_keys = (
+        "spark.linqonsteroids.indexes",
+        "spark.linqonsteroids.joinindexes",
+        "spark.linqonsteroids.aggindexes",
+        "spark.linqonsteroids.cacheEpoch",
+    )
+    _before = {}
+    for _k in _bridge_keys:
+        try:
+            _before[_k] = spark.conf.get(_k)
+        except Exception:
+            _before[_k] = None
+    try:
+        repo.install_catalyst_conf({"orders_ref": base})
+        if (
+            spark.conf.get("spark.linqonsteroids.cacheEpoch")
+            != catalyst_epoch()
+        ):
+            raise RuntimeError(
+                "install_catalyst_conf did not publish the epoch"
+            )
+        if base not in spark.conf.get("spark.linqonsteroids.aggindexes"):
+            raise RuntimeError("agg bridge conf does not carry the base path")
+    finally:
+        for _k, _v in _before.items():
+            if _v is None:
+                spark.conf.unset(_k)
+            else:
+                spark.conf.set(_k, _v)
+
+    q2 = rollup(sums=["o_orderkey"], maxs=["o_totalprice"])
+    opt2 = repo.optimize(q2)
+    files2 = opt2.df.inputFiles()
+    if not files2 or not all(
+        "adv_agg_orders_ref_o_orderpriority" in f for f in files2
+    ):
+        raise RuntimeError("substitution did not survive the refresh")
+    return opt2.df.select(
+        "o_orderpriority",
+        F.col("cnt_star").alias("n_orders"),
+        F.col("sum_o_orderkey").alias("key_sum"),
+        F.round("max_o_totalprice", 2).alias("max_price"),
+    )
+
+
+ADVISED_REFRESH_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --- partitioned type-index (TypeMapping, SubquerySharing.scala:345-448) ---
 # The MV is stored partitionBy(tag): a key equality prunes whole partition
 # DIRECTORIES (PartitionFilters), not just row groups — the right layout
@@ -388,6 +629,53 @@ TYPEINDEX_LOOKUP_SQL = """
 SELECT event_id, user_id, round(value, 4) AS value
 FROM events
 WHERE event_type = 'purchase' AND value > 50.0
+"""
+
+
+# --- IN-list index lookup (r11: the membership leg on both tiers) ----------
+# ``col.isin(...)`` is a union of key equalities: on the directory
+# layout it prunes to the UNION of the named key directories — the scan
+# reads exactly two partitions of the index, however large the table.
+# The residual here is a tracked ``between``, which lowers to the two
+# range conjuncts the r10 range leg already reconstructs — BETWEEN needs
+# no matcher of its own. Shares the type-index artifact (same storage
+# key), so the MV builds once per sf_dir and both gates probe it.
+# RAISES unless the rewrite fired AND the IN reached PartitionFilters.
+# The JVM tier admits the same shape natively (In/InSet in
+# hasPrunablePredOn, ext/src/LinqExtensions.scala:168-170; pinned by
+# tools/catalyst_ext_smoke.py's in-list-pruned).
+def indexed_in_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    storage = cached_scratch_dir("squopt_tidx_", sf_dir)
+    repo = IndexRepository(spark, storage, n_buckets=8)
+    repo.add_partitioned_index(
+        "events_by_type",
+        lift(events, table="events").index_by(lambda e: e.event_type),
+    )
+    q = lift(events, table="events").filter(
+        lambda e: e.event_type.isin("purchase", "click")
+        & e.value.between(10.0, 80.0)
+    )
+    opt = repo.optimize(q)
+    files = opt.df.inputFiles()
+    if not files or not all("events_by_type" in f for f in files):
+        raise RuntimeError("IN-list index rewrite did not fire")
+    plan = opt.df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    if len(pf) < 2 or "event_type" not in pf[1].split("]", 1)[0]:
+        raise RuntimeError("IN list did not reach PartitionFilters")
+    return opt.df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+INDEXED_IN_SQL = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value
+FROM events
+WHERE event_type IN ('purchase', 'click') AND value BETWEEN 10.0 AND 80.0
 """
 
 
@@ -1315,6 +1603,9 @@ QUERIES = {
     "indexed_computed_key_lookup": (indexed_computed_key_lookup, INDEXED_COMPUTED_SQL),
     "indexed_range_lookup": (indexed_range_lookup, INDEXED_RANGE_SQL),
     "advised_range_lookup": (advised_range_lookup, ADVISED_RANGE_SQL),
+    "indexed_in_lookup": (indexed_in_lookup, INDEXED_IN_SQL),
+    "mv_stale_fallback": (mv_stale_fallback, MV_STALE_FALLBACK_SQL),
+    "advised_refresh_rollup": (advised_refresh_rollup, ADVISED_REFRESH_SQL),
     "indexed_join_lookup": (indexed_join_lookup, INDEXED_JOIN_SQL),
     "indexed_chain_lookup": (indexed_chain_lookup, INDEXED_CHAIN_SQL),
     "bucketed_mv_join": (bucketed_mv_join, BUCKETED_MV_SQL),

@@ -41,6 +41,18 @@ ATOMS = [
     ("key_eq", lambda c, seg, bal: c.c_custkey == 7),
     ("name_contains", lambda c, seg, bal: c.c_name.contains("1")),
     ("not_seg", lambda c, seg, bal: ~(c.c_mktsegment == seg)),
+    # IN atoms on the INDEXED column (r11): a 2-list, a 1-list (the
+    # degenerate equality), and a no-match list must all rewrite (or
+    # residualize) without changing results
+    ("seg_in2", lambda c, seg, bal: c.c_mktsegment.isin(seg, "BUILDING")),
+    ("seg_in1", lambda c, seg, bal: c.c_mktsegment.isin(seg)),
+    ("seg_in_none", lambda c, seg, bal: c.c_mktsegment.isin("NOPE")),
+    # IN on a NON-indexed column: always a residual, never a lookup
+    ("key_in", lambda c, seg, bal: c.c_custkey.isin(3, 7, 11)),
+    # between lowers to two range conjuncts — on the indexed column it
+    # rides the r10 range leg; on acctbal it is a reconstructed residual
+    ("seg_between", lambda c, seg, bal: c.c_mktsegment.between("B", seg)),
+    ("bal_between", lambda c, seg, bal: c.c_acctbal.between(bal, bal + 3000.0)),
 ]
 
 

@@ -453,6 +453,75 @@ def main() -> None:
     print("PASS agg-mv-no-false-rewrites")
     spark.conf.set("spark.linqonsteroids.aggindexes", "")
 
+    # --- refresh-through-substitution, end to end (r11) -------------------
+    # The full advisor-refresh loop under the JVM rule: base append →
+    # change feed (the appended files) → incremental MV refresh
+    # (refresh_agg_index merges the delta rollup — O(|delta|+|MV|), the
+    # base is never rescanned) → cacheEpoch bump → the SAME aggregate
+    # query, still written against the raw base path, reads the
+    # REFRESHED rollup through the rule and returns grown-base truth.
+    from linqonsteroids_spark.plans.registry import catalyst_epoch
+
+    rb = os.path.join(tmp, "refresh_base")
+    df.write.mode("overwrite").parquet(rb)
+    rbs = spark.read.parquet(rb)
+    repo.add_agg_index(
+        "refresh_rollup",
+        lift(rbs, table="rbase").index_by(lambda t: t.seg),
+        sums=["payload"],
+    )
+    spark.conf.set(
+        "spark.linqonsteroids.aggindexes",
+        repo.catalyst_agg_conf({"rbase": rb}),
+    )
+    spark.conf.set("spark.linqonsteroids.cacheEpoch", catalyst_epoch())
+
+    def refresh_q():
+        return (
+            spark.read.parquet(rb)
+            .groupBy("seg")
+            .agg(F.count("*").alias("n"), F.sum("payload").alias("psum"))
+        )
+
+    q_pre = refresh_q()
+    pre_vals = {r.seg: (r.n, r.psum) for r in q_pre.collect()}
+    p_pre = q_pre._jdf.queryExecution().executedPlan().toString()
+    assert "refresh_rollup" in p_pre and "Aggregate" not in p_pre, p_pre[:2000]
+    pre_files = set(spark.read.parquet(rb).inputFiles())
+    delta_df = spark.range(1000, 1200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("seg"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    delta_df.write.mode("append").parquet(rb)
+    # the change feed of an append-only table IS its new-file set
+    new_files = sorted(set(spark.read.parquet(rb).inputFiles()) - pre_files)
+    assert new_files, "append produced no new files"
+    epoch_before = catalyst_epoch()
+    repo.refresh_agg_index(
+        "refresh_rollup",
+        spark.read.parquet(*new_files),
+        spark.read.parquet(rb),
+    )
+    assert catalyst_epoch() != epoch_before  # refresh bumps, by contract
+    spark.conf.set("spark.linqonsteroids.cacheEpoch", catalyst_epoch())
+    q_post = refresh_q()
+    post_vals = {r.seg: (r.n, r.psum) for r in q_post.collect()}
+    p_post = q_post._jdf.queryExecution().executedPlan().toString()
+    assert "refresh_rollup" in p_post and "Aggregate" not in p_post, (
+        p_post[:2000]
+    )
+    want_post = {
+        s: (
+            pre_vals[s][0] + 25,  # 200 appended rows over 8 segments
+            pre_vals[s][1] + sum(i * 3 for i in range(1000, 1200) if i % 8 == s),
+        )
+        for s in pre_vals
+    }
+    assert post_vals == want_post, (post_vals, want_post)
+    print("PASS agg-mv-refresh-loop")
+    spark.conf.set("spark.linqonsteroids.aggindexes", "")
+
     # no-registry and non-indexed-column queries must be untouched
     spark.conf.set("spark.linqonsteroids.indexes", "")
     p3 = (
