@@ -173,7 +173,114 @@ EXTRA = [
     "dedup_incremental_lsh",
     "compaction_event_stats",
     "advised_range_lookup",
+    # the 7 r10 heads the r10 verdict found untimed — every round's new
+    # heads get at least one extras timing from r11 on (enforced by
+    # tests/test_registry.py::test_every_gate_timed_or_allowlisted)
+    "listagg_top_orders",
+    "sql_udf_price_tiers",
+    "sql_table_udf_big_orders",
+    "identifier_param_rollup",
+    "try_divide_margins",
+    "mode_event_types",
+    "streaming_dedup_ingest",
+    # round 11 heads
+    "indexed_in_lookup",
+    "mv_stale_fallback",
+    "advised_refresh_rollup",
 ]
+
+# -- timing-coverage allowlist (r11) ------------------------------------------
+# Every registered gate must appear in HEADLINE, EXTRA, or here — with a
+# reason — so a new head can never silently ship untimed again
+# (tests/test_registry.py asserts the three sets exactly tile the
+# registry). These are the pre-r11 backlog, bucketed by why timing them
+# adds no signal; promote any of them to EXTRA when that stops holding.
+_R_VARIANT = (
+    "micro-variant of a family whose representative is timed in "
+    "HEADLINE/EXTRA; adds a row to the bench window, not information"
+)
+_R_FLOOR = (
+    "dominated by a documented fixed floor at toy SF (micro-batch "
+    "startup, partitioned-write/localCheckpoint commit, subprocess "
+    "staging) — timing measures the floor, not the operator"
+)
+_R_PROBE = (
+    "raising-discipline index/MV gate whose steady-state probe cost is "
+    "timed via the indexed_*/advised_* heads already in EXTRA"
+)
+UNTIMED_ALLOWLIST = {
+    # core/misc/parity/nested/typed/windows set-op + SQL-surface variants
+    **dict.fromkeys(
+        [
+            "customers_with_urgent_orders", "customers_without_orders",
+            "supplier_nation_region", "customers_without_urgent_orders",
+            "nation_pairs_same_region", "brand_union", "brand_except",
+            "brand_intersect", "brand_except_all", "brand_intersect_all",
+            "distinct_segments", "orders_by_priority",
+            "rollup_priority_status", "customer_name_report",
+            "acctbal_buckets", "lineitem_stats",
+            "qty_price_correlation", "first_last_order_per_customer",
+            "customer_key_regex", "cast_matrix", "option_last_event",
+            "sql_surface_market_share", "sql_surface_nation_profit",
+            "sql_surface_custdist", "sql_surface_disjunctive_parts",
+            "sql_pipe_pricing_summary", "sql_script_threshold_search",
+            "sessionvar_param_exec", "discount_products",
+            "sql_surface_revenue",
+            "nation_full_outer_counts", "null_safe_segment_join",
+            "collect_urgency_scores", "union_by_name_evolution",
+            "small_quantity_revenue", "events_trailing_hour_value",
+            "order_qty_foldhash", "quartile_prices_by_flag",
+            "unpivot_flag_metrics",
+            "nested_guarded_access", "nested_explode_positions",
+            "typefilter_clicks", "xml_roundtrip_orders",
+            "typecase_events", "events_json_stats",
+            "orders_monthly_revenue", "events_time_features",
+            "cube_priority_status",
+            "event_sliding_windows", "orders_ranking_functions",
+            "nations_indexed",
+            "sql_surface_large_orders", "sql_surface_waiting_suppliers",
+            "sql_surface_idle_rich_customers",
+            "sql_surface_volume_shipping", "sql_surface_top_supplier",
+            "sql_surface_promo_revenue", "sql_surface_lateral_topk",
+            "sql_surface_nation_census", "sql_surface_null_aware_anti",
+            "sql_surface_priority_check",
+            "sql_surface_value_concentration",
+            "sql_surface_excess_suppliers",
+            "hll_distinct_bounds", "approx_quantile_bounds",
+            "arrow_native_token_stats", "udtf_bigram_stats",
+            "udtf_trigram_stats", "token_stats_bpe", "lang_id",
+            "doc_fingerprints", "doc_quality",
+            "dedup_simhash_signatures", "dedup_ngram_jaccard",
+            "dedup_embedding_pairs", "dedup_clusters",
+            "corpus_report", "wash_observed_metrics",
+            "salted_supplier_volume", "knn_ivf_trained",
+            "ann_ivfpq_adc", "dedup_pq_sdc_pairs", "sdc_dedup_survivors",
+            "ann_recall_report", "label_centroid_norms",
+            "multimodal_frame_counts", "audio_vad_segments",
+            "multimodal_resize_stats",
+        ],
+        _R_VARIANT,
+    ),
+    **dict.fromkeys(
+        [
+            "streaming_user_sessions", "streaming_user_totals",
+            "statestore_reader_counts", "streaming_ann_ingest",
+            "ann_index_persisted",
+            "pyds_ledger_rollup", "pyds_stream_ingest",
+            "pyds_write_roundtrip", "pyds_stream_sink",
+            "format_roundtrip_supplier", "schema_evolution_orders",
+        ],
+        _R_FLOOR,
+    ),
+    **dict.fromkeys(
+        [
+            "agg_mv_rollup", "agg_mv_optimized_rollup",
+            "workload_replay_lookup", "advised_agg_rollup",
+            "indexed_computed_key_lookup", "indexed_join_lookup",
+        ],
+        _R_PROBE,
+    ),
+}
 
 
 def _calibrate() -> float:
@@ -205,6 +312,12 @@ def _proc_stat_ticks() -> tuple[int, int] | None:
         return steal, sum(vals)
     except Exception:
         return None
+
+
+#: steal share above which a run is stamped contended and refuses to
+#: pose as evidence (r10 verdict item 6: a 2.55% steal measured 1.16x,
+#: a 10.9% steal measured 2.6x — the driver's own runs sit at 0.1-1.7%)
+STEAL_CONTENDED_PCT = 3.0
 
 
 def main() -> None:
@@ -269,6 +382,15 @@ def main() -> None:
             2,
         )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # contention refusal (r10 item 6): a run timed under heavy ambient
+    # steal is machine noise wearing a benchmark's clothes. The artifact
+    # is still printed and persisted — stamped contended — but the tool
+    # exits non-zero so automation cannot record it as a clean number.
+    forced = (
+        os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+        or "--force" in sys.argv
+    )
+    contended = steal_pct is not None and steal_pct > STEAL_CONTENDED_PCT
     line = json.dumps(
         {
             "metric": "headline_suite_total",
@@ -285,6 +407,7 @@ def main() -> None:
             "calib_before_sec": calib_before,
             "calib_after_sec": calib_after,
             "steal_pct": steal_pct,
+            "contended": contended,
             # duplicated LAST on purpose: the driver captures stdout's
             # TAIL, so when the line is truncated the head (with "value")
             # is what's lost — the trailing copy keeps the headline total
@@ -304,7 +427,18 @@ def main() -> None:
             f.write(line + "\n")
     except OSError:
         pass
+    if contended and not forced:
+        print(
+            f"# CONTENDED: steal_pct {steal_pct} > {STEAL_CONTENDED_PCT} — "
+            "this run is machine noise, rerun on a quiet host (or pass "
+            "--force / SPARK_GRAFT_BENCH_FORCE=1 to accept it anyway)",
+            file=sys.stderr,
+        )
+        sys.exit(2)
 
 
 if __name__ == "__main__":
-    main()
+    from tools.evidence_lock import evidence_lock
+
+    with evidence_lock("bench"):
+        main()

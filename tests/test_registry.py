@@ -38,3 +38,60 @@ def test_rotation_names_unique():
     from linqonsteroids_spark.queries import _ROTATION
 
     assert len(_ROTATION) == len(set(_ROTATION)), "duplicate rotation pins"
+
+
+def test_every_gate_timed_or_allowlisted():
+    """Timing-coverage tiling (r11): HEADLINE, EXTRA, and the
+    UNTIMED_ALLOWLIST must exactly tile the registry — a new gate
+    cannot ship without either a bench timing or an explicit reason,
+    and a renamed/deleted gate cannot leave a stale bench entry."""
+    import bench
+
+    headline, extra = set(bench.HEADLINE), set(bench.EXTRA)
+    allow = set(bench.UNTIMED_ALLOWLIST)
+    registry = set(ALL)
+    assert not (headline & extra), headline & extra
+    assert not ((headline | extra) & allow), (headline | extra) & allow
+    missing = registry - headline - extra - allow
+    assert not missing, (
+        f"gates with neither a bench timing nor an allowlist reason: "
+        f"{sorted(missing)} — add to bench.EXTRA (preferred for new "
+        "heads) or bench.UNTIMED_ALLOWLIST with a reason"
+    )
+    stale = (headline | extra | allow) - registry
+    assert not stale, f"bench entries not in the registry: {sorted(stale)}"
+    for name, reason in bench.UNTIMED_ALLOWLIST.items():
+        assert reason and isinstance(reason, str), name
+
+
+def test_rows_only_gates_have_pytest_twins():
+    """Every None-oracle gate must name a bit-exact pytest twin (the
+    rows-only driver check alone is not correctness evidence). The
+    mapping below is the authoritative one COVERAGE.md cites; each twin
+    is asserted to EXIST in its file, so a renamed test breaks here."""
+    twins = {
+        "bpe_learned_merges": (
+            "test_operators.py",
+            "test_bpe_crafted_vocabulary",
+        ),
+        "compression_ratio_scores": (
+            "test_pipeline.py",
+            "test_compression_ratio_bit_exact_vs_local_zlib",
+        ),
+        "embedding_top_component": (
+            "test_similarity.py",
+            "test_power_iteration_matches_numpy",
+        ),
+    }
+    rows_only = {k for k, (_, sql) in ALL.items() if sql is None}
+    assert rows_only == set(twins), (
+        f"None-oracle gates {sorted(rows_only)} != twin mapping "
+        f"{sorted(twins)} — every new rows-only gate needs a bit-exact "
+        "pytest twin registered here and in COVERAGE.md"
+    )
+    tests_dir = Path(__file__).resolve().parent
+    for gate, (fname, test_name) in twins.items():
+        src = (tests_dir / fname).read_text()
+        assert f"def {test_name}(" in src, (
+            f"{gate}'s twin {fname}::{test_name} does not exist"
+        )

@@ -249,12 +249,15 @@ def test_ivfpq_recall_clears_production_target_at_sf01(spark):
     """The r9 verdict's one quality gap: the production default must
     clear 0.8 recall at the LARGEST local scale. ann_recall_report at
     sf0.1 (2000 vectors, 40 queries) measured 810000 ppm — which equals
-    the n_probe=5 cell-probe ceiling. Pin >= 0.78 (ceiling minus
-    regeneration slack); a codebook/refine regression falls far below."""
+    the n_probe=5 cell-probe ceiling. Pin the PRODUCTION TARGET itself
+    (>= 800000, r10 verdict item 5): regeneration slack lives in the
+    TRAINER's acceptance check (tools/train_pq_codebook.py rejects a
+    retrained codebook below the ceiling), not in this floor — a
+    codebook that passes training but misses 0.80 here must fail."""
     from linqonsteroids_spark.queries.vector import ann_recall_report
 
     r = ann_recall_report(spark, "/root/testdata/sf0.1").collect()[0]
-    assert r.recall_ppm >= 780_000, r
+    assert r.recall_ppm >= 800_000, r
 
 
 def test_ivfpq_adc_plan_shape(spark):

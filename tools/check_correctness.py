@@ -129,6 +129,9 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    from tools.evidence_lock import _acquire_cli  # noqa: E402
+
+    _acquire_cli("check_correctness")
     argv = sys.argv[1:]
     only: set[str] | None = None
     if "--only" in argv:

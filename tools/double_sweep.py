@@ -66,6 +66,9 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    from tools.evidence_lock import _acquire_cli  # noqa: E402
+
+    _acquire_cli("double_sweep")
     only = None
     consumed: set[int] = set()
     argv = sys.argv[1:]

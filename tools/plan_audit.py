@@ -159,4 +159,7 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    from tools.evidence_lock import _acquire_cli  # noqa: E402
+
+    _acquire_cli("plan_audit")
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))

@@ -55,6 +55,46 @@ def train(train_path: str) -> list[list[list[float]]]:
     return books
 
 
+#: acceptance bar (r10 verdict item 5): the measured n_probe=5
+#: cell-probe ceiling at sf0.1 is 0.81 — a retrained codebook below it
+#: is a regression and must NOT be committed. The pytest floor pins the
+#: 0.80 production target; the regeneration slack lives HERE, as an
+#: explicit reject-before-commit, not as pin slack.
+ACCEPT_RECALL_PPM = 810_000
+ACCEPT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _measure_recall_ppm() -> int:
+    """Measure ann_recall_report at the acceptance SF in a SUBPROCESS —
+    this process already imported the OLD codebook literal, and module
+    caching would otherwise score the wrong artifact."""
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '.');"
+            "from linqonsteroids_spark.session import get_spark;"
+            "from linqonsteroids_spark.queries.vector import"
+            " ann_recall_report;"
+            f"r = ann_recall_report(get_spark('pq_accept'),"
+            f" {ACCEPT_SF_DIR!r}).collect()[0];"
+            "print('RECALL_PPM', r.recall_ppm)",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RECALL_PPM "):
+            return int(line.split()[1])
+    raise RuntimeError(
+        f"acceptance measurement failed:\n{proc.stdout[-1500:]}"
+        f"\n{proc.stderr[-1500:]}"
+    )
+
+
 def main(train_path: str) -> None:
     books = train(train_path)
     literal = repr(books)  # the committed literal IS this repr format
@@ -70,6 +110,21 @@ def main(train_path: str) -> None:
     open(PQ_PATH, "w").write(new)
     print(f"rewrote {PQ_PATH}: {len(books)} subspaces x "
           f"{len(books[0])} centroids x {len(books[0][0])} dims")
+    try:
+        ppm = _measure_recall_ppm()
+    except Exception:
+        open(PQ_PATH, "w").write(src)  # restore; never commit unmeasured
+        raise
+    if ppm < ACCEPT_RECALL_PPM:
+        open(PQ_PATH, "w").write(src)
+        print(
+            f"REJECTED: retrained codebook measured {ppm} ppm at "
+            f"{ACCEPT_SF_DIR}, below the {ACCEPT_RECALL_PPM} ppm "
+            "cell-probe-ceiling bar — original literal restored",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    print(f"ACCEPTED: recall {ppm} ppm >= {ACCEPT_RECALL_PPM} ppm at sf0.1")
 
 
 if __name__ == "__main__":
