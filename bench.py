@@ -283,6 +283,21 @@ UNTIMED_ALLOWLIST = {
 }
 
 
+def _envgated_allowlist() -> dict[str, str]:
+    """Mirror queries/envgated.py's capability probes so the registry
+    tiling stays exact whether or not this sandbox can run the
+    typed-state / avro gates (they self-register when the runtime
+    appears; they land here, floor-dominated, until promoted)."""
+    try:
+        from linqonsteroids_spark.queries import envgated
+    except Exception:
+        return {}
+    return dict.fromkeys(envgated.QUERIES, _R_FLOOR)
+
+
+UNTIMED_ALLOWLIST.update(_envgated_allowlist())
+
+
 def _calibrate() -> float:
     """Fixed single-threaded CPU-bound loop (~0.3 s on a quiet core).
 

@@ -95,3 +95,20 @@ def test_rows_only_gates_have_pytest_twins():
         assert f"def {test_name}(" in src, (
             f"{gate}'s twin {fname}::{test_name} does not exist"
         )
+
+
+def test_envgated_registration_matches_probes():
+    """Auto-ungating contract (r11): the typed-state and avro gates are
+    registered exactly when their runtime probes pass — in a container
+    that gains google.protobuf or spark-avro they enter the registry
+    with no code change, and here they stay out as declared
+    environment boundaries (the gate FUNCTIONS exist either way)."""
+    from linqonsteroids_spark.queries import envgated
+
+    assert ("stateful_typed_totals" in ALL) == envgated.has_tws_runtime()
+    assert ("avro_roundtrip_supplier" in ALL) == envgated.has_avro_runtime()
+    # implementations are real, importable callables regardless
+    assert callable(envgated.stateful_typed_totals_gate)
+    assert callable(envgated.avro_roundtrip_supplier)
+    assert "GROUP BY" in envgated.STATEFUL_TYPED_SQL
+    assert "GROUP BY" in envgated.AVRO_ROUNDTRIP_SQL
