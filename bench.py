@@ -187,6 +187,8 @@ EXTRA = [
     "indexed_in_lookup",
     "mv_stale_fallback",
     "advised_refresh_rollup",
+    "dpp_partition_revenue",
+    "deterministic_sample_orders",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

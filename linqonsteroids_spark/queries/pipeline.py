@@ -947,8 +947,50 @@ FROM events GROUP BY event_type
 """
 
 
+# --- deterministic content-hash sampling (r11) ------------------------------
+# TABLESAMPLE is the wrong tool for a training pipeline: it is
+# partition-dependent (a different cluster size samples a different
+# subset), non-reproducible run to run, and impossible to oracle.
+# Hash-threshold sampling fixes all three: a row is in the sample iff
+# md5(key) falls below the cut, so the SAME rows are selected on any
+# engine, any partitioning, any rerun — and downstream joins over two
+# tables sampled by the same key stay consistent (co-sampling). The
+# ~16% cut here is the first 8 hex chars < '28f5c28f' (0.16 of the
+# 32-bit space); the predicate is scan-level, no shuffle added.
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sampled = orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+        < "28f5c28f"
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+DETERMINISTIC_SAMPLE_SQL = """
+SELECT o_orderstatus, count(*) AS n_sampled,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '28f5c28f'
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
+    "deterministic_sample_orders": (
+        deterministic_sample_orders,
+        DETERMINISTIC_SAMPLE_SQL,
+    ),
     "corpus_mix_sample": (corpus_mix_sample, CORPUS_MIX_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),

@@ -986,8 +986,81 @@ FROM events GROUP BY event_type
 """
 
 
+# --- dynamic partition pruning (the third scan-pruning tier) ---------------
+# Static pruning handles literal predicates and the index rewrite handles
+# registered keys; DPP covers the remaining — and at 100 TB the most
+# common — shape: a partitioned FACT joined to a FILTERED dim, where the
+# set of fact partitions worth reading is only known at runtime. Catalyst
+# broadcasts the dim, reuses the broadcast as an IN-subquery inside the
+# fact scan's PartitionFilters (`dynamicpruningexpression`), and the scan
+# reads only the matching key directories — here 2 of 5, at a petabyte
+# fact it is the difference between a full scan and a sliver. The gate
+# stages orders as a priority-partitioned fact plus a tiny urgency dim
+# (built once per sf_dir), and RAISES unless the executed plan carries
+# the dynamic pruning filter on the fact scan. Oracle: the join replayed
+# declaratively over the unpartitioned source.
+def dpp_partition_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_dpp_", sf_dir)
+    fact, dim = os.path.join(base, "fact"), os.path.join(base, "dim")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(fact, "_SUCCESS")):
+        # repartition on the partition column first — without it every
+        # task opens a file per directory (the measured partitionBy trap)
+        (
+            orders.repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(fact)
+        )
+    if not os.path.exists(os.path.join(dim, "_SUCCESS")):
+        (
+            orders.select("o_orderpriority")
+            .distinct()
+            .withColumn(
+                "urgency", F.substring("o_orderpriority", 1, 1).cast("int")
+            )
+            .write.mode("overwrite")
+            .parquet(dim)
+        )
+    f = spark.read.parquet(fact)
+    d = spark.read.parquet(dim).filter(F.col("urgency") <= 2)
+    q = (
+        f.join(d, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    segs = [s.split("]", 1)[0] for s in plan.split("PartitionFilters: [")[1:]]
+    if not any("dynamicpruning" in s for s in segs):
+        raise RuntimeError(
+            "dynamic partition pruning did not reach the fact scan's "
+            f"PartitionFilters: {segs}"
+        )
+    return q
+
+
+DPP_REVENUE_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
+    "dpp_partition_revenue": (dpp_partition_revenue, DPP_REVENUE_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
     "knn_ivf_exact": (knn_ivf_exact, KNN_IVF_SQL),
     "knn_ivf_trained": (knn_ivf_trained, KNN_IVF_TRAINED_SQL),
