@@ -613,3 +613,31 @@ def test_aqe_runtime_replans_smj_to_broadcast(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_join_strategy_hints_control_physical_join(spark):
+    """Query-level planner control (the §2.3 complement to the CBO/AQE
+    pins): the three join-strategy hints must each produce their named
+    physical join on the same logical query — the knob a 100 TB
+    operator reaches for when statistics mislead the planner. Results
+    are identical by construction; only the physical strategy moves."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # kill auto-broadcast so the hints, not sizes, pick the strategy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        base = lambda hint: orders.join(  # noqa: E731
+            customer.hint(hint) if hint else customer,
+            orders.o_custkey == customer.c_custkey,
+        )
+        assert "SortMergeJoin" in _physical(base(None))
+        assert "BroadcastHashJoin" in _physical(base("broadcast"))
+        assert "ShuffledHashJoin" in _physical(base("shuffle_hash"))
+        assert "SortMergeJoin" in _physical(base("merge"))
+        # values identical across strategies (spot-check counts)
+        n = base(None).count()
+        assert base("broadcast").count() == n
+        assert base("shuffle_hash").count() == n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
