@@ -807,6 +807,10 @@ class IndexRepository:
                 },
             )
         _bump_catalyst_epoch()
+        # re-sync the catalog to the advanced sidecar — rehydration
+        # compares the two, and a mismatch would silently drop the entry
+        # in the next process
+        self._save_catalog()
 
     def refresh_agg_index(
         self, name: str, delta: DataFrame, base: DataFrame

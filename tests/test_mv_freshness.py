@@ -198,3 +198,39 @@ def test_match_key_in_shapes():
     assert match_key_in(opaque) is None
     assert node_to_column(atom) is not None
     assert node_to_column(opaque) is None
+
+
+def test_catalog_rehydrates_after_refreshes(spark, base, tmp_path):
+    """Cross-process survival: both refresh paths advance the sidecar
+    snapshot, and the catalog must be re-synced to it — otherwise a new
+    repository over the same storage would drop the entry on rehydrate
+    (catalog meta != sidecar) and silently rebuild."""
+    store = str(tmp_path / "store")
+    repo = IndexRepository(spark, store, n_buckets=4)
+    repo.add_index(
+        "t_by_grp",
+        lift(spark.read.parquet(base), table="t").index_by(lambda r: r.grp),
+    )
+    repo.add_agg_index(
+        "t_rollup",
+        lift(spark.read.parquet(base), table="t").index_by(lambda r: r.grp),
+        sums=["v"],
+    )
+    pre = set(spark.read.parquet(base).inputFiles())
+    _write_base(spark, base, 1000, 1100, "append")
+    delta_files = sorted(set(spark.read.parquet(base).inputFiles()) - pre)
+    repo.refresh("t_by_grp", spark.read.parquet(base))
+    repo.refresh_agg_index(
+        "t_rollup",
+        spark.read.parquet(*delta_files),
+        spark.read.parquet(base),
+    )
+    fresh = IndexRepository(spark, store, n_buckets=4)
+    assert ("t", "grp") in fresh._by_table_key, "index entry dropped"
+    assert ("t", "grp") in fresh._agg_mvs, "agg entry dropped"
+    # and the rehydrated entries serve grown-base truth
+    n = fresh.lookup("t_by_grp", "g0").count()
+    assert n == sum(1 for i in range(1100) if i % 5 == 0)
+    mv = fresh.lookup_agg("t", "grp")
+    got = {r.grp: r.cnt_star for r in mv.collect()}
+    assert got["g0"] == 220
