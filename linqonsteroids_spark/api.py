@@ -187,14 +187,21 @@ class Expr:
     def isin(self, *vals):
         """Membership test; structure-tracked when every value is a plain
         literal (the IN-list leg of the filter→index rewrite, r11 —
-        Catalyst's In(attr, Seq[Literal]) shape). Any Expr/Column value
-        keeps the result opaque: the rewriter must never reconstruct a
-        partially-literal IN."""
+        Catalyst's In(attr, Seq[Literal]) shape). Mirrors PySpark's
+        ``Column.isin`` calling convention, including the single
+        list/set/tuple form (``isin([1, 2, 3])`` ≡ ``isin(1, 2, 3)``).
+        Any Expr/Column value keeps the result opaque: the rewriter must
+        never reconstruct a partially-literal IN."""
+        if len(vals) == 1 and isinstance(vals[0], (list, set, tuple)):
+            vals = tuple(vals[0])
         if all(not isinstance(v, (Expr, Column)) for v in vals):
-            node = Node("in", (self.node, tuple(vals)))
-        else:
-            node = OPAQUE
-        return Expr(self.col.isin(*[_lift(v).col for v in vals]), node)
+            # plain literals: delegate raw (Column.isin builds the
+            # Literal seq itself) and record the reconstructible atom
+            return Expr(
+                self.col.isin(*vals), Node("in", (self.node, tuple(vals)))
+            )
+        cols = [v.col if isinstance(v, Expr) else v for v in vals]
+        return Expr(self.col.isin(*cols), OPAQUE)
 
     def between(self, lo, hi):
         """Inclusive range test, tracked as TWO cmp conjuncts — exactly

@@ -383,17 +383,21 @@ class IndexRepository:
             return self.spark.table(entry.path)
         return self.spark.read.parquet(entry.path)
 
-    def _stale_for(self, entry, q: Lifted) -> bool:
+    def _stale_for(self, entry, q: Lifted, q_snapshot: str | None) -> bool:
         """True when substitution must be withheld under the
         'on_read_stale' SLA: the query's base-file snapshot differs from
         the one the MV recorded at materialization (or the MV predates
         snapshot recording — unprovable freshness counts as stale).
-        Under 'manual' mode this never fires."""
+        Under 'manual' mode this never fires. ``q_snapshot`` is the
+        query's snapshot computed ONCE per optimize() call — the listing
+        walk must not repeat per candidate entry."""
         if self.refresh_mode != "on_read_stale":
             return False
         meta = self._sidecar_of(entry) or {}
         recorded = meta.get("base_snapshot")
-        return recorded is None or recorded != base_snapshot(q.df)
+        if recorded is None:
+            return True
+        return recorded != (q_snapshot or base_snapshot(q.df))
 
     def _load_catalog(self) -> None:
         """Rehydrate registrations from the storage dir's catalog. An entry
@@ -911,12 +915,19 @@ class IndexRepository:
         plan = q.plan
         if not plan.rewritable:
             return q
+        # one listing walk per optimize() call, shared by every
+        # candidate entry the SLA check visits (None in manual mode)
+        q_snapshot = (
+            base_snapshot(q.df)
+            if self.refresh_mode == "on_read_stale"
+            else None
+        )
         if plan.agg is not None:
-            out = self._optimize_agg(q, plan.agg)
+            out = self._optimize_agg(q, plan.agg, q_snapshot)
             if out is not None:
                 return out
         if plan.join is not None:
-            out = self._optimize_join(q, plan.join, plan.filters)
+            out = self._optimize_join(q, plan.join, plan.filters, q_snapshot)
             if out is not None:
                 return out
         if plan.base_table is None or not plan.filters:
@@ -951,13 +962,13 @@ class IndexRepository:
             entry = self._by_table_key.get((plan.base_table, col))
             if entry is None:
                 continue
-            if self._stale_for(entry, q):
-                continue  # SLA: base moved on; compute from the base scan
             if _lets_canon(plan.lets) != entry.lets:
                 # the MV's computed columns must be structurally identical
                 # to the query's (normalized f(x)==k matching); anything
                 # else risks a column the scan cannot provide
                 continue
+            if self._stale_for(entry, q, q_snapshot):
+                continue  # SLA: base moved on; compute from the base scan
             residual = [c for j, c in enumerate(conjuncts) if j != i]
             res_cols = [node_to_column(c) for c in residual]
             if any(c is None for c in res_cols):
@@ -975,7 +986,9 @@ class IndexRepository:
             )
         return q
 
-    def _optimize_agg(self, q: Lifted, ai: AggInfo) -> Lifted | None:
+    def _optimize_agg(
+        self, q: Lifted, ai: AggInfo, q_snapshot: str | None = None
+    ) -> Lifted | None:
         """Substitute a registered rollup MV for a tracked
         ``agg_summary`` shape: the MV must cover the requested column
         set (subset matching — a wider MV answers a narrower query); the
@@ -985,7 +998,7 @@ class IndexRepository:
         entry = self._agg_mvs.get((ai.table, ai.key_col))
         if entry is None:
             return None
-        if self._stale_for(entry, q):
+        if self._stale_for(entry, q, q_snapshot):
             return None  # SLA: base moved on; aggregate the base scan
         if not (
             set(ai.sums) <= set(entry.sums)
@@ -1007,7 +1020,11 @@ class IndexRepository:
         )
 
     def _optimize_join(
-        self, q: Lifted, ji: JoinInfo, post_filters: list[Node]
+        self,
+        q: Lifted,
+        ji: JoinInfo,
+        post_filters: list[Node],
+        q_snapshot: str | None = None,
     ) -> Lifted | None:
         """Substitute a registered join MV: all side- and post-join filters
         become residuals over the MV scan (its column space is the union of
@@ -1017,7 +1034,7 @@ class IndexRepository:
         entry = self._joins.get(ji.signature)
         if entry is None:
             return None
-        if self._stale_for(entry, q):
+        if self._stale_for(entry, q, q_snapshot):
             return None  # SLA: a side grew since the MV materialized
         residual: list[Node] = []
         for f in [*ji.filters, *post_filters]:

@@ -35,18 +35,16 @@ from linqonsteroids_spark.streaming.incremental import has_tws_runtime
 def has_avro_runtime() -> bool:
     """Whether ``spark.read.format("avro")`` can plan here: the
     spark-avro data-source jar must be on the session classpath. The
-    probe checks pyspark's bundled jars directory (plus ``spark.jars``
-    style extras via $SPARK_GRAFT_EXTRA_JARS) without needing a live
-    session, so the registry can consult it at import time."""
+    probe checks pyspark's bundled jars directory — the ONE directory
+    ``get_spark`` actually puts on the driver classpath — without
+    needing a live session, so the registry can consult it at import
+    time. Deliberately no env-var escape hatch: a jar that exists on
+    disk but is not on the session classpath would register a gate
+    that cannot run."""
     import pyspark
 
-    jar_dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
-    extra = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
-    if extra:
-        jar_dirs += [os.path.dirname(p) for p in extra.split(",") if p]
-    return any(
-        glob.glob(os.path.join(d, "*spark-avro*.jar")) for d in jar_dirs
-    )
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "*spark-avro*.jar")))
 
 
 # --- typed-state streaming totals (transformWithStateInPandas) -------------

@@ -187,6 +187,24 @@ def test_refresh_agg_preserves_mv_schema(spark, base, tmp_path):
     assert meta["base_snapshot"] == base_snapshot(spark.read.parquet(base))
 
 
+def test_isin_single_list_form_tracks_and_filters(spark):
+    """PySpark's documented single list/set/tuple form must behave like
+    varargs (Column.isin unpacks it) AND produce the same tracked atom —
+    the r11 review caught the lifted-literal version building an ARRAY
+    literal instead."""
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("m")
+    )
+    for vals in ([0, 2], (0, 2), {0, 2}):
+        q = lift(df, table="t").filter(lambda r, v=vals: r.m.isin(v))
+        assert q.df.count() == 7
+    q_list = lift(df, table="t").filter(lambda r: r.m.isin([0, 2]))
+    q_args = lift(df, table="t").filter(lambda r: r.m.isin(0, 2))
+    atoms_l = [match_key_in(c) for c in q_list.plan.filters]
+    atoms_a = [match_key_in(c) for c in q_args.plan.filters]
+    assert atoms_l == atoms_a != [None]
+
+
 def test_match_key_in_shapes():
     """IN matcher: plain-column LHS with a literal tuple matches; a
     non-column LHS does not; node_to_column round-trips the atom."""

@@ -8,9 +8,12 @@ spurious failure under parallel pytest, and a 34.7 s bench at 10.9%
 steal). The lock makes the contention FAIL FAST with a clear message
 instead of silently distorting medians or tripping gates.
 
-Mechanics: an O_CREAT|O_EXCL lockfile in the system temp dir holding
-the owner's pid + tool name. A lockfile whose pid is dead is stale and
-is stolen (crashed runs must not wedge the next one). Set
+Mechanics: ``flock(LOCK_EX | LOCK_NB)`` on a well-known file in the
+system temp dir. The kernel releases the lock when the holder exits —
+crashed runs cannot wedge the next one, and there is no
+read-pid/unlink steal window for two waiters to race through (the
+failure mode of lockfile-existence schemes). The file's content names
+the current holder for the error message only. Set
 ``SPARK_GRAFT_NO_LOCK=1`` to bypass (e.g. when intentionally running a
 tool against a different SPARK_GRAFT_SCRATCH / warehouse).
 """
@@ -18,6 +21,7 @@ tool against a different SPARK_GRAFT_SCRATCH / warehouse).
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import os
 import sys
 import tempfile
@@ -25,20 +29,10 @@ import tempfile
 LOCK_PATH = os.path.join(tempfile.gettempdir(), "spark_graft_evidence.lock")
 
 
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
-
-
 def _acquire_cli(tool: str) -> None:
     """Process-lifetime acquire for CLI tools whose main() exits via
     sys.exit: take the lock now (or exit 3 with the holder's identity)
-    and release it at interpreter exit."""
+    and let the kernel release it at process exit."""
     import atexit
 
     cm = evidence_lock(tool)
@@ -53,34 +47,31 @@ def evidence_lock(tool: str):
     if os.environ.get("SPARK_GRAFT_NO_LOCK") == "1":
         yield
         return
-    while True:
-        try:
-            fd = os.open(LOCK_PATH, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                with open(LOCK_PATH) as fh:
-                    owner = fh.read().strip()
-                pid = int(owner.split()[0])
-            except (OSError, ValueError, IndexError):
-                owner, pid = "<unreadable>", -1
-            if pid > 0 and _pid_alive(pid):
-                print(
-                    f"evidence lock held by {owner!r} ({LOCK_PATH}): "
-                    f"refusing to run {tool} concurrently — shared "
-                    "spark-warehouse contention corrupts evidence. "
-                    "Wait for it, or set SPARK_GRAFT_NO_LOCK=1 if the "
-                    "runs are genuinely isolated.",
-                    file=sys.stderr,
-                )
-                sys.exit(3)
-            # stale lock from a dead process: steal it
-            with contextlib.suppress(OSError):
-                os.unlink(LOCK_PATH)
+    fd = os.open(LOCK_PATH, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        os.write(fd, f"{os.getpid()} {tool}".encode())
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        try:
+            with open(LOCK_PATH) as fh:
+                owner = fh.read().strip() or "<unknown>"
+        except OSError:
+            owner = "<unreadable>"
         os.close(fd)
+        print(
+            f"evidence lock held by {owner!r} ({LOCK_PATH}): refusing to "
+            f"run {tool} concurrently — shared spark-warehouse contention "
+            "corrupts evidence. Wait for it, or set SPARK_GRAFT_NO_LOCK=1 "
+            "if the runs are genuinely isolated.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    try:
+        os.ftruncate(fd, 0)
+        os.write(fd, f"{os.getpid()} {tool}".encode())
+        os.fsync(fd)
         yield
     finally:
+        # content is advisory; the flock itself dies with the fd/process
         with contextlib.suppress(OSError):
-            os.unlink(LOCK_PATH)
+            os.ftruncate(fd, 0)
+        os.close(fd)
