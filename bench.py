@@ -189,6 +189,7 @@ EXTRA = [
     "advised_refresh_rollup",
     "dpp_partition_revenue",
     "deterministic_sample_orders",
+    "parameterized_sql_revenue",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -404,8 +404,58 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- parameterized spark.sql (named + positional markers, r11) --------------
+# The programmatic twin of EXECUTE IMMEDIATE (queries/misc.py): the
+# Python API binds named ``:name`` markers (and positional ``?``) as
+# LITERALS before analysis — no string interpolation, no injection
+# surface, and (the scale point, RAISED on) the bound predicate still
+# reaches the parquet scan as a PushedFilter exactly as if inlined. Both
+# marker styles are exercised; both must agree row-for-row.
+def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    text = """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders
+        WHERE o_totalprice >= {lo} AND o_orderstatus = {st}
+        GROUP BY o_orderpriority
+    """
+    named = spark.sql(
+        text.format(lo=":lo", st=":st"), args={"lo": 200000.0, "st": "O"}
+    )
+    positional = spark.sql(
+        text.format(lo="?", st="?"), args=[200000.0, "O"]
+    )
+    plan = named._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [", 1)
+    if len(pushed) < 2 or "200000.0" not in pushed[1].split("]", 1)[0]:
+        raise RuntimeError(
+            "named parameter did not bind as a pushed scan literal"
+        )
+    a = sorted(map(tuple, named.collect()))
+    b = sorted(map(tuple, positional.collect()))
+    if a != b:
+        raise RuntimeError("named and positional binding disagree")
+    return named
+
+
+PARAMETERIZED_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS price_cents
+FROM orders
+WHERE o_totalprice >= 200000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "groupby_all_pricing": (groupby_all_pricing, GROUPBY_ALL_SQL),
+    "parameterized_sql_revenue": (
+        parameterized_sql_revenue,
+        PARAMETERIZED_SQL,
+    ),
     "listagg_top_orders": (listagg_top_orders, LISTAGG_SQL),
     "bitmap_exact_distinct": (bitmap_exact_distinct, BITMAP_DISTINCT_SQL),
     "sql_udf_price_tiers": (sql_udf_price_tiers, SQL_UDF_TIERS_SQL),
