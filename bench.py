@@ -190,6 +190,7 @@ EXTRA = [
     "dpp_partition_revenue",
     "deterministic_sample_orders",
     "parameterized_sql_revenue",
+    "hotkey_salted_volume",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

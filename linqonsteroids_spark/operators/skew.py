@@ -46,6 +46,76 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def hotkey_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    max_hot_keys: int = 64,
+    hot_fraction: float | None = None,
+) -> DataFrame:
+    """PARTIAL salting (r11): salt only the measured-hot keys.
+
+    ``salted_join`` replicates the whole small side ``n_salts``× — the
+    right trade when most keys are hot, but at 100 TB the usual shape is
+    a handful of whales in an otherwise uniform distribution, and
+    blanket replication multiplies the broadcast/shuffle volume of the
+    ENTIRE dim for the benefit of a few keys. This variant:
+
+    1. measures the big side's top-``max_hot_keys`` heaviest keys (one
+       key-only aggregation — columns pruned to the key, and at scale
+       ``hot_fraction`` samples the scan instead of reading every row;
+       sampling only affects WHICH keys get salted, never correctness);
+    2. salts big-side rows of hot keys across ``n_salts`` buckets while
+       every other row keeps salt 0;
+    3. replicates ONLY the hot keys' small-side rows ``n_salts``×
+       (everything else joins once, unsalted).
+
+    Output ≡ the plain inner/left equi-join (property-tested). The hot
+    set is a bounded driver-side list (≤ max_hot_keys values) — the same
+    bounded-collect budget as the bloom-join bitmap."""
+    if n_salts < 2:
+        raise ValueError("n_salts must be >= 2")
+    counted = big.sample(hot_fraction) if hot_fraction else big
+    hot_rows = (
+        counted.select(F.col(big_key).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .count()
+        .orderBy(F.desc("count"), F.asc("_k"))
+        .limit(max_hot_keys)
+        .collect()
+    )
+    hot = [r._k for r in hot_rows]
+    if not hot:
+        return big.join(small, big[big_key] == small[small_key], "inner")
+    hot_lit = F.lit(hot)  # ONE folded array literal, not CreateArray
+    big_salted = big.withColumn(
+        "_salt",
+        F.when(
+            F.array_contains(hot_lit, F.col(big_key)),
+            (F.rand(seed=42) * n_salts).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    small_rep = small.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.array_contains(hot_lit, F.col(small_key)),
+                F.lit(list(range(n_salts))),
+            ).otherwise(F.lit([0]))
+        ),
+    )
+    joined = big_salted.join(
+        small_rep,
+        (big_salted[big_key] == small_rep[small_key])
+        & (big_salted["_salt"] == small_rep["_salt"]),
+        "inner",
+    )
+    return joined.drop("_salt")
+
+
 def salted_aggregate(
     df: DataFrame,
     key: str,

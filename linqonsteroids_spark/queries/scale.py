@@ -986,6 +986,43 @@ FROM events GROUP BY event_type
 """
 
 
+# --- hot-key partial salting (r11) ------------------------------------------
+# Blanket salting (salted_supplier_volume above) replicates the WHOLE
+# small side n_salts× — the right trade when most keys are hot. The
+# 100 TB norm is the opposite: a few whale keys in an otherwise uniform
+# distribution, where blanket replication multiplies the entire dim's
+# shuffle volume for the benefit of a handful of keys. The partial
+# variant measures the top-K heaviest fact keys (one key-only
+# aggregation; sample-able at scale) and salts ONLY those — every other
+# key joins once, unsalted. Result ≡ the plain equi-join; the oracle
+# replays it declaratively.
+def hotkey_salted_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.skew import hotkey_salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    joined = hotkey_salted_join(
+        li, supp, "l_suppkey", "s_suppkey", n_salts=8, max_hot_keys=16
+    )
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+HOTKEY_SALTED_SQL = """
+SELECT s_suppkey, s_name, count(*) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
 # --- dynamic partition pruning (the third scan-pruning tier) ---------------
 # Static pruning handles literal predicates and the index rewrite handles
 # registered keys; DPP covers the remaining — and at 100 TB the most
@@ -1060,6 +1097,7 @@ GROUP BY o_orderpriority
 
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
+    "hotkey_salted_volume": (hotkey_salted_volume, HOTKEY_SALTED_SQL),
     "dpp_partition_revenue": (dpp_partition_revenue, DPP_REVENUE_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
     "knn_ivf_exact": (knn_ivf_exact, KNN_IVF_SQL),
