@@ -191,6 +191,7 @@ EXTRA = [
     "deterministic_sample_orders",
     "parameterized_sql_revenue",
     "hotkey_salted_volume",
+    "bloom_layout_lookup",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -1095,10 +1095,82 @@ GROUP BY o_orderpriority
 """
 
 
+# --- parquet bloom-filter layout: point lookup on an unclustered key ---------
+# The fourth scan-pruning tier (static pushdown / DPP / index reroute /
+# THIS): a date-clustered fact gives every file a full-range [min, max]
+# span on o_orderkey, so footer statistics prune NOTHING for a key
+# lookup — the write-time split-block bloom filter is the only skipping
+# signal (sources/bloomfilters.py). The gate stages orders date-clustered
+# with a bloom filter stamped on o_orderkey, then RAISES unless (a) every
+# staged file's footer carries the filter, (b) the point predicate reached
+# the scan as a PushedFilter, and (c) the scan's numOutputRows shows
+# row groups were actually SKIPPED (at most half the staged rows — the
+# date-scattered layout guarantees statistics alone cannot do that).
+# Oracle: the same lookup over the raw table.
+def bloom_layout_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.sources.bloomfilters import (
+        bloom_columns_per_file,
+        scan_output_rows,
+        write_with_bloom,
+    )
+
+    base = cached_scratch_dir("squopt_bloomlayout_", sf_dir)
+    layout = os.path.join(base, "orders_bloom")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        write_with_bloom(
+            orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+                "o_orderdate"
+            ),
+            layout,
+            {"o_orderkey": 100_000},
+        )
+    stamped = bloom_columns_per_file(spark, layout)
+    missing = [f for f, cols in stamped.items() if "o_orderkey" not in cols]
+    if not stamped or missing:
+        raise RuntimeError(
+            f"bloom filter missing on o_orderkey in staged files: {missing}"
+        )
+    key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    staged = spark.read.parquet(layout)
+    q = staged.filter(F.col("o_orderkey") == key).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = [s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]]
+    if not any("EqualTo(o_orderkey" in s for s in pushed):
+        raise RuntimeError(f"point predicate not pushed to the scan: {pushed}")
+    rows_read = scan_output_rows(q)
+    total = orders.count()
+    if rows_read * 2 > total:
+        raise RuntimeError(
+            f"bloom row-group skipping did not engage: scan read {rows_read} "
+            f"of {total} rows on a key lookup"
+        )
+    return q
+
+
+BLOOM_LAYOUT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "hotkey_salted_volume": (hotkey_salted_volume, HOTKEY_SALTED_SQL),
     "dpp_partition_revenue": (dpp_partition_revenue, DPP_REVENUE_SQL),
+    "bloom_layout_lookup": (bloom_layout_lookup, BLOOM_LAYOUT_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
     "knn_ivf_exact": (knn_ivf_exact, KNN_IVF_SQL),
     "knn_ivf_trained": (knn_ivf_trained, KNN_IVF_TRAINED_SQL),
