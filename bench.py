@@ -192,6 +192,7 @@ EXTRA = [
     "parameterized_sql_revenue",
     "hotkey_salted_volume",
     "bloom_layout_lookup",
+    "partition_compaction_stats",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

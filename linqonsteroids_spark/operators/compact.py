@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import math
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
@@ -112,3 +113,72 @@ def compact_parquet(
         "bytes_before": bytes_before,
         "bytes_after": bytes_after,
     }
+
+
+def compact_partitions_in_place(
+    spark: SparkSession,
+    table_path: str,
+    partitions: list[str] | None = None,
+    target_bytes: int = 128 << 20,
+) -> dict[str, dict]:
+    """Per-partition compaction of a hive-partitioned parquet table, IN
+    PLACE — the ``OPTIMIZE ... WHERE`` maintenance shape, and the tool
+    ``compact_parquet``'s refusal of partitioned inputs points at.
+
+    Each selected ``key=value`` leaf bin-packs independently through
+    ``compact_parquet`` into a hidden staging sibling, then replaces the
+    leaf by rename swap. The partition column never moves — it lives in
+    the directory NAME, not the files. Unselected partitions are not
+    read, not rewritten, not listed below the top level: at 100 TB the
+    maintenance cost is proportional to the partitions you touch (the
+    streaming sink's last hour), never to the table.
+
+    ``partitions`` selects leaves by directory name (``None`` = all);
+    unknown names are an error, not a skip — a maintenance job that
+    silently no-ops on a typo leaves the small-file leak in place with
+    a green log. Multi-level layouts: a leaf that itself contains
+    ``key=value`` directories is refused by ``compact_parquet``; pass
+    the deeper leaves explicitly (``"a=1/b=2"`` works — selection is a
+    relative path).
+
+    Single-writer discipline: the swap is two renames (leaf →
+    ``.leaf.old``, staging → leaf), so a reader racing the pass on a
+    plain filesystem sees either the old or the new layout, never a
+    half-written one (dot-prefixed siblings are hidden from listing).
+    Coordinating concurrent WRITERS is a table-format commit protocol's
+    job (see sources/pydatasource.py's manifest writer), not a
+    directory-layout pass's. Debris from an interrupted earlier pass is
+    reclaimed on entry.
+    """
+    leaves = set(_partition_dirs(table_path))
+    if not leaves:
+        raise ValueError(
+            f"{table_path} has no key=value partition directories: use "
+            "compact_parquet for flat layouts"
+        )
+    if partitions is None:
+        selected = sorted(leaves)
+    else:
+        known = {
+            p for p in partitions
+            if os.path.isdir(os.path.join(table_path, p)) and "=" in p
+        }
+        missing = sorted(set(partitions) - known)
+        if missing:
+            raise ValueError(f"partitions not in layout: {missing}")
+        selected = sorted(known)
+    report: dict[str, dict] = {}
+    for leaf in selected:
+        leaf_dir = os.path.join(table_path, leaf)
+        parent = os.path.dirname(leaf_dir)
+        base = os.path.basename(leaf_dir)
+        staging = os.path.join(parent, f".{base}.compacting")
+        retired = os.path.join(parent, f".{base}.old")
+        for debris in (staging, retired):
+            if os.path.exists(debris):
+                shutil.rmtree(debris)
+        report[leaf] = compact_parquet(spark, leaf_dir, staging, target_bytes)
+        os.rename(leaf_dir, retired)
+        os.rename(staging, leaf_dir)
+        shutil.rmtree(retired)
+    return report

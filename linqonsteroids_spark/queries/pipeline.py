@@ -947,6 +947,104 @@ FROM events GROUP BY event_type
 """
 
 
+# --- partition-scoped in-place compaction (operators/compact.py) ------------
+# The selective-maintenance twin of compaction_event_stats: a
+# hive-partitioned events table is staged with the partitionBy
+# small-file leak in every leaf (8 writer tasks x every event_type
+# partition), then ONLY every other partition is compacted in place —
+# the `OPTIMIZE ... WHERE` shape whose cost at 100 TB is proportional
+# to the partitions touched (the streaming sink's last hour), never the
+# table. A sidecar records the untouched leaves' exact (file, bytes)
+# listing at maintenance time; EVERY invocation re-verifies that
+# compacted leaves stay at their bin-pack ceiling and untouched leaves
+# are byte-identical, and RAISES otherwise. Oracle: the same aggregate
+# over the original unpartitioned table — equality proves in-place
+# maintenance moved bytes, not values.
+def partition_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from linqonsteroids_spark.operators.compact import (
+        compact_partitions_in_place,
+    )
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_pcompact_", sf_dir)
+    table = os.path.join(base, "events_by_type")
+    sidecar = os.path.join(base, "_maintenance.json")
+
+    def leaf_listing(leaf: str) -> list[tuple[str, int]]:
+        d = os.path.join(table, leaf)
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        )
+
+    if not os.path.exists(sidecar):
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.repartition(8)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(table)
+        )
+        leaves = sorted(d for d in os.listdir(table) if "=" in d)
+        selected = leaves[::2]
+        untouched = [l for l in leaves if l not in selected]
+        report = compact_partitions_in_place(
+            spark, table, selected, target_bytes=2 << 20
+        )
+        state = {
+            "selected": {l: report[l]["files_after"] for l in selected},
+            "untouched": {l: leaf_listing(l) for l in untouched},
+            "report": report,
+        }
+        with open(sidecar, "w") as fh:
+            json.dump(state, fh)
+    with open(sidecar) as fh:
+        state = json.load(fh)
+    for leaf, stats in state["report"].items():
+        if stats["files_after"] >= stats["files_before"]:
+            raise RuntimeError(
+                f"in-place compaction did not shrink {leaf}: {stats}"
+            )
+    for leaf, n_after in state["selected"].items():
+        now = len(leaf_listing(leaf))
+        if now != n_after:
+            raise RuntimeError(
+                f"compacted partition {leaf} drifted: {now} files vs "
+                f"{n_after} at maintenance time"
+            )
+    for leaf, listing in state["untouched"].items():
+        now = [list(t) for t in leaf_listing(leaf)]
+        if now != listing:
+            raise RuntimeError(
+                f"UNTOUCHED partition {leaf} was modified by selective "
+                f"maintenance: {now} vs {listing}"
+            )
+    back = spark.read.parquet(table)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        back.select("event_type", "user_id", cents.alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("_c").cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+PARTITION_COMPACTION_SQL = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+"""
+
+
 # --- deterministic content-hash sampling (r11) ------------------------------
 # TABLESAMPLE is the wrong tool for a training pipeline: it is
 # partition-dependent (a different cluster size samples a different
@@ -987,6 +1085,10 @@ GROUP BY o_orderstatus
 
 QUERIES = {
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
+    "partition_compaction_stats": (
+        partition_compaction_stats,
+        PARTITION_COMPACTION_SQL,
+    ),
     "deterministic_sample_orders": (
         deterministic_sample_orders,
         DETERMINISTIC_SAMPLE_SQL,

@@ -196,3 +196,109 @@ def test_compaction_bins_to_ceil_bytes_over_target(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "packed")).count()
         == spark.read.parquet(src).count()
     )
+
+
+def _leaf_listing(table: str, leaf: str) -> list[tuple[str, int]]:
+    import os
+
+    d = os.path.join(table, leaf)
+    return sorted(
+        (f, os.path.getsize(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if not f.startswith((".", "_"))
+    )
+
+
+def test_in_place_compaction_touches_only_selected_partitions(
+    spark, tmp_path
+):
+    import os
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.compact import (
+        compact_partitions_in_place,
+    )
+
+    table = str(tmp_path / "by_type")
+    events = load_table(spark, SF, "events")
+    events.repartition(8).write.partitionBy("event_type").parquet(table)
+    leaves = sorted(d for d in os.listdir(table) if "=" in d)
+    assert len(leaves) >= 4
+    selected, untouched = leaves[::2], leaves[1::2]
+    before_vals = sorted(map(tuple, spark.read.parquet(table).collect()))
+    before_untouched = {l: _leaf_listing(table, l) for l in untouched}
+    before_counts = {l: len(_leaf_listing(table, l)) for l in selected}
+
+    report = compact_partitions_in_place(
+        spark, table, selected, target_bytes=1 << 30
+    )
+    assert set(report) == set(selected)
+    for leaf in selected:
+        assert report[leaf]["files_before"] == before_counts[leaf]
+        assert report[leaf]["files_after"] == 1
+        assert len(_leaf_listing(table, leaf)) == 1
+    # untouched partitions are byte-identical: same names, same sizes
+    for leaf in untouched:
+        assert _leaf_listing(table, leaf) == before_untouched[leaf]
+    # no staging/retired debris left behind (the table's own hidden
+    # files — e.g. hadoop's ._SUCCESS.crc — are not the compactor's)
+    assert sorted(d for d in os.listdir(table) if "=" in d) == leaves
+    assert not [
+        d
+        for d in os.listdir(table)
+        if d.endswith((".compacting", ".old"))
+    ]
+    # values preserved exactly, partition column included
+    after_vals = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert after_vals == before_vals
+
+
+def test_in_place_compaction_refuses_flat_layout_and_typos(spark, tmp_path):
+    import pytest
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.compact import (
+        compact_partitions_in_place,
+    )
+
+    flat = str(tmp_path / "flat")
+    load_table(spark, SF, "events").limit(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="no key=value"):
+        compact_partitions_in_place(spark, flat)
+
+    table = str(tmp_path / "by_type")
+    load_table(spark, SF, "events").write.partitionBy("event_type").parquet(
+        table
+    )
+    with pytest.raises(ValueError, match="not in layout"):
+        compact_partitions_in_place(
+            spark, table, ["event_type=does_not_exist"]
+        )
+
+
+def test_in_place_compaction_reclaims_interrupted_debris(spark, tmp_path):
+    import os
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.compact import (
+        compact_partitions_in_place,
+    )
+
+    table = str(tmp_path / "by_type")
+    load_table(spark, SF, "events").repartition(4).write.partitionBy(
+        "event_type"
+    ).parquet(table)
+    leaf = sorted(d for d in os.listdir(table) if "=" in d)[0]
+    # simulate a crash between staging write and swap
+    stale = os.path.join(table, f".{leaf}.compacting")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-orphan.parquet"), "w") as fh:
+        fh.write("debris")
+    before = sorted(
+        map(tuple, spark.read.parquet(table).collect())
+    )
+    report = compact_partitions_in_place(spark, table, [leaf])
+    assert report[leaf]["files_after"] >= 1
+    assert not os.path.exists(stale)
+    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert after == before
