@@ -191,8 +191,14 @@ class Expr:
         ``Column.isin`` calling convention, including the single
         list/set/tuple form (``isin([1, 2, 3])`` ≡ ``isin(1, 2, 3)``).
         Any Expr/Column value keeps the result opaque: the rewriter must
-        never reconstruct a partially-literal IN."""
-        if len(vals) == 1 and isinstance(vals[0], (list, set, tuple)):
+        never reconstruct a partially-literal IN. Set inputs are
+        canonicalized (sorted by repr) before building the node — set
+        iteration order varies across processes for strings (hash
+        randomization), and a nondeterministic In-list is a
+        plan-stability hazard for the double-sweep/plan-audit tooling."""
+        if len(vals) == 1 and isinstance(vals[0], (frozenset, set)):
+            vals = tuple(sorted(vals[0], key=repr))
+        elif len(vals) == 1 and isinstance(vals[0], (list, tuple)):
             vals = tuple(vals[0])
         if all(not isinstance(v, (Expr, Column)) for v in vals):
             # plain literals: delegate raw (Column.isin builds the

@@ -115,6 +115,51 @@ def compact_parquet(
     }
 
 
+def _recover_leaf(parent: str, base: str) -> bool:
+    """Finish (or roll back) an interrupted swap for ``parent/base``.
+
+    The swap in :func:`compact_partitions_in_place` is two renames; a
+    crash between them leaves the leaf absent with its only copies in
+    the hidden ``.base.old`` / ``.base.compacting`` siblings. Recovery
+    on entry makes the window harmless: if the staged replacement exists
+    it is complete (it was fully written before the first rename), so
+    finish the swap with it; otherwise restore the retired original.
+    Returns True when a recovery happened."""
+    leaf = os.path.join(parent, base)
+    staging = os.path.join(parent, f".{base}.compacting")
+    retired = os.path.join(parent, f".{base}.old")
+    if os.path.isdir(leaf):
+        return False
+    if os.path.isdir(staging):
+        os.rename(staging, leaf)
+        if os.path.isdir(retired):
+            shutil.rmtree(retired)
+        return True
+    if os.path.isdir(retired):
+        os.rename(retired, leaf)
+        return True
+    return False
+
+
+def _recover_interrupted(table_path: str, partitions: list[str] | None) -> None:
+    """Entry-point recovery sweep: restore any leaf stranded by a crash
+    mid-swap, so listing/selection see the full layout again. Scans only
+    the top level plus the parents of explicitly selected leaves — cost
+    stays proportional to the partitions touched, never the table."""
+    parents = {table_path}
+    for p in partitions or ():
+        parents.add(os.path.dirname(os.path.join(table_path, p)))
+    for parent in parents:
+        try:
+            names = os.listdir(parent)
+        except OSError:
+            continue
+        for n in names:
+            for suffix in (".compacting", ".old"):
+                if n.startswith(".") and n.endswith(suffix):
+                    _recover_leaf(parent, n[1 : -len(suffix)])
+
+
 def compact_partitions_in_place(
     spark: SparkSession,
     table_path: str,
@@ -142,14 +187,19 @@ def compact_partitions_in_place(
     relative path).
 
     Single-writer discipline: the swap is two renames (leaf →
-    ``.leaf.old``, staging → leaf), so a reader racing the pass on a
-    plain filesystem sees either the old or the new layout, never a
-    half-written one (dot-prefixed siblings are hidden from listing).
-    Coordinating concurrent WRITERS is a table-format commit protocol's
-    job (see sources/pydatasource.py's manifest writer), not a
-    directory-layout pass's. Debris from an interrupted earlier pass is
-    reclaimed on entry.
+    ``.leaf.old``, staging → leaf). A reader racing the pass on a plain
+    filesystem sees the old layout, the new layout, or — in the instant
+    between the two renames — the leaf briefly absent; each rename is
+    atomic, so it never sees a half-written leaf. A crash inside that
+    window is repaired on the NEXT entry: the recovery sweep restores a
+    stranded leaf from its hidden siblings (finishing the swap when the
+    staged replacement exists, rolling back otherwise) before any
+    listing, selection, or debris reclaim happens. Coordinating
+    concurrent WRITERS is a table-format commit protocol's job (see
+    sources/pydatasource.py's manifest writer), not a directory-layout
+    pass's.
     """
+    _recover_interrupted(table_path, partitions)
     leaves = set(_partition_dirs(table_path))
     if not leaves:
         raise ValueError(

@@ -46,38 +46,33 @@ def salted_join(
     return joined.drop("_salt")
 
 
-def hotkey_salted_join(
+#: Default sampling fraction for the hot-key statistics pass. 10 % is
+#: plenty to rank whale keys (a key heavy enough to need salting shows
+#: up thousands of times in any 10 % sample) while keeping the stats
+#: cost an order of magnitude under the join it protects.
+DEFAULT_HOT_FRACTION = 0.1
+
+
+def measure_hot_keys(
     big: DataFrame,
-    small: DataFrame,
     big_key: str,
-    small_key: str,
-    n_salts: int = 8,
     max_hot_keys: int = 64,
     hot_fraction: float | None = None,
-) -> DataFrame:
-    """PARTIAL salting (r11): salt only the measured-hot keys.
+    full_scan: bool = False,
+) -> list:
+    """Top-``max_hot_keys`` heaviest non-null values of ``big_key``,
+    heaviest first (ties broken by key for determinism).
 
-    ``salted_join`` replicates the whole small side ``n_salts``× — the
-    right trade when most keys are hot, but at 100 TB the usual shape is
-    a handful of whales in an otherwise uniform distribution, and
-    blanket replication multiplies the broadcast/shuffle volume of the
-    ENTIRE dim for the benefit of a few keys. This variant:
-
-    1. measures the big side's top-``max_hot_keys`` heaviest keys (one
-       key-only aggregation — columns pruned to the key, and at scale
-       ``hot_fraction`` samples the scan instead of reading every row;
-       sampling only affects WHICH keys get salted, never correctness);
-    2. salts big-side rows of hot keys across ``n_salts`` buckets while
-       every other row keeps salt 0;
-    3. replicates ONLY the hot keys' small-side rows ``n_salts``×
-       (everything else joins once, unsalted).
-
-    Output ≡ the plain inner/left equi-join (property-tested). The hot
-    set is a bounded driver-side list (≤ max_hot_keys values) — the same
-    bounded-collect budget as the bloom-join bitmap."""
-    if n_salts < 2:
-        raise ValueError("n_salts must be >= 2")
-    counted = big.sample(hot_fraction) if hot_fraction else big
+    This is a STATISTICS pass — it decides which keys get salted, never
+    what the join returns — so by default it runs over a seeded
+    ``DEFAULT_HOT_FRACTION`` sample of the big side rather than a full
+    scan: at 100 TB reading every fact row just to rank whales is the
+    wrong default. Pass ``full_scan=True`` for exact counts, or
+    ``hot_fraction`` for an explicit sampling rate."""
+    if full_scan and hot_fraction is not None:
+        raise ValueError("pass hot_fraction OR full_scan=True, not both")
+    fraction = None if full_scan else (hot_fraction or DEFAULT_HOT_FRACTION)
+    counted = big.sample(fraction, seed=42) if fraction else big
     hot_rows = (
         counted.select(F.col(big_key).alias("_k"))
         .where(F.col("_k").isNotNull())
@@ -87,7 +82,46 @@ def hotkey_salted_join(
         .limit(max_hot_keys)
         .collect()
     )
-    hot = [r._k for r in hot_rows]
+    return [r._k for r in hot_rows]
+
+
+def hotkey_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    max_hot_keys: int = 64,
+    hot_fraction: float | None = None,
+    full_scan: bool = False,
+) -> DataFrame:
+    """PARTIAL salting (r11): salt only the measured-hot keys.
+
+    ``salted_join`` replicates the whole small side ``n_salts``× — the
+    right trade when most keys are hot, but at 100 TB the usual shape is
+    a handful of whales in an otherwise uniform distribution, and
+    blanket replication multiplies the broadcast/shuffle volume of the
+    ENTIRE dim for the benefit of a few keys. This variant:
+
+    1. measures the big side's top-``max_hot_keys`` heaviest keys via
+       :func:`measure_hot_keys` — columns pruned to the key and, BY
+       DEFAULT, a seeded ``DEFAULT_HOT_FRACTION`` sample of the scan
+       (r12: the 100 TB default never full-scans the fact side for
+       statistics; pass ``full_scan=True`` to opt into exact counts).
+       Sampling only affects WHICH keys get salted, never correctness;
+    2. salts big-side rows of hot keys across ``n_salts`` buckets while
+       every other row keeps salt 0;
+    3. replicates ONLY the hot keys' small-side rows ``n_salts``×
+       (everything else joins once, unsalted).
+
+    Output ≡ the plain INNER equi-join (property-tested) — inner only:
+    both the salted path and the empty-hot fallback join inner, and a
+    left join would need unmatched big-side rows handled explicitly.
+    The hot set is a bounded driver-side list (≤ max_hot_keys values) —
+    the same bounded-collect budget as the bloom-join bitmap."""
+    if n_salts < 2:
+        raise ValueError("n_salts must be >= 2")
+    hot = measure_hot_keys(big, big_key, max_hot_keys, hot_fraction, full_scan)
     if not hot:
         return big.join(small, big[big_key] == small[small_key], "inner")
     hot_lit = F.lit(hot)  # ONE folded array literal, not CreateArray

@@ -1005,7 +1005,12 @@ def partition_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(sidecar) as fh:
         state = json.load(fh)
     for leaf, stats in state["report"].items():
-        if stats["files_after"] >= stats["files_before"]:
+        # strict shrinkage only where there was anything to shrink: a
+        # sparse leaf staged as a single file legitimately compacts 1→1
+        if stats["files_after"] > stats["files_before"] or (
+            stats["files_before"] > 1
+            and stats["files_after"] >= stats["files_before"]
+        ):
             raise RuntimeError(
                 f"in-place compaction did not shrink {leaf}: {stats}"
             )

@@ -74,11 +74,21 @@ def _open_footer_reader(spark: SparkSession, file_path: str):
 
 
 def _parquet_files(path: str) -> list[str]:
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(".")
-    )
+    """All data files under ``path``, RECURSIVE (hive-partitioned layouts
+    keep theirs in key=value subdirectories) — and NEVER empty: a layout
+    verifier that silently iterates zero files passes vacuously, the
+    exact silent-degradation failure mode this module exists to stop."""
+    found = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        found.extend(
+            os.path.join(root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+    if not found:
+        raise FileNotFoundError(f"no parquet data files under {path}")
+    return sorted(found)
 
 
 def bloom_columns_per_file(spark: SparkSession, path: str) -> dict[str, set[str]]:

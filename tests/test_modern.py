@@ -302,3 +302,63 @@ def test_in_place_compaction_reclaims_interrupted_debris(spark, tmp_path):
     assert not os.path.exists(stale)
     after = sorted(map(tuple, spark.read.parquet(table).collect()))
     assert after == before
+
+
+def test_in_place_compaction_recovers_crash_between_renames(spark, tmp_path):
+    """The r12 ADVICE window: a crash between rename(leaf->.old) and
+    rename(staging->leaf) leaves the partition absent with its only
+    copies in hidden dot-dirs. The next entry must restore it (finishing
+    the swap with the complete staged layout) before selection — a
+    reader then never permanently loses the partition."""
+    import os
+    import shutil
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.compact import (
+        compact_partitions_in_place,
+    )
+
+    table = str(tmp_path / "by_type")
+    load_table(spark, SF, "events").repartition(4).write.partitionBy(
+        "event_type"
+    ).parquet(table)
+    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+    leaf = sorted(d for d in os.listdir(table) if "=" in d)[0]
+    leaf_dir = os.path.join(table, leaf)
+    staging = os.path.join(table, f".{leaf}.compacting")
+    retired = os.path.join(table, f".{leaf}.old")
+    # stage a complete replacement (copy of the leaf), then simulate the
+    # crash: leaf renamed away, staged layout never swapped in
+    shutil.copytree(leaf_dir, staging)
+    os.rename(leaf_dir, retired)
+    assert not os.path.exists(leaf_dir)
+    # selecting the stranded leaf works again after entry recovery
+    report = compact_partitions_in_place(spark, table, [leaf])
+    assert leaf in report
+    assert not os.path.exists(staging) and not os.path.exists(retired)
+    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert after == before
+
+
+def test_in_place_compaction_recovers_retired_only_crash(spark, tmp_path):
+    """Defensive variant: only the .old sibling survived (staging lost).
+    Recovery rolls the original back into place."""
+    import os
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.operators.compact import (
+        compact_partitions_in_place,
+    )
+
+    table = str(tmp_path / "by_type")
+    load_table(spark, SF, "events").repartition(4).write.partitionBy(
+        "event_type"
+    ).parquet(table)
+    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+    leaf = sorted(d for d in os.listdir(table) if "=" in d)[0]
+    leaf_dir = os.path.join(table, leaf)
+    os.rename(leaf_dir, os.path.join(table, f".{leaf}.old"))
+    report = compact_partitions_in_place(spark, table, [leaf])
+    assert leaf in report
+    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert after == before

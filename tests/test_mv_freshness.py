@@ -252,3 +252,16 @@ def test_catalog_rehydrates_after_refreshes(spark, base, tmp_path):
     mv = fresh.lookup_agg("t", "grp")
     got = {r.grp: r.cnt_star for r in mv.collect()}
     assert got["g0"] == 220
+
+
+def test_isin_set_input_canonicalized(spark):
+    """r12 ADVICE: set inputs iterate in hash order, which for strings
+    varies per process — the tracked node must be canonical (sorted by
+    repr) so plan text is stable run to run."""
+    df = spark.createDataFrame([("a",), ("b",), ("z",)], ["seg"])
+    q = lift(df, table="t").filter(lambda r: r.seg.isin({"z", "a", "b"}))
+    atoms = [match_key_in(c) for c in q.plan.filters]
+    assert atoms == [("seg", ("'a'", "'b'", "'z'"))] or atoms == [
+        ("seg", ("a", "b", "z"))
+    ]
+    assert q.df.count() == 3

@@ -132,3 +132,23 @@ def test_bloom_layout_lookup_matches_raw_filter(spark):
         .collect()
     }
     assert out == expect and out
+
+
+def test_file_listing_walks_partitioned_layouts_and_refuses_empty(
+    spark, tmp_path
+):
+    """r12 ADVICE: the footer verifier must see hive-partitioned data
+    files (they live in key=value subdirectories) and must RAISE on a
+    directory with no parquet at all — a promotion job iterating an
+    empty report would pass vacuously, the silent degradation the
+    verifier exists to prevent."""
+    part = str(tmp_path / "part")
+    spark.range(100).selectExpr("id as k", "id % 2 as p").write.partitionBy(
+        "p"
+    ).parquet(part)
+    report = bloom_columns_per_file(spark, part)
+    assert len(report) >= 2  # one+ data file per partition dir, all seen
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        bloom_columns_per_file(spark, empty)

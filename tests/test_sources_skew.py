@@ -320,3 +320,28 @@ def test_hotkey_salted_join_replicates_only_hot_keys(spark):
     )
     # 10 dim rows; one hot key -> 10 + (4-1)*1 = 13, NOT 40 (blanket)
     assert rep.count() == 13
+
+
+def test_hot_key_stats_default_samples_and_agrees_with_full_scan(spark):
+    """r12: the statistics pass never full-scans the fact side by
+    default. On the crafted skew fixture (one whale = half the rows) the
+    sampled and exact hot sets must agree on the whale — sampling moves
+    the tail ordering at most, never the keys salting exists for."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.skew import measure_hot_keys
+
+    fact = spark.range(4000).select(
+        F.when(F.col("id") < 2000, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k")
+    )
+    sampled = measure_hot_keys(fact, "k", max_hot_keys=1)
+    exact = measure_hot_keys(fact, "k", max_hot_keys=1, full_scan=True)
+    assert sampled == exact == [7]
+    # explicit fraction is honored; both modes at once are refused
+    assert measure_hot_keys(fact, "k", 1, hot_fraction=0.5) == [7]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        measure_hot_keys(fact, "k", 1, hot_fraction=0.5, full_scan=True)
