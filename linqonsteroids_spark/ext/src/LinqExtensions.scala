@@ -117,6 +117,10 @@ object IndexSubstitution {
 
 case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Conf entries of ``arity`` fields, or ``arity + 1`` when the Python
+    * repository runs under refresh_mode='on_read_stale' and appends the
+    * base's jvm_snapshot digest (the r12 staleness veto — see
+    * [[digestOk]]). */
   private def entries(conf: String, arity: Int): Seq[Array[String]] =
     session.conf
       .getOption(conf)
@@ -125,22 +129,84 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           .map(_.trim)
           .filter(_.nonEmpty)
           .map(_.split(",").map(_.trim))
-          .filter(_.length == arity)
+          .filter(a => a.length == arity || a.length == arity + 1)
       )
       .getOrElse(Seq.empty)
 
-  private def registry: Seq[(String, String, String)] =
-    entries("spark.linqonsteroids.indexes", 3).map(a => (a(0), a(1), a(2)))
+  private def digestOf(a: Array[String], arity: Int): Option[String] =
+    if (a.length > arity) Some(a(arity)) else None
 
-  /** (leftPath, leftKey, rightPath, rightKey, mvPath) */
-  private def joinRegistry: Seq[(String, String, String, String, String)] =
-    entries("spark.linqonsteroids.joinindexes", 5).map(a =>
-      (a(0), a(1), a(2), a(3), a(4))
+  private def registry: Seq[(String, String, String, Option[String])] =
+    entries("spark.linqonsteroids.indexes", 3).map(a =>
+      (a(0), a(1), a(2), digestOf(a, 3))
     )
 
-  /** (basePath, keyCol, aggMvPath) */
-  private def aggRegistry: Seq[(String, String, String)] =
-    entries("spark.linqonsteroids.aggindexes", 3).map(a => (a(0), a(1), a(2)))
+  /** (leftPath, leftKey, rightPath, rightKey, mvPath, digest) */
+  private def joinRegistry
+      : Seq[(String, String, String, String, String, Option[String])] =
+    entries("spark.linqonsteroids.joinindexes", 5).map(a =>
+      (a(0), a(1), a(2), a(3), a(4), digestOf(a, 5))
+    )
+
+  /** (basePath, keyCol, aggMvPath, digest) */
+  private def aggRegistry: Seq[(String, String, String, Option[String])] =
+    entries("spark.linqonsteroids.aggindexes", 3).map(a =>
+      (a(0), a(1), a(2), digestOf(a, 3))
+    )
+
+  // --- staleness veto (r12) -------------------------------------------------
+  // In 'on_read_stale' mode the Python repository appends each MV's
+  // base jvm_snapshot (sha256 over the sorted scheme-free
+  // "absPath:size" listing of the base's data files, recorded at
+  // materialization — plans/registry.py jvm_snapshot) to its conf
+  // entry. Before substituting, the rule recomputes the digest from a
+  // LIVE Hadoop listing of the registered base path(s) and vetoes the
+  // rewrite on mismatch: a base append/overwrite/compaction after the
+  // last refresh makes the MV unprovably fresh, and the query falls
+  // back to the base scan — the JVM twin of the Python tier's
+  // _stale_for. Cost: listing-only (no data read), and only on the
+  // veto-eligible path (an entry with a digest that matched a query
+  // shape); manual-mode entries carry no digest and skip the listing
+  // entirely. No caching by design — the entire point is seeing an
+  // append that happened a millisecond ago; a failed listing counts as
+  // mismatch (never substitute what can't be proven fresh).
+
+  /** Sorted "absPath:size" digest of the data files under ``paths``
+    * (hidden dirs/files below each base excluded, like Spark's own
+    * listing). None when any listing fails. */
+  private def currentDigest(paths: Seq[String]): Option[String] =
+    try {
+      val hconf = session.sessionState.newHadoopConf()
+      val lines = paths.flatMap { p =>
+        val root = new org.apache.hadoop.fs.Path(p)
+        val fs = root.getFileSystem(hconf)
+        val basePath = fs.makeQualified(root).toUri.getPath
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val abs = st.getPath.toUri.getPath
+          val rel = abs.stripPrefix(basePath).stripPrefix("/")
+          val hidden =
+            rel.split("/").exists(s => s.startsWith(".") || s.startsWith("_"))
+          if (st.isFile && !hidden) buf += s"$abs:${st.getLen}"
+        }
+        buf
+      }
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(lines.sorted.mkString("\n").getBytes("UTF-8"))
+      Some(md.digest().map("%02x".format(_)).mkString)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** True when the entry may substitute: no digest registered (manual
+    * mode), or the live listing still matches the recorded one. */
+  private def digestOk(expected: Option[String], paths: Seq[String]): Boolean =
+    expected match {
+      case None    => true
+      case Some(d) => currentDigest(paths).contains(d)
+    }
 
   private def rootPath(rel: LogicalRelation): Option[String] =
     rel.relation match {
@@ -213,10 +279,11 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
   ): Option[LogicalPlan] = {
     val path = rootPath(rel)
     registry
-      .find { case (base, col, _) =>
+      .find { case (base, col, _, _) =>
         path.exists(p => pathMatches(p, base)) && hasPrunablePredOn(cond, col)
       }
-      .flatMap { case (_, _, idxPath) => loadIndex(idxPath) }
+      .filter { case (base, _, _, digest) => digestOk(digest, Seq(base)) }
+      .flatMap { case (_, _, idxPath, _) => loadIndex(idxPath) }
       .flatMap { idx =>
         val byName = idx.output.map(a => a.name -> a).toMap
         if (rel.output.forall(o => byName.contains(o.name))) {
@@ -274,12 +341,15 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       rs <- stripToScan(j.right)
       lp <- rootPath(ls._1)
       rp <- rootPath(rs._1)
-      hit <- joinRegistry.find { case (lPath, lKey, rPath, rKey, _) =>
+      hit <- joinRegistry.find { case (lPath, lKey, rPath, rKey, _, _) =>
         (pathMatches(lp, lPath) && pathMatches(rp, rPath) &&
           lAttr.name == lKey && rAttr.name == rKey) ||
         (pathMatches(lp, rPath) && pathMatches(rp, lPath) &&
           lAttr.name == rKey && rAttr.name == lKey)
       }
+      // the join MV's recorded digest spans BOTH base listings (the
+      // Python side digests the joined frame's input files)
+      if digestOk(hit._6, Seq(hit._1, hit._3))
       mv <- loadIndex(hit._5)
       byName = mv.output.map(o => o.name -> o).toMap
       wanted = (ls._1.output ++ rs._1.output)
@@ -353,9 +423,10 @@ case class IndexSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       // same-named column from elsewhere must not slip through)
       if conds.forall(_.references.forall(_.exprId == g.exprId))
       p <- rootPath(rel)
-      hit <- aggRegistry.find { case (base, key, _) =>
+      hit <- aggRegistry.find { case (base, key, _, _) =>
         pathMatches(p, base) && g.name == key
       }
+      if digestOk(hit._4, Seq(hit._1))
       mv <- loadIndex(hit._3)
       byName = mv.output.map(o => o.name -> o).toMap
       if byName.contains(g.name)

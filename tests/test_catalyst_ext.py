@@ -58,6 +58,7 @@ def test_catalyst_index_substitution_end_to_end():
         "PASS agg-mv-having",
         "PASS agg-mv-no-false-rewrites",
         "PASS agg-mv-refresh-loop",
+        "PASS mv-staleness-veto",
         "PASS no-false-rewrites",
     ):
         assert pin in proc.stdout, proc.stdout[-3000:]

@@ -265,3 +265,40 @@ def test_isin_set_input_canonicalized(spark):
         ("seg", ("a", "b", "z"))
     ]
     assert q.df.count() == 3
+
+
+def test_jvm_snapshot_and_digest_fields(spark, tmp_path):
+    """r12 JVM veto plumbing: the scheme-free digest is stable across
+    re-reads, changes on append, and reaches the bridge conf as a 4th
+    field ONLY under 'on_read_stale' (manual mode publishes the r11
+    3-field form — digest-free, veto-free)."""
+    from linqonsteroids_spark.api import lift
+    from linqonsteroids_spark.plans.registry import (
+        IndexRepository,
+        jvm_snapshot,
+    )
+
+    base = str(tmp_path / "jbase")
+    spark.range(100).selectExpr("id as k", "id % 4 as seg").write.parquet(base)
+    s1 = jvm_snapshot(spark.read.parquet(base))
+    assert s1 == jvm_snapshot(spark.read.parquet(base))
+    spark.range(100, 120).selectExpr("id as k", "id % 4 as seg").write.mode(
+        "append"
+    ).parquet(base)
+    assert jvm_snapshot(spark.read.parquet(base)) != s1
+
+    for mode, n_commas in (("on_read_stale", 3), ("manual", 2)):
+        repo = IndexRepository(
+            spark, str(tmp_path / f"repo_{mode}"), refresh_mode=mode
+        )
+        repo.add_partitioned_index(
+            f"jidx_{mode}",
+            lift(spark.read.parquet(base), table="jb").index_by(
+                lambda t: t.seg
+            ),
+        )
+        conf = repo.catalyst_conf({"jb": base})
+        assert conf.count(",") == n_commas, (mode, conf)
+        if mode == "on_read_stale":
+            digest = conf.rsplit(",", 1)[1]
+            assert len(digest) == 64 and digest != "unprovable"
