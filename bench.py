@@ -340,6 +340,95 @@ def _proc_stat_ticks() -> tuple[int, int] | None:
 #: a 10.9% steal measured 2.6x — the driver's own runs sit at 0.1-1.7%)
 STEAL_CONTENDED_PCT = 3.0
 
+#: per-query drift threshold (r11 verdict item 4): a median more than
+#: this multiple of the committed BENCH_LOCAL history triggers an
+#: automatic solo re-probe and a stamped adjudication, so a single
+#: query's ambient outlier (nearest_purchase_click's unexplained 6.4x
+#: in r11) can never masquerade as a code regression again
+DRIFT_RATIO = 2.0
+
+
+def _prev_timings(sf: str) -> dict[str, float]:
+    """Per-query medians from the COMMITTED BENCH_LOCAL.json (HEAD, not
+    the working tree — smoke runs at other SFs overwrite the file);
+    empty when absent or recorded at a different scale factor."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_LOCAL.json"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout
+        prev = json.loads(out.splitlines()[0])
+    except Exception:
+        return {}
+    if str(prev.get("sf")) != sf:
+        return {}
+    return {**prev.get("queries", {}), **prev.get("extra_queries", {})}
+
+
+def _module_changed_since_artifact(query_fn) -> bool:
+    """True when the query's defining module has a commit newer than the
+    last commit touching BENCH_LOCAL.json — the 'code' adjudication leg:
+    a >2x mover whose module nobody touched cannot be a code regression."""
+    import inspect
+    import subprocess
+
+    try:
+        mod_file = inspect.getsourcefile(query_fn)
+        repo = os.path.dirname(os.path.abspath(__file__))
+
+        def last_commit_time(path: str) -> int:
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct", "--", path],
+                capture_output=True,
+                text=True,
+                cwd=repo,
+                timeout=10,
+            ).stdout.strip()
+            return int(out) if out else 0
+
+        return last_commit_time(mod_file) > last_commit_time(
+            os.path.join(repo, "BENCH_LOCAL.json")
+        )
+    except Exception:
+        return True  # unknowable -> don't claim 'ambient'
+
+
+class _StreamCounter:
+    """StreamingQueryListener counting query starts and micro-batch
+    progress events, so the bench can decompose streaming-gate timings
+    into n_microbatches x per-trigger floor (r11 verdict item 8: the
+    streaming family's solo spread is trigger-bound, not data-bound —
+    the artifact should say so by construction)."""
+
+    def __init__(self) -> None:
+        self.starts = 0
+        self.progress = 0
+
+    def attach(self, spark) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        counter = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                counter.starts += 1
+
+            def onQueryProgress(self, event):
+                counter.progress += 1
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        spark.streams.addListener(_L())
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -359,9 +448,17 @@ def main() -> None:
     ).count()
 
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prev_timings = _prev_timings(sf)
+    streams = _StreamCounter()
+    streams.attach(spark)
+    streaming_decomp: dict[str, dict] = {}
+    drift: dict[str, dict] = {}
 
     def measure(name: str) -> float:
         fn = ALL[name][0]
+        starts0, progress0 = streams.starts, streams.progress
+        t_all0 = time.time()
         if cold:
             t0 = time.time()
             n = fn(spark, sf_dir).count()
@@ -386,6 +483,50 @@ def main() -> None:
             f"({', '.join(f'{s:.3f}' for s in samples)})",
             file=sys.stderr,
         )
+        # streaming decomposition: listener events are async, give the
+        # bus a beat before snapshotting. One invocation = warm-up +
+        # len(samples) timed runs.
+        if streams.starts > starts0:
+            time.sleep(0.3)
+            invocations = len(samples) + 1
+            n_mb = streams.progress - progress0
+            elapsed = time.time() - t_all0 - 0.3
+            streaming_decomp[name] = {
+                "stream_starts": streams.starts - starts0,
+                "microbatches": n_mb,
+                "invocations": invocations,
+                "microbatches_per_invocation": round(n_mb / invocations, 1),
+                "sec_per_microbatch": (
+                    round(elapsed / n_mb, 3) if n_mb else None
+                ),
+            }
+        # drift guard (r11 item 4): adjudicate any >DRIFT_RATIO mover vs
+        # the committed history before it can read as a regression
+        prev = prev_timings.get(name)
+        if prev and prev > 0 and med > prev * DRIFT_RATIO:
+            if _module_changed_since_artifact(fn):
+                verdict = "code"
+                reprobe = None
+            else:
+                rs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    fn(spark, sf_dir).count()
+                    rs.append(time.time() - t0)
+                reprobe = round(statistics.median(rs), 3)
+                verdict = (
+                    "ambient"
+                    if reprobe <= prev * DRIFT_RATIO
+                    else "persistent-unexplained"
+                )
+            drift[name] = {
+                "prev": prev,
+                "median": med,
+                "ratio": round(med / prev, 2),
+                "reprobe": reprobe,
+                "drift": verdict,
+            }
+            print(f"# {name}: DRIFT {drift[name]}", file=sys.stderr)
         return med
 
     timings = {name: measure(name) for name in HEADLINE}
@@ -402,7 +543,6 @@ def main() -> None:
             / (stat_after[1] - stat_before[1]),
             2,
         )
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # contention refusal (r10 item 6): a run timed under heavy ambient
     # steal is machine noise wearing a benchmark's clothes. The artifact
     # is still printed and persisted — stamped contended — but the tool
@@ -429,23 +569,59 @@ def main() -> None:
             "calib_after_sec": calib_after,
             "steal_pct": steal_pct,
             "contended": contended,
-            # duplicated LAST on purpose: the driver captures stdout's
-            # TAIL, so when the line is truncated the head (with "value")
-            # is what's lost — the trailing copy keeps the headline total
-            # recoverable from any tail fragment.
+            # r12: stamped >2x movers (vs committed history) and the
+            # trigger-count decomposition of every streaming-family gate
+            "drift": drift,
+            "streaming_decomp": streaming_decomp,
             "headline_total_sec": total,
         }
     )
     print(line)
+    # The driver keeps only stdout's LAST ~2000 chars, which truncates
+    # the full line above mid-map (BENCH_r11 retained ~60 of 143 pairs).
+    # So the FINAL line is a compact, parseable artifact that fits the
+    # tail whole: every timed value as "%.3f", comma-joined in
+    # sorted-name order, with the name list pinned by a sha256 prefix —
+    # the names themselves are recoverable from this commit's
+    # HEADLINE/EXTRA lists, making BENCH_r{N} self-sufficient for
+    # cross-round per-query comparison (r11 verdict item 6).
+    all_t = {**timings, **extra}
+    names = sorted(all_t)
+    import hashlib
+
+    compact = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "calib_before_sec": calib_before,
+            "calib_after_sec": calib_after,
+            "steal_pct": steal_pct,
+            "contended": contended,
+            "n_queries": len(names),
+            "names_sha256": hashlib.sha256(
+                ",".join(names).encode()
+            ).hexdigest()[:12],
+            "timings_by_sorted_name": ",".join(
+                f"{all_t[n]:.3f}" for n in names
+            ),
+            "n_drift": len(drift),
+            "drift_verdicts": {k: v["drift"] for k, v in drift.items()},
+        },
+        separators=(",", ":"),
+    )
+    print(compact)
     # Belt-and-braces: the driver captures stdout's tail, which has been
     # truncated before (BENCH_r05 lost the headline total). Persist the
-    # same line to a file so the number survives any capture failure.
+    # FULL line to a file so the rich map survives any capture failure.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
             "w",
         ) as f:
             f.write(line + "\n")
+            f.write(compact + "\n")
     except OSError:
         pass
     if contended and not forced:
