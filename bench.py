@@ -193,6 +193,9 @@ EXTRA = [
     "hotkey_salted_volume",
     "bloom_layout_lookup",
     "partition_compaction_stats",
+    # round 12 heads
+    "fuzzy_name_neighbors",
+    "snapshot_diff_orders",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -121,3 +121,55 @@ def length_prefilter(name_a: Column, name_b: Column, max_dist: int) -> Column:
     Cheap codegen comparison that rejects candidates before the O(len^2)
     edit-distance computation runs."""
     return F.abs(F.length(name_a) - F.length(name_b)) <= max_dist
+
+
+def deletion_neighborhood_pairs(df: DataFrame, col: str) -> DataFrame:
+    """All distinct value pairs of ``col`` within edit distance 1
+    (columns ``a`` < ``b``) — LOSSLESS blocking, unlike the windowed
+    sorted-neighborhood above, which trades recall for its linear
+    candidate bound.
+
+    The block key is the deletion neighborhood (the SymSpell scheme):
+    D(s) = {s} ∪ {s minus one character}. Two strings are within one
+    edit (insert/delete/substitute) iff their neighborhoods intersect —
+    a substitution at position i shares the position-i deletion, an
+    insertion shares the inserted character's deletion with the shorter
+    string itself, equality is the identity element — so an equi-join on
+    the exploded neighborhood finds EVERY qualifying pair. Neighborhoods
+    can also intersect for distance-2 pairs (delete different positions,
+    e.g. "ab"/"ba" share both "a" and "b"), so candidates are verified
+    with one exact ``levenshtein`` call; verification cost is bounded by
+    the candidate count, never N².
+
+    100 TB shape: O(N·L) short variant rows into one equi-join shuffle —
+    never an all-pairs comparison, no driver-side state. Generalizing to
+    k>1 multiplies variants by C(L,k); at that point use MinHash/SimHash
+    banding (dedup/) — this operator is the exact-k=1 tier of the
+    fuzzy-matching ladder."""
+    v = (
+        df.select(F.col(col).cast("string").alias("_s"))
+        .where(F.col("_s").isNotNull())
+        .distinct()
+        .select(
+            "_s",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, length(_s)), i -> "
+                        "concat(substring(_s, 1, i), substring(_s, i + 2)))"
+                    )
+                )
+            ).alias("_v"),
+        )
+    )
+    left, right = v.alias("L"), v.alias("R")
+    cand = (
+        left.join(
+            right,
+            (F.col("L._v") == F.col("R._v"))
+            & (F.col("L._s") < F.col("R._s")),
+        )
+        .select(F.col("L._s").alias("a"), F.col("R._s").alias("b"))
+        .distinct()
+    )
+    return cand.where(F.levenshtein("a", "b") <= 1)

@@ -1088,7 +1088,111 @@ GROUP BY o_orderstatus
 """
 
 
+# --- exact fuzzy matching: deletion-neighborhood edit-distance join (r12) ---
+# The k<=1 rung of the fuzzy ladder that sorted-neighborhood
+# (fuzzy_part_pairs) cannot promise: SNM's window trades recall for its
+# linear candidate bound, while the SymSpell deletion-neighborhood block
+# key is LOSSLESS — every pair within one edit shares a neighborhood
+# element, so one O(N*L)-row equi-join finds them all, verified by a
+# single exact levenshtein per candidate. The oracle replays the full
+# quadratic definition declaratively; equality proves the blocking lost
+# nothing. Output is the neighbor-count histogram (bounded, scalar-only).
+def fuzzy_name_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.linkage import (
+        deletion_neighborhood_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = deletion_neighborhood_pairs(cust, "c_name")
+    per_name = (
+        pairs.select(F.explode(F.array("a", "b")).alias("name"))
+        .groupBy("name")
+        .agg(F.count("*").cast("bigint").alias("n_neighbors"))
+    )
+    return per_name.groupBy("n_neighbors").agg(
+        F.count("*").cast("bigint").alias("n_names")
+    )
+
+
+FUZZY_NEIGHBORS_SQL = """
+WITH names AS (SELECT DISTINCT c_name FROM customer),
+pairs AS (
+  SELECT a.c_name AS x, b.c_name AS y
+  FROM names a JOIN names b ON a.c_name < b.c_name
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+per_name AS (
+  SELECT name, CAST(count(*) AS BIGINT) AS n_neighbors
+  FROM (SELECT x AS name FROM pairs UNION ALL SELECT y AS name FROM pairs)
+  GROUP BY name
+)
+SELECT n_neighbors, CAST(count(*) AS BIGINT) AS n_names
+FROM per_name GROUP BY n_neighbors
+"""
+
+
+# --- snapshot reconciliation: row-level diff of two table versions (r12) ----
+# CDC consumes a KNOWN change feed; reconciliation answers the inverse
+# maintenance question — two arbitrary snapshots (replica vs source,
+# pre- vs post-migration), what changed. The operator shuffles only
+# (key, xxhash64 digest) pairs — never row payloads — through one
+# full-outer join (operators/tablediff.py). The gate derives v2 from
+# orders deterministically (delete keys %97, bump o_shippriority on %89,
+# insert key-shifted copies of %101) so both engines can build the same
+# pair of snapshots; the oracle classifies by direct column comparison,
+# proving the digest path equivalent to value semantics. (The testdata
+# orders table is TPC-H-slim — no o_shippriority — so the mutated column
+# is o_orderpriority.)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.tablediff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    survivors = orders.where(key % 97 != 0).withColumn(
+        "o_orderpriority",
+        F.when(
+            key % 89 == 0, F.concat(F.col("o_orderpriority"), F.lit("*"))
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    inserts = orders.where(key % 101 == 0).withColumn(
+        "o_orderkey", key + F.lit(100000000)
+    )
+    v2 = survivors.unionByName(inserts)
+    diff = snapshot_diff(orders, v2, ["o_orderkey"])
+    return diff.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS op
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderpriority AS op
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+d AS (
+  SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+              WHEN v2.o_orderkey IS NULL THEN 'removed'
+              WHEN v1.o_orderpriority <> v2.op THEN 'changed'
+         END AS change_type,
+         COALESCE(v1.o_orderkey, v2.o_orderkey) AS k
+  FROM orders v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys,
+       min(k) AS min_key, max(k) AS max_key
+FROM d WHERE change_type IS NOT NULL GROUP BY change_type
+"""
+
+
 QUERIES = {
+    "fuzzy_name_neighbors": (fuzzy_name_neighbors, FUZZY_NEIGHBORS_SQL),
+    "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,
