@@ -385,13 +385,19 @@ PQ_CODES_SQL = _pq_sql()
 _ANN_QUERY_MOD = 50
 _ANN_K = 5
 _ANN_NPROBE = 3       #: pure-ADC gate: 3 of 8 cells
-_ANN_NPROBE_R = 5     #: refined gate: 5 of 8 cells...
+_ANN_NPROBE_R = 7     #: refined gate: 7 of 8 cells...
 #: ...with a FRACTIONAL exact-cosine re-rank (IVFADC-R): R = max(k,
 #: ceil(0.05 * |corpus|)). A fixed R=50 measured 0.80 -> 0.43 recall
 #: going sf0.01 -> sf0.1 (the shortlist covered a shrinking fraction
 #: of each inverted list); 5% keeps shortlist coverage — and recall —
-#: stable across scale: 0.81 at sf0.1 with the retrained 32x2 PQ
-#: codebook, which IS the n_probe=5 cell-probe ceiling.
+#: stable across scale. n_probe raised 5 -> 7 in r12: measured
+#: cell-probe ceilings at sf0.1 were 0.81 / 0.845 / 0.92 for probes
+#: 5 / 6 / 7, so 5 capped recall at 0.81 no matter the refine budget;
+#: 7 clears the >= 0.85 production target (measured 0.90 at sf0.1)
+#: at ~1.2x the candidate cost — inside the 1.5x budget. At these toy
+#: cell counts (8 lists) 7/8 reads most of the corpus; production
+#: n_lists in the thousands keeps the probed fraction tiny — the
+#: ratio that matters is ceiling-vs-target, not cells-vs-cells.
 _ANN_REFINE_FRAC = 0.05
 
 

@@ -42,11 +42,13 @@ taken: on this corpus the IVF centroids carry little energy (mean |c|
 recall at the then-production config was identical — 0.80 residual vs
 0.80 raw at (n_probe 5, R 50), sf0.01, under the original 8x8
 codebook. The round-10 retrain (32 subspaces x 2 dims, same literal
-budget — similarity/pq.py) makes the question moot at the current
-config: ADC+fractional-refine recall EQUALS the cell-probe ceiling
-(0.81 at n_probe 5, sf0.1), so residual codes have no headroom to add.
-On a corpus with strong cluster structure the trade reverses; revisit
-then.
+budget — similarity/pq.py) makes the question moot: ADC+fractional-
+refine recall EQUALS the cell-probe ceiling (0.81 at n_probe 5,
+sf0.1), so residual codes have no headroom to add; r12 raised the
+production config to n_probe 7 (ceilings 0.845/0.92 at 6/7), where
+measured recall is 0.91 at sf0.1 — past the 0.85 target at ~1.2x the
+candidate cost. On a corpus with strong cluster structure the trade
+reverses; revisit then.
 
 Reference parity note: /root/reference has no ANN surface at all (its
 §2 operators are relational); this module is north-star scope from the

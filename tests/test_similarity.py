@@ -216,16 +216,16 @@ def test_ivfpq_full_probe_full_refine_equals_brute_force(spark):
 
 
 def test_ivfpq_production_config_recall_floor(spark):
-    """The gated configuration (n_probe 5/8, refine_frac 5%) must clear
+    """The gated configuration (the production _ANN_NPROBE_R /
+    _ANN_REFINE_FRAC constants, so this floor tracks the gate) must clear
     a recall floor vs exact brute force on the real corpus. Unit-norm
     random-ish vectors are PQ's WORST case — distances concentrate and
     cell routing carries little signal — which is exactly why the
     production default must not lean on a lucky corpus. With the r10
-    32x2 codebook + fractional refine, measured recall is 0.76 @
-    sf0.001, 0.90 @ sf0.01, 0.81 @ sf0.1 — and 0.81 IS the n_probe=5
-    cell-probe ceiling at sf0.1 (exact re-rank of every probed
-    candidate scores the same), so the ADC stage loses nothing. Pin
-    0.70 at sf0.001: regeneration noise cannot flake it, while a real
+    32x2 codebook + fractional refine at the r12 n_probe=7 config,
+    measured recall is 0.94 @ sf0.001, 0.92 @ sf0.01, 0.91 @ sf0.1
+    (the old n_probe=5 config was ceiling-capped at 0.81). Pin 0.85
+    at sf0.001: regeneration noise cannot flake it, while a real
     regression (broken LUT / probe / code) lands near random-pick
     recall k/|corpus| ~ 0.01, far below."""
     from linqonsteroids_spark.catalog import load_table
@@ -238,26 +238,34 @@ def test_ivfpq_production_config_recall_floor(spark):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
+    from linqonsteroids_spark.queries.vector import (
+        _ANN_NPROBE_R,
+        _ANN_REFINE_FRAC,
+    )
+
     ann = ivfpq_topk(
-        q, emb, IVF_CENTROIDS, k=5, n_probe=5, refine_frac=0.05
+        q, emb, IVF_CENTROIDS, k=5,
+        n_probe=_ANN_NPROBE_R, refine_frac=_ANN_REFINE_FRAC,
     )
     exact = brute_force_topk(q, emb, k=5, exclude_self=True)
-    assert _recall(_pairs(ann), _pairs(exact)) >= 0.70
+    assert _recall(_pairs(ann), _pairs(exact)) >= 0.85
 
 
 def test_ivfpq_recall_clears_production_target_at_sf01(spark):
-    """The r9 verdict's one quality gap: the production default must
-    clear 0.8 recall at the LARGEST local scale. ann_recall_report at
-    sf0.1 (2000 vectors, 40 queries) measured 810000 ppm — which equals
-    the n_probe=5 cell-probe ceiling. Pin the PRODUCTION TARGET itself
-    (>= 800000, r10 verdict item 5): regeneration slack lives in the
-    TRAINER's acceptance check (tools/train_pq_codebook.py rejects a
-    retrained codebook below the ceiling), not in this floor — a
-    codebook that passes training but misses 0.80 here must fail."""
+    """The production default must clear 0.85 recall at the LARGEST
+    local scale (r11 verdict item 7 raised the target past the old
+    n_probe=5 cell-probe ceiling of 0.81). With n_probe=7 — measured
+    ceilings 0.81/0.845/0.92 at probes 5/6/7 — ann_recall_report at
+    sf0.1 (2000 vectors, 40 queries) measures 910000 ppm. Pin the
+    PRODUCTION TARGET itself (>= 850000): regeneration slack lives in
+    the TRAINER's acceptance check (tools/train_pq_codebook.py rejects
+    a retrained codebook below the measured quality), not in this
+    floor — a codebook that passes training but misses 0.85 here must
+    fail."""
     from linqonsteroids_spark.queries.vector import ann_recall_report
 
     r = ann_recall_report(spark, "/root/testdata/sf0.1").collect()[0]
-    assert r.recall_ppm >= 800_000, r
+    assert r.recall_ppm >= 850_000, r
 
 
 def test_ivfpq_adc_plan_shape(spark):

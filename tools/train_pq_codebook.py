@@ -55,12 +55,13 @@ def train(train_path: str) -> list[list[list[float]]]:
     return books
 
 
-#: acceptance bar (r10 verdict item 5): the measured n_probe=5
-#: cell-probe ceiling at sf0.1 is 0.81 — a retrained codebook below it
-#: is a regression and must NOT be committed. The pytest floor pins the
-#: 0.80 production target; the regeneration slack lives HERE, as an
-#: explicit reject-before-commit, not as pin slack.
-ACCEPT_RECALL_PPM = 810_000
+#: acceptance bar (r10 item 5, raised with the r12 n_probe=7 config):
+#: the production config measures 910000 ppm at sf0.1 — a retrained
+#: codebook below the current measured quality is a regression and must
+#: NOT be committed. The pytest floor pins the 0.85 production target;
+#: the regeneration slack lives HERE, as an explicit
+#: reject-before-commit, not as pin slack.
+ACCEPT_RECALL_PPM = 910_000
 ACCEPT_SF_DIR = "/root/testdata/sf0.1"
 
 
