@@ -822,3 +822,70 @@ def test_interval_overlap_join_equals_bruteforce(spark):
         for (rk, rd, rs, re) in rows_r
         if lk == rk and max(ls, rs) < min(le, re)
     }
+
+
+def test_deletion_neighborhood_join_is_hash_not_cartesian(spark):
+    """The lossless fuzzy join's 100 TB contract: candidates come from
+    ONE equi-join on the variant key — the executed plan must contain a
+    real join operator keyed on the neighborhood, never a
+    CartesianProduct/BroadcastNestedLoop scan of all pairs."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.linkage import (
+        deletion_neighborhood_pairs,
+    )
+
+    df = spark.range(500).select(
+        F.concat(F.lit("item-"), F.lpad(F.col("id").cast("string"), 6, "0"))
+        .alias("s")
+    )
+    pairs = deletion_neighborhood_pairs(df, "s")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
+        plan[:2000]
+    )
+    assert "Join" in plan
+    # sanity: item-000009 / item-000010 differ by 2 edits (no pair);
+    # crafted distance-1 values must appear
+    df2 = spark.createDataFrame(
+        [("item-1",), ("item-2",), ("itexm-1",)], ["s"]
+    )
+    got = sorted(map(tuple, deletion_neighborhood_pairs(df2, "s").collect()))
+    assert got == [("item-1", "item-2"), ("item-1", "itexm-1")]
+
+
+def test_snapshot_diff_digest_only_shuffle_and_classes(spark):
+    """snapshot_diff's scale contract: each side reduces to
+    (key, xxhash64) BEFORE the full-outer join — the join's input
+    projections must not carry payload columns — and the three change
+    classes are exact on a crafted pair of snapshots."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.tablediff import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "x"]
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "CHANGED", 30.0), (4, "d", 40.0)],
+        ["k", "s", "x"],
+    )
+    got = sorted(map(tuple, snapshot_diff(v1, v2, ["k"]).collect()))
+    assert got == [(1, "removed"), (3, "changed"), (4, "added")]
+    plan = (
+        snapshot_diff(v1, v2, ["k"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # payload columns are digested away below the join: the logical plan
+    # references them only inside xxhash64 projections, and the join
+    # itself sees two (k, digest) relations
+    assert "xxhash64" in plan and "FullOuter" in plan.replace(" ", ""), plan
+    # type-mismatch safety: xxhash64 is type-sensitive, so the operator
+    # must refuse incomparable sides instead of silently mis-hashing
+    v2_wide = v2.withColumn("x", F.col("x").cast("float"))
+    import pytest
+
+    with pytest.raises(ValueError, match="type"):
+        snapshot_diff(v1, v2_wide, ["k"])
