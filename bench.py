@@ -196,6 +196,8 @@ EXTRA = [
     # round 12 heads
     "fuzzy_name_neighbors",
     "snapshot_diff_orders",
+    "price_qty_regression",
+    "zorder_range_scan",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -718,6 +718,38 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- bivariate statistics, completed: linear-regression aggregates (r12) -----
+# The regr_* family finishes what corr/covar started: per-group OLS fit
+# (slope, intercept, R²) as ONE distributive aggregation — both engines
+# accumulate the same five co-moments map-side, so a grouped regression
+# over 100 TB costs exactly one shuffle of 5 doubles per group, never a
+# per-group collect or an iterative solver. Same round-projection
+# conventions as the corr gate (+0.0 kills IEEE -0.0 on both sides).
+def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4) + 0.0)
+        .alias("price_per_qty"),
+        (F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4) + 0.0)
+        .alias("base_price"),
+        (F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4) + 0.0)
+        .alias("fit_r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+PRICE_QTY_REGRESSION_SQL = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0
+         AS price_per_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0
+         AS base_price,
+       round(regr_r2(l_extendedprice, l_quantity), 4) + 0.0 AS fit_r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- Bloom-pruned selective join ---------------------------------------------
 # Semi-join reduction (Bernstein & Chiu JACM'81; Bloom CACM'70): revenue
 # of lineitems belonging to urgent finished orders. The selective order
@@ -977,6 +1009,7 @@ FROM iv a JOIN iv b
 
 QUERIES = {
     "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
+    "price_qty_regression": (price_qty_regression, PRICE_QTY_REGRESSION_SQL),
     "interval_overlap_orders": (interval_overlap_orders, INTERVAL_OVERLAP_SQL),
     "table_digest_orders": (table_digest_orders, TABLE_DIGEST_SQL),
     "profile_orders_columns": (profile_orders_columns, PROFILE_COLUMNS_SQL),

@@ -1166,11 +1166,100 @@ WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
 """
 
 
+# --- Z-order layout: multi-column range scan with measured skipping (r12) ----
+# sources/zorder.py had only pytest footer pins; this gate makes the
+# layout's VALUE driver-gated. Orders is staged once per sf_dir along
+# the Morton curve of (o_custkey, o_totalprice); a 2-D range box —
+# bounds derived as min + span/8 on each dimension, arithmetic both
+# engines reproduce bit-for-bit from the same exact min/max — must reach
+# the scan as PushedFilters AND prune: the gate RAISES unless the scan
+# outputs under half the table's rows (a single-column sort cannot prune
+# the second dimension; the Morton layout bounds min/max spans on BOTH).
+# Oracle: the same box replayed over the raw table.
+def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.sources.bloomfilters import scan_output_rows
+    from linqonsteroids_spark.sources.zorder import write_zordered
+
+    base = cached_scratch_dir("squopt_zorder_", sf_dir)
+    layout = os.path.join(base, "orders_z")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        write_zordered(
+            orders, layout, ["o_custkey", "o_totalprice"], n_files=16
+        )
+    b = orders.agg(
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+        F.min("o_totalprice"),
+        F.max("o_totalprice"),
+    ).collect()[0]
+    ck_lo, ck_hi = b[0], b[0] + (b[1] - b[0]) // 8
+    tp_lo, tp_hi = b[2], b[2] + (b[3] - b[2]) / 8
+    from linqonsteroids_spark.session import conf_guard
+
+    # the scan node renders its metadata (PushedFilters included) at most
+    # spark.sql.maxMetadataStringLength chars (default 100) — four range
+    # conjuncts overflow it and the assertion would misread "..." as
+    # missing pushdown. The metadata string is fixed at plan creation, so
+    # the guard must wrap the DataFrame construction, not just toString.
+    with conf_guard(spark, "spark.sql.maxMetadataStringLength", "1000"):
+        staged = spark.read.parquet(layout)
+        box = staged.filter(
+            F.col("o_custkey").between(F.lit(ck_lo), F.lit(ck_hi))
+            & F.col("o_totalprice").between(F.lit(tp_lo), F.lit(tp_hi))
+        )
+        plan = box._jdf.queryExecution().executedPlan().toString()
+    pushed = [s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]]
+    for col in ("o_custkey", "o_totalprice"):
+        if not any(f"GreaterThanOrEqual({col}" in s for s in pushed):
+            raise RuntimeError(f"range on {col} not pushed to scan: {pushed}")
+    q = box.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_in_box"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    rows_read = scan_output_rows(box.select("o_orderkey"))
+    total = orders.count()
+    if rows_read * 2 > total:
+        raise RuntimeError(
+            f"z-order skipping did not engage: 2-D box scan read "
+            f"{rows_read} of {total} rows"
+        )
+    return q
+
+
+ZORDER_RANGE_SQL = """
+WITH b AS (
+  SELECT min(o_custkey) AS ck_lo,
+         min(o_custkey) + (max(o_custkey) - min(o_custkey)) // 8 AS ck_hi,
+         min(o_totalprice) AS tp_lo,
+         min(o_totalprice)
+           + (max(o_totalprice) - min(o_totalprice)) / 8 AS tp_hi
+  FROM orders
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_in_box,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders, b
+WHERE o_custkey BETWEEN b.ck_lo AND b.ck_hi
+  AND o_totalprice BETWEEN b.tp_lo AND b.tp_hi
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "hotkey_salted_volume": (hotkey_salted_volume, HOTKEY_SALTED_SQL),
     "dpp_partition_revenue": (dpp_partition_revenue, DPP_REVENUE_SQL),
     "bloom_layout_lookup": (bloom_layout_lookup, BLOOM_LAYOUT_SQL),
+    "zorder_range_scan": (zorder_range_scan, ZORDER_RANGE_SQL),
     "salted_status_stats": (salted_status_stats, SALTED_AGG_SQL),
     "knn_ivf_exact": (knn_ivf_exact, KNN_IVF_SQL),
     "knn_ivf_trained": (knn_ivf_trained, KNN_IVF_TRAINED_SQL),
