@@ -198,6 +198,11 @@ EXTRA = [
     "snapshot_diff_orders",
     "price_qty_regression",
     "zorder_range_scan",
+    "cohort_retention",
+    "basket_brand_pairs",
+    "mor_read_orders",
+    "result_cache_revenue",
+    "runtime_bloom_join",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -1,0 +1,146 @@
+"""Merge-on-read table: immutable base parquet + ordered delta logs,
+reconstructed to latest state at read time.
+
+The write-optimized twin of ``operators/merge.py``'s copy-on-write
+``BucketedMergeTable`` (reference analogue: the IVM maintenance surface,
+``SURVEY.md §2.8``; the reference maintains derived collections
+incrementally — ``ivm/`` — but has no table-format layer at all, so this
+is new surface). Writes land as small versioned delta files — upserts
+carry full rows, deletes carry only keys — and the base file set is
+NEVER rewritten; an append is O(|delta|) regardless of table size. The
+read path resolves latest-version-wins per key.
+
+100 TB cost model — why the reader splits the base instead of windowing
+it whole: a naive reconstruction unions base + deltas and runs one
+row_number() window over EVERY key, i.e. a full shuffle of the 100 TB
+base to apply a few MB of deltas. Instead the reader broadcasts the
+delta key set and splits the base on membership:
+
+- untouched base rows (the overwhelming majority) flow through a
+  broadcast ANTI join — a hash-probe per row, NO shuffle, NO window;
+- only base rows whose key appears in some delta enter the
+  version-resolution window, so the merge's shuffled volume is
+  O(|touched| + |delta|), not O(|base|).
+
+This is the economics Hudi's MOR reader ("merge only the affected file
+groups") and Iceberg merge-on-read deletes implement; periodic
+``operators/compact.py`` rewrites fold the log back into base.
+
+Contract: within one delta version, keys are unique (upsert semantics);
+versions are strictly increasing positive ints. Delete markers are
+null-padded to the base schema by ``append_delta``, and the reader never
+reads a delete row's payload.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_OP = "_op"  # 'U' = upsert (full row), 'D' = delete (key only)
+_VER = "_v"
+
+
+class MorTable:
+    """A key-addressed merge-on-read table rooted at ``path``.
+
+    Layout::
+
+        path/base/...parquet      immutable initial snapshot
+        path/delta/v=N/...parquet delta log, Hive-partitioned by version
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key: str):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self._base = os.path.join(path, "base")
+        self._delta_root = os.path.join(path, "delta")
+
+    # --- writes -------------------------------------------------------------
+    def write_base(self, df: DataFrame) -> None:
+        df.write.mode("error").parquet(self._base)
+
+    def _existing_versions(self) -> list[int]:
+        if not os.path.isdir(self._delta_root):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._delta_root)
+            if d.startswith("v=")
+        )
+
+    def append_delta(
+        self,
+        version: int,
+        upserts: DataFrame | None = None,
+        delete_keys: DataFrame | None = None,
+    ) -> None:
+        """Append one delta version: full-row upserts and/or key-only deletes.
+
+        ``delete_keys`` needs only the key column; payload columns are
+        null-padded here so every delta file shares the base schema + _op.
+        """
+        have = self._existing_versions()
+        if have and version <= have[-1]:
+            raise ValueError(
+                f"delta versions must increase: have {have}, got {version}"
+            )
+        base_schema = self.spark.read.parquet(self._base).schema
+        parts: list[DataFrame] = []
+        if upserts is not None:
+            if set(upserts.columns) != {f.name for f in base_schema.fields}:
+                raise ValueError(
+                    f"upsert schema {sorted(upserts.columns)} != base schema"
+                )
+            parts.append(upserts.withColumn(_OP, F.lit("U")))
+        if delete_keys is not None:
+            padded = delete_keys.select(
+                self.key,
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in base_schema.fields
+                    if f.name != self.key
+                ],
+            ).select(*[f.name for f in base_schema.fields])
+            parts.append(padded.withColumn(_OP, F.lit("D")))
+        if not parts:
+            raise ValueError("append_delta needs upserts and/or delete_keys")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("error").parquet(
+            os.path.join(self._delta_root, f"v={version}")
+        )
+
+    # --- read ---------------------------------------------------------------
+    def read(self) -> DataFrame:
+        """Latest state: base with all delta versions applied, last-wins."""
+        base = self.spark.read.parquet(self._base)
+        if not self._existing_versions():
+            return base
+        cols = base.columns
+        deltas = (
+            self.spark.read.option("basePath", self._delta_root)
+            .parquet(self._delta_root)
+            .withColumn(_VER, F.col("v").cast("int"))
+            .drop("v")
+        )
+        delta_keys = deltas.select(self.key).distinct()
+        # Untouched majority: broadcast anti probe, no shuffle, no window.
+        untouched = base.join(F.broadcast(delta_keys), self.key, "left_anti")
+        touched = (
+            base.join(F.broadcast(delta_keys), self.key, "left_semi")
+            .withColumn(_OP, F.lit("U"))
+            .withColumn(_VER, F.lit(0))
+        )
+        w = Window.partitionBy(self.key).orderBy(F.desc(_VER))
+        latest = (
+            touched.unionByName(deltas)
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
+            .select(*cols)
+        )
+        return untouched.unionByName(latest)

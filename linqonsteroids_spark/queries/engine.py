@@ -1587,8 +1587,73 @@ GROUP BY bucket, tag
 """
 
 
+# --- plan-fingerprint result cache: memoize-any-query with snapshot keys ----
+# (r12) The UNDECLARED complement of the IndexRepository's registered
+# MVs, and the closest analogue of the reference's SubquerySharing
+# premise (reuse a prior query's result until the base mutates):
+# plans/result_cache.py keys a materialized result by sha256(
+# canonicalized plan + base-file snapshot), so a semantically-identical
+# rebuilt query HITS while any base append MISSES by construction —
+# no TTL, no invalidation API, staleness is impossible. The gate
+# replays the full story every invocation and RAISES on the wrong
+# outcome at each step: fresh base -> miss; identical rebuilt query ->
+# hit that must read ONLY cache files (the base plan never executes);
+# append the held-back third -> miss (fingerprint rotated) with the
+# grown-base result. Oracle: the final aggregate over full orders.
+def result_cache_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.plans.result_cache import ResultCache
+
+    base = _split_base(spark, sf_dir, "squopt_rescache_")
+    store = os.path.join(
+        cached_scratch_dir("squopt_rescache_store_", sf_dir), "cache"
+    )
+    cache = ResultCache(spark, store)
+    cache.sweep(0)  # previous invocations' entries are unreachable garbage
+
+    def q():
+        return (
+            spark.read.parquet(base)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                .cast("bigint")
+                .alias("price_cents"),
+            )
+        )
+
+    _, hit1 = cache.get_or_materialize(q())
+    if hit1:
+        raise RuntimeError("fresh base: first probe must miss")
+    served, hit2 = cache.get_or_materialize(q())
+    if not hit2:
+        raise RuntimeError("identical rebuilt query must hit the cache")
+    wrong = [f for f in served.inputFiles() if store not in f]
+    if not served.inputFiles() or wrong:
+        raise RuntimeError(f"cache hit read non-cache files: {wrong}")
+    _append_rest(spark, sf_dir, base)
+    grown, hit3 = cache.get_or_materialize(q())
+    if hit3:
+        raise RuntimeError("base append must rotate the fingerprint (miss)")
+    return grown
+
+
+RESULT_CACHE_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "indexed_segment_lookup": (indexed_segment_lookup, INDEXED_LOOKUP_SQL),
+    "result_cache_revenue": (result_cache_revenue, RESULT_CACHE_SQL),
     "pyds_ledger_rollup": (pyds_ledger_rollup, PYDS_ROLLUP_SQL),
     "pyds_stream_ingest": (pyds_stream_ingest, PYDS_STREAM_SQL),
     "pyds_write_roundtrip": (pyds_write_roundtrip, PYDS_WRITE_SQL),

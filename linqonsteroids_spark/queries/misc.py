@@ -1007,8 +1007,103 @@ FROM iv a JOIN iv b
 """
 
 
+# --- market-basket brand co-occurrence with exact lift (r12) ----------------
+# The frequent-itemset pass of a recommendation/affinity pipeline,
+# expressed so a 100 TB fact side stays safe: lineitem joins the part
+# dim BROADCAST (dim-sized, never shuffles the fact), baskets collapse
+# to DISTINCT (order, brand) first — bounding the pair expansion per
+# order at C(|brands|,2) = C(25,2) regardless of basket size — and the
+# pair generation is an equi self-join on l_orderkey (co-partitioned
+# shuffle, never all-pairs across orders). Output is the bounded
+# brand x brand matrix with exact-integer support and lift in ppm
+# (lift = P(a,b) / (P(a)P(b)), computed as n_both * n_orders * 1e6
+# div (n_a * n_b) — pure BIGINT arithmetic, hash-stable by
+# construction). Only pairs seen in >= 2 orders survive, the classic
+# min-support prune.
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    pairs = (
+        ob.alias("a")
+        .join(
+            ob.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    per_brand = ob.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    total = ob.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_brand).withColumnRenamed("p_brand", "brand_a"),
+            "brand_a",
+        )
+        .withColumnRenamed("n", "n_a")
+        .join(
+            F.broadcast(per_brand).withColumnRenamed("p_brand", "brand_b"),
+            "brand_b",
+        )
+        .withColumnRenamed("n", "n_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.expr("n_both * 1000000L div n_orders").alias("support_ppm"),
+            F.expr("n_both * n_orders * 1000000L div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+BASKET_PAIRS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING count(*) >= 2
+),
+per_brand AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY p_brand
+),
+total AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+)
+SELECT brand_a, brand_b, n_both,
+       n_both * 1000000 // n_orders AS support_ppm,
+       n_both * n_orders * 1000000 // (na.n * nb.n) AS lift_ppm
+FROM pairs
+JOIN per_brand na ON na.p_brand = brand_a
+JOIN per_brand nb ON nb.p_brand = brand_b
+CROSS JOIN total
+"""
+
+
 QUERIES = {
     "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
+    "basket_brand_pairs": (basket_brand_pairs, BASKET_PAIRS_SQL),
     "price_qty_regression": (price_qty_regression, PRICE_QTY_REGRESSION_SQL),
     "interval_overlap_orders": (interval_overlap_orders, INTERVAL_OVERLAP_SQL),
     "table_digest_orders": (table_digest_orders, TABLE_DIGEST_SQL),

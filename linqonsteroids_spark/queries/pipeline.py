@@ -1190,8 +1190,84 @@ FROM d WHERE change_type IS NOT NULL GROUP BY change_type
 """
 
 
+# --- merge-on-read table: versioned delta log reconstructed at read (r12) ---
+# The write-optimized complement of merge_into_balances' copy-on-write
+# MERGE: appends land as O(|delta|) log files, the base is never
+# rewritten, and operators/mor.py's reader resolves latest-version-wins
+# — routing the untouched majority of the base through a broadcast ANTI
+# probe (no shuffle, no window) and only delta-touched keys through the
+# version window. The gate stages orders as the base plus TWO delta
+# versions exercising every transition: update (v1 '*'), delete (v1),
+# update-over-update (v2 '**' wins over v1 '*'), and delete-then-upsert
+# resurrection (v2 '+' revives a v1-deleted key). The oracle replays the
+# same final state declaratively via modulus CASE logic — equality
+# proves last-wins resolution across versions. (%178 = 2*89 keys get
+# both v1 and v2 updates; %194 = 2*97 keys are deleted by v1 then
+# upserted by v2.)
+def mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_mor_", sf_dir)
+    table = MorTable(spark, os.path.join(base, "orders_mor"), "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(os.path.join(base, "orders_mor", "base", "_SUCCESS")):
+        table.write_base(orders)
+        table.append_delta(
+            1,
+            upserts=orders.where((key % 89 == 0) & (key % 97 != 0)).withColumn(
+                "o_orderpriority", F.concat(F.col("o_orderpriority"), F.lit("*"))
+            ),
+            delete_keys=orders.where(key % 97 == 0).select("o_orderkey"),
+        )
+        table.append_delta(
+            2,
+            upserts=orders.where(key % 178 == 0)
+            .withColumn(
+                "o_orderpriority", F.concat(F.col("o_orderpriority"), F.lit("**"))
+            )
+            .unionByName(
+                orders.where((key % 194 == 0) & (key % 178 != 0)).withColumn(
+                    "o_orderpriority",
+                    F.concat(F.col("o_orderpriority"), F.lit("+")),
+                )
+            ),
+        )
+    return table.read().groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+MOR_READ_SQL = """
+WITH final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 178 = 0 THEN o_orderpriority || '**'
+              WHEN o_orderkey % 194 = 0 THEN o_orderpriority || '+'
+              WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 97 <> 0 OR o_orderkey % 178 = 0 OR o_orderkey % 194 = 0
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents
+FROM final GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "fuzzy_name_neighbors": (fuzzy_name_neighbors, FUZZY_NEIGHBORS_SQL),
+    "mor_read_orders": (mor_read_orders, MOR_READ_SQL),
     "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (

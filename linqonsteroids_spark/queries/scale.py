@@ -1254,8 +1254,65 @@ GROUP BY o_orderstatus
 """
 
 
+# --- runtime bloom-filter join pruning, driver-gated (r12) ------------------
+# DPP's unpartitioned cousin: when the fact side is NOT partitioned by
+# the join key (so dpp_partition_revenue's directory pruning cannot
+# apply) and the dim side is too big to broadcast, Catalyst's runtime
+# row-level filtering builds a bloom filter from the SELECTIVE filtered
+# dim and injects might_contain(...) into the fact side, pruning fact
+# rows BEFORE the join shuffle. The feature previously had only a
+# pytest pin (test_plans.py); this gate makes it driver-gated: with
+# broadcast disabled (simulating a dim above the threshold at real
+# scale) and the scan-size gate lowered (the sf0.1 fact is under the
+# deployment-tuned 10GB floor), the optimized plan must carry the
+# injected bloom on the fact side or the gate RAISES. Oracle: the same
+# join replayed declaratively.
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.session import conf_guard
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # modulus keeps the dim filter at a deterministic 10% selectivity at
+    # every SF (an acctbal threshold is empty at sf0.001's 10 suppliers)
+    rich = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 10 == 0
+    )
+    with conf_guard(
+        spark,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    ), conf_guard(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        q = (
+            li.join(rich, li.l_suppkey == rich.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(
+                F.count("*").cast("bigint").alias("n_items"),
+                (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+        )
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+    if "bloom_filter" not in plan.lower() and "might_contain" not in plan.lower():
+        raise RuntimeError(
+            f"runtime bloom filter was not injected into the fact side: "
+            f"{plan[:1500]}"
+        )
+    return q
+
+
+RUNTIME_BLOOM_SQL = """
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_suppkey % 10 = 0
+GROUP BY s_nationkey
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
+    "runtime_bloom_join": (runtime_bloom_join, RUNTIME_BLOOM_SQL),
     "hotkey_salted_volume": (hotkey_salted_volume, HOTKEY_SALTED_SQL),
     "dpp_partition_revenue": (dpp_partition_revenue, DPP_REVENUE_SQL),
     "bloom_layout_lookup": (bloom_layout_lookup, BLOOM_LAYOUT_SQL),

@@ -364,8 +364,81 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+# --- weekly cohort retention matrix (r12) -----------------------------------
+# The product-analytics staple the funnel gate doesn't cover: users are
+# cohorted by the week of their FIRST event, then each (cohort, week
+# offset) cell counts how many of them came back. Week ids are plain
+# integer arithmetic on epoch days (floor(days-since-1970-01-05 / 7), a
+# Monday anchor) so both engines derive identical buckets — date_trunc
+# week boundaries are an engine-convention trap. Scale: first-event
+# assignment is a min() window over ONE hash partition on user_id (no
+# agg+join-back second shuffle); activity then collapses to distinct
+# (user, cohort, offset) and a bounded weeks x offsets matrix; cohort
+# denominators are a tiny broadcast. Retention is exact-integer ppm.
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))) / 7
+    ).cast("bigint")
+    w = Window.partitionBy("user_id")
+    active = (
+        events.select("user_id", week.alias("event_week"))
+        .withColumn("cohort_week", F.min("event_week").over(w))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("event_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    cells = active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
+    sizes = (
+        active.where(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count("*").cast("bigint").alias("cohort_users"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_users",
+        F.expr("n_active * 1000000L div cohort_users").alias("retention_ppm"),
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH weeks AS (
+  SELECT user_id,
+         CAST(floor(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7)
+              AS BIGINT) AS event_week
+  FROM events
+),
+active AS (
+  SELECT DISTINCT user_id,
+         min(event_week) OVER (PARTITION BY user_id) AS cohort_week,
+         event_week - min(event_week) OVER (PARTITION BY user_id)
+           AS week_offset
+  FROM weeks
+),
+cells AS (
+  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM active GROUP BY cohort_week, week_offset
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM active WHERE week_offset = 0 GROUP BY cohort_week
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_users,
+       c.n_active * 1000000 // s.cohort_users AS retention_ppm
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
 QUERIES = {
     "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "orders_ranking_functions": (
         orders_ranking_functions,
         RANKING_FUNCTIONS_SQL,

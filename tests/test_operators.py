@@ -889,3 +889,86 @@ def test_snapshot_diff_digest_only_shuffle_and_classes(spark):
 
     with pytest.raises(ValueError, match="type"):
         snapshot_diff(v1, v2_wide, ["k"])
+
+
+def _mor_fixture(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(spark, str(tmp_path / "mor"), "k")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "s", "x"],
+    )
+    t.write_base(base)
+    # v1: update k=1, delete k=2 and k=3
+    t.append_delta(
+        1,
+        upserts=spark.createDataFrame([(1, "a1", 11.0)], ["k", "s", "x"]),
+        delete_keys=spark.createDataFrame([(2,), (3,)], ["k"]),
+    )
+    # v2: update-over-update k=1, resurrect deleted k=3, insert new k=9
+    t.append_delta(
+        2,
+        upserts=spark.createDataFrame(
+            [(1, "a2", 12.0), (3, "c2", 33.0), (9, "new", 90.0)],
+            ["k", "s", "x"],
+        ),
+    )
+    return t, F
+
+
+def test_mor_read_latest_wins_all_transitions(spark, tmp_path):
+    """Every MOR transition on one fixture: plain update, delete,
+    update-over-update across versions, delete-then-upsert resurrection,
+    insert of a never-seen key, and the untouched row."""
+    t, _ = _mor_fixture(spark, tmp_path)
+    got = sorted(map(tuple, t.read().collect()))
+    assert got == [
+        (1, "a2", 12.0),   # v2 wins over v1 wins over base
+        (3, "c2", 33.0),   # deleted in v1, resurrected by v2
+        (4, "d", 40.0),    # untouched
+        (9, "new", 90.0),  # pure insert, no base row
+    ]
+
+
+def test_mor_untouched_base_avoids_the_window(spark, tmp_path):
+    """The 100 TB contract: the untouched majority of the base flows
+    through a BROADCAST anti probe — the executed plan carries exactly
+    one Window (the touched/delta leg) and broadcast semi/anti joins,
+    never a shuffled join keyed on the full base."""
+    t, _ = _mor_fixture(spark, tmp_path)
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window operator; WindowGroupLimit nodes are the
+    # rank-limit pushdown of that same window, not extra shuffles
+    assert plan.count("Window [") == 1, plan[:3000]
+    flat = plan.replace(" ", "")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in flat, plan[:3000]
+    assert "LeftSemi" in flat, plan[:3000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_mor_append_contract_refusals(spark, tmp_path):
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="increase"):
+        t.append_delta(
+            2, upserts=spark.createDataFrame([(5, "e", 1.0)], ["k", "s", "x"])
+        )
+    with pytest.raises(ValueError, match="schema"):
+        t.append_delta(
+            3, upserts=spark.createDataFrame([(5, "e")], ["k", "s"])
+        )
+    with pytest.raises(ValueError, match="needs"):
+        t.append_delta(3)
+
+
+def test_mor_no_deltas_is_base_passthrough(spark, tmp_path):
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(spark, str(tmp_path / "mor0"), "k")
+    base = spark.createDataFrame([(1, "a")], ["k", "s"])
+    t.write_base(base)
+    assert [tuple(r) for r in t.read().collect()] == [(1, "a")]

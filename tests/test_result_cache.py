@@ -1,0 +1,83 @@
+"""plans/result_cache.py: plan-fingerprint memoization with snapshot keys.
+
+The cache's whole contract is in its key: canonicalized plan x base-file
+snapshot. These pin the four behaviors the gate
+(queries/engine.py::result_cache_revenue) relies on — rebuilt-equivalent
+queries collide, different queries don't, base mutation rotates the key,
+and a hit never touches base files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.plans.result_cache import ResultCache
+
+
+def _write_base(spark, path, n=100):
+    spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_rebuilt_equivalent_query_shares_the_fingerprint(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _write_base(spark, base)
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+
+    def q(alias):
+        # rebuilt from scratch each call: fresh read, fresh expression
+        # IDs, a different intermediate alias — canonicalization must
+        # erase all of it
+        return (
+            spark.read.parquet(base)
+            .withColumn(alias, F.col("k") * 2)
+            .groupBy("g")
+            .agg(F.sum(alias).alias("s"))
+        )
+
+    assert cache.fingerprint(q("a")) == cache.fingerprint(q("a"))
+    # a semantically different query must not collide
+    assert cache.fingerprint(q("a")) != cache.fingerprint(
+        spark.read.parquet(base).groupBy("g").agg(F.sum("k").alias("s"))
+    )
+
+
+def test_hit_serves_cache_files_and_misses_after_append(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _write_base(spark, base)
+    store = str(tmp_path / "cache")
+    cache = ResultCache(spark, store)
+    q = lambda: spark.read.parquet(base).groupBy("g").agg(  # noqa: E731
+        F.count("*").alias("n")
+    )
+    r1, hit1 = cache.get_or_materialize(q())
+    assert not hit1
+    r2, hit2 = cache.get_or_materialize(q())
+    assert hit2
+    assert r2.inputFiles() and all(store in f for f in r2.inputFiles())
+    assert sorted(map(tuple, r2.collect())) == sorted(map(tuple, r1.collect()))
+    # append: fresh part files -> new snapshot -> miss, result reflects it
+    spark.range(100, 107).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    ).write.mode("append").parquet(base)
+    r3, hit3 = cache.get_or_materialize(q())
+    assert not hit3
+    assert sum(r[1] for r in r3.collect()) == 107
+
+
+def test_sweep_reclaims_stale_entries(spark, tmp_path):
+    base = str(tmp_path / "base")
+    _write_base(spark, base)
+    store = str(tmp_path / "cache")
+    cache = ResultCache(spark, store)
+    df = spark.read.parquet(base).groupBy("g").agg(F.count("*").alias("n"))
+    cache.get_or_materialize(df)
+    assert len(os.listdir(store)) == 1
+    assert cache.sweep(older_than_s=3600) == 0  # fresh: kept
+    entry = os.path.join(store, os.listdir(store)[0])
+    os.utime(entry, (1, 1))  # age it out
+    assert cache.sweep(older_than_s=3600) == 1
+    assert os.listdir(store) == []

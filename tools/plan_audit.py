@@ -47,6 +47,8 @@ ALLOW_ALL_PAIRS = {
     "ann_recall_report": "three 1-row counts cross-joined into one row",
     "hll_sketch_mergeability": "two 1-row sketch aggregates cross-joined",
     "theta_sketch_setops": "1-row sketch/exact aggregates cross-joined",
+    "basket_brand_pairs": "1-row n_orders total broadcast onto the "
+    "bounded 300-row brand-pair matrix",
 }
 
 #: queries where a Window with an empty partition spec (one-task
