@@ -203,6 +203,10 @@ EXTRA = [
     "mor_read_orders",
     "result_cache_revenue",
     "runtime_bloom_join",
+    "wap_publish_orders",
+    "user_activity_streaks",
+    "phrase_search_postings",
+    "file_provenance_counts",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------
@@ -281,7 +285,7 @@ UNTIMED_ALLOWLIST = {
         [
             "streaming_user_sessions", "streaming_user_totals",
             "statestore_reader_counts", "streaming_ann_ingest",
-            "ann_index_persisted",
+            "ann_index_persisted", "mor_stream_upserts",
             "pyds_ledger_rollup", "pyds_stream_ingest",
             "pyds_write_roundtrip", "pyds_stream_sink",
             "format_roundtrip_supplier", "schema_evolution_orders",
@@ -380,30 +384,44 @@ def _prev_timings(sf: str) -> dict[str, float]:
     return {**prev.get("queries", {}), **prev.get("extra_queries", {})}
 
 
-def _module_changed_since_artifact(query_fn) -> bool:
-    """True when the query's defining module has a commit newer than the
-    last commit touching BENCH_LOCAL.json — the 'code' adjudication leg:
-    a >2x mover whose module nobody touched cannot be a code regression."""
+def _function_changed_since_artifact(query_fn) -> bool:
+    """True when the query FUNCTION's own source text differs from what
+    it was at the last commit touching BENCH_LOCAL.json — the 'code'
+    adjudication leg: a >2x mover whose function nobody edited cannot be
+    claimed a code regression without a re-probe. Module-granularity
+    matching (the first r12 shape of this check) over-attributes: gate
+    modules grow by APPENDING new gates, which stamped every co-resident
+    query 'code' on a pure addition (weighted_sample_per_source vs a
+    pipeline.py append). Function-body granularity can still
+    under-attribute when only a shared helper changed — the re-probe
+    leg's 'persistent-unexplained' verdict is the backstop for that."""
     import inspect
     import subprocess
 
     try:
-        mod_file = inspect.getsourcefile(query_fn)
+        src_now = inspect.getsource(query_fn)
+        mod_file = os.path.abspath(inspect.getsourcefile(query_fn))
         repo = os.path.dirname(os.path.abspath(__file__))
-
-        def last_commit_time(path: str) -> int:
-            out = subprocess.run(
-                ["git", "log", "-1", "--format=%ct", "--", path],
-                capture_output=True,
-                text=True,
-                cwd=repo,
-                timeout=10,
-            ).stdout.strip()
-            return int(out) if out else 0
-
-        return last_commit_time(mod_file) > last_commit_time(
-            os.path.join(repo, "BENCH_LOCAL.json")
+        rel = os.path.relpath(mod_file, repo)
+        artifact_commit = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", "BENCH_LOCAL.json"],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+            timeout=10,
+        ).stdout.strip()
+        if not artifact_commit:
+            return True
+        old = subprocess.run(
+            ["git", "show", f"{artifact_commit}:{rel}"],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+            timeout=10,
         )
+        if old.returncode != 0:
+            return True  # module did not exist at the artifact commit
+        return src_now not in old.stdout
     except Exception:
         return True  # unknowable -> don't claim 'ambient'
 
@@ -514,7 +532,7 @@ def main() -> None:
         # the committed history before it can read as a regression
         prev = prev_timings.get(name)
         if prev and prev > 0 and med > prev * DRIFT_RATIO:
-            if _module_changed_since_artifact(fn):
+            if _function_changed_since_artifact(fn):
                 verdict = "code"
                 reprobe = None
             else:

@@ -1,0 +1,140 @@
+"""Write-audit-publish (WAP): no row becomes readable before its audit.
+
+The write-path governance pattern (Iceberg's WAP, Databricks'
+expectations) on plain parquet, completing the lakehouse maintenance
+tier next to ``operators/merge.py`` (copy-on-write upsert),
+``operators/mor.py`` (merge-on-read) and ``operators/compact.py``
+(layout): a producer STAGES a candidate snapshot into an isolated
+directory, runs declarative AUDITS over it, and only a passing audit
+PUBLISHES it — by writing a manifest that names the staged files. The
+reader resolves the manifest, so unaudited or failed data is
+structurally invisible: there is no window in which a reader can
+observe a staged-but-unpublished row, and a failed audit leaves the
+previous published snapshot serving.
+
+Audits are (name, predicate Column) pairs evaluated in ONE aggregate
+pass over the staged frame — ``sum(violates)`` per audit — so auditing
+100 TB costs one scan regardless of how many expectations are attached,
+and the violation counts come back as a bounded report row set.
+
+Publish is atomic at the manifest level: the manifest is written to a
+temp name and ``os.replace``d over ``MANIFEST.json`` (POSIX-atomic; on
+object stores the same role is played by a conditional PUT). Staged
+snapshots that never publish are debris under ``_staged/`` and are
+reclaimed by :meth:`WapTable.vacuum`, never read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class AuditFailure(RuntimeError):
+    def __init__(self, report: list[dict]):
+        self.report = report
+        failing = [r for r in report if r["n_violations"] > 0]
+        super().__init__(f"audit failed: {failing}")
+
+
+class WapTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._staged_root = os.path.join(path, "_staged")
+        self._manifest = os.path.join(path, "MANIFEST.json")
+
+    # -- write ------------------------------------------------------------------
+    def stage(self, df: DataFrame) -> str:
+        """Materialize a candidate snapshot; invisible until published."""
+        staging_id = uuid.uuid4().hex[:16]
+        df.write.mode("error").parquet(
+            os.path.join(self._staged_root, staging_id)
+        )
+        return staging_id
+
+    def _staged_df(self, staging_id: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._staged_root, staging_id)
+        )
+
+    # -- audit ------------------------------------------------------------------
+    def audit(
+        self, staging_id: str, checks: dict[str, Column]
+    ) -> list[dict]:
+        """Evaluate every expectation in ONE pass; return the report.
+
+        ``checks`` maps audit name -> a boolean Column that must hold
+        for EVERY row. The report carries per-audit violation counts.
+        """
+        aggs = [
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(name)
+            for name, cond in checks.items()
+        ]
+        row = self._staged_df(staging_id).agg(*aggs).collect()[0]
+        return [
+            {"audit": name, "n_violations": int(row[name] or 0)}
+            for name in checks
+        ]
+
+    # -- publish ----------------------------------------------------------------
+    def publish(
+        self, staging_id: str, checks: dict[str, Column] | None = None
+    ) -> list[dict]:
+        """Atomically make a staged snapshot the published one.
+
+        When ``checks`` is given, they are audited here and a violation
+        raises :class:`AuditFailure` WITHOUT touching the manifest — the
+        previously published snapshot keeps serving.
+        """
+        report = self.audit(staging_id, checks) if checks else []
+        if any(r["n_violations"] > 0 for r in report):
+            raise AuditFailure(report)
+        staged_dir = os.path.join(self._staged_root, staging_id)
+        if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+            raise ValueError(f"staging {staging_id!r} is not committed")
+        manifest = {
+            "staging_id": staging_id,
+            "path": staged_dir,
+            "published_at": time.time(),
+            "audits": report,
+        }
+        tmp = self._manifest + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest)
+        return report
+
+    # -- read -------------------------------------------------------------------
+    def read(self) -> DataFrame:
+        """The published snapshot — staged-only data is unreachable."""
+        with open(self._manifest) as f:
+            manifest = json.load(f)
+        return self.spark.read.parquet(manifest["path"])
+
+    def published_id(self) -> str | None:
+        try:
+            with open(self._manifest) as f:
+                return json.load(f)["staging_id"]
+        except FileNotFoundError:
+            return None
+
+    # -- maintenance --------------------------------------------------------------
+    def vacuum(self) -> int:
+        """Drop staged snapshots that are not the published one."""
+        import shutil
+
+        keep = self.published_id()
+        dropped = 0
+        if not os.path.isdir(self._staged_root):
+            return 0
+        for d in os.listdir(self._staged_root):
+            if d != keep:
+                shutil.rmtree(os.path.join(self._staged_root, d))
+                dropped += 1
+        return dropped

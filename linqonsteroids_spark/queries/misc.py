@@ -1101,9 +1101,47 @@ CROSS JOIN total
 """
 
 
+# --- file-provenance rollup via the _metadata column (r12) ------------------
+# Row-level lineage without reading anything twice: Spark's hidden
+# ``_metadata`` struct exposes the originating file per row at scan
+# time, so per-file row counts / key ranges — the first diagnostic for
+# a corrupt or skewed ingest at 100 TB — cost one normal aggregation,
+# no filesystem round-trips. The testdata stages each table as a single
+# parquet file, so the expected basename is deterministic and the
+# oracle replays it as a literal.
+def file_provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("_metadata.file_name").alias("file"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("file")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+
+
+FILE_PROVENANCE_SQL = """
+SELECT 'orders.parquet' AS file, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents
+FROM orders
+"""
+
+
 QUERIES = {
     "qty_price_correlation": (qty_price_correlation, QTY_PRICE_CORR_SQL),
     "basket_brand_pairs": (basket_brand_pairs, BASKET_PAIRS_SQL),
+    "file_provenance_counts": (file_provenance_counts, FILE_PROVENANCE_SQL),
     "price_qty_regression": (price_qty_regression, PRICE_QTY_REGRESSION_SQL),
     "interval_overlap_orders": (interval_overlap_orders, INTERVAL_OVERLAP_SQL),
     "table_digest_orders": (table_digest_orders, TABLE_DIGEST_SQL),

@@ -1265,9 +1265,178 @@ FROM final GROUP BY o_orderpriority
 """
 
 
+# --- write-audit-publish: no row readable before its audit (r12) ------------
+# operators/wap.py: a producer STAGES a candidate snapshot, AUDITS it
+# (every expectation folded into ONE aggregate pass — auditing 100 TB
+# costs one scan however many checks are attached), and only a passing
+# audit PUBLISHES via an atomic manifest swap; readers resolve the
+# manifest, so staged-but-unpublished data is structurally invisible
+# and a failed audit leaves the previous snapshot serving. The gate
+# publishes a clean orders snapshot, then stages a corrupted one
+# (prices negated on keys %7) whose publish must RAISE AuditFailure
+# with the exact violation count, leave the clean snapshot published,
+# and be reclaimed by vacuum — each step raising on the wrong outcome.
+# Oracle: the clean aggregate plus the %7 violation count as a scalar.
+def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.wap import AuditFailure, WapTable
+    from linqonsteroids_spark.session import scratch_dir
+
+    t = WapTable(spark, scratch_dir("squopt_wap_"))
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    checks = {
+        # >= 0: the testdata mints one legitimate o_orderkey = 0 row
+        "key_nonneg": key >= 0,
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    s1 = t.stage(orders)
+    t.publish(s1, checks)
+    corrupted = orders.withColumn(
+        "o_totalprice",
+        F.when(key % 7 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    s2 = t.stage(corrupted)
+    n_bad = None
+    try:
+        t.publish(s2, checks)
+    except AuditFailure as e:
+        n_bad = next(
+            r["n_violations"] for r in e.report if r["audit"] == "price_positive"
+        )
+    if n_bad is None:
+        raise RuntimeError("corrupted snapshot must fail its audit")
+    if t.published_id() != s1:
+        raise RuntimeError("failed audit must leave the prior snapshot live")
+    if t.vacuum() != 1:
+        raise RuntimeError("the rejected staging must be reclaimed")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumn("n_rejected", F.lit(n_bad).cast("bigint"))
+    )
+
+
+WAP_PUBLISH_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 7 = 0)
+         AS n_rejected
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- streaming MOR ingest with re-delivered batches (r12) -------------------
+# The streaming twin of mor_read_orders, targeting the property a real
+# ingest pipeline lives or dies by: DELIVERY-COUNT INVARIANCE. Each
+# micro-batch reduces to latest-per-key rows and appends as one MOR
+# delta version (O(|batch|) — the base is never read on the write
+# path); the source deliberately lands the SAME upsert file TWICE, so
+# the re-delivered batch arrives as a higher version with identical
+# content and latest-version-wins resolution makes read() equal to the
+# exactly-once outcome. The base is staged as the STALE
+# (earliest-per-user) snapshot so the upserts genuinely overwrite.
+# Oracle: latest event per user straight off the events table.
+def mor_stream_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+    def _one_per_user(df, descending):
+        order = (
+            [F.desc("ts"), F.desc("event_id")]
+            if descending
+            else [F.asc("ts"), F.asc("event_id")]
+        )
+        w = Window.partitionBy("user_id").orderBy(*order)
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    stale = _one_per_user(rows, descending=False)
+    latest = _one_per_user(rows, descending=True)
+
+    base = tempfile.mkdtemp(prefix="mor_stream_")
+    table = MorTable(spark, os.path.join(base, "t"), "user_id")
+    table.write_base(stale)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    tmp = os.path.join(base, "z")
+    latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    for i in (0, 1):  # the same upsert set, delivered twice
+        shutil.copy(
+            os.path.join(tmp, part),
+            os.path.join(src, f"part-{i}-redelivery.parquet"),
+        )
+
+    versions: list[int] = []
+
+    def handle(df, _bid):
+        v = len(versions) + 1
+        versions.append(v)
+        table.append_delta(v, upserts=_one_per_user(df, descending=True))
+
+    (
+        spark.readStream.schema(latest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    state = table.read()
+    n_state, n_truth = state.count(), latest.count()
+    if n_state != n_truth:
+        raise RuntimeError(
+            f"re-delivery broke idempotency: {n_state} keys in the MOR "
+            f"state vs {n_truth} distinct users"
+        )
+    return state.select("user_id", "event_type", "value_cents")
+
+
+MOR_STREAM_SQL = """
+SELECT user_id, event_type, value_cents FROM (
+  SELECT user_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "fuzzy_name_neighbors": (fuzzy_name_neighbors, FUZZY_NEIGHBORS_SQL),
     "mor_read_orders": (mor_read_orders, MOR_READ_SQL),
+    "mor_stream_upserts": (mor_stream_upserts, MOR_STREAM_SQL),
+    "wap_publish_orders": (wap_publish_orders, WAP_PUBLISH_SQL),
     "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (

@@ -1168,8 +1168,63 @@ FROM documents
 """
 
 
+# --- positional-postings phrase search (r12) --------------------------------
+# Exact phrase retrieval the index-native way: inverted_postings serves
+# bag-of-words queries, but a PHRASE needs positions — the classic
+# positional-postings design (Lucene's exact-phrase path). Each side of
+# the phrase filters the (doc, pos, token) relation to ONE term, then a
+# pure hash equi-join on (doc_id, pos+1 = pos) finds adjacent pairs; at
+# 100 TB this touches only the two terms' postings, never re-scanning
+# text — the scalable alternative to LIKE over the corpus. Adjacency is
+# folded into the join KEY (pa + 1 precomputed), so the plan is a plain
+# two-column hash join, no theta condition. Oracle: DuckDB recomputes
+# occurrences per doc with an index-aware list_filter over the same
+# whitespace tokenization.
+_PHRASE = ("merge", "join")
+
+
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    a = pos.filter(F.col("token") == _PHRASE[0]).select(
+        "doc_id", (F.col("pos") + 1).alias("next_pos")
+    )
+    b = pos.filter(F.col("token") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    hits = a.join(
+        b,
+        (a.doc_id == F.col("doc_b")) & (a.next_pos == F.col("pos_b")),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(arr)),
+              i -> arr[i] = '{_PHRASE[0]}' AND arr[i+1] = '{_PHRASE[1]}'))
+           AS BIGINT) AS n_occurrences
+  FROM d
+)
+SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
+"""
+
+
 QUERIES = {
     "token_frequencies": (token_frequencies, TOKEN_FREQUENCIES_SQL),
+    "phrase_search_postings": (phrase_search_postings, PHRASE_SEARCH_SQL),
     "arrow_native_token_stats": (
         arrow_native_token_stats,
         ARROW_TOKEN_STATS_SQL,

@@ -436,9 +436,60 @@ FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
 """
 
 
+# --- gaps-and-islands: consecutive-day activity streaks (r12) ---------------
+# The remaining classic window technique: maximal runs of consecutive
+# active days per user, found by the day - row_number() constant-group
+# trick (consecutive days share the difference; any gap shifts it).
+# Distinct from batch_user_sessions, which thresholds raw timestamp
+# GAPS — islands need exact run boundaries on a discrete axis. One
+# shuffle on user_id (distinct + window share the partitioning), then
+# the bounded streak-length histogram.
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    streaks = (
+        days.withColumn("grp", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").cast("bigint").alias("streak_days"))
+    )
+    return streaks.groupBy("streak_days").agg(
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+
+
+ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day
+  FROM events
+),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days
+  FROM (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM days
+  )
+  GROUP BY user_id, grp
+)
+SELECT streak_days, CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM streaks GROUP BY streak_days
+"""
+
+
 QUERIES = {
     "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    "user_activity_streaks": (user_activity_streaks, ACTIVITY_STREAKS_SQL),
     "orders_ranking_functions": (
         orders_ranking_functions,
         RANKING_FUNCTIONS_SQL,

@@ -972,3 +972,55 @@ def test_mor_no_deltas_is_base_passthrough(spark, tmp_path):
     base = spark.createDataFrame([(1, "a")], ["k", "s"])
     t.write_base(base)
     assert [tuple(r) for r in t.read().collect()] == [(1, "a")]
+
+
+def test_wap_staged_data_is_structurally_invisible(spark, tmp_path):
+    """WAP's contract: no reader observes a staged-but-unpublished row.
+    Before any publish, read() has no manifest to resolve; after a
+    publish, a newer staged snapshot stays invisible until ITS publish."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.wap import WapTable
+
+    t = WapTable(spark, str(tmp_path / "wap"))
+    v1 = spark.range(10).select(F.col("id").alias("k"))
+    s1 = t.stage(v1)
+    with pytest.raises(FileNotFoundError):
+        t.read()
+    t.publish(s1)
+    t.stage(spark.range(99).select(F.col("id").alias("k")))  # never published
+    assert t.read().count() == 10
+    assert t.published_id() == s1
+
+
+def test_wap_failed_audit_keeps_prior_snapshot_and_reports_counts(
+    spark, tmp_path
+):
+    """A failing audit must raise with exact per-check violation counts,
+    leave the manifest untouched, and the rejected staging reclaimable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.wap import AuditFailure, WapTable
+
+    t = WapTable(spark, str(tmp_path / "wap"))
+    checks = {"nonneg": F.col("x") >= 0, "small": F.col("x") < 100}
+    good = spark.createDataFrame([(1,), (2,)], ["x"])
+    s1 = t.stage(good)
+    assert t.publish(s1, checks) == [
+        {"audit": "nonneg", "n_violations": 0},
+        {"audit": "small", "n_violations": 0},
+    ]
+    bad = spark.createDataFrame([(-1,), (5,), (-7,), (200,)], ["x"])
+    s2 = t.stage(bad)
+    with pytest.raises(AuditFailure) as exc:
+        t.publish(s2, checks)
+    assert exc.value.report == [
+        {"audit": "nonneg", "n_violations": 2},
+        {"audit": "small", "n_violations": 1},
+    ]
+    assert t.published_id() == s1
+    assert sorted(r[0] for r in t.read().collect()) == [1, 2]
+    assert t.vacuum() == 1  # only the rejected staging is debris
+    assert t.read().count() == 2  # published snapshot survives vacuum
