@@ -207,6 +207,7 @@ EXTRA = [
     "user_activity_streaks",
     "phrase_search_postings",
     "file_provenance_counts",
+    "fileindex_range_scan",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

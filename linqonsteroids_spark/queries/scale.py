@@ -1310,9 +1310,71 @@ GROUP BY s_nationkey
 """
 
 
+# --- external file-stats manifest: driver-side file pruning (r12) -----------
+# The third rung of the data-skipping ladder: bloom_layout_lookup skips
+# ROW GROUPS via footer metadata (a footer read per file), and
+# zorder_range_scan makes footer min/max effective on TWO dims via
+# layout; this gate prunes the FILE LIST on the driver from one sidecar
+# manifest (sources/fileindex.py) — Iceberg-manifest / Delta-file-stats
+# economics: zero footer I/O, zero per-file object-store GETs at plan
+# time, decisive when a 100 TB table is a million files. The gate
+# stages orders range-clustered on o_totalprice with a recorded
+# manifest, then RAISES unless the range probe reads under half the
+# staged files; correctness never depends on the manifest (the
+# predicate is re-applied), so the oracle just replays the box.
+def fileindex_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.sources.fileindex import (
+        read_pruned,
+        write_with_stats,
+    )
+
+    base = cached_scratch_dir("squopt_fileindex_", sf_dir)
+    layout = os.path.join(base, "orders_stats")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        write_with_stats(orders, layout, ["o_totalprice"], n_files=16)
+    b = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    lo, hi = b[0], b[0] + (b[1] - b[0]) / 8
+    df, n_read, n_total = read_pruned(spark, layout, "o_totalprice", lo, hi)
+    if n_read * 2 >= n_total:
+        raise RuntimeError(
+            f"manifest pruning did not engage: read {n_read} of {n_total} "
+            f"files for a 1/8-span range"
+        )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_in_range"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+FILEINDEX_RANGE_SQL = """
+WITH b AS (
+  SELECT min(o_totalprice) AS lo,
+         min(o_totalprice)
+           + (max(o_totalprice) - min(o_totalprice)) / 8 AS hi
+  FROM orders
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_in_range,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders, b
+WHERE o_totalprice BETWEEN b.lo AND b.hi
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "salted_supplier_volume": (salted_supplier_volume, SALTED_JOIN_SQL),
     "runtime_bloom_join": (runtime_bloom_join, RUNTIME_BLOOM_SQL),
+    "fileindex_range_scan": (fileindex_range_scan, FILEINDEX_RANGE_SQL),
     "hotkey_salted_volume": (hotkey_salted_volume, HOTKEY_SALTED_SQL),
     "dpp_partition_revenue": (dpp_partition_revenue, DPP_REVENUE_SQL),
     "bloom_layout_lookup": (bloom_layout_lookup, BLOOM_LAYOUT_SQL),

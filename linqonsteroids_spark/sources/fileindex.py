@@ -1,0 +1,101 @@
+"""External file-statistics manifest: driver-side file pruning.
+
+The third and cheapest rung of the data-skipping ladder, next to
+``sources/zorder.py`` (layout: cluster values so ranges are tight) and
+``sources/bloomfilters.py`` (footer: row-group skipping inside a file):
+a SIDECAR manifest holding per-file (min, max) for chosen columns, so a
+range/point scan prunes the FILE LIST on the driver before Spark plans
+a single task — no footer reads, no object-store GET per file, exactly
+the role Iceberg manifests / Delta Add-file stats play. At 100 TB the
+difference is planning cost: footer-based skipping still opens every
+file; a manifest probe is one small JSON read regardless of table size
+(a real deployment shards the manifest; one JSON is its single-shard
+case).
+
+Stats are gathered in ONE extra pass over the freshly written files
+(grouped on ``_metadata.file_name``), not per-file loops. The pruned
+read re-applies the predicate — the manifest only EXCLUDES files, it
+never asserts a row matches — so correctness never depends on the
+sidecar being right, only skipping effectiveness does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STATS_NAME = "_FILE_STATS.json"
+
+
+def write_with_stats(
+    df: DataFrame, path: str, stat_cols: list[str], n_files: int = 16
+) -> None:
+    """Write ``df`` range-clustered on ``stat_cols[0]`` and record
+    per-file (min, max) for every stat column in a sidecar manifest.
+
+    Range clustering makes the leading column's per-file spans disjoint
+    (maximal pruning); trailing stat columns get whatever spans the
+    layout induces — the manifest records reality either way.
+    """
+    (
+        df.repartitionByRange(n_files, stat_cols[0])
+        .sortWithinPartitions(stat_cols[0])
+        .write.mode("error")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_name").alias("file"))
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {
+        r["file"]: {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stat_cols
+        }
+        for r in rows
+    }
+    tmp = os.path.join(path, _STATS_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"columns": stat_cols, "files": stats}, f, default=str)
+    os.replace(tmp, os.path.join(path, _STATS_NAME))
+
+
+def _load_stats(path: str) -> dict:
+    with open(os.path.join(path, _STATS_NAME)) as f:
+        return json.load(f)
+
+
+def prune_files(path: str, col: str, lo, hi) -> tuple[list[str], int]:
+    """File paths whose [min, max] for ``col`` intersects [lo, hi],
+    plus the total file count. Pure driver-side manifest math."""
+    stats = _load_stats(path)
+    if col not in stats["columns"]:
+        raise KeyError(f"no stats recorded for column {col!r}")
+    keep = []
+    for fname, cols in stats["files"].items():
+        mn, mx = cols[col]
+        if not (float(mx) < lo or float(mn) > hi):
+            keep.append(os.path.join(path, fname))
+    return sorted(keep), len(stats["files"])
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Range scan through the manifest: returns (frame, files_read,
+    files_total). The predicate is re-applied on the pruned frame — the
+    manifest only excludes files, it never vouches for a row."""
+    keep, total = prune_files(path, col, lo, hi)
+    if not keep:
+        empty = spark.read.parquet(path).limit(0)
+        return empty, 0, total
+    df = spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+    return df, len(keep), total

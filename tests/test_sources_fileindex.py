@@ -1,0 +1,92 @@
+"""sources/fileindex.py: external file-stats manifest pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linqonsteroids_spark.sources.fileindex import (
+    prune_files,
+    read_pruned,
+    write_with_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def layout(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fidx") / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    write_with_stats(df, path, ["k"], n_files=8)
+    return path
+
+
+def test_manifest_covers_every_file_and_prunes_disjoint_ranges(
+    spark, layout
+):
+    stats = json.load(open(os.path.join(layout, "_FILE_STATS.json")))
+    parts = [
+        f
+        for f in os.listdir(layout)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert set(stats["files"]) == set(parts)
+    # range clustering on k: a narrow box keeps few files, never zero
+    keep, total = prune_files(layout, "k", 10, 20)
+    assert total == len(parts)
+    assert 1 <= len(keep) < total / 2
+    # the kept set must be exactly the files whose true span intersects
+    truth = {
+        os.path.join(layout, f)
+        for f, cols in stats["files"].items()
+        if not (float(cols["k"][1]) < 10 or float(cols["k"][0]) > 20)
+    }
+    assert set(keep) == truth
+
+
+def test_pruned_read_equals_full_scan_filter(spark, layout):
+    df, n_read, n_total = read_pruned(spark, layout, "k", 100, 333)
+    full = (
+        spark.read.parquet(layout)
+        .filter(F.col("k").between(100, 333))
+        .collect()
+    )
+    assert n_read < n_total
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full))
+
+
+def test_empty_selection_returns_typed_empty_frame(spark, layout):
+    df, n_read, n_total = read_pruned(spark, layout, "k", 10_000, 20_000)
+    assert n_read == 0 and n_total > 0
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "g"}
+
+
+def test_false_positive_manifest_entries_cannot_corrupt_results(
+    spark, layout, tmp_path
+):
+    """The manifest only EXCLUDES files — a lying entry that is too WIDE
+    admits an extra file whose rows the re-applied predicate then drops,
+    so results stay exact (correctness never rests on the sidecar)."""
+    import shutil
+
+    copy = str(tmp_path / "wide")
+    shutil.copytree(layout, copy)
+    p = os.path.join(copy, "_FILE_STATS.json")
+    stats = json.load(open(p))
+    for cols in stats["files"].values():
+        cols["k"] = [0, 10_000]  # every file claims the full span
+    json.dump(stats, open(p, "w"))
+    df, n_read, n_total = read_pruned(spark, copy, "k", 100, 120)
+    assert n_read == n_total  # pruning lost, nothing skipped
+    got = sorted(r[0] for r in df.select("k").collect())
+    assert got == list(range(100, 121))  # ...but results exact
+
+
+def test_unknown_stat_column_is_refused(layout):
+    with pytest.raises(KeyError, match="no stats"):
+        prune_files(layout, "g2", 0, 1)
