@@ -208,6 +208,7 @@ EXTRA = [
     "phrase_search_postings",
     "file_provenance_counts",
     "fileindex_range_scan",
+    "dynamic_partition_backfill",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -758,6 +758,19 @@ class Lifted:
         ``write_parquet``."""
         return self.to_df().collect()
 
+    def value_cached(self, cache) -> tuple[list, bool]:
+        """Memoized eval sink — the reference's core premise applied at
+        the sink: an ``asSmart`` query re-evaluated against unchanged
+        collections reuses the shared materialized result
+        (``SubquerySharing.scala``; SURVEY §2.10). Routes through
+        :class:`~linqonsteroids_spark.plans.result_cache.ResultCache`,
+        so an independently REBUILT equivalent pipeline serves its rows
+        from the cached entry (Catalyst canonicalization collapses the
+        plans) and any base mutation recomputes — snapshot-keyed, never
+        stale. Returns ``(rows, hit)``."""
+        served, hit = cache.get_or_materialize(self.to_df())
+        return served.collect(), hit
+
     def write_parquet(self, path: str, partition_by: list[str] | None = None) -> None:
         w = self.to_df().write.mode("overwrite")
         if partition_by:

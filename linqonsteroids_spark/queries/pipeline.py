@@ -1432,11 +1432,91 @@ SELECT user_id, event_type, value_cents FROM (
 """
 
 
+# --- idempotent backfill via dynamic partition overwrite (r12) --------------
+# The production rewrite-one-slice operation: re-running a day's (here:
+# one event_type's) pipeline must replace exactly that partition and
+# leave every other byte untouched — the property that makes backfills
+# idempotent and safely retryable at 100 TB, where the alternative
+# (mode=overwrite, static) would truncate the whole table. The gate
+# stages a partitioned copy, rewrites ONE partition under
+# partitionOverwriteMode=dynamic with a deterministic transform
+# (value_cents doubled), and RAISES unless (a) untouched partitions are
+# byte-identical (file names + sizes) and (b) the target partition's
+# file set actually rotated. Oracle: the transform replayed via CASE.
+def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.session import conf_guard, scratch_dir
+
+    def _listing(root, leaf):
+        d = os.path.join(root, f"event_type={leaf}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    table = events.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    root = os.path.join(scratch_dir("squopt_backfill_"), "events_part")
+    table.write.partitionBy("event_type").parquet(root)
+    before_view = _listing(root, "view")
+    before_click = _listing(root, "click")
+
+    backfill = table.where(F.col("event_type") == "click").withColumn(
+        "value_cents", F.col("value_cents") * 2
+    )
+    with conf_guard(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
+        backfill.write.mode("overwrite").partitionBy("event_type").parquet(
+            root
+        )
+
+    if _listing(root, "view") != before_view:
+        raise RuntimeError(
+            "dynamic overwrite touched a partition outside the backfill"
+        )
+    if _listing(root, "click") == before_click:
+        raise RuntimeError("backfill did not rotate the target partition")
+    return (
+        spark.read.parquet(root)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value_cents").cast("bigint").alias("value_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+DYNAMIC_BACKFILL_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click'
+                     THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
+                     ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                END) AS BIGINT) AS value_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "fuzzy_name_neighbors": (fuzzy_name_neighbors, FUZZY_NEIGHBORS_SQL),
     "mor_read_orders": (mor_read_orders, MOR_READ_SQL),
     "mor_stream_upserts": (mor_stream_upserts, MOR_STREAM_SQL),
     "wap_publish_orders": (wap_publish_orders, WAP_PUBLISH_SQL),
+    "dynamic_partition_backfill": (
+        dynamic_partition_backfill,
+        DYNAMIC_BACKFILL_SQL,
+    ),
     "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (

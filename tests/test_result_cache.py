@@ -81,3 +81,32 @@ def test_sweep_reclaims_stale_entries(spark, tmp_path):
     os.utime(entry, (1, 1))  # age it out
     assert cache.sweep(older_than_s=3600) == 1
     assert os.listdir(store) == []
+
+
+def test_lifted_value_cached_sink_memoizes_rebuilt_pipelines(
+    spark, tmp_path
+):
+    """The API-level sink: two independently built but equivalent lifted
+    pipelines share one cache entry; a base append recomputes."""
+    from linqonsteroids_spark.api import lift
+
+    base = str(tmp_path / "base")
+    _write_base(spark, base)
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+
+    def frame():
+        return (
+            lift(spark.read.parquet(base))
+            .filter(lambda r: r.k < 50)
+        )
+
+    rows1, hit1 = frame().value_cached(cache)
+    rows2, hit2 = frame().value_cached(cache)
+    assert not hit1 and hit2
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    spark.range(200, 203).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    ).write.mode("append").parquet(base)
+    rows3, hit3 = frame().value_cached(cache)
+    assert not hit3
+    assert len(rows3) == len(rows1)  # appended keys are >= 50, filtered
