@@ -42,6 +42,18 @@ class AuditFailure(RuntimeError):
         super().__init__(f"audit failed: {failing}")
 
 
+class PublishConflict(RuntimeError):
+    """Another writer published between this writer's read and its
+    publish — the optimistic-concurrency loser. Retry = re-read
+    ``published_id()``, re-audit against the new state if the checks
+    depend on it, and publish again with the refreshed expectation."""
+
+
+#: sentinel: "no concurrency expectation" (None means "expect no
+#: published snapshot yet", so it cannot double as the default)
+_UNSET = object()
+
+
 class WapTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -84,14 +96,29 @@ class WapTable:
 
     # -- publish ----------------------------------------------------------------
     def publish(
-        self, staging_id: str, checks: dict[str, Column] | None = None
+        self,
+        staging_id: str,
+        checks: dict[str, Column] | None = None,
+        expect=_UNSET,
     ) -> list[dict]:
         """Atomically make a staged snapshot the published one.
 
         When ``checks`` is given, they are audited here and a violation
         raises :class:`AuditFailure` WITHOUT touching the manifest — the
         previously published snapshot keeps serving.
+
+        ``expect`` is the optimistic-concurrency guard (the commit
+        protocol Delta/Iceberg run against a log store): pass the
+        ``published_id()`` this writer based its work on (``None`` for
+        "nothing published yet") and the publish succeeds only if that
+        is STILL the published snapshot — a concurrent winner raises
+        :class:`PublishConflict` and the manifest is untouched. The
+        check-and-swap pair is serialized under an exclusive flock on
+        this host; on an object store the same role is played by a
+        conditional PUT. Omit ``expect`` for last-writer-wins.
         """
+        import fcntl
+
         report = self.audit(staging_id, checks) if checks else []
         if any(r["n_violations"] > 0 for r in report):
             raise AuditFailure(report)
@@ -104,10 +131,20 @@ class WapTable:
             "published_at": time.time(),
             "audits": report,
         }
-        tmp = self._manifest + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest)
+        with open(os.path.join(self.path, ".publish.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if expect is not _UNSET:
+                current = self.published_id()
+                if current != expect:
+                    raise PublishConflict(
+                        f"expected published snapshot {expect!r} but found "
+                        f"{current!r}: a concurrent writer won; re-read and "
+                        f"retry"
+                    )
+            tmp = self._manifest + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest)
         return report
 
     # -- read -------------------------------------------------------------------

@@ -1291,7 +1291,7 @@ def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
     }
     s1 = t.stage(orders)
-    t.publish(s1, checks)
+    t.publish(s1, checks, expect=None)  # CAS: nothing published yet
     corrupted = orders.withColumn(
         "o_totalprice",
         F.when(key % 7 == 0, -F.col("o_totalprice")).otherwise(

@@ -1024,3 +1024,25 @@ def test_wap_failed_audit_keeps_prior_snapshot_and_reports_counts(
     assert sorted(r[0] for r in t.read().collect()) == [1, 2]
     assert t.vacuum() == 1  # only the rejected staging is debris
     assert t.read().count() == 2  # published snapshot survives vacuum
+
+
+def test_wap_publish_is_compare_and_swap(spark, tmp_path):
+    """Optimistic concurrency: a writer whose expectation went stale
+    loses with PublishConflict (manifest untouched); re-reading the
+    published id and retrying wins. Omitting expect = last-writer-wins."""
+    import pytest
+    from linqonsteroids_spark.operators.wap import PublishConflict, WapTable
+
+    t = WapTable(spark, str(tmp_path / "wap"))
+    s1 = t.stage(spark.createDataFrame([(1,)], ["x"]))
+    s2 = t.stage(spark.createDataFrame([(2,)], ["x"]))
+    s3 = t.stage(spark.createDataFrame([(3,)], ["x"]))
+    # both writers read "nothing published"; the first wins
+    t.publish(s1, expect=None)
+    with pytest.raises(PublishConflict, match="concurrent writer"):
+        t.publish(s2, expect=None)
+    assert t.published_id() == s1  # loser left no trace
+    t.publish(s2, expect=s1)  # refreshed expectation: rebased retry wins
+    assert t.published_id() == s2
+    t.publish(s3)  # no expectation: last-writer-wins still available
+    assert t.published_id() == s3
