@@ -209,6 +209,7 @@ EXTRA = [
     "file_provenance_counts",
     "fileindex_range_scan",
     "dynamic_partition_backfill",
+    "matryoshka_recall_report",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -965,8 +965,92 @@ FROM m
 ANN_RECALL_SQL = _ann_recall_sql()
 
 
+# --- matryoshka truncated-prefix recall (r12) --------------------------------
+# Matryoshka representation learning (Kusupati et al., NeurIPS 2022 —
+# public) trains embeddings whose PREFIX is itself a usable embedding;
+# deployments then search the first d/2 dims for half the FLOPs, bytes
+# and cache pressure, re-ranking with the full vector only if needed.
+# Whether a given corpus's embeddings tolerate that is an empirical
+# question — this gate MEASURES it: exact top-5 on the full 64 dims is
+# the truth set; exact top-5 on the 32-dim prefix is the candidate set;
+# the report is their overlap as integer ppm. Both sides run the same
+# streaming batch-scored top-k (brute_force_topk), so the only variable
+# is the truncation. Ties break (sim DESC, id ASC) on both engines.
+def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = brute_force_topk(queries, emb, k=5, exclude_self=True).select(
+        "query_id", "neighbor_id"
+    )
+    q_half = queries.withColumn("query_vec", F.slice("query_vec", 1, 32))
+    c_half = emb.withColumn("embedding", F.slice("embedding", 1, 32))
+    cand = brute_force_topk(q_half, c_half, k=5, exclude_self=True).select(
+        "query_id", "neighbor_id"
+    )
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    n_hit = truth.join(cand, ["query_id", "neighbor_id"]).agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return n_true.crossJoin(F.broadcast(n_hit)).select(
+        "n_true",
+        "n_hits",
+        F.expr("n_hits * 1000000L div greatest(n_true, 1L)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+MATRYOSHKA_RECALL_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         CAST(embedding[1:32] AS DOUBLE[]) AS vh
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         CAST(embedding[1:32] AS DOUBLE[]) AS vh
+  FROM embeddings
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                      c.vec_id ASC) AS rnk
+    FROM q, c WHERE c.vec_id <> q.query_id
+  ) WHERE rnk <= 5
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.vh, c.vh) DESC,
+                      c.vec_id ASC) AS rnk
+    FROM q, c WHERE c.vec_id <> q.query_id
+  ) WHERE rnk <= 5
+),
+m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM truth JOIN cand USING (query_id, vec_id)) AS n_hits
+)
+SELECT n_true, n_hits,
+       n_hits * 1000000 // greatest(n_true, 1) AS recall_ppm
+FROM m
+"""
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    "matryoshka_recall_report": (
+        matryoshka_recall_report,
+        MATRYOSHKA_RECALL_SQL,
+    ),
     "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "ann_ivfpq_adc": (ann_ivfpq_adc, ANN_ADC_SQL),
     # same oracle by design: the persisted artifact must not change values

@@ -49,6 +49,7 @@ ALLOW_ALL_PAIRS = {
     "theta_sketch_setops": "1-row sketch/exact aggregates cross-joined",
     "basket_brand_pairs": "1-row n_orders total broadcast onto the "
     "bounded 300-row brand-pair matrix",
+    "matryoshka_recall_report": "two 1-row counts cross-joined into one row",
 }
 
 #: queries where a Window with an empty partition spec (one-task
