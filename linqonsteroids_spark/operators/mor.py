@@ -58,6 +58,28 @@ class MorTable:
         self.key = key
         self._base = os.path.join(path, "base")
         self._delta_root = os.path.join(path, "delta")
+        self._staged = os.path.join(path, "_compact_staged")
+        self._recover_interrupted_compact()
+
+    def _recover_interrupted_compact(self) -> None:
+        """Finish a compact() that crashed between its two renames.
+
+        The only reader-visible crash window is ``base`` absent with a
+        COMPLETE staged snapshot present (reads fail loudly in it, they
+        never serve wrong data); recovery promotes the staged snapshot.
+        An INCOMPLETE staged dir (no _SUCCESS) is debris from a crash
+        before the swap began — the live table is untouched, drop it.
+        """
+        import shutil
+
+        if not os.path.isdir(self._staged):
+            return
+        if os.path.exists(os.path.join(self._staged, "_SUCCESS")) and (
+            not os.path.isdir(self._base)
+        ):
+            os.replace(self._staged, self._base)
+        elif os.path.isdir(self._base):
+            shutil.rmtree(self._staged)
 
     # --- writes -------------------------------------------------------------
     def write_base(self, df: DataFrame) -> None:
@@ -114,6 +136,41 @@ class MorTable:
         out.write.mode("error").parquet(
             os.path.join(self._delta_root, f"v={version}")
         )
+
+    # --- maintenance ----------------------------------------------------------
+    def compact(self) -> None:
+        """Fold the delta log back into a fresh base; the read path's
+        split/window cost returns to zero until the next append.
+
+        Swap order is chosen so NO intermediate state can serve wrong
+        data: (1) the merged snapshot is staged completely (with
+        _SUCCESS); (2) the old base is renamed away — reads in this
+        brief window fail loudly (recovered on next construction, see
+        ``_recover_interrupted_compact``); (3) the staged snapshot
+        becomes the base; (4) delta dirs are removed LAST, which is safe
+        because re-applying the log onto the already-merged base is
+        IDEMPOTENT under latest-version-wins: surviving upserts carry
+        exactly the values that won, deletes target keys already absent,
+        so a crash between (3) and (4) leaves a correct readable table.
+
+        At 100 TB this full rewrite is the periodic floor-cost path; the
+        bucketed copy-on-write table (operators/merge.py) is the
+        incremental alternative when appends are frequent enough that
+        rewriting everything is the wrong trade.
+        """
+        import shutil
+
+        if not self._existing_versions():
+            return
+        merged = self.read()
+        if os.path.isdir(self._staged):
+            shutil.rmtree(self._staged)
+        merged.write.mode("error").parquet(self._staged)
+        old = os.path.join(self.path, f"_retired_base.{os.getpid()}")
+        os.replace(self._base, old)
+        os.replace(self._staged, self._base)
+        shutil.rmtree(self._delta_root)
+        shutil.rmtree(old)
 
     # --- read ---------------------------------------------------------------
     def read(self) -> DataFrame:

@@ -1046,3 +1046,50 @@ def test_wap_publish_is_compare_and_swap(spark, tmp_path):
     assert t.published_id() == s2
     t.publish(s3)  # no expectation: last-writer-wins still available
     assert t.published_id() == s3
+
+
+def test_mor_compact_folds_log_and_read_needs_no_window(spark, tmp_path):
+    t, _ = _mor_fixture(spark, tmp_path)
+    import os
+
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact()
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert not os.path.isdir(t._delta_root)  # log folded away
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan  # base passthrough
+    # the table stays writable: a fresh log starts over
+    t.append_delta(
+        1, upserts=spark.createDataFrame([(4, "d2", 44.0)], ["k", "s", "x"])
+    )
+    got = {r[0]: (r[1], r[2]) for r in t.read().collect()}
+    assert got[4] == ("d2", 44.0) and got[1] == ("a2", 12.0)
+
+
+def test_mor_compact_crash_windows_recover(spark, tmp_path):
+    """(a) between the two renames: base gone, staged complete -> next
+    construction promotes the staged snapshot; (b) after the base swap
+    but before delta removal: re-applying the log onto the merged base
+    is idempotent, so reads are already correct with no recovery."""
+    import os
+    import shutil
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    expected = sorted(map(tuple, t.read().collect()))
+
+    # (a) simulate: staged snapshot written, base renamed away, crash
+    t.read().write.parquet(t._staged)
+    os.replace(t._base, str(tmp_path / "crashed_base"))
+    t2 = MorTable(spark, t.path, "k")  # recovery runs in __init__
+    assert os.path.isdir(t2._base) and not os.path.isdir(t2._staged)
+    # deltas still present: idempotent re-apply, state unchanged (b)
+    assert sorted(map(tuple, t2.read().collect())) == expected
+
+    # incomplete staged debris with a live base is dropped, not promoted
+    os.makedirs(t2._staged)
+    t3 = MorTable(spark, t.path, "k")
+    assert not os.path.isdir(t3._staged)
+    assert sorted(map(tuple, t3.read().collect())) == expected
+    shutil.rmtree(str(tmp_path / "crashed_base"))
