@@ -60,6 +60,7 @@ class WapTable:
         self.path = path
         self._staged_root = os.path.join(path, "_staged")
         self._manifest = os.path.join(path, "MANIFEST.json")
+        self._log = os.path.join(path, "_manifest_log.jsonl")
 
     # -- write ------------------------------------------------------------------
     def stage(self, df: DataFrame) -> str:
@@ -141,17 +142,44 @@ class WapTable:
                         f"{current!r}: a concurrent writer won; re-read and "
                         f"retry"
                     )
+            manifest["version"] = len(self._history()) + 1
             tmp = self._manifest + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, self._manifest)
+            with open(self._log, "a") as f:
+                f.write(json.dumps(manifest) + "\n")
         return report
 
     # -- read -------------------------------------------------------------------
-    def read(self) -> DataFrame:
-        """The published snapshot — staged-only data is unreachable."""
-        with open(self._manifest) as f:
-            manifest = json.load(f)
+    def _history(self) -> list[dict]:
+        """Every publish ever, in order — the append-only manifest log."""
+        try:
+            with open(self._log) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            return []
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The published snapshot — staged-only data is unreachable.
+
+        ``version`` time-travels to the N-th publish (1-based, from the
+        append-only manifest log), as long as :meth:`vacuum`'s retention
+        still holds that snapshot's files; a reclaimed version raises
+        ``FileNotFoundError`` rather than serving anything else.
+        """
+        if version is None:
+            with open(self._manifest) as f:
+                manifest = json.load(f)
+        else:
+            hist = [m for m in self._history() if m["version"] == version]
+            if not hist:
+                raise FileNotFoundError(f"no publish with version={version}")
+            manifest = hist[0]
+            if not os.path.exists(os.path.join(manifest["path"], "_SUCCESS")):
+                raise FileNotFoundError(
+                    f"version {version} was reclaimed by vacuum retention"
+                )
         return self.spark.read.parquet(manifest["path"])
 
     def published_id(self) -> str | None:
@@ -162,16 +190,25 @@ class WapTable:
             return None
 
     # -- maintenance --------------------------------------------------------------
-    def vacuum(self) -> int:
-        """Drop staged snapshots that are not the published one."""
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Drop staged snapshots outside the retention window.
+
+        Keeps the current published snapshot plus the last
+        ``retain_last`` publishes from the manifest log (the time-travel
+        horizon); everything else — rejected stagings, never-published
+        debris, aged-out versions — is reclaimed. Shrinking the window
+        trades history for space, exactly Delta's VACUUM semantics.
+        """
         import shutil
 
-        keep = self.published_id()
+        keep = {self.published_id()}
+        for m in self._history()[-retain_last:]:
+            keep.add(m["staging_id"])
         dropped = 0
         if not os.path.isdir(self._staged_root):
             return 0
         for d in os.listdir(self._staged_root):
-            if d != keep:
+            if d not in keep:
                 shutil.rmtree(os.path.join(self._staged_root, d))
                 dropped += 1
         return dropped

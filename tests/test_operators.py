@@ -1093,3 +1093,24 @@ def test_mor_compact_crash_windows_recover(spark, tmp_path):
     assert not os.path.isdir(t3._staged)
     assert sorted(map(tuple, t3.read().collect())) == expected
     shutil.rmtree(str(tmp_path / "crashed_base"))
+
+
+def test_wap_time_travel_and_vacuum_retention(spark, tmp_path):
+    """The manifest log gives 1-based time travel; vacuum's retention
+    window bounds it — a reclaimed version refuses loudly instead of
+    serving anything else."""
+    import pytest
+    from linqonsteroids_spark.operators.wap import WapTable
+
+    t = WapTable(spark, str(tmp_path / "wap"))
+    for n in (1, 2, 3):
+        t.publish(t.stage(spark.range(n).selectExpr("id AS x")))
+    assert [t.read(v).count() for v in (1, 2, 3)] == [1, 2, 3]
+    assert t.read().count() == 3
+    with pytest.raises(FileNotFoundError, match="no publish"):
+        t.read(9)
+    # retain the last 2 publishes: version 1's snapshot is reclaimed
+    assert t.vacuum(retain_last=2) == 1
+    with pytest.raises(FileNotFoundError, match="reclaimed"):
+        t.read(1)
+    assert t.read(2).count() == 2 and t.read().count() == 3
