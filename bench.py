@@ -210,6 +210,7 @@ EXTRA = [
     "fileindex_range_scan",
     "dynamic_partition_backfill",
     "matryoshka_recall_report",
+    "k_anonymity_audit",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -1508,11 +1508,59 @@ FROM events GROUP BY event_type
 """
 
 
+# --- k-anonymity audit over quasi-identifier combinations (r12) -------------
+# The release-side governance check PII scrubbing doesn't cover:
+# scrubbed rows can still re-identify people when a COMBINATION of
+# innocuous columns (the quasi-identifiers) is rare. A table is
+# k-anonymous iff every quasi-identifier combination covers >= k rows;
+# this audit reports, per market segment, how many (segment, nation)
+# cells exist, how many fall below k=3, and how many ROWS sit in those
+# risky cells — the number a release gate thresholds on. One
+# aggregation at any scale (QI cardinality bounds the output, rows
+# never leave the cluster); re-aggregation of the cell table, not a
+# second base scan.
+_K_ANON = 3
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    risky = F.col("n") < _K_ANON
+    return cells.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("bigint").alias(
+            "n_risky_cells"
+        ),
+        F.sum(F.when(risky, F.col("n")).otherwise(0)).cast("bigint").alias(
+            "n_risky_rows"
+        ),
+        F.min("n").alias("min_cell"),
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_cells,
+       CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       min(n) AS min_cell
+FROM cells GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "fuzzy_name_neighbors": (fuzzy_name_neighbors, FUZZY_NEIGHBORS_SQL),
     "mor_read_orders": (mor_read_orders, MOR_READ_SQL),
     "mor_stream_upserts": (mor_stream_upserts, MOR_STREAM_SQL),
     "wap_publish_orders": (wap_publish_orders, WAP_PUBLISH_SQL),
+    "k_anonymity_audit": (k_anonymity_audit, K_ANONYMITY_SQL),
     "dynamic_partition_backfill": (
         dynamic_partition_backfill,
         DYNAMIC_BACKFILL_SQL,
