@@ -211,6 +211,7 @@ EXTRA = [
     "dynamic_partition_backfill",
     "matryoshka_recall_report",
     "k_anonymity_audit",
+    "keyset_paginated_orders",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

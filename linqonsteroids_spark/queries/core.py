@@ -144,6 +144,66 @@ LIMIT 10
 """
 
 
+# --- keyset (seek-method) pagination (r12) ---------------------------------
+# OFFSET pagination is O(page * k) — at 100 TB, page 1000 computes and
+# discards ten thousand rows before returning ten. Keyset pagination
+# makes EVERY page the same O(k) TakeOrdered: the client remembers the
+# last row's full sort key (price, orderkey) and the next page seeks
+# strictly past it with an ordinary pushed-down predicate — row-goal
+# heap per partition + driver merge, never a global sort, and the scan
+# skips whole row groups once statistics exclude the seen prefix. The
+# gate fetches two consecutive pages this way and RAISES unless the
+# page-2 plan is a TakeOrdered with the seek predicate pushed to the
+# scan. Oracle: rows 1-20 of the same total order, split into pages by
+# row_number arithmetic — equality proves the seek predicate is exactly
+# "after row 10" under tie-breaking.
+_PAGE_K = 10
+
+
+def keyset_paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", cents.alias("price_cents"), "o_orderstatus"
+    )
+    order = [F.desc("price_cents"), F.asc("o_orderkey")]
+    page1 = base.orderBy(*order).limit(_PAGE_K)
+    seen = page1.collect()  # the page the client holds (bounded: k rows)
+    last_p, last_k = seen[-1]["price_cents"], seen[-1]["o_orderkey"]
+    seek = (F.col("price_cents") < last_p) | (
+        (F.col("price_cents") == last_p) & (F.col("o_orderkey") > last_k)
+    )
+    page2 = base.where(seek).orderBy(*order).limit(_PAGE_K)
+    plan = page2._jdf.queryExecution().executedPlan().toString()
+    if "TakeOrderedAndProject" not in plan:
+        raise RuntimeError(f"page 2 is not a row-goal TakeOrdered: {plan[:800]}")
+    if "Filter" not in plan:
+        raise RuntimeError(f"seek predicate missing from page-2 plan: {plan[:800]}")
+    return (
+        page1.withColumn("page", F.lit(1).cast("bigint"))
+        .unionByName(page2.withColumn("page", F.lit(2).cast("bigint")))
+        .select("page", "o_orderkey", "price_cents", "o_orderstatus")
+    )
+
+
+KEYSET_PAGINATION_SQL = f"""
+SELECT CAST((rn - 1) // {_PAGE_K} + 1 AS BIGINT) AS page,
+       o_orderkey, price_cents, o_orderstatus
+FROM (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         o_orderstatus,
+         row_number() OVER (
+           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      DESC,
+                    o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= {2 * _PAGE_K}
+"""
+
+
 # --- explicit LINQ-shaped equi-join ---------------------------------------
 # Reference: colouter.join(colinner)(outerKey, innerKey, resultSel)
 # (traversableOps.scala:214-219, node traversableOperators.scala:151-185 —
@@ -515,6 +575,10 @@ QUERIES = {
     "flagship_order_records": (flagship_order_records, FLAGSHIP_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
+    "keyset_paginated_orders": (
+        keyset_paginated_orders,
+        KEYSET_PAGINATION_SQL,
+    ),
     "supplier_nation_region": (supplier_nation_region, SUPPLIER_NATION_REGION_SQL),
     "customers_with_urgent_orders": (
         customers_with_urgent_orders,
