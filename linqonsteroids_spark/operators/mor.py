@@ -48,8 +48,11 @@ class MorTable:
 
     Layout::
 
-        path/base/...parquet      immutable initial snapshot
-        path/delta/v=N/...parquet delta log, Hive-partitioned by version
+        path/base/...parquet          immutable initial snapshot
+        path/delta/mor_v=N/...parquet delta log, Hive-partitioned by
+                                      version (no leading underscore —
+                                      Hadoop listings hide _-prefixed
+                                      dirs)
     """
 
     def __init__(self, spark: SparkSession, path: str, key: str):
@@ -82,7 +85,16 @@ class MorTable:
             shutil.rmtree(self._staged)
 
     # --- writes -------------------------------------------------------------
+    #: names the reader claims for itself; a base schema using them would
+    #: be silently corrupted by withColumn/partition-dir shadowing
+    _RESERVED = frozenset({_OP, _VER, "_rn", "mor_v"})
+
     def write_base(self, df: DataFrame) -> None:
+        clash = self._RESERVED & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"base schema uses reserved MOR column names: {sorted(clash)}"
+            )
         df.write.mode("error").parquet(self._base)
 
     def _existing_versions(self) -> list[int]:
@@ -91,7 +103,7 @@ class MorTable:
         return sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(self._delta_root)
-            if d.startswith("v=")
+            if d.startswith("mor_v=")
         )
 
     def append_delta(
@@ -134,7 +146,7 @@ class MorTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("error").parquet(
-            os.path.join(self._delta_root, f"v={version}")
+            os.path.join(self._delta_root, f"mor_v={version}")
         )
 
     # --- maintenance ----------------------------------------------------------
@@ -182,8 +194,8 @@ class MorTable:
         deltas = (
             self.spark.read.option("basePath", self._delta_root)
             .parquet(self._delta_root)
-            .withColumn(_VER, F.col("v").cast("int"))
-            .drop("v")
+            .withColumn(_VER, F.col("mor_v").cast("int"))
+            .drop("mor_v")
         )
         delta_keys = deltas.select(self.key).distinct()
         # Untouched majority: broadcast anti probe, no shuffle, no window.

@@ -85,8 +85,12 @@ class WapTable:
         ``checks`` maps audit name -> a boolean Column that must hold
         for EVERY row. The report carries per-audit violation counts.
         """
+        # when(cond, 0).otherwise(1): a NULL-valued expectation counts as
+        # a VIOLATION — under three-valued logic ~NULL is NULL, so the
+        # inverted form would silently pass rows the check cannot vouch
+        # for (a NULL price is not a positive price)
         aggs = [
-            F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(name)
+            F.sum(F.when(cond, 0).otherwise(1)).cast("bigint").alias(name)
             for name, cond in checks.items()
         ]
         row = self._staged_df(staging_id).agg(*aggs).collect()[0]

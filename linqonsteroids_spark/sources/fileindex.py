@@ -82,7 +82,11 @@ def prune_files(path: str, col: str, lo, hi) -> tuple[list[str], int]:
     keep = []
     for fname, cols in stats["files"].items():
         mn, mx = cols[col]
-        if not (float(mx) < lo or float(mn) > hi):
+        # a file whose stats are unknown (all-null column) can never be
+        # EXCLUDED — the manifest only proves absence, never presence
+        if mn is None or mx is None or not (
+            float(mx) < lo or float(mn) > hi
+        ):
             keep.append(os.path.join(path, fname))
     return sorted(keep), len(stats["files"])
 

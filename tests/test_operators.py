@@ -1114,3 +1114,30 @@ def test_wap_time_travel_and_vacuum_retention(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="reclaimed"):
         t.read(1)
     assert t.read(2).count() == 2 and t.read().count() == 3
+
+
+def test_wap_null_valued_check_counts_as_violation(spark, tmp_path):
+    """Three-valued logic trap: x >= 0 is NULL for a NULL x, and the
+    audit must count that row as a violation — a NULL price is not a
+    positive price."""
+    import pytest
+    from linqonsteroids_spark.operators.wap import AuditFailure, WapTable
+
+    t = WapTable(spark, str(tmp_path / "wap"))
+    s = t.stage(
+        spark.createDataFrame([(1,), (None,), (2,)], "x int")
+    )
+    with pytest.raises(AuditFailure) as exc:
+        t.publish(s, {"nonneg": __import__("pyspark").sql.functions.col("x") >= 0})
+    assert exc.value.report == [{"audit": "nonneg", "n_violations": 1}]
+
+
+def test_mor_reserved_column_names_are_refused(spark, tmp_path):
+    import pytest
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(spark, str(tmp_path / "mor"), "k")
+    with pytest.raises(ValueError, match="reserved"):
+        t.write_base(spark.createDataFrame([(1, "U")], ["k", "_op"]))
+    with pytest.raises(ValueError, match="reserved"):
+        t.write_base(spark.createDataFrame([(1, 2)], ["k", "mor_v"]))

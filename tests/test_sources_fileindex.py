@@ -90,3 +90,19 @@ def test_false_positive_manifest_entries_cannot_corrupt_results(
 def test_unknown_stat_column_is_refused(layout):
     with pytest.raises(KeyError, match="no stats"):
         prune_files(layout, "g2", 0, 1)
+
+
+def test_null_stats_never_exclude_a_file(layout, tmp_path):
+    """A file whose (min, max) is unknown cannot be pruned — the
+    manifest proves absence, never presence."""
+    import shutil
+
+    copy = str(tmp_path / "nullstats")
+    shutil.copytree(layout, copy)
+    p = os.path.join(copy, "_FILE_STATS.json")
+    stats = json.load(open(p))
+    victim = sorted(stats["files"])[0]
+    stats["files"][victim]["k"] = [None, None]
+    json.dump(stats, open(p, "w"))
+    keep, total = prune_files(copy, "k", 10, 20)
+    assert os.path.join(copy, victim) in keep
