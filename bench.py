@@ -196,6 +196,9 @@ EXTRA = [
     # round 12 heads
     "fuzzy_name_neighbors",
     "snapshot_diff_orders",
+    # round 13 heads
+    "snapshot_diff_changed_cols",
+    "ann_matryoshka_adc",
     "price_qty_regression",
     "zorder_range_scan",
     "cohort_retention",

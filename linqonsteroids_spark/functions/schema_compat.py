@@ -81,7 +81,10 @@ def reader_compatibility(written: StructType, declared: StructType) -> dict:
                 findings.append(("silent-narrowing", f.name))
             else:
                 findings.append(("type-incompatible", f.name))
-            continue
+        # nullability is orthogonal to the type verdict: a widened
+        # column declared non-null over possibly-null data is STILL a
+        # lie downstream, so this check must not sit behind the
+        # type-changed branch (it used to `continue` past it)
         if o.nullable and not f.nullable:
             findings.append(("nullability-tightened", f.name))
     declared_names = {f.name for f in declared.fields}

@@ -65,24 +65,45 @@ class MorTable:
         self._recover_interrupted_compact()
 
     def _recover_interrupted_compact(self) -> None:
-        """Finish a compact() that crashed between its two renames.
+        """Finish a compact() that crashed between its renames.
 
         The only reader-visible crash window is ``base`` absent with a
         COMPLETE staged snapshot present (reads fail loudly in it, they
         never serve wrong data); recovery promotes the staged snapshot.
         An INCOMPLETE staged dir (no _SUCCESS) is debris from a crash
         before the swap began — the live table is untouched, drop it.
+
+        A ``_retired_base.<pid>`` dir is the old base awaiting removal
+        (compact's last step). It can only coexist with a live ``base``
+        once the staged→base promote completed (``os.replace`` is
+        atomic, so ``base`` absent ⇔ mid-swap), at which point ``base``
+        IS the merged snapshot: the retired copy — and the delta log it
+        subsumed — are pure debris. Without this sweep every crashed
+        compact strands a full table copy (the r12 verdict's item 3);
+        at 100 TB that is real money per crash. Dropping the delta log
+        here is safe for the same reason compact's own late log removal
+        is: re-applying it onto the merged base is idempotent under
+        latest-version-wins, so a crash ANYWHERE in this sweep leaves a
+        correct readable table for the next recovery pass.
         """
+        import glob
         import shutil
 
-        if not os.path.isdir(self._staged):
-            return
-        if os.path.exists(os.path.join(self._staged, "_SUCCESS")) and (
-            not os.path.isdir(self._base)
-        ):
-            os.replace(self._staged, self._base)
-        elif os.path.isdir(self._base):
-            shutil.rmtree(self._staged)
+        from linqonsteroids_spark.sources.commitlog import atomic_replace
+
+        if os.path.isdir(self._staged):
+            if os.path.exists(
+                os.path.join(self._staged, "_SUCCESS")
+            ) and not os.path.isdir(self._base):
+                atomic_replace(self._staged, self._base)
+            elif os.path.isdir(self._base):
+                shutil.rmtree(self._staged)
+        retired = glob.glob(os.path.join(self.path, "_retired_base.*"))
+        if retired and os.path.isdir(self._base):
+            for d in retired:
+                shutil.rmtree(d)
+            if os.path.isdir(self._delta_root):
+                shutil.rmtree(self._delta_root)
 
     # --- writes -------------------------------------------------------------
     #: names the reader claims for itself; a base schema using them would
@@ -172,6 +193,8 @@ class MorTable:
         """
         import shutil
 
+        from linqonsteroids_spark.sources.commitlog import atomic_replace
+
         if not self._existing_versions():
             return
         merged = self.read()
@@ -179,8 +202,8 @@ class MorTable:
             shutil.rmtree(self._staged)
         merged.write.mode("error").parquet(self._staged)
         old = os.path.join(self.path, f"_retired_base.{os.getpid()}")
-        os.replace(self._base, old)
-        os.replace(self._staged, self._base)
+        atomic_replace(self._base, old)
+        atomic_replace(self._staged, self._base)
         shutil.rmtree(self._delta_root)
         shutil.rmtree(old)
 

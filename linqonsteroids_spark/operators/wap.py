@@ -118,11 +118,15 @@ class WapTable:
         "nothing published yet") and the publish succeeds only if that
         is STILL the published snapshot — a concurrent winner raises
         :class:`PublishConflict` and the manifest is untouched. The
-        check-and-swap pair is serialized under an exclusive flock on
-        this host; on an object store the same role is played by a
-        conditional PUT. Omit ``expect`` for last-writer-wins.
+        check-and-swap pair is serialized by the commit seam
+        (:mod:`linqonsteroids_spark.sources.commitlog` — flock here, a
+        conditional PUT on an object store). Omit ``expect`` for
+        last-writer-wins.
         """
-        import fcntl
+        from linqonsteroids_spark.sources.commitlog import (
+            atomic_replace,
+            commit_lock,
+        )
 
         report = self.audit(staging_id, checks) if checks else []
         if any(r["n_violations"] > 0 for r in report):
@@ -136,8 +140,7 @@ class WapTable:
             "published_at": time.time(),
             "audits": report,
         }
-        with open(os.path.join(self.path, ".publish.lock"), "w") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
+        with commit_lock(os.path.join(self.path, ".publish.lock")):
             if expect is not _UNSET:
                 current = self.published_id()
                 if current != expect:
@@ -150,7 +153,7 @@ class WapTable:
             tmp = self._manifest + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
-            os.replace(tmp, self._manifest)
+            atomic_replace(tmp, self._manifest)
             with open(self._log, "a") as f:
                 f.write(json.dumps(manifest) + "\n")
         return report
@@ -202,11 +205,13 @@ class WapTable:
         horizon); everything else — rejected stagings, never-published
         debris, aged-out versions — is reclaimed. Shrinking the window
         trades history for space, exactly Delta's VACUUM semantics.
+        ``retain_last=0`` keeps only the live snapshot (``hist[-0:]``
+        would be the WHOLE list — the opposite — hence the guard).
         """
         import shutil
 
         keep = {self.published_id()}
-        for m in self._history()[-retain_last:]:
+        for m in self._history()[-retain_last:] if retain_last > 0 else []:
             keep.add(m["staging_id"])
         dropped = 0
         if not os.path.isdir(self._staged_root):

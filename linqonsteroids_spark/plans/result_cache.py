@@ -54,10 +54,17 @@ class ResultCache:
         across optimizer-conf differences between sessions; Catalyst's
         ``canonicalized`` normalizes expression IDs and alias names, so
         a rebuilt-from-scratch equivalent query maps to the same entry.
+
+        Serialized via ``toJSON``, NOT ``toString``: the string form
+        truncates node argument lists at
+        ``spark.sql.debug.maxToStringFields`` (default 25) with
+        '... N more fields', so two wide queries differing only past
+        the cutoff would hash IDENTICALLY and serve each other's
+        results — the r12 advisor's collision finding, pinned by
+        ``tests/test_result_cache.py``. The JSON form is complete at
+        any width.
         """
-        plan = (
-            df._jdf.queryExecution().analyzed().canonicalized().toString()
-        )
+        plan = df._jdf.queryExecution().analyzed().canonicalized().toJSON()
         schema = df.schema.simpleString()
         snap = base_snapshot(df)
         return hashlib.sha256(
@@ -72,15 +79,41 @@ class ResultCache:
         """Serve ``df``'s result from the cache, materializing on miss.
 
         Returns ``(result, hit)`` where ``result`` always reads from the
-        cache path — on a hit the original plan is never executed. The
-        write is overwrite-mode so debris from a crashed materialization
-        can never be served (parquet readers require ``_SUCCESS`` here).
+        cache path — on a hit the original plan is never executed.
+
+        A miss materializes to a writer-private staging dir and claims
+        the entry via the commit seam's no-clobber rename
+        (:func:`~linqonsteroids_spark.sources.commitlog.publish_dir_if_absent`):
+        two sessions missing on the same fingerprint each stage their
+        own copy, exactly one rename wins, the loser discards its
+        staging and reads the winner's COMPLETE entry — the interleaved
+        delete-then-write corruption of a shared ``mode("overwrite")``
+        path (the r12 race) is impossible. Same-fingerprint entries are
+        semantically identical by construction, so it never matters
+        which writer won. Crash debris (an entry dir without
+        ``_SUCCESS``, possible only from pre-r13 overwrite crashes) is
+        cleared before the claim so it can neither be served nor block
+        publication forever.
         """
+        import shutil
+        import uuid
+
+        from linqonsteroids_spark.sources.commitlog import (
+            publish_dir_if_absent,
+        )
+
         fp = self.fingerprint(df)
         path = self._entry(fp)
         hit = os.path.exists(os.path.join(path, "_SUCCESS"))
         if not hit:
-            df.write.mode("overwrite").parquet(path)
+            staged = f"{path}.staged.{uuid.uuid4().hex[:8]}"
+            df.write.mode("error").parquet(staged)
+            if os.path.isdir(path) and not os.path.exists(
+                os.path.join(path, "_SUCCESS")
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+            if not publish_dir_if_absent(staged, path):
+                hit = True  # a concurrent writer won with the same result
         else:
             # touch for sweep(): last-served time, not last-written
             os.utime(path)

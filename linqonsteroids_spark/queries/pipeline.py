@@ -1136,29 +1136,52 @@ FROM per_name GROUP BY n_neighbors
 # maintenance question — two arbitrary snapshots (replica vs source,
 # pre- vs post-migration), what changed. The operator shuffles only
 # (key, xxhash64 digest) pairs — never row payloads — through one
-# full-outer join (operators/tablediff.py). The gate derives v2 from
-# orders deterministically (delete keys %97, bump o_shippriority on %89,
-# insert key-shifted copies of %101) so both engines can build the same
-# pair of snapshots; the oracle classifies by direct column comparison,
-# proving the digest path equivalent to value semantics. (The testdata
-# orders table is TPC-H-slim — no o_shippriority — so the mutated column
-# is o_orderpriority.)
+# full-outer join (operators/tablediff.py). The gate derives v2 from a
+# two-column v1 deterministically so both engines build the same pair of
+# snapshots: delete keys %97, bump `op` with '*' on %89, insert
+# key-shifted copies of %101, and — the r13 addition, exercising the
+# r12 verdict's confirmed null-skip blind spot — for keys %103 the
+# status value sits in `op` with `clk` NULL in v1, and MOVES to `clk`
+# with `op` NULL in v2: Spark's raw xxhash64 (null-skipping) digests
+# both sides identically, so only a null-position-aware digest
+# classifies these 'changed'. The oracle classifies by direct NULL-SAFE
+# column comparison (IS DISTINCT FROM), proving the digest path
+# equivalent to value semantics including the null-swap class.
+def _snapshot_diff_versions(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    v1 = orders.select(
+        "o_orderkey",
+        F.when(key % 103 == 0, F.col("o_orderstatus"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("op"),
+        F.when(key % 103 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("clk"),
+    )
+    survivors = v1.where(key % 97 != 0).select(
+        "o_orderkey",
+        F.when(key % 103 == 0, F.lit(None).cast("string"))
+        .when(key % 89 == 0, F.concat(F.col("op"), F.lit("*")))
+        .otherwise(F.col("op"))
+        .alias("op"),
+        F.when(key % 103 == 0, F.col("op"))
+        .otherwise(F.col("clk"))
+        .alias("clk"),
+    )
+    inserts = v1.where(key % 101 == 0).withColumn(
+        "o_orderkey", key + F.lit(100000000)
+    )
+    return v1, survivors.unionByName(inserts)
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linqonsteroids_spark.operators.tablediff import snapshot_diff
 
-    orders = load_table(spark, sf_dir, "orders")
-    key = F.col("o_orderkey")
-    survivors = orders.where(key % 97 != 0).withColumn(
-        "o_orderpriority",
-        F.when(
-            key % 89 == 0, F.concat(F.col("o_orderpriority"), F.lit("*"))
-        ).otherwise(F.col("o_orderpriority")),
-    )
-    inserts = orders.where(key % 101 == 0).withColumn(
-        "o_orderkey", key + F.lit(100000000)
-    )
-    v2 = survivors.unionByName(inserts)
-    diff = snapshot_diff(orders, v2, ["o_orderkey"])
+    v1, v2 = _snapshot_diff_versions(spark, sf_dir)
+    diff = snapshot_diff(v1, v2, ["o_orderkey"])
     return diff.groupBy("change_type").agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.min("o_orderkey").alias("min_key"),
@@ -1166,27 +1189,91 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SNAPSHOT_DIFF_SQL = """
-WITH v2 AS (
+_SNAPSHOT_VERSIONS_CTE = """
+v1 AS (
   SELECT o_orderkey,
-         CASE WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
-              ELSE o_orderpriority END AS op
-  FROM orders WHERE o_orderkey % 97 <> 0
-  UNION ALL
-  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderpriority AS op
-  FROM orders WHERE o_orderkey % 101 = 0
+         CASE WHEN o_orderkey % 103 = 0 THEN o_orderstatus
+              ELSE o_orderpriority END AS op,
+         CASE WHEN o_orderkey % 103 = 0 THEN NULL
+              ELSE o_orderstatus END AS clk
+  FROM orders
 ),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 103 = 0 THEN NULL
+              WHEN o_orderkey % 89 = 0 THEN v1.op || '*'
+              ELSE v1.op END AS op,
+         CASE WHEN o_orderkey % 103 = 0 THEN v1.op
+              ELSE v1.clk END AS clk
+  FROM v1 WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, v1.op, v1.clk
+  FROM v1 WHERE o_orderkey % 101 = 0
+)
+"""
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH {_SNAPSHOT_VERSIONS_CTE},
 d AS (
   SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
               WHEN v2.o_orderkey IS NULL THEN 'removed'
-              WHEN v1.o_orderpriority <> v2.op THEN 'changed'
+              WHEN (v1.op IS DISTINCT FROM v2.op)
+                OR (v1.clk IS DISTINCT FROM v2.clk) THEN 'changed'
          END AS change_type,
          COALESCE(v1.o_orderkey, v2.o_orderkey) AS k
-  FROM orders v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
 )
 SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys,
        min(k) AS min_key, max(k) AS max_key
 FROM d WHERE change_type IS NOT NULL GROUP BY change_type
+"""
+
+
+# --- snapshot diff: WHICH columns changed (r13) -----------------------------
+# The reconciliation question users ask after WHAT changed: which
+# columns. operators/tablediff.py's snapshot_diff_columns compares
+# per-column digests inside the SAME full-outer join — the shuffle still
+# carries only (key, digests), never payloads. The gate reuses the
+# versioned-snapshot derivation above (null-swap cohort included: those
+# rows must report BOTH columns changed, since the value left `op` and
+# appeared in `clk`); the oracle derives the changed-column set by
+# direct null-safe comparison per column.
+def snapshot_diff_changed_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.operators.tablediff import (
+        snapshot_diff_columns,
+    )
+
+    v1, v2 = _snapshot_diff_versions(spark, sf_dir)
+    diff = snapshot_diff_columns(v1, v2, ["o_orderkey"])
+    return diff.groupBy(
+        "change_type",
+        F.array_join(F.col("changed_columns"), ",").alias("cols_changed"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+SNAPSHOT_DIFF_COLS_SQL = f"""
+WITH {_SNAPSHOT_VERSIONS_CTE},
+d AS (
+  SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+              WHEN v2.o_orderkey IS NULL THEN 'removed'
+              WHEN (v1.op IS DISTINCT FROM v2.op)
+                OR (v1.clk IS DISTINCT FROM v2.clk) THEN 'changed'
+         END AS change_type,
+         CASE WHEN v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL THEN ''
+              WHEN (v1.clk IS DISTINCT FROM v2.clk)
+               AND (v1.op IS DISTINCT FROM v2.op) THEN 'clk,op'
+              WHEN v1.clk IS DISTINCT FROM v2.clk THEN 'clk'
+              WHEN v1.op IS DISTINCT FROM v2.op THEN 'op'
+              ELSE '' END AS cols_changed,
+         COALESCE(v1.o_orderkey, v2.o_orderkey) AS k
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT change_type, cols_changed, CAST(count(*) AS BIGINT) AS n_keys,
+       min(k) AS min_key
+FROM d WHERE change_type IS NOT NULL GROUP BY change_type, cols_changed
 """
 
 
@@ -1566,6 +1653,10 @@ QUERIES = {
         DYNAMIC_BACKFILL_SQL,
     ),
     "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
+    "snapshot_diff_changed_cols": (
+        snapshot_diff_changed_cols,
+        SNAPSHOT_DIFF_COLS_SQL,
+    ),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,

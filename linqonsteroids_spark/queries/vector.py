@@ -460,6 +460,45 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_matryoshka_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka x IVFPQ composition: the ADC pass reads only the
+    FIRST 16 of 32 PQ subspaces — the code columns covering the 32-dim
+    embedding prefix — so candidate scoring touches half the LUT and
+    code bytes (literal column pruning against the persisted index).
+
+    The r13 measurement recorded this as a NEGATIVE RESULT on THIS
+    corpus (r12 verdict item 8's second done-clause): at sf0.1 with the
+    production n_probe=7 + 5% full-dim refine, prefix-ADC recall is
+    0.60 vs 0.91 full — and the cliff is STRUCTURAL, not a PQ artifact:
+    an EXACT 32-dim-prefix scorer's shortlist ceiling is 0.81 at the
+    same R (0.91 requires doubling R to 10%, quadrupling at 0.84/20%),
+    because these testdata embeddings are i.i.d. random unit vectors —
+    every dim carries equal energy, so a half prefix keeps half the
+    signal. Matryoshka-TRAINED embeddings front-load energy (the
+    technique's premise), which flips the trade; the m_sub mechanism
+    ships for that case, and THIS gate pins its value-correctness
+    (bit-exact ADC arithmetic over the truncated chain), not recall."""
+    from linqonsteroids_spark.similarity.ann import ivfpq_topk
+    from linqonsteroids_spark.similarity.pq import PQ_M
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(
+        _ann_queries(emb),
+        emb,
+        IVF_CENTROIDS,
+        k=_ANN_K,
+        n_probe=_ANN_NPROBE,
+        m_sub=PQ_M // 2,
+    )
+    return out.select(
+        "query_id",
+        "rnk",
+        "neighbor_id",
+        (F.round("adc_dist", 4) + 0.0).alias("adc_dist"),
+    )
+
+
 def _centroid_values_sql() -> str:
     """VALUES rows (cell, cvec DOUBLE[], cc) for the frozen IVF centroid
     artifact; cc accumulated sequentially in python so the literal is
@@ -476,22 +515,26 @@ def _centroid_values_sql() -> str:
     return ",\n       ".join(rows)
 
 
-def _ann_pairs_sql(n_probe: int = _ANN_NPROBE) -> str:
+def _ann_pairs_sql(n_probe: int = _ANN_NPROBE, m_sub: int | None = None) -> str:
     """The IVF-PQ candidate/rank pipeline as DuckDB SQL, emitting
     (query_id, rnk, neighbor_id, adc) — shared by the value gate and the
     recall report. Mirrors similarity/ann.py stage for stage: nearest-
     cell assignment (the semantic_dedup oracle's ranking), PQ codes (the
     pq_codes oracle's argmin), probe cells (same ranking, rnk <=
-    n_probe), ADC = ql_s[code_s + 1] chained left-assoc."""
+    n_probe), ADC = ql_s[code_s + 1] chained left-assoc. ``m_sub``
+    truncates the ADC chain to the first m_sub subspaces — the
+    matryoshka prefix mode (similarity/ann.py ``m_sub``)."""
     from linqonsteroids_spark.similarity.pq import PQ_M
 
+    if m_sub is None:
+        m_sub = PQ_M
     cdl = ", ".join(_pq_dist_list_cols("dl"))
     qdl = ", ".join(_pq_dist_list_cols("ql"))
     code_cols = ", ".join(
         f"CAST(list_position(dl_{s}, list_min(dl_{s})) - 1 AS INT) AS code_{s}"
-        for s in range(PQ_M)
+        for s in range(m_sub)
     )
-    adc = " + ".join(f"ql.ql_{s}[cd.code_{s} + 1]" for s in range(PQ_M))
+    adc = " + ".join(f"ql.ql_{s}[cd.code_{s} + 1]" for s in range(m_sub))
     return f"""
   SELECT query_id, neighbor_id, adc,
          row_number() OVER (PARTITION BY query_id
@@ -542,6 +585,20 @@ SELECT query_id, rnk, neighbor_id, round(adc, 4) + 0.0 AS adc_dist
 FROM ({_ann_pairs_sql(_ANN_NPROBE)})
 WHERE rnk <= {_ANN_K}
 """
+
+
+def _matryoshka_adc_sql() -> str:
+    from linqonsteroids_spark.similarity.pq import PQ_M
+
+    return f"""
+WITH {_ann_prelude_sql()}
+SELECT query_id, rnk, neighbor_id, round(adc, 4) + 0.0 AS adc_dist
+FROM ({_ann_pairs_sql(_ANN_NPROBE, m_sub=PQ_M // 2)})
+WHERE rnk <= {_ANN_K}
+"""
+
+
+ANN_MATRYOSHKA_ADC_SQL = _matryoshka_adc_sql()
 
 
 def _ann_refined_pairs_sql() -> str:
@@ -1053,6 +1110,7 @@ QUERIES = {
     ),
     "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "ann_ivfpq_adc": (ann_ivfpq_adc, ANN_ADC_SQL),
+    "ann_matryoshka_adc": (ann_matryoshka_adc, ANN_MATRYOSHKA_ADC_SQL),
     # same oracle by design: the persisted artifact must not change values
     "ann_index_persisted": (ann_index_persisted, ANN_ADC_SQL),
     # same oracle again: streamed ingest must equal the batch build

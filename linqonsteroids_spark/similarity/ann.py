@@ -50,6 +50,19 @@ measured recall is 0.91 at sf0.1 — past the 0.85 target at ~1.2x the
 candidate cost. On a corpus with strong cluster structure the trade
 reverses; revisit then.
 
+Matryoshka prefix composition (``m_sub``, r13): the ADC pass can read
+only the first m_sub subspaces — at m_sub = M/2 that is the 32-dim
+embedding prefix, half the LUT/code bytes per candidate, and against
+the persisted index literal parquet column pruning. MEASURED as a
+negative result on this corpus (sf0.1, n_probe 7, 5% full-dim refine):
+prefix recall 0.60 vs 0.91 full, and the cliff is structural — an
+EXACT 32-dim-prefix scorer's shortlist ceiling is 0.81 at the same R
+(0.91 needs R doubled to 10%), because i.i.d. random unit vectors
+spread energy evenly across dims, so a half prefix keeps half the
+signal. Matryoshka-TRAINED embeddings front-load energy and flip the
+trade; the mechanism ships for that case with its value-correctness
+gated (ann_matryoshka_adc), recall deliberately not claimed.
+
 Reference parity note: /root/reference has no ANN surface at all (its
 §2 operators are relational); this module is north-star scope from the
 build brief (similarity search over embedding columns at 100 TB).
@@ -76,8 +89,9 @@ def _query_probe_luts(
     n_probe: int,
     query_id: str,
     query_vec: str,
+    m_sub: int = PQ_M,
 ) -> DataFrame:
-    """(query_id, probe_cells array<int>, lut_0..lut_{M-1} array<double>).
+    """(query_id, probe_cells array<int>, lut_0..lut_{m_sub-1} array<double>).
 
     One Arrow kernel over the (tiny, broadcast-destined) query side.
     Probe ranking mirrors the IVF literal path: -2·q·c + |c|² with the
@@ -86,6 +100,13 @@ def _query_probe_luts(
     [s][j] is the sequential sum of squared diffs between query
     subvector s and codebook centroid j — the pq_encode arithmetic with
     the query in place of the corpus vector.
+
+    ``m_sub < PQ_M`` is the matryoshka prefix mode: only the first
+    ``m_sub`` subspaces (covering the first ``m_sub * PQ_D`` dims) get
+    LUTs — half the LUT payload per probe row at m_sub = M/2. Probe
+    ROUTING stays full-dim (cells were assigned on full vectors; the
+    query side is tiny, so full-dim routing costs nothing and keeps
+    cell semantics identical to the non-prefix paths).
     """
     cents = [[float(x) for x in c] for c in centroids]
     ccs = []
@@ -95,7 +116,7 @@ def _query_probe_luts(
             cc += x * x
         ccs.append(cc)
     schema = f"{query_id} long, probe_cells array<int>, " + ", ".join(
-        f"lut_{s} array<double>" for s in range(PQ_M)
+        f"lut_{s} array<double>" for s in range(m_sub)
     )
 
     def kern(batches):
@@ -105,7 +126,7 @@ def _query_probe_luts(
         C = np.array(cents, dtype=np.float64)          # (L, dim)
         cc = np.array(ccs, dtype=np.float64)           # (L,)
         books = [
-            np.array(PQ_CODEBOOK[s], dtype=np.float64) for s in range(PQ_M)
+            np.array(PQ_CODEBOOK[s], dtype=np.float64) for s in range(m_sub)
         ]
         n_lists = C.shape[0]
         for pdf in batches:
@@ -124,7 +145,7 @@ def _query_probe_luts(
                 order = sorted(range(n_lists), key=lambda j: (score[r, j], j))
                 probes.append(np.array(order[:n_probe], dtype=np.int32))
             out["probe_cells"] = probes
-            for s in range(PQ_M):
+            for s in range(m_sub):
                 sub = x[:, s * PQ_D : (s + 1) * PQ_D]
                 diff = sub[:, None, :] - books[s][None, :, :]
                 sq = diff * diff
@@ -150,8 +171,17 @@ def ivfpq_topk(
     exclude_self: bool = True,
     refine: int | None = None,
     refine_frac: float | None = None,
+    m_sub: int = PQ_M,
 ) -> DataFrame:
     """IVF-routed PQ asymmetric-distance top-k.
+
+    ``m_sub``: number of leading PQ subspaces the ADC pass reads — the
+    matryoshka composition (Kusupati et al., NeurIPS 2022: a trained
+    prefix is itself an embedding). ``m_sub = PQ_M // 2`` scores
+    candidates on the 32-dim prefix only (half the LUT + code bytes per
+    candidate); combine with ``refine_frac`` so the exact re-rank runs
+    full-dim — measured recall and cost are gated by
+    ``ann_matryoshka_topk`` (queries/vector.py).
 
     ``refine_frac``: the scale-honest alternative to a fixed ``refine``
     — R = max(k, ceil(frac * |corpus|)), resolved from one bounded
@@ -199,6 +229,7 @@ def ivfpq_topk(
         corpus_vec=corpus_vec,
         exclude_self=exclude_self,
         refine=refine,
+        m_sub=m_sub,
     )
 
 
@@ -282,6 +313,7 @@ def ivfpq_index_topk(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     refine: int | None = None,
+    m_sub: int = PQ_M,
 ) -> DataFrame:
     """Search a PERSISTED index (``spark.read.parquet`` of a
     build_ivfpq_index artifact): identical semantics and results to
@@ -301,7 +333,7 @@ def ivfpq_index_topk(
     # ADVICE). Driver traffic stays the bounded cell-id set; the LUT
     # payload never leaves the executors.
     probes = _query_probe_luts(
-        queries, centroids, n_probe, query_id, query_vec
+        queries, centroids, n_probe, query_id, query_vec, m_sub=m_sub
     ).localCheckpoint(eager=False)
     cells = sorted(
         {c for r in probes.select("probe_cells").collect() for c in r[0]}
@@ -321,6 +353,7 @@ def ivfpq_index_topk(
         exclude_self=exclude_self,
         refine=refine,
         probes=probes,
+        m_sub=m_sub,
     )
 
 
@@ -338,20 +371,24 @@ def _topk_from_coded(
     exclude_self: bool,
     refine: int | None,
     probes: DataFrame | None = None,
+    m_sub: int = PQ_M,
 ) -> DataFrame:
     if probes is None:
         probes = _query_probe_luts(
-            queries, centroids, n_probe, query_id, query_vec
+            queries, centroids, n_probe, query_id, query_vec, m_sub=m_sub
         )
     probes = probes.select(
         query_id,
         F.explode("probe_cells").alias("cell"),
-        *[f"lut_{s}" for s in range(PQ_M)],
+        *[f"lut_{s}" for s in range(m_sub)],
     )
     # ADC: element_at is 1-based; codes are 0-based argmins. Left-assoc
     # `+` chain matches the oracle's `lut[code+1] + ...` chain exactly.
+    # m_sub < PQ_M reads only the first m_sub code columns — against the
+    # persisted columnar index that is literal column pruning, so the
+    # matryoshka prefix pass scans half the code bytes at m_sub = M/2.
     adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
-    for s in range(1, PQ_M):
+    for s in range(1, m_sub):
         adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
     cand = coded.join(F.broadcast(probes), "cell")
     if exclude_self:

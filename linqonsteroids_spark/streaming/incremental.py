@@ -257,25 +257,14 @@ def stream_stream_interval_join(
 
 
 def local_put_if_absent(path: str, payload: str) -> bool:
-    """Local-filesystem conditional put: atomically publish ``payload`` at
-    ``path`` iff nothing exists there yet. Returns False (without
-    touching the existing object) when another writer won the race.
+    """Conditional put via the commit seam (see
+    :mod:`linqonsteroids_spark.sources.commitlog` for the object-store
+    contract — If-None-Match conditional PUT). Kept as a name here
+    because VersionedAggMV's version-claim protocol below is specified
+    in terms of it."""
+    from linqonsteroids_spark.sources.commitlog import put_if_absent
 
-    Mechanism: write to a writer-private temp file, then ``os.link`` it
-    into place — POSIX hard-link creation fails with EEXIST if the target
-    exists, making the publish a single atomic compare-and-create. The
-    temp name carries the pid so two racing writers never collide on it.
-    """
-    tmp = f"{path}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        f.write(payload)
-    try:
-        os.link(tmp, path)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    return put_if_absent(path, payload)
 
 
 class IncrementalAggMV:

@@ -891,6 +891,71 @@ def test_snapshot_diff_digest_only_shuffle_and_classes(spark):
         snapshot_diff(v1, v2_wide, ["k"])
 
 
+def test_snapshot_diff_null_swap_is_changed(spark):
+    """The r12 verdict's confirmed blind spot, pinned: Spark's hash
+    functions SKIP null inputs, so xxhash64(NULL,'x') == xxhash64('x',
+    NULL) — a value MOVING between two same-typed compared columns
+    (nulling the vacated one) used to digest as unchanged. The digest
+    now folds in each column's null-ness, so the swap classifies
+    'changed'."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from linqonsteroids_spark.operators.tablediff import snapshot_diff
+
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("a", StringType(), True),
+            StructField("b", StringType(), True),
+        ]
+    )
+    v1 = spark.createDataFrame([("k1", "x", None), ("k2", "y", None)], schema)
+    v2 = spark.createDataFrame([("k1", None, "x"), ("k2", "y", None)], schema)
+    got = sorted(map(tuple, snapshot_diff(v1, v2, ["k"]).collect()))
+    assert got == [("k1", "changed")]
+
+
+def test_snapshot_diff_columns_projection(spark):
+    """snapshot_diff_columns: WHICH columns changed, per key, from
+    per-column digests riding the same full-outer join. NULL→value and
+    value→NULL both register; added/removed rows carry an empty array."""
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from linqonsteroids_spark.operators.tablediff import (
+        snapshot_diff_columns,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("a", StringType(), True),
+            StructField("b", StringType(), True),
+        ]
+    )
+    v1 = spark.createDataFrame(
+        [("k1", "x", "p"), ("k2", "y", None), ("k3", "z", "q"), ("k4", "w", "r")],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [("k1", "X", "P"), ("k2", None, "y"), ("k3", "z", "q"), ("k5", "v", "s")],
+        schema,
+    )
+    got = {
+        r["k"]: (r["change_type"], r["changed_columns"])
+        for r in snapshot_diff_columns(v1, v2, ["k"]).collect()
+    }
+    assert got == {
+        "k1": ("changed", ["a", "b"]),
+        "k2": ("changed", ["a", "b"]),  # null-swap: BOTH columns moved
+        "k4": ("removed", []),
+        "k5": ("added", []),
+    }
+
+
 def _mor_fixture(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -1093,6 +1158,55 @@ def test_mor_compact_crash_windows_recover(spark, tmp_path):
     assert not os.path.isdir(t3._staged)
     assert sorted(map(tuple, t3.read().collect())) == expected
     shutil.rmtree(str(tmp_path / "crashed_base"))
+
+
+def test_mor_compact_crash_after_promote_reaps_retired_base(
+    spark, tmp_path
+):
+    """r12 verdict item 3: a crash AFTER the staged→base promote but
+    before cleanup used to strand `_retired_base.<pid>` (a full table
+    copy) and the delta log forever. The recovery sweep now reaps both
+    whenever a live base exists — safe because base IS the merged
+    snapshot at that point — leaving only `base` on disk."""
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    expected = sorted(map(tuple, t.read().collect()))
+    # simulate compact() crashing between its base swap and cleanup:
+    # merged snapshot staged, old base retired, staged promoted — then
+    # death before the delta log and retired copy are removed
+    t.read().write.parquet(t._staged)
+    os.replace(t._base, os.path.join(t.path, "_retired_base.12345"))
+    os.replace(t._staged, t._base)
+    assert os.path.isdir(t._delta_root)  # crash left the log behind
+
+    t2 = MorTable(spark, t.path, "k")  # recovery runs in __init__
+    assert sorted(os.listdir(t2.path)) == ["base"]  # ONLY the base
+    assert sorted(map(tuple, t2.read().collect())) == expected
+    # recovery is itself crash-safe to repeat
+    t3 = MorTable(spark, t.path, "k")
+    assert sorted(map(tuple, t3.read().collect())) == expected
+
+
+def test_wap_vacuum_zero_retention_keeps_only_live_snapshot(
+    spark, tmp_path
+):
+    """retain_last=0 means 'no time travel, keep only the live
+    snapshot' — the advisor's slicing bug (hist[-0:] == whole list)
+    used to retain EVERYTHING instead."""
+    import pytest
+
+    from linqonsteroids_spark.operators.wap import WapTable
+
+    t = WapTable(spark, str(tmp_path / "wap"))
+    for n in (1, 2, 3):
+        t.publish(t.stage(spark.range(n).selectExpr("id AS x")))
+    assert t.vacuum(retain_last=0) == 2  # versions 1 and 2 reclaimed
+    assert t.read().count() == 3  # live snapshot untouched
+    with pytest.raises(FileNotFoundError, match="reclaimed"):
+        t.read(1)
 
 
 def test_wap_time_travel_and_vacuum_retention(spark, tmp_path):

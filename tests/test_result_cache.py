@@ -110,3 +110,67 @@ def test_lifted_value_cached_sink_memoizes_rebuilt_pipelines(
     rows3, hit3 = frame().value_cached(cache)
     assert not hit3
     assert len(rows3) == len(rows1)  # appended keys are >= 50, filtered
+
+def test_wide_plans_past_truncation_point_do_not_collide(spark, tmp_path):
+    """ADVICE r12 (medium): toString() truncates node argument lists at
+    spark.sql.debug.maxToStringFields (default 25), so two wide selects
+    differing only PAST the cutoff used to hash identically and serve
+    each other's results. The key now uses the complete JSON form."""
+    base = str(tmp_path / "base")
+    _write_base(spark, base)
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+
+    def wide(last_expr):
+        cols = [(F.col("k") + i).alias(f"c{i}") for i in range(39)]
+        return spark.read.parquet(base).select(*cols, last_expr.alias("c39"))
+
+    a = wide(F.col("k") * 2)
+    b = wide(F.col("k") * 3)  # differs only in the 40th projection
+    # precondition: the truncated string form really does conflate them
+    sa = a._jdf.queryExecution().analyzed().canonicalized().toString()
+    sb = b._jdf.queryExecution().analyzed().canonicalized().toString()
+    assert "more fields" in sa and sa == sb
+    assert cache.fingerprint(a) != cache.fingerprint(b)
+    ra, _ = cache.get_or_materialize(a)
+    rb, _ = cache.get_or_materialize(b)
+    assert ra.select(F.sum("c39")).first()[0] != rb.select(F.sum("c39")).first()[0]
+
+
+def test_concurrent_misses_leave_one_complete_entry(spark, tmp_path):
+    """r12 verdict item 5: two sessions missing on the same fingerprint
+    used to race mode('overwrite') writes to the SAME path (delete-then-
+    write interleavings corrupt the entry). Now each stages privately and
+    claims via no-clobber rename: exactly one wins, the loser serves the
+    winner's complete entry, and a full read always verifies."""
+    import threading
+
+    base = str(tmp_path / "base")
+    _write_base(spark, base)
+    store = str(tmp_path / "cache")
+    results, errors = [], []
+
+    def worker():
+        try:
+            cache = ResultCache(spark, store)
+            q = spark.read.parquet(base).groupBy("g").agg(
+                F.count("*").alias("n")
+            )
+            r, hit = cache.get_or_materialize(q)
+            results.append((sorted(map(tuple, r.collect())), hit))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 4
+    expected = results[0][0]
+    assert all(r == expected for r, _ in results)
+    # exactly one complete entry on disk, no staging debris
+    entries = [d for d in os.listdir(store) if ".staged." not in d]
+    staged = [d for d in os.listdir(store) if ".staged." in d]
+    assert len(entries) == 1 and not staged
+    assert os.path.exists(os.path.join(store, entries[0], "_SUCCESS"))

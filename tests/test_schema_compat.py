@@ -84,3 +84,19 @@ def test_metadata_only_classes():
         "compatible": True,
         "findings": [],
     }
+
+
+def test_widening_with_nullability_tightening_is_still_unsafe():
+    """ADVICE r12: the type-changed branch used to `continue` past the
+    nullability check, so written-int-nullable -> declared-bigint-NOT-NULL
+    was reported only as 'widened' and compatible=True. Nullability is
+    orthogonal: both findings must surface and the verdict is unsafe."""
+    v = _verdict("a int", "a bigint NOT NULL")
+    assert ("widened", "a") in v["findings"]
+    assert ("nullability-tightened", "a") in v["findings"]
+    assert not v["compatible"]
+    # same orthogonality through the unsafe type classes
+    v2 = _verdict("a int", "a smallint NOT NULL")
+    assert ("silent-narrowing", "a") in v2["findings"]
+    assert ("nullability-tightened", "a") in v2["findings"]
+    assert not v2["compatible"]

@@ -516,3 +516,65 @@ def test_sdc_tables_consistent_with_codebook():
                 for k in range(1, PQ_D):
                     d = d + sq[k]
                 assert t[i][j] == float(d)  # bit-exact
+
+
+def test_matryoshka_prefix_adc_mechanism(spark):
+    """The m_sub (matryoshka prefix) composition, r13. Recall on THIS
+    corpus is a recorded NEGATIVE result (i.i.d. random embeddings
+    spread energy evenly, so the 32-dim prefix keeps half the signal:
+    measured 0.60 vs 0.91 at sf0.1 — see similarity/ann.py docstring);
+    what ships is the MECHANISM, pinned here: (a) m_sub=PQ_M is
+    bit-identical to the default path; (b) the m_sub=M/2 ADC equals the
+    brute-force recomputation of the truncated chain — same codes, half
+    the LUT terms — so the prefix arithmetic is exact, not approximate."""
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.ann import ivfpq_topk
+    from linqonsteroids_spark.similarity.pq import PQ_M
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=3)
+    explicit = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=3, m_sub=PQ_M)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # (b) prefix ADC distances: recompute one query's candidate scores
+    # from raw vectors + codebook, truncated to the first M/2 subspaces
+    import numpy as np
+
+    from linqonsteroids_spark.similarity.pq import PQ_CODEBOOK, PQ_D
+
+    half = ivfpq_topk(q, emb, IVF_CENTROIDS, k=5, n_probe=3, m_sub=PQ_M // 2)
+    rows = half.collect()
+    assert rows and {len(r) for r in [rows[0]]} == {4}
+    qid = rows[0]["query_id"]
+    qvec = np.array(
+        q.filter(F.col("query_id") == qid).first()["query_vec"], dtype=np.float64
+    )
+    for r in rows:
+        if r["query_id"] != qid:
+            continue
+        nvec = np.array(
+            emb.filter(F.col("vec_id") == r["neighbor_id"]).first()["embedding"],
+            dtype=np.float64,
+        )
+        expect = 0.0
+        for s in range(PQ_M // 2):
+            sub = nvec[s * PQ_D : (s + 1) * PQ_D]
+            book = np.array(PQ_CODEBOOK[s], dtype=np.float64)
+            d = ((sub[None, :] - book) ** 2)
+            acc = d[:, 0]
+            for i in range(1, PQ_D):
+                acc = acc + d[:, i]
+            code = int(acc.argmin())
+            qsub = qvec[s * PQ_D : (s + 1) * PQ_D]
+            lut = 0.0
+            for i in range(PQ_D):
+                lut += (qsub[i] - book[code][i]) ** 2
+            expect += lut
+        assert abs(r["adc_dist"] - expect) < 1e-9, (r, expect)

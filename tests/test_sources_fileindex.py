@@ -106,3 +106,42 @@ def test_null_stats_never_exclude_a_file(layout, tmp_path):
     json.dump(stats, open(p, "w"))
     keep, total = prune_files(copy, "k", 10, 20)
     assert os.path.join(copy, victim) in keep
+
+
+def test_date_stat_column_prunes_natively_end_to_end(spark, tmp_path):
+    """r12 verdict item 6: a date-typed stat column must work end-to-end
+    — stats compare in the column's native string/ISO domain (ISO text
+    order == chronological order), never via float() coercion which used
+    to raise ValueError at plan time."""
+    import datetime
+
+    path = str(tmp_path / "dated")
+    df = spark.range(365).select(
+        F.date_add(F.lit("2024-01-01"), F.col("id").cast("int")).alias("d"),
+        F.col("id").alias("v"),
+    )
+    write_with_stats(df, path, ["d"], n_files=6)
+    lo, hi = datetime.date(2024, 3, 1), datetime.date(2024, 3, 31)
+    from linqonsteroids_spark.sources.fileindex import read_pruned as rp
+
+    got, n_read, n_total = rp(spark, path, "d", lo, hi)
+    assert 1 <= n_read < n_total
+    full = sorted(
+        r[0]
+        for r in spark.read.parquet(path)
+        .filter(F.col("d").between(F.lit(str(lo)), F.lit(str(hi))))
+        .select("v")
+        .collect()
+    )
+    assert sorted(r["v"] for r in got.collect()) == full
+
+
+def test_non_orderable_stat_column_fails_loudly_at_write(spark, tmp_path):
+    """The other side of the r12 pin: a stat column with no meaningful
+    range (array type) is refused at WRITE time, not with a confusing
+    ValueError when someone probes the manifest months later."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.array(F.col("id")).alias("a")
+    )
+    with pytest.raises(TypeError, match="not range-prunable"):
+        write_with_stats(df, str(tmp_path / "bad"), ["a"])

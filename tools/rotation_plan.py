@@ -38,14 +38,20 @@ def main() -> None:
             if row.get("hash_match") or rows_only_ok:
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
-    names = list(ALL)
+    # Rows-only gates (no oracle by design) burn a window slot only to
+    # return err=no_oracle — their correctness evidence is the bit-exact
+    # pytest twins machine-checked by test_registry.py (r12 verdict item
+    # 4). Keep them OUT of the driver window entirely.
+    names = [n for n in ALL if ALL[n][1] is not None]
+    excluded = [n for n in ALL if ALL[n][1] is None]
     # staleness key: (last green round, last checked round) — never-green
     # and never-checked sort first; ties keep registry order (stable sort)
     ranked = sorted(
         names, key=lambda n: (last_green.get(n, -1), checked.get(n, -1))
     )
     window = ranked[:50]
-    print(f"# registry: {len(names)} queries; latest round file: "
+    print(f"# registry: {len(ALL)} queries ({len(excluded)} rows-only "
+          f"excluded from window: {excluded}); latest round file: "
           f"{rounds[-1] if rounds else 'none'}")
     print("# window (paste into _ROTATION, grouped by staleness):")
     for n in window:
