@@ -198,6 +198,9 @@ EXTRA = [
     "snapshot_diff_orders",
     # round 13 heads
     "snapshot_diff_changed_cols",
+    "snapshot_diff_bucketed_orders",
+    "digest_manifest_audit",
+    "streaming_audited_ingest",
     "ann_matryoshka_adc",
     "price_qty_regression",
     "zorder_range_scan",

@@ -1254,6 +1254,97 @@ def snapshot_diff_changed_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hierarchical snapshot diff: bucket digests first (r13) -----------------
+# The flat diff shuffles every key's (key, digest) pair even when almost
+# nothing changed — and reconciliation runs are mostly confirmations. The
+# bucketed variant first reduces each side to n_buckets (bit_xor-of-
+# digests, count) rows, joins those summaries, and runs the row-level
+# full-outer join ONLY over the disagreeing buckets: cost O(changed
+# partition of the table), the incremental-maintenance shape. The gate
+# reuses the versioned-snapshot derivation (null-swap cohort included)
+# and must produce EXACTLY the flat gate's classification — its oracle
+# is the same null-safe direct-comparison SQL, so the driver proves the
+# two-level pruning drops nothing.
+def snapshot_diff_bucketed_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from linqonsteroids_spark.operators.tablediff import (
+        snapshot_diff_bucketed,
+    )
+
+    v1, v2 = _snapshot_diff_versions(spark, sf_dir)
+    diff, _changed, _n = snapshot_diff_bucketed(
+        v1, v2, ["o_orderkey"], n_buckets=64
+    )
+    return diff.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# --- persisted digest-manifest drift audit (r13) ----------------------------
+# The temporal leg of reconciliation: write_digest_manifest persists the
+# bucket-summary (KB-sized, one scan) so a LATER audit detects drift
+# WITHOUT the old snapshot. The gate writes v1's manifest once per
+# sf_dir (cached-scratch discipline), audits v2 against it, and reports
+# (clean, n_changed_buckets, row_delta). Buckets here are o_orderkey %
+# 64 (the bucket_expr hook) precisely so DuckDB can replay bucket
+# membership: the oracle recomputes which buckets contain a differing
+# key by direct null-safe comparison — equality proves the xor-digest
+# localization exact on this data.
+def digest_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.operators.tablediff import (
+        audit_against_manifest,
+        write_digest_manifest,
+    )
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    v1, v2 = _snapshot_diff_versions(spark, sf_dir)
+    path = os.path.join(
+        cached_scratch_dir("squopt_digestman_", sf_dir), "orders_v1"
+    )
+    bucket = F.pmod(F.col("o_orderkey"), F.lit(64))
+    if not os.path.exists(
+        os.path.join(path, "_DIGEST_MANIFEST.json")
+    ):
+        write_digest_manifest(
+            v1, path, ["o_orderkey"], n_buckets=64, bucket_expr=bucket
+        )
+    report = audit_against_manifest(v2, path, bucket_expr=bucket)
+    return spark.createDataFrame(
+        [
+            (
+                int(report["clean"]),
+                len(report["changed_buckets"]),
+                report["row_delta"],
+            )
+        ],
+        "clean bigint, n_changed_buckets bigint, row_delta bigint",
+    )
+
+
+DIGEST_MANIFEST_SQL = f"""
+WITH {{versions}},
+d AS (
+  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+               OR (v1.op IS DISTINCT FROM v2.op)
+               OR (v1.clk IS DISTINCT FROM v2.clk)
+              THEN 1 ELSE 0 END AS chg
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT CAST(0 AS BIGINT) AS clean,
+       CAST(count(DISTINCT k % 64) FILTER (WHERE chg = 1) AS BIGINT)
+         AS n_changed_buckets,
+       CAST((SELECT count(*) FROM v2) - (SELECT count(*) FROM v1)
+         AS BIGINT) AS row_delta
+FROM d
+""".format(versions=_SNAPSHOT_VERSIONS_CTE)
+
+
 SNAPSHOT_DIFF_COLS_SQL = f"""
 WITH {_SNAPSHOT_VERSIONS_CTE},
 d AS (
@@ -1508,6 +1599,104 @@ def mor_stream_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("user_id", "event_type", "value_cents")
 
 
+# --- streaming expectations: audit-before-append with quarantine (r13) -----
+# The streaming counterpart of wap_publish_orders' snapshot audits
+# (streaming/expectations.py): every micro-batch is checked row-wise in
+# ONE projection, passing rows append to the table, violating rows land
+# in quarantine tagged with the expectations they failed — no silent
+# drops, no violating row in the table, idempotent batch=<id> subdirs
+# on redelivery. The gate streams events in two micro-batches (file
+# source, maxFilesPerTrigger=1), audits two deterministic expectations
+# (event_id % 7, user_id % 11 — mod-based so DuckDB replays the exact
+# classification), and reports per-violation-set row counts + exact
+# value cents; the oracle rebuilds the same split declaratively.
+def streaming_audited_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from linqonsteroids_spark.streaming.expectations import (
+        StreamingExpectations,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_expect_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, half in enumerate((0, 1)):  # two files -> two micro-batches
+        tmp = os.path.join(base, f"z{i}")
+        rows.where(F.col("event_id") % 2 == half).coalesce(1).write.parquet(
+            tmp
+        )
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(
+            os.path.join(tmp, part), os.path.join(src, f"part-{i}.parquet")
+        )
+    out = os.path.join(base, "table")
+    quarantine = os.path.join(base, "quarantine")
+    sink = StreamingExpectations(
+        {
+            "id_spread": F.col("event_id") % 7 != 0,
+            "user_spread": F.col("user_id") % 11 != 0,
+        },
+        out,
+        quarantine,
+    )
+    (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    clean = spark.read.parquet(out).select(
+        F.lit("").alias("violated"), "value_cents"
+    )
+    bad = spark.read.parquet(quarantine).select(
+        F.col("_violated").alias("violated"), "value_cents"
+    )
+    return (
+        clean.unionByName(bad)
+        .groupBy("violated")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("value_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+STREAM_EXPECT_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+  FROM events
+),
+cls AS (
+  SELECT value_cents,
+         CASE WHEN event_id % 7 = 0 AND user_id % 11 = 0
+                THEN 'id_spread,user_spread'
+              WHEN event_id % 7 = 0 THEN 'id_spread'
+              WHEN user_id % 11 = 0 THEN 'user_spread'
+              ELSE '' END AS violated
+  FROM e
+)
+SELECT violated, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents
+FROM cls GROUP BY violated
+"""
+
+
 MOR_STREAM_SQL = """
 SELECT user_id, event_type, value_cents FROM (
   SELECT user_id, event_type,
@@ -1657,6 +1846,13 @@ QUERIES = {
         snapshot_diff_changed_cols,
         SNAPSHOT_DIFF_COLS_SQL,
     ),
+    # same oracle by design: bucket-level pruning must drop nothing
+    "snapshot_diff_bucketed_orders": (
+        snapshot_diff_bucketed_orders,
+        SNAPSHOT_DIFF_SQL,
+    ),
+    "digest_manifest_audit": (digest_manifest_audit, DIGEST_MANIFEST_SQL),
+    "streaming_audited_ingest": (streaming_audited_ingest, STREAM_EXPECT_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,

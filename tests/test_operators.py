@@ -956,6 +956,102 @@ def test_snapshot_diff_columns_projection(spark):
     }
 
 
+def test_snapshot_diff_bucketed_prunes_and_matches_flat(spark):
+    """Hierarchical diff (r13): bucket digests localize the change, the
+    row-level join runs only over touched buckets, and the result is
+    EXACTLY the flat diff's. A single changed key must touch exactly one
+    bucket; identical snapshots must short-circuit to zero buckets
+    without any row-level join."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.tablediff import (
+        snapshot_diff,
+        snapshot_diff_bucketed,
+    )
+
+    v1 = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    v2 = v1.withColumn(
+        "s", F.when(F.col("k") == 777, F.lit("CHANGED")).otherwise(F.col("s"))
+    )
+    flat = sorted(map(tuple, snapshot_diff(v1, v2, ["k"]).collect()))
+    diff, changed, n = snapshot_diff_bucketed(v1, v2, ["k"], n_buckets=64)
+    assert sorted(map(tuple, diff.collect())) == flat == [(777, "changed")]
+    assert len(changed) == 1 and n == 64  # one key -> one touched bucket
+    # identical snapshots: no bucket disagrees, no row-level work at all
+    d0, ch0, _ = snapshot_diff_bucketed(v1, v1, ["k"], n_buckets=64)
+    assert ch0 == [] and d0.count() == 0
+    assert d0.columns == ["k", "change_type"]
+
+
+def test_snapshot_diff_bucketed_xor_cancellation_pinned(spark):
+    """The bug the gate differential caught on first contact with real
+    data: xor cancels PAIRS, so two different keys carrying IDENTICAL
+    payloads that change identically cancelled out of their shared
+    bucket's xor (orders keys 515 and 1030, both %103 null-swapped with
+    the same status value, same hash bucket) and the change vanished.
+    The summary digest now folds in the key; with n_buckets=1 forcing
+    every key into one bucket, the pair must still be detected."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from linqonsteroids_spark.operators.tablediff import (
+        snapshot_diff_bucketed,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("a", StringType(), True),
+            StructField("b", StringType(), True),
+        ]
+    )
+    v1 = spark.createDataFrame(
+        [("k1", "F", None), ("k2", "F", None), ("k3", "z", "q")], schema
+    )
+    v2 = spark.createDataFrame(
+        [("k1", None, "F"), ("k2", None, "F"), ("k3", "z", "q")], schema
+    )
+    diff, changed, _ = snapshot_diff_bucketed(v1, v2, ["k"], n_buckets=1)
+    assert sorted(map(tuple, diff.collect())) == [
+        ("k1", "changed"),
+        ("k2", "changed"),
+    ]
+    assert changed == [0]
+
+
+def test_digest_manifest_detects_drift_without_old_snapshot(
+    spark, tmp_path
+):
+    """write_digest_manifest + audit_against_manifest: drift since the
+    last audit is detectable from a KB-sized sidecar alone — clean on
+    the identical table, localized buckets + row delta after mutation."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.tablediff import (
+        audit_against_manifest,
+        write_digest_manifest,
+    )
+
+    v1 = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "t")
+    write_digest_manifest(v1, path, ["k"], n_buckets=32)
+    clean = audit_against_manifest(v1, path)
+    assert clean["clean"] and clean["changed_buckets"] == []
+    v2 = v1.where(F.col("k") != 123).withColumn(
+        "s",
+        F.when(F.col("k") == 7, F.lit("CORRUPT")).otherwise(F.col("s")),
+    )
+    drift = audit_against_manifest(v2, path)
+    assert not drift["clean"]
+    assert 1 <= len(drift["changed_buckets"]) <= 2  # localized
+    assert drift["row_delta"] == -1
+
+
 def _mor_fixture(spark, tmp_path):
     from pyspark.sql import functions as F
 
