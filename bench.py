@@ -201,6 +201,7 @@ EXTRA = [
     "snapshot_diff_bucketed_orders",
     "digest_manifest_audit",
     "streaming_audited_ingest",
+    "fuzzy_name_neighbors_k2",
     "ann_matryoshka_adc",
     "price_qty_regression",
     "zorder_range_scan",

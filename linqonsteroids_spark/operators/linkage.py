@@ -123,11 +123,13 @@ def length_prefilter(name_a: Column, name_b: Column, max_dist: int) -> Column:
     return F.abs(F.length(name_a) - F.length(name_b)) <= max_dist
 
 
-def deletion_neighborhood_pairs(df: DataFrame, col: str) -> DataFrame:
-    """All distinct value pairs of ``col`` within edit distance 1
-    (columns ``a`` < ``b``) — LOSSLESS blocking, unlike the windowed
-    sorted-neighborhood above, which trades recall for its linear
-    candidate bound.
+def deletion_neighborhood_pairs(
+    df: DataFrame, col: str, k: int = 1
+) -> DataFrame:
+    """All distinct value pairs of ``col`` within edit distance ``k``
+    (columns ``a`` < ``b``; k ∈ {1, 2}) — LOSSLESS blocking, unlike the
+    windowed sorted-neighborhood above, which trades recall for its
+    linear candidate bound.
 
     The block key is the deletion neighborhood (the SymSpell scheme):
     D(s) = {s} ∪ {s minus one character}. Two strings are within one
@@ -141,26 +143,39 @@ def deletion_neighborhood_pairs(df: DataFrame, col: str) -> DataFrame:
     with one exact ``levenshtein`` call; verification cost is bounded by
     the candidate count, never N².
 
-    100 TB shape: O(N·L) short variant rows into one equi-join shuffle —
-    never an all-pairs comparison, no driver-side state. Generalizing to
-    k>1 multiplies variants by C(L,k); at that point use MinHash/SimHash
-    banding (dedup/) — this operator is the exact-k=1 tier of the
+    100 TB shape: O(N·L) short variant rows into one equi-join shuffle
+    at k=1, O(N·L²/2) at k=2 — never an all-pairs comparison, no
+    driver-side state. The completeness argument generalizes to any k
+    (an optimal alignment's ≤k substituted/deleted positions removed
+    from each side leaves a common string reachable by ≤k deletions per
+    side), so ``k=2`` is the exact-distance-2 tier: variants multiply
+    by ~C(L,2), the right trade for SHORT join keys (names, codes,
+    SKUs). Beyond that the variant blowup loses to MinHash/SimHash
+    banding (dedup/) — this operator is the exact-k tier of the
     fuzzy-matching ladder."""
+    if k not in (1, 2):
+        raise ValueError(
+            f"k={k}: supported exact tiers are 1 and 2; use the banded "
+            "dedup operators for coarser similarity"
+        )
+    # D(s) including the identity: i == length yields s unchanged
+    d1 = (
+        "transform(sequence(0, length({x})), {i} -> "
+        "concat(substring({x}, 1, {i}), substring({x}, {i} + 2)))"
+    )
+    if k == 1:
+        variants = f"array_distinct({d1.format(x='_s', i='i')})"
+    else:
+        inner = d1.format(x="t", i="j")
+        variants = (
+            "array_distinct(flatten(transform("
+            f"{d1.format(x='_s', i='i')}, t -> {inner})))"
+        )
     v = (
         df.select(F.col(col).cast("string").alias("_s"))
         .where(F.col("_s").isNotNull())
         .distinct()
-        .select(
-            "_s",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(0, length(_s)), i -> "
-                        "concat(substring(_s, 1, i), substring(_s, i + 2)))"
-                    )
-                )
-            ).alias("_v"),
-        )
+        .select("_s", F.explode(F.expr(variants)).alias("_v"))
     )
     left, right = v.alias("L"), v.alias("R")
     cand = (
@@ -172,4 +187,4 @@ def deletion_neighborhood_pairs(df: DataFrame, col: str) -> DataFrame:
         .select(F.col("L._s").alias("a"), F.col("R._s").alias("b"))
         .distinct()
     )
-    return cand.where(F.levenshtein("a", "b") <= 1)
+    return cand.where(F.levenshtein("a", "b") <= k)

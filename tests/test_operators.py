@@ -1351,3 +1351,32 @@ def test_mor_reserved_column_names_are_refused(spark, tmp_path):
         t.write_base(spark.createDataFrame([(1, "U")], ["k", "_op"]))
     with pytest.raises(ValueError, match="reserved"):
         t.write_base(spark.createDataFrame([(1, 2)], ["k", "mor_v"]))
+
+
+def test_deletion_neighborhood_k2_exact(spark):
+    """k=2 lossless tier (r13): every pair within edit distance 2 is
+    found (two substitutions, one sub + one delete, two inserts), no
+    distance-3 pair leaks through, and k=1 semantics are unchanged."""
+    import pytest
+
+    from linqonsteroids_spark.operators.linkage import (
+        deletion_neighborhood_pairs,
+    )
+
+    vals = [
+        ("item-1",),      # d1 from item-2; d2 from itXm-3
+        ("item-2",),
+        ("itXm-3",),      # two substitutions from item-1? itXm-3 vs item-1: X@2,3@5 -> d2
+        ("im-1",),        # two deletes from item-1 -> d2
+        ("totally-else",),
+    ]
+    df = spark.createDataFrame(vals, ["s"])
+    got2 = sorted(map(tuple, deletion_neighborhood_pairs(df, "s", k=2).collect()))
+    assert ("im-1", "item-1") in got2          # two inserts/deletes
+    assert ("itXm-3", "item-2") in got2        # substitution x2
+    assert ("item-1", "item-2") in got2        # distance-1 still present
+    assert not any("totally-else" in p for p in got2)
+    got1 = sorted(map(tuple, deletion_neighborhood_pairs(df, "s", k=1).collect()))
+    assert got1 == [("item-1", "item-2")]
+    with pytest.raises(ValueError, match="exact tiers"):
+        deletion_neighborhood_pairs(df, "s", k=3)

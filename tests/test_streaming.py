@@ -853,3 +853,58 @@ def test_statestore_reader_matches_batch_truth(spark):
         .collect()
     }
     assert state == truth
+
+
+def test_streaming_expectations_split_and_redelivery_idempotent(
+    spark, tmp_path
+):
+    """streaming/expectations.py: (a) the row-wise split is exact — no
+    silent drops, every violator tagged with ALL failed expectation
+    names; (b) a NULL-valued expectation is a violation (the WAP
+    three-valued-logic rule); (c) redelivering the same batch id
+    rewrites its batch=<id> subdir byte-identically instead of
+    duplicating rows — the foreachBatch at-least-once contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from linqonsteroids_spark.streaming.expectations import (
+        StreamingExpectations,
+    )
+
+    out, quar = str(tmp_path / "t"), str(tmp_path / "q")
+    sink = StreamingExpectations(
+        {"pos": F.col("x") > 0, "small": F.col("x") < 100},
+        out,
+        quar,
+    )
+    schema = StructType([StructField("x", IntegerType(), True)])
+    batch = spark.createDataFrame(
+        [(5,), (-3,), (500,), (None,), (-200,)], schema
+    )
+    sink(batch, 0)
+    clean = [r["x"] for r in spark.read.parquet(out).collect()]
+    bad = {
+        (r["x"], r["_violated"], r["_batch_id"])
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert clean == [5]
+    assert bad == {
+        (-3, "pos", 0),
+        (500, "small", 0),
+        (None, "pos,small", 0),  # NULL fails BOTH: NULL>0 and NULL<100
+        (-200, "pos", 0),  # fails pos only (it IS small)
+    }
+    # redelivery: same batch id again -> identical state, no duplicates
+    sink(batch, 0)
+    assert [r["x"] for r in spark.read.parquet(out).collect()] == [5]
+    assert spark.read.parquet(quar).count() == 4
+    # a second batch lands beside the first
+    sink(spark.createDataFrame([(7,), (0,)], schema), 1)
+    assert sorted(
+        r["x"] for r in spark.read.parquet(out).collect()
+    ) == [5, 7]
+    assert spark.read.parquet(quar).count() == 5
