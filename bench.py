@@ -202,6 +202,7 @@ EXTRA = [
     "digest_manifest_audit",
     "streaming_audited_ingest",
     "fuzzy_name_neighbors_k2",
+    "mor_time_travel_orders",
     "ann_matryoshka_adc",
     "price_qty_regression",
     "zorder_range_scan",

@@ -208,10 +208,30 @@ class MorTable:
         shutil.rmtree(old)
 
     # --- read ---------------------------------------------------------------
-    def read(self) -> DataFrame:
-        """Latest state: base with all delta versions applied, last-wins."""
+    def read(self, as_of_version: int | None = None) -> DataFrame:
+        """Latest state: base with all delta versions applied, last-wins.
+
+        ``as_of_version`` time-travels: only delta versions ``<= v``
+        apply, reconstructing the table exactly as it stood after that
+        version committed (the delta log IS the history — no extra
+        storage, same O(touched + delta) read shape; Hive partition
+        pruning on ``mor_v`` skips later versions' files entirely).
+        Versions newer than the last compact() are unreachable — the
+        fold discards the log — matching every MOR format's rule that
+        compaction bounds the time-travel horizon. An ``as_of_version``
+        older than every remaining delta returns the (possibly
+        compacted) base. Raises on a version that never committed so a
+        typo cannot silently read a different state."""
         base = self.spark.read.parquet(self._base)
-        if not self._existing_versions():
+        have = self._existing_versions()
+        if as_of_version is not None:
+            if as_of_version not in have:
+                raise ValueError(
+                    f"version {as_of_version} not in the delta log "
+                    f"{have}: it never committed or was compacted away"
+                )
+            have = [v for v in have if v <= as_of_version]
+        if not have:
             return base
         cols = base.columns
         deltas = (
@@ -220,6 +240,8 @@ class MorTable:
             .withColumn(_VER, F.col("mor_v").cast("int"))
             .drop("mor_v")
         )
+        if as_of_version is not None:
+            deltas = deltas.where(F.col(_VER) <= as_of_version)
         delta_keys = deltas.select(self.key).distinct()
         # Untouched majority: broadcast anti probe, no shuffle, no window.
         untouched = base.join(F.broadcast(delta_keys), self.key, "left_anti")

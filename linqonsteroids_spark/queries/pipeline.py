@@ -1432,7 +1432,10 @@ FROM d WHERE change_type IS NOT NULL GROUP BY change_type, cols_changed
 # proves last-wins resolution across versions. (%178 = 2*89 keys get
 # both v1 and v2 updates; %194 = 2*97 keys are deleted by v1 then
 # upserted by v2.)
-def mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mor_orders_table(spark: SparkSession, sf_dir: str):
+    """Build-once MOR orders table shared by the read and time-travel
+    gates: base + delta v1 (update %89, delete %97) + delta v2
+    (update-over-update %178, delete-then-upsert resurrection %194)."""
     import os
 
     from linqonsteroids_spark.operators.mor import MorTable
@@ -1464,7 +1467,11 @@ def mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-    return table.read().groupBy("o_orderpriority").agg(
+    return table
+
+
+def _mor_priority_report(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
@@ -1472,6 +1479,40 @@ def mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
+
+
+def mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mor_priority_report(_mor_orders_table(spark, sf_dir).read())
+
+
+# --- MOR time travel: read as-of a delta version (r13) ----------------------
+# The delta log IS the history: read(as_of_version=1) applies only
+# versions <= 1, reconstructing the table exactly as it stood after v1
+# committed — no extra storage, Hive partition pruning on mor_v skips
+# later versions' files, and compaction bounds the horizon (the fold
+# discards the log) exactly as in Hudi/Iceberg MOR. The oracle replays
+# the v1-only state declaratively: %97 deletes applied, '*' on the
+# %89 survivors, v2's '**'/'+' mutations absent.
+def mor_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mor_priority_report(
+        _mor_orders_table(spark, sf_dir).read(as_of_version=1)
+    )
+
+
+MOR_TIME_TRAVEL_SQL = """
+WITH v1_state AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents
+FROM v1_state GROUP BY o_orderpriority
+"""
 
 
 MOR_READ_SQL = """
@@ -1904,6 +1945,7 @@ QUERIES = {
     "digest_manifest_audit": (digest_manifest_audit, DIGEST_MANIFEST_SQL),
     "streaming_audited_ingest": (streaming_audited_ingest, STREAM_EXPECT_SQL),
     "fuzzy_name_neighbors_k2": (fuzzy_name_neighbors_k2, FUZZY_NEIGHBORS_K2_SQL),
+    "mor_time_travel_orders": (mor_time_travel_orders, MOR_TIME_TRAVEL_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,

@@ -1380,3 +1380,25 @@ def test_deletion_neighborhood_k2_exact(spark):
     assert got1 == [("item-1", "item-2")]
     with pytest.raises(ValueError, match="exact tiers"):
         deletion_neighborhood_pairs(df, "s", k=3)
+
+
+def test_mor_time_travel_reads_each_version_state(spark, tmp_path):
+    """read(as_of_version=v) reconstructs the table as it stood after
+    version v: v1 shows the update+deletes, latest shows v2's
+    last-wins overrides and the delete-then-upsert resurrection; a
+    never-committed version raises instead of guessing."""
+    import pytest
+
+    t, base = _mor_fixture(spark, tmp_path)
+    # fixture: v1 updates k=1, deletes k=2,3; v2 re-updates k=1,
+    # resurrects k=2
+    v1_state = {r[0]: r[1] for r in t.read(as_of_version=1).collect()}
+    assert v1_state == {1: "a1", 4: "d"}
+    latest = {r[0]: r[1] for r in t.read().collect()}
+    assert latest == {r[0]: r[1] for r in t.read(as_of_version=2).collect()}
+    with pytest.raises(ValueError, match="never committed"):
+        t.read(as_of_version=3)
+    # compaction bounds the horizon: the log is folded away
+    t.compact()
+    with pytest.raises(ValueError, match="never committed"):
+        t.read(as_of_version=1)
