@@ -984,6 +984,13 @@ def test_snapshot_diff_bucketed_prunes_and_matches_flat(spark):
     d0, ch0, _ = snapshot_diff_bucketed(v1, v1, ["k"], n_buckets=64)
     assert ch0 == [] and d0.count() == 0
     assert d0.columns == ["k", "change_type"]
+    # custom bucket_expr (layout-aligned / oracle-replayable bucketing):
+    # same result, and the changed bucket is the expr's value for the key
+    d2, ch2, _ = snapshot_diff_bucketed(
+        v1, v2, ["k"], n_buckets=64, bucket_expr=F.col("k") % 64
+    )
+    assert sorted(map(tuple, d2.collect())) == flat
+    assert ch2 == [777 % 64]
 
 
 def test_snapshot_diff_bucketed_xor_cancellation_pinned(spark):
