@@ -203,6 +203,7 @@ EXTRA = [
     "streaming_audited_ingest",
     "fuzzy_name_neighbors_k2",
     "mor_time_travel_orders",
+    "digest_manifest_incremental",
     "ann_matryoshka_adc",
     "price_qty_regression",
     "zorder_range_scan",

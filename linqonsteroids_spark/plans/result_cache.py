@@ -115,8 +115,14 @@ class ResultCache:
             if not publish_dir_if_absent(staged, path):
                 hit = True  # a concurrent writer won with the same result
         else:
-            # touch for sweep(): last-served time, not last-written
-            os.utime(path)
+            try:
+                # touch for sweep(): last-served time, not last-written
+                os.utime(path)
+            except FileNotFoundError:
+                # a concurrent sweep() reclaimed the entry between the
+                # probe and the touch — fall through to a fresh miss
+                # instead of handing back a dangling read
+                return self.get_or_materialize(df)
         return self.spark.read.parquet(path), hit
 
     # -- maintenance ------------------------------------------------------------

@@ -1395,6 +1395,89 @@ FROM d
 """.format(versions=_SNAPSHOT_VERSIONS_CTE)
 
 
+# --- incremental digest-manifest maintenance (r13) --------------------------
+# The manifest IVM: given a KNOWN change set (here derived by
+# snapshot_diff itself — dogfooding; in production a CDC feed's
+# before/after images), per-bucket xor/count update in O(|changes|)
+# must equal the full-rescan summary BY ALGEBRA (xor is its own
+# inverse). The gate builds v1's manifest, applies the v1->v2 change
+# set incrementally, and reports: the STALE manifest's changed-bucket
+# count against v2 (oracle recomputes it declaratively), the updated
+# manifest's audit verdict (1 iff incremental == rescan — a wrong
+# update makes Spark emit 0 and the gate go red), and the row delta.
+def digest_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from linqonsteroids_spark.operators.tablediff import (
+        audit_against_manifest,
+        snapshot_diff,
+        update_digest_manifest,
+        write_digest_manifest,
+    )
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    v1, v2 = _snapshot_diff_versions(spark, sf_dir)
+    bucket = F.pmod(F.col("o_orderkey"), F.lit(64))
+    stale = os.path.join(
+        cached_scratch_dir("squopt_digestinc_", sf_dir), "v1_manifest"
+    )
+    live = stale + "_updated"
+    if not os.path.exists(os.path.join(stale, "_DIGEST_MANIFEST.json")):
+        write_digest_manifest(
+            v1, stale, ["o_orderkey"], n_buckets=64, bucket_expr=bucket
+        )
+    stale_report = audit_against_manifest(v2, stale, bucket_expr=bucket)
+    # the change set, derived by the diff operator itself
+    diff = snapshot_diff(v1, v2, ["o_orderkey"])
+    removed_or_changed = diff.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select("o_orderkey")
+    added_or_changed = diff.where(
+        F.col("change_type").isin("added", "changed")
+    ).select("o_orderkey")
+    if os.path.isdir(live):
+        shutil.rmtree(live)
+    shutil.copytree(stale, live)
+    update_digest_manifest(
+        live,
+        before=v1.join(F.broadcast(removed_or_changed), "o_orderkey", "left_semi"),
+        after=v2.join(F.broadcast(added_or_changed), "o_orderkey", "left_semi"),
+        bucket_expr=bucket,
+    )
+    updated_report = audit_against_manifest(v2, live, bucket_expr=bucket)
+    return spark.createDataFrame(
+        [
+            (
+                len(stale_report["changed_buckets"]),
+                int(updated_report["clean"]),
+                stale_report["row_delta"],
+            )
+        ],
+        "stale_changed_buckets bigint, clean_after_update bigint, "
+        "row_delta bigint",
+    )
+
+
+DIGEST_INC_SQL = f"""
+WITH {{versions}},
+d AS (
+  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+               OR (v1.op IS DISTINCT FROM v2.op)
+               OR (v1.clk IS DISTINCT FROM v2.clk)
+              THEN 1 ELSE 0 END AS chg
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT CAST(count(DISTINCT k % 64) FILTER (WHERE chg = 1) AS BIGINT)
+         AS stale_changed_buckets,
+       CAST(1 AS BIGINT) AS clean_after_update,
+       CAST((SELECT count(*) FROM v2) - (SELECT count(*) FROM v1)
+         AS BIGINT) AS row_delta
+FROM d
+""".format(versions=_SNAPSHOT_VERSIONS_CTE)
+
+
 SNAPSHOT_DIFF_COLS_SQL = f"""
 WITH {_SNAPSHOT_VERSIONS_CTE},
 d AS (
@@ -1943,6 +2026,10 @@ QUERIES = {
         SNAPSHOT_DIFF_SQL,
     ),
     "digest_manifest_audit": (digest_manifest_audit, DIGEST_MANIFEST_SQL),
+    "digest_manifest_incremental": (
+        digest_manifest_incremental,
+        DIGEST_INC_SQL,
+    ),
     "streaming_audited_ingest": (streaming_audited_ingest, STREAM_EXPECT_SQL),
     "fuzzy_name_neighbors_k2": (fuzzy_name_neighbors_k2, FUZZY_NEIGHBORS_K2_SQL),
     "mor_time_travel_orders": (mor_time_travel_orders, MOR_TIME_TRAVEL_SQL),

@@ -1401,6 +1401,15 @@ def test_mor_time_travel_reads_each_version_state(spark, tmp_path):
     # resurrects k=2
     v1_state = {r[0]: r[1] for r in t.read(as_of_version=1).collect()}
     assert v1_state == {1: "a1", 4: "d"}
+    # the as-of filter reaches the version directory as a PARTITION
+    # filter: later versions' files are never scanned
+    plan = (
+        t.read(as_of_version=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "mor_v" in plan and "mor_v=2" not in plan
     latest = {r[0]: r[1] for r in t.read().collect()}
     assert latest == {r[0]: r[1] for r in t.read(as_of_version=2).collect()}
     with pytest.raises(ValueError, match="never committed"):
@@ -1409,3 +1418,62 @@ def test_mor_time_travel_reads_each_version_state(spark, tmp_path):
     t.compact()
     with pytest.raises(ValueError, match="never committed"):
         t.read(as_of_version=1)
+
+
+def test_digest_manifest_incremental_update_equals_rescan(
+    spark, tmp_path
+):
+    """update_digest_manifest: applying a change set's before/after
+    images must reproduce the full-rescan manifest exactly (audit of
+    the new table against the updated manifest is CLEAN); a WRONG
+    change set (a before-row missing) drives some bucket to count 0
+    with xor != 0 or count < 0 and the update refuses, leaving the
+    manifest untouched."""
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.tablediff import (
+        audit_against_manifest,
+        update_digest_manifest,
+        write_digest_manifest,
+    )
+
+    v1 = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    v2 = (
+        v1.where(F.col("k") != 50)  # removed
+        .withColumn(
+            "s",
+            F.when(F.col("k") == 7, F.lit("NEW")).otherwise(F.col("s")),
+        )  # changed
+        .unionByName(
+            spark.createDataFrame([(999, "added")], ["k", "s"])
+        )
+    )
+    path = str(tmp_path / "m")
+    write_digest_manifest(v1, path, ["k"], n_buckets=16)
+    before = v1.where(F.col("k").isin(50, 7))
+    after = v2.where(F.col("k").isin(7, 999))
+    update_digest_manifest(path, before=before, after=after)
+    assert audit_against_manifest(v2, path)["clean"]
+
+    # refusal: a before-image that does not match what the manifest
+    # actually summarized (value "WRONG" instead of the stored "v50")
+    # drives the bucket to count 0 with xor != 0 — the algebra itself
+    # detects the lie and the manifest file is left byte-identical
+    path2 = str(tmp_path / "m2")
+    write_digest_manifest(
+        v1.where(F.col("k") == 50), path2, ["k"], n_buckets=16
+    )
+    snap = open(f"{path2}/_DIGEST_MANIFEST.json").read()
+    with pytest.raises(ValueError, match="inconsistent change set"):
+        update_digest_manifest(
+            path2,
+            before=spark.createDataFrame([(50, "WRONG")], ["k", "s"]),
+            after=None,
+        )
+    assert open(f"{path2}/_DIGEST_MANIFEST.json").read() == snap
+
