@@ -34,6 +34,64 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def replay_quarantine(
+    spark,
+    quarantine_path: str,
+    checks: dict[str, Column],
+    out_path: str,
+    replay_id: str,
+) -> dict:
+    """Close the expectations loop: re-audit QUARANTINED rows under
+    (presumably fixed or relaxed) ``checks``; rows that now pass append
+    to the table under ``batch=replay-<replay_id>``, rows that still
+    fail stay quarantined. Returns ``{"released": n, "retained": n}``.
+
+    The replay never rewrites history: original quarantine batch dirs
+    are immutable (audit trail), and released rows land in a NEW
+    replay-tagged batch dir — re-running the same ``replay_id`` after a
+    crash overwrites that dir idempotently instead of duplicating rows.
+    To avoid double-releasing across DIFFERENT replays, rows already
+    released are excluded by an anti-join against the union of prior
+    replay dirs' quarantine keys — here simply: a released row's
+    (_violated, _batch_id) identity is dropped from consideration by
+    re-checking against what past replays emitted. For the common
+    operational flow (one replay after one fix) this is one scan of
+    the quarantine + one of the prior releases. All work is row-local
+    projections and one anti-join — O(|quarantine|), no driver collect.
+    """
+    import os
+
+    from pyspark.sql import functions as SF
+
+    q = spark.read.parquet(quarantine_path)
+    # strip quarantine metadata so released rows carry the TABLE schema
+    marked = StreamingExpectations(
+        checks, out_path, quarantine_path
+    )._mark(q.drop("_violated", "_batch_id"))
+    passing = marked.where(SF.size("_violations") == 0).drop("_violations")
+    # exclude rows a previous replay already released (replay dirs are
+    # the only writers that copy quarantine payloads into the table)
+    prior = [
+        d
+        for d in (
+            os.listdir(out_path) if os.path.isdir(out_path) else []
+        )
+        if d.startswith("batch=replay-") and d != f"batch=replay-{replay_id}"
+    ]
+    if prior:
+        released_before = spark.read.parquet(
+            *[os.path.join(out_path, d) for d in prior]
+        ).select(*[c for c in passing.columns])
+        passing = passing.exceptAll(released_before)
+    target = f"{out_path}/batch=replay-{replay_id}"
+    passing.write.mode("overwrite").parquet(target)
+    released = spark.read.parquet(target).count()
+    return {
+        "released": released,
+        "retained": q.count() - released,
+    }
+
+
 class StreamingExpectations:
     """``foreachBatch`` handler: audit each micro-batch row-wise and
     split it into table + quarantine appends (see module docstring)."""

@@ -908,3 +908,46 @@ def test_streaming_expectations_split_and_redelivery_idempotent(
         r["x"] for r in spark.read.parquet(out).collect()
     ) == [5, 7]
     assert spark.read.parquet(quar).count() == 5
+
+
+def test_quarantine_replay_releases_only_now_passing_rows(
+    spark, tmp_path
+):
+    """replay_quarantine closes the loop: after relaxing a check,
+    exactly the now-passing quarantined rows append to the table under
+    a replay batch dir (original quarantine dirs stay immutable as the
+    audit trail); re-running the same replay_id is idempotent, and a
+    SECOND replay releases nothing it already released."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from linqonsteroids_spark.streaming.expectations import (
+        StreamingExpectations,
+        replay_quarantine,
+    )
+
+    out, quar = str(tmp_path / "t"), str(tmp_path / "q")
+    strict = {"pos": F.col("x") > 0, "small": F.col("x") < 100}
+    sink = StreamingExpectations(strict, out, quar)
+    schema = StructType([StructField("x", IntegerType(), True)])
+    sink(spark.createDataFrame([(5,), (-3,), (500,), (70,)], schema), 0)
+    assert spark.read.parquet(out).count() == 2  # 5, 70
+
+    # ops relaxes the 'small' ceiling; 500 should now release, -3 not
+    relaxed = {"pos": F.col("x") > 0, "small": F.col("x") < 1000}
+    r1 = replay_quarantine(spark, quar, relaxed, out, replay_id="fix1")
+    assert r1 == {"released": 1, "retained": 1}
+    vals = sorted(r["x"] for r in spark.read.parquet(out).collect())
+    assert vals == [5, 70, 500]
+    # idempotent re-run of the same replay id
+    r1b = replay_quarantine(spark, quar, relaxed, out, replay_id="fix1")
+    assert sorted(
+        r["x"] for r in spark.read.parquet(out).collect()
+    ) == [5, 70, 500]
+    assert r1b["released"] == 1  # same dir rewritten, not duplicated
+    # a DIFFERENT later replay must not re-release 500
+    r2 = replay_quarantine(spark, quar, relaxed, out, replay_id="fix2")
+    assert r2 == {"released": 0, "retained": 2}
+    assert sorted(
+        r["x"] for r in spark.read.parquet(out).collect()
+    ) == [5, 70, 500]
