@@ -351,6 +351,37 @@ def _calibrate() -> float:
     return round(time.time() - t0, 3)
 
 
+def _parallel_efficiency() -> float | None:
+    """Full-width/single-thread throughput ratio (1.0 = every core
+    delivers; lower = the host is narrowing us).
+
+    The r13 postmortem class the single-thread canary CANNOT see: two
+    back-to-back runs measured 14.6 s against a 9.7 s morning run with
+    calib_*_sec IDENTICAL (0.70 s) and steal under 1% — but a 32-way
+    burn showed median per-task time 1.5x the single-thread time, i.e.
+    the VM's vCPUs were being width-throttled by the host (firecracker
+    steal accounting misses it). This canary runs the same xorshift
+    loop on every core via multiprocessing and reports
+    single_time / median_parallel_time, making that state visible in
+    the artifact: uniform suite drift with a sunk parallel_efficiency
+    is machine narrowing, not a code regression."""
+    try:
+        import multiprocessing as mp
+
+        n = mp.cpu_count()
+        single = _calibrate()
+        with mp.Pool(n) as pool:
+            times = pool.map(_calib_task, range(n))
+        times.sort()
+        return round(single / times[n // 2], 3)
+    except Exception:  # noqa: BLE001 — canary must never kill the bench
+        return None
+
+
+def _calib_task(_):
+    return _calibrate()
+
+
 def _proc_stat_ticks() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line."""
     try:
@@ -478,6 +509,7 @@ def main() -> None:
     from linqonsteroids_spark.session import get_spark
 
     calib_before = _calibrate()
+    par_eff = _parallel_efficiency()
     stat_before = _proc_stat_ticks()
 
     spark = get_spark("bench")
@@ -609,6 +641,7 @@ def main() -> None:
             # inflated canaries mean machine noise, not a regression
             "calib_before_sec": calib_before,
             "calib_after_sec": calib_after,
+            "parallel_efficiency": par_eff,
             "steal_pct": steal_pct,
             "contended": contended,
             # r12: stamped >2x movers (vs committed history) and the
@@ -639,6 +672,7 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "calib_before_sec": calib_before,
             "calib_after_sec": calib_after,
+            "parallel_efficiency": par_eff,
             "steal_pct": steal_pct,
             "contended": contended,
             "n_queries": len(names),

@@ -53,8 +53,14 @@ def put_if_absent(path: str, payload: str) -> bool:
 
     POSIX hard-link creation fails with EEXIST if the target exists,
     making the publish a single atomic compare-and-create. The temp
-    name carries the pid so racing writers never collide on it."""
-    tmp = f"{path}.{os.getpid()}.tmp"
+    name is unique PER CALL (pid alone is not enough: two threads in
+    one process share it, so a racing thread could overwrite the temp
+    between another thread's write and link — the winner would then
+    publish the LOSER's payload; caught by the seam's own thread-race
+    test on a loaded machine)."""
+    import uuid
+
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         f.write(payload)
     try:
