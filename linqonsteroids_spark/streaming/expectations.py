@@ -58,16 +58,27 @@ def replay_quarantine(
     operational flow (one replay after one fix) this is one scan of
     the quarantine + one of the prior releases. All work is row-local
     projections and one anti-join — O(|quarantine|), no driver collect.
+
+    ``retained`` counts rows still stuck in quarantine after THIS
+    replay — quarantine rows minus everything any replay (prior or
+    this one) has released — so it answers the operational "what is
+    still unreleased" question directly.
     """
     import os
 
     from pyspark.sql import functions as SF
 
     q = spark.read.parquet(quarantine_path)
-    # strip quarantine metadata so released rows carry the TABLE schema
+    # The quarantine root is batch=<id>-partitioned, so partition
+    # discovery ADDS a `batch` column to the root read. It is layout
+    # metadata, not table data: strip it (with the quarantine marker
+    # columns) before re-audit, or the released rows would be written
+    # carrying a physical `batch` column whose value is the ORIGINAL
+    # quarantine batch id — shadowed on partitioned reads of the table
+    # but surfaced (and false) on any leaf-dir or single-file read.
     marked = StreamingExpectations(
         checks, out_path, quarantine_path
-    )._mark(q.drop("_violated", "_batch_id"))
+    )._mark(q.drop("batch", "_violated", "_batch_id"))
     passing = marked.where(SF.size("_violations") == 0).drop("_violations")
     # exclude rows a previous replay already released (replay dirs are
     # the only writers that copy quarantine payloads into the table)
@@ -78,17 +89,19 @@ def replay_quarantine(
         )
         if d.startswith("batch=replay-") and d != f"batch=replay-{replay_id}"
     ]
+    prior_released = 0
     if prior:
         released_before = spark.read.parquet(
             *[os.path.join(out_path, d) for d in prior]
         ).select(*[c for c in passing.columns])
         passing = passing.exceptAll(released_before)
+        prior_released = released_before.count()
     target = f"{out_path}/batch=replay-{replay_id}"
     passing.write.mode("overwrite").parquet(target)
     released = spark.read.parquet(target).count()
     return {
         "released": released,
-        "retained": q.count() - released,
+        "retained": q.count() - prior_released - released,
     }
 
 

@@ -1477,3 +1477,69 @@ def test_digest_manifest_incremental_update_equals_rescan(
         )
     assert open(f"{path2}/_DIGEST_MANIFEST.json").read() == snap
 
+
+def test_digest_manifest_concurrent_updates_both_land(spark, tmp_path):
+    """update_digest_manifest under two CONCURRENT updaters (the
+    per-ingest-batch normal case): both change sets must land — the
+    unserialized read-merge-publish would lose whichever update read
+    the stored state first (the r13 verdict's lost-update finding).
+    The commit seam's lock serializes the metadata merge; a barrier
+    releases both threads into the update at the same instant, and the
+    final manifest must equal a fresh rescan of a table carrying BOTH
+    changes."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.tablediff import (
+        audit_against_manifest,
+        update_digest_manifest,
+        write_digest_manifest,
+    )
+
+    v1 = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "m")
+    write_digest_manifest(v1, path, ["k"], n_buckets=16)
+
+    def change(k: int):
+        return (
+            v1.where(F.col("k") == k),
+            v1.where(F.col("k") == k).withColumn("s", F.lit(f"NEW{k}")),
+        )
+
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def updater(k: int):
+        try:
+            before, after = change(k)
+            barrier.wait(timeout=60)
+            update_digest_manifest(path, before=before, after=after)
+        except Exception as e:  # surfaced below — threads swallow
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=updater, args=(k,)) for k in (7, 8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    v2 = v1.withColumn(
+        "s",
+        F.when(F.col("k") == 7, F.lit("NEW7"))
+        .when(F.col("k") == 8, F.lit("NEW8"))
+        .otherwise(F.col("s")),
+    )
+    # clean audit against BOTH-changes state proves neither update was
+    # discarded; against either single-change state it must be dirty
+    assert audit_against_manifest(v2, path)["clean"]
+    one_only = v1.withColumn(
+        "s", F.when(F.col("k") == 7, F.lit("NEW7")).otherwise(F.col("s"))
+    )
+    assert not audit_against_manifest(one_only, path)["clean"]
+
