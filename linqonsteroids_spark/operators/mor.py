@@ -28,12 +28,28 @@ groups") and Iceberg merge-on-read deletes implement; periodic
 
 Contract: within one delta version, keys are unique (upsert semantics);
 versions are strictly increasing positive ints. Delete markers are
-null-padded to the base schema by ``append_delta``, and the reader never
-reads a delete row's payload.
+null-padded to the table schema by ``append_delta``, and the reader
+never reads a delete row's payload.
+
+Schema evolution (r14): an upsert may carry a SUBSET of the table's
+columns (absent columns are null-padded) or a SUPERSET (new columns
+become nullable additions visible from the version that introduced
+them). Type changes on existing columns are REFUSED using the
+``functions/schema_compat.py`` verdict classes — the same rule a
+parquet reader enforces, applied at write time where it is cheap.
+
+Concurrency contract: appends from concurrent writers are safe as long
+as versions don't collide (``write.mode("error")`` makes a collision
+loud); ``compact()`` assumes a SINGLE compactor — but its log sweep
+(and the crash-recovery sweep) removes only versions ``<=`` the
+recorded compaction horizon, so a delta version appended by another
+live writer while a compact (or its crash recovery) is in flight is
+never destroyed.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -41,6 +57,7 @@ from pyspark.sql import functions as F
 
 _OP = "_op"  # 'U' = upsert (full row), 'D' = delete (key only)
 _VER = "_v"
+_META = "_mor_meta.json"
 
 
 class MorTable:
@@ -53,16 +70,61 @@ class MorTable:
                                       version (no leading underscore —
                                       Hadoop listings hide _-prefixed
                                       dirs)
+        path/_mor_meta.json           {"compacted_through": N} — the
+                                      time-travel horizon; versions <= N
+                                      are folded into base
+
+    ``digest_manifest=True`` co-maintains a reconciliation sidecar
+    (``operators/tablediff.py`` digest manifest) per write: the base
+    write summarizes the snapshot, every ``append_delta`` applies its
+    own before/after images as an O(changes) incremental update, and
+    ``compact`` leaves it untouched (the logical state is unchanged).
+    The audit question "has this table drifted from what its writes
+    claim" then costs one scan + a KB compare at ANY point in the
+    append→compact→append lifecycle, with no second snapshot retained.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        digest_manifest: bool = False,
+        manifest_buckets: int = 256,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.digest_manifest = digest_manifest
+        self.manifest_buckets = manifest_buckets
         self._base = os.path.join(path, "base")
         self._delta_root = os.path.join(path, "delta")
         self._staged = os.path.join(path, "_compact_staged")
         self._recover_interrupted_compact()
+
+    # --- compaction horizon ---------------------------------------------------
+    def _compacted_through(self) -> int:
+        """Highest delta version folded into base by a compact().
+
+        Versions ``<= `` this horizon are not time-travelable: their
+        files may be gone (normal compact) or still present but
+        subsumed (crash between the meta write and the log sweep), and
+        in the latter case the base may already include later versions'
+        effects — reconstructing an old prefix over it would be WRONG,
+        so the horizon refuses rather than guesses."""
+        meta = os.path.join(self.path, _META)
+        if not os.path.exists(meta):
+            return 0
+        with open(meta) as f:
+            return int(json.load(f)["compacted_through"])
+
+    def _write_meta(self, compacted_through: int) -> None:
+        from linqonsteroids_spark.sources.commitlog import atomic_replace
+
+        tmp = os.path.join(self.path, _META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"compacted_through": compacted_through}, f)
+        atomic_replace(tmp, os.path.join(self.path, _META))
 
     def _recover_interrupted_compact(self) -> None:
         """Finish a compact() that crashed between its renames.
@@ -77,14 +139,22 @@ class MorTable:
         (compact's last step). It can only coexist with a live ``base``
         once the staged→base promote completed (``os.replace`` is
         atomic, so ``base`` absent ⇔ mid-swap), at which point ``base``
-        IS the merged snapshot: the retired copy — and the delta log it
-        subsumed — are pure debris. Without this sweep every crashed
-        compact strands a full table copy (the r12 verdict's item 3);
-        at 100 TB that is real money per crash. Dropping the delta log
-        here is safe for the same reason compact's own late log removal
-        is: re-applying it onto the merged base is idempotent under
-        latest-version-wins, so a crash ANYWHERE in this sweep leaves a
-        correct readable table for the next recovery pass.
+        IS the merged snapshot: the retired copy — and the delta
+        versions it subsumed — are pure debris. Without this sweep
+        every crashed compact strands a full table copy (the r12
+        verdict's item 3); at 100 TB that is real money per crash.
+
+        The sweep removes ONLY delta versions ``<=`` the recorded
+        compaction horizon (``_mor_meta.json``, written by compact()
+        BEFORE its swap): a version appended by another still-live
+        writer between the compact crash and this recovery is above the
+        horizon and survives — it is real committed data the merged
+        base does NOT subsume (the r13 advice's multi-process loss
+        scenario). Dropping the subsumed versions is safe for the same
+        reason compact's own late sweep is: re-applying them onto the
+        merged base is idempotent under latest-version-wins, so a crash
+        ANYWHERE in this sweep leaves a correct readable table for the
+        next recovery pass.
         """
         import glob
         import shutil
@@ -102,8 +172,16 @@ class MorTable:
         if retired and os.path.isdir(self._base):
             for d in retired:
                 shutil.rmtree(d)
-            if os.path.isdir(self._delta_root):
-                shutil.rmtree(self._delta_root)
+            horizon = self._compacted_through()
+            for v in self._existing_versions():
+                if v <= horizon:
+                    shutil.rmtree(
+                        os.path.join(self._delta_root, f"mor_v={v}")
+                    )
+            if os.path.isdir(self._delta_root) and not os.listdir(
+                self._delta_root
+            ):
+                os.rmdir(self._delta_root)
 
     # --- writes -------------------------------------------------------------
     #: names the reader claims for itself; a base schema using them would
@@ -117,6 +195,17 @@ class MorTable:
                 f"base schema uses reserved MOR column names: {sorted(clash)}"
             )
         df.write.mode("error").parquet(self._base)
+        if self.digest_manifest:
+            from linqonsteroids_spark.operators.tablediff import (
+                write_digest_manifest,
+            )
+
+            write_digest_manifest(
+                self.spark.read.parquet(self._base),
+                self.path,
+                [self.key],
+                n_buckets=self.manifest_buckets,
+            )
 
     def _existing_versions(self) -> list[int]:
         if not os.path.isdir(self._delta_root):
@@ -127,6 +216,21 @@ class MorTable:
             if d.startswith("mor_v=")
         )
 
+    def _table_schema(self):
+        """The table's CURRENT evolved schema: base fields plus every
+        column a delta version has added, in introduction order. One
+        parquet-footer read per live version — metadata-only, O(ms)."""
+        fields = list(self.spark.read.parquet(self._base).schema.fields)
+        seen = {f.name for f in fields}
+        for v in self._existing_versions():
+            for f in self.spark.read.parquet(
+                os.path.join(self._delta_root, f"mor_v={v}")
+            ).schema.fields:
+                if f.name not in seen and f.name != _OP:
+                    fields.append(f)
+                    seen.add(f.name)
+        return fields
+
     def append_delta(
         self,
         version: int,
@@ -135,40 +239,148 @@ class MorTable:
     ) -> None:
         """Append one delta version: full-row upserts and/or key-only deletes.
 
-        ``delete_keys`` needs only the key column; payload columns are
-        null-padded here so every delta file shares the base schema + _op.
+        Schema evolution: upserts may OMIT existing columns (null-padded
+        here) and may ADD new columns (nullable additions, visible from
+        this version on). A TYPE change on an existing column is refused
+        with the ``schema_compat`` verdict class that names the hazard —
+        widenings included, because the log would then carry mixed
+        physical types that ``mergeSchema`` readers reject at read time,
+        far from the write that caused it. ``delete_keys`` needs only
+        the key column; payload columns are null-padded so the reader
+        never depends on a delete row's payload.
         """
+        from pyspark.sql.types import StructType
+
+        from linqonsteroids_spark.functions.schema_compat import (
+            reader_compatibility,
+        )
+
         have = self._existing_versions()
         if have and version <= have[-1]:
             raise ValueError(
                 f"delta versions must increase: have {have}, got {version}"
             )
-        base_schema = self.spark.read.parquet(self._base).schema
+        if version <= self._compacted_through():
+            raise ValueError(
+                f"delta versions must increase: version {version} is at or "
+                f"below the compaction horizon "
+                f"{self._compacted_through()}"
+            )
+        table_fields = self._table_schema()
+        table_names = [f.name for f in table_fields]
+        before_rows = None
+        touched = None
+        if self.digest_manifest:
+            touched = self._touched_keys(upserts, delete_keys)
+            # pre-change rows of every touched key; the read plan pins
+            # its version-dir list NOW, so evaluating it after the new
+            # delta lands still yields the PRE-append state
+            before_rows = self.read().join(
+                F.broadcast(touched), self.key, "left_semi"
+            )
         parts: list[DataFrame] = []
         if upserts is not None:
-            if set(upserts.columns) != {f.name for f in base_schema.fields}:
+            if self.key not in upserts.columns:
                 raise ValueError(
-                    f"upsert schema {sorted(upserts.columns)} != base schema"
+                    f"upserts must carry the key column {self.key!r}"
                 )
-            parts.append(upserts.withColumn(_OP, F.lit("U")))
+            new_cols = [
+                f
+                for f in upserts.schema.fields
+                if f.name not in table_names
+            ]
+            clash = self._RESERVED & {f.name for f in new_cols}
+            if clash:
+                raise ValueError(
+                    f"upsert adds reserved MOR column names: {sorted(clash)}"
+                )
+            common_table = StructType(
+                [f for f in table_fields if f.name in set(upserts.columns)]
+            )
+            common_up = StructType(
+                [f for f in upserts.schema.fields if f.name in table_names]
+            )
+            verdict = reader_compatibility(common_table, common_up)
+            # only TYPE differences matter here: the log would carry
+            # mixed physical types that mergeSchema readers reject.
+            # Nullability differences are fine — writing non-null data
+            # into a nullable column is always safe.
+            changed = [
+                (cls, name)
+                for cls, name in verdict["findings"]
+                if cls in ("widened", "silent-narrowing", "type-incompatible")
+            ]
+            if changed:
+                raise ValueError(
+                    "upsert schema changes the type of existing column(s): "
+                    f"{changed} — schema evolution accepts only nullable "
+                    "column additions and omissions"
+                )
+            padded = upserts.select(
+                *[
+                    F.col(f.name)
+                    if f.name in upserts.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in table_fields
+                ],
+                *[F.col(f.name) for f in new_cols],
+            )
+            parts.append(padded.withColumn(_OP, F.lit("U")))
         if delete_keys is not None:
             padded = delete_keys.select(
                 self.key,
                 *[
                     F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in base_schema.fields
+                    for f in table_fields
                     if f.name != self.key
                 ],
-            ).select(*[f.name for f in base_schema.fields])
+            ).select(*table_names)
             parts.append(padded.withColumn(_OP, F.lit("D")))
         if not parts:
             raise ValueError("append_delta needs upserts and/or delete_keys")
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         out.write.mode("error").parquet(
             os.path.join(self._delta_root, f"mor_v={version}")
         )
+        if self.digest_manifest:
+            from linqonsteroids_spark.operators.tablediff import (
+                update_digest_manifest,
+            )
+
+            # after-image: the upserted rows as the table will now hold
+            # them, projected to the manifest's own (frozen) columns by
+            # update_digest_manifest itself. Ordering: delta first, then
+            # manifest — a crash between leaves the manifest one batch
+            # BEHIND the table, which the audit reports as drift (the
+            # detectable direction) rather than describing a state that
+            # never committed.
+            after_rows = (
+                parts[0].where(F.col(_OP) == "U").drop(_OP)
+                if upserts is not None
+                else None
+            )
+            update_digest_manifest(
+                self.path,
+                before=before_rows,
+                after=after_rows,
+            )
+
+    def _touched_keys(
+        self,
+        upserts: DataFrame | None,
+        delete_keys: DataFrame | None,
+    ) -> DataFrame:
+        keys = []
+        if upserts is not None:
+            keys.append(upserts.select(self.key))
+        if delete_keys is not None:
+            keys.append(delete_keys.select(self.key))
+        out = keys[0]
+        for k in keys[1:]:
+            out = out.unionByName(k)
+        return out.distinct()
 
     # --- maintenance ----------------------------------------------------------
     def compact(self) -> None:
@@ -177,34 +389,48 @@ class MorTable:
 
         Swap order is chosen so NO intermediate state can serve wrong
         data: (1) the merged snapshot is staged completely (with
-        _SUCCESS); (2) the old base is renamed away — reads in this
-        brief window fail loudly (recovered on next construction, see
-        ``_recover_interrupted_compact``); (3) the staged snapshot
-        becomes the base; (4) delta dirs are removed LAST, which is safe
-        because re-applying the log onto the already-merged base is
-        IDEMPOTENT under latest-version-wins: surviving upserts carry
-        exactly the values that won, deletes target keys already absent,
-        so a crash between (3) and (4) leaves a correct readable table.
+        _SUCCESS); (2) the compaction horizon is recorded in
+        ``_mor_meta.json`` BEFORE any rename — if the crash lands here,
+        time travel to the about-to-fold versions is refused
+        conservatively (they may or may not still reconstruct) but
+        nothing can read WRONG history, and the latest-state read is
+        unaffected because re-applying subsumed versions is idempotent;
+        (3) the old base is renamed away — reads in this brief window
+        fail loudly (recovered on next construction, see
+        ``_recover_interrupted_compact``); (4) the staged snapshot
+        becomes the base; (5) delta versions ``<=`` the horizon are
+        removed LAST — and ONLY those versions, so a concurrent
+        writer's newer append survives a compact racing past it.
 
         At 100 TB this full rewrite is the periodic floor-cost path; the
         bucketed copy-on-write table (operators/merge.py) is the
         incremental alternative when appends are frequent enough that
-        rewriting everything is the wrong trade.
+        rewriting everything is the wrong trade. The digest manifest,
+        if enabled, is untouched: compaction changes the physical
+        layout, never the logical state the manifest summarizes.
         """
         import shutil
 
         from linqonsteroids_spark.sources.commitlog import atomic_replace
 
-        if not self._existing_versions():
+        have = self._existing_versions()
+        if not have:
             return
         merged = self.read()
         if os.path.isdir(self._staged):
             shutil.rmtree(self._staged)
         merged.write.mode("error").parquet(self._staged)
+        horizon = have[-1]
+        self._write_meta(horizon)
         old = os.path.join(self.path, f"_retired_base.{os.getpid()}")
         atomic_replace(self._base, old)
         atomic_replace(self._staged, self._base)
-        shutil.rmtree(self._delta_root)
+        for v in have:  # only the folded versions; newer appends survive
+            shutil.rmtree(os.path.join(self._delta_root, f"mor_v={v}"))
+        if os.path.isdir(self._delta_root) and not os.listdir(
+            self._delta_root
+        ):
+            os.rmdir(self._delta_root)
         shutil.rmtree(old)
 
     # --- read ---------------------------------------------------------------
@@ -214,34 +440,54 @@ class MorTable:
         ``as_of_version`` time-travels: only delta versions ``<= v``
         apply, reconstructing the table exactly as it stood after that
         version committed (the delta log IS the history — no extra
-        storage, same O(touched + delta) read shape; Hive partition
-        pruning on ``mor_v`` skips later versions' files entirely).
-        Versions newer than the last compact() are unreachable — the
-        fold discards the log — matching every MOR format's rule that
-        compaction bounds the time-travel horizon. An ``as_of_version``
-        older than every remaining delta returns the (possibly
-        compacted) base. Raises on a version that never committed so a
-        typo cannot silently read a different state."""
+        storage, same O(touched + delta) read shape; the reader lists
+        ONLY the included versions' directories, so later versions'
+        files are never even enumerated). Readable versions are exactly
+        those in the delta log ABOVE the compaction horizon: compaction
+        bounds the time-travel horizon (the fold discards the log)
+        matching every MOR format's rule, and a version at or below the
+        horizon raises "compacted away" while one that never committed
+        raises "never committed" — a typo cannot silently read a
+        different state. Old-time reads also carry the OLD schema:
+        columns added by later versions don't exist in the included
+        files, so they don't appear in the result.
+        """
         base = self.spark.read.parquet(self._base)
         have = self._existing_versions()
+        horizon = self._compacted_through()
         if as_of_version is not None:
+            if as_of_version <= horizon:
+                raise ValueError(
+                    f"version {as_of_version} is at or below the "
+                    f"compaction horizon {horizon}: it was folded into "
+                    "the base and is no longer time-travelable"
+                )
             if as_of_version not in have:
                 raise ValueError(
                     f"version {as_of_version} not in the delta log "
-                    f"{have}: it never committed or was compacted away"
+                    f"{have}: it never committed"
                 )
             have = [v for v in have if v <= as_of_version]
         if not have:
             return base
         cols = base.columns
         deltas = (
-            self.spark.read.option("basePath", self._delta_root)
-            .parquet(self._delta_root)
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self._delta_root)
+            .parquet(
+                *[
+                    os.path.join(self._delta_root, f"mor_v={v}")
+                    for v in have
+                ]
+            )
             .withColumn(_VER, F.col("mor_v").cast("int"))
             .drop("mor_v")
         )
-        if as_of_version is not None:
-            deltas = deltas.where(F.col(_VER) <= as_of_version)
+        # evolved schema: base columns first, then additions in the
+        # deltas' merged order — absent in base rows, null-filled below
+        cols = cols + [
+            c for c in deltas.columns if c not in cols and c not in (_OP, _VER)
+        ]
         delta_keys = deltas.select(self.key).distinct()
         # Untouched majority: broadcast anti probe, no shuffle, no window.
         untouched = base.join(F.broadcast(delta_keys), self.key, "left_anti")
@@ -252,9 +498,11 @@ class MorTable:
         )
         w = Window.partitionBy(self.key).orderBy(F.desc(_VER))
         latest = (
-            touched.unionByName(deltas)
+            touched.unionByName(deltas, allowMissingColumns=True)
             .withColumn("_rn", F.row_number().over(w))
             .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
             .select(*cols)
         )
-        return untouched.unionByName(latest)
+        return untouched.unionByName(
+            latest, allowMissingColumns=True
+        ).select(*cols)

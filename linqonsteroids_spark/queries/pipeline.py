@@ -1617,6 +1617,196 @@ FROM final GROUP BY o_orderpriority
 """
 
 
+# --- MOR schema evolution: deltas add/omit nullable columns (r14) -----------
+# Real ingest adds nullable columns; operators/mor.py accepts a delta
+# carrying a SUBSET of the table's columns (whole-row replacement, the
+# absent columns null-padded) or a SUPERSET (new nullable columns,
+# visible from the version that introduced them), refusing only type
+# changes via the schema_compat verdicts. The gate drives BOTH read
+# paths over one evolved table: v1 is a subset upsert (key + starred
+# priority only, so every other column of a %89 row goes NULL — row
+# replacement, not patch), v2 a superset upsert (full %101 rows plus a
+# new o_memo column). The latest view groups by the NEW column and
+# must carry exactly ONE column beyond the base schema; the as-of-v1
+# view must carry the OLD schema unchanged (later versions' column
+# additions don't exist in the included files) — pinned as an
+# n_added_cols output the oracle states literally. %89·%101 overlaps
+# resolve last-wins to v2.
+def _mor_evolution_table(spark: SparkSession, sf_dir: str):
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_morevo_", sf_dir)
+    table = MorTable(spark, os.path.join(base, "orders_evo"), "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(os.path.join(base, "orders_evo", "base", "_SUCCESS")):
+        table.write_base(orders)
+        table.append_delta(
+            1,
+            upserts=orders.where(key % 89 == 0).select(
+                "o_orderkey",
+                F.concat(F.col("o_orderpriority"), F.lit("*")).alias(
+                    "o_orderpriority"
+                ),
+            ),
+        )
+        table.append_delta(
+            2,
+            upserts=orders.where(key % 101 == 0).withColumn(
+                "o_memo", F.lit("M2")
+            ),
+        )
+    return table
+
+
+def mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _mor_evolution_table(spark, sf_dir)
+    base_cols = load_table(spark, sf_dir, "orders").columns
+    latest = table.read()
+    asof = table.read(as_of_version=1)
+    price = (
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents")
+    )
+    rep_latest = (
+        latest.groupBy("o_memo")
+        .agg(F.count("*").cast("bigint").alias("n_orders"), price)
+        .withColumn("view", F.lit("latest"))
+        .withColumn(
+            "n_added_cols",
+            F.lit(len(latest.columns) - len(base_cols)).cast("int"),
+        )
+    )
+    rep_asof = (
+        asof.agg(F.count("*").cast("bigint").alias("n_orders"), price)
+        .withColumn("o_memo", F.lit(None).cast("string"))
+        .withColumn("view", F.lit("asof_v1"))
+        .withColumn(
+            "n_added_cols",
+            F.lit(len(asof.columns) - len(base_cols)).cast("int"),
+        )
+    )
+    return rep_latest.unionByName(rep_asof)
+
+
+MOR_EVOLUTION_SQL = """
+WITH latest AS (
+  SELECT CASE WHEN o_orderkey % 101 = 0 THEN 'M2' END AS o_memo,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice
+              WHEN o_orderkey % 89 = 0 THEN NULL
+              ELSE o_totalprice END AS price
+  FROM orders
+),
+lrep AS (
+  SELECT o_memo, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS price_cents,
+         'latest' AS view, 1 AS n_added_cols
+  FROM latest GROUP BY o_memo
+),
+arep AS (
+  SELECT CAST(NULL AS VARCHAR) AS o_memo,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) * 100
+              AS BIGINT) AS price_cents,
+         'asof_v1' AS view, 0 AS n_added_cols
+  FROM orders
+)
+SELECT * FROM lrep UNION ALL SELECT * FROM arep
+"""
+
+
+# --- MOR x digest manifest: reconciliation rides the table format (r14) -----
+# r13 shipped the digest-manifest reconciliation sidecar and the MOR
+# table as separate worlds, leaving the operational gap "keep a
+# manifest current" as a caller scan discipline. With
+# digest_manifest=True the sidecar rides the table's own writes:
+# write_base summarizes the snapshot once, every append_delta applies
+# exactly its before/after images as an O(changes) incremental update
+# (the before-image is the pre-append state of the touched keys — one
+# broadcast-semi-filtered read, no full shuffle), and compact leaves
+# the manifest untouched because the LOGICAL state didn't change. The
+# gate exercises the full append→compact→append lifecycle — including
+# a delete-then-upsert resurrection ACROSS the compaction boundary —
+# then audits the live table against the manifest: clean=1,
+# changed_buckets=0, row_delta=0, alongside the final-state aggregate
+# the oracle replays declaratively.
+def mor_manifest_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.operators.tablediff import (
+        audit_against_manifest,
+    )
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_mormani_", sf_dir)
+    path = os.path.join(base, "orders_mani")
+    table = MorTable(
+        spark, path, "o_orderkey", digest_manifest=True, manifest_buckets=64
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(os.path.join(path, "base", "_SUCCESS")):
+        table.write_base(orders)
+        table.append_delta(
+            1,
+            upserts=orders.where((key % 89 == 0) & (key % 97 != 0)).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("*")),
+            ),
+            delete_keys=orders.where(key % 97 == 0).select("o_orderkey"),
+        )
+        table.compact()
+        table.append_delta(
+            2,
+            upserts=orders.where(key % 178 == 0).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("**")),
+            ),
+        )
+    audit = audit_against_manifest(table.read(), path)
+    return (
+        table.read()
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumn(
+            "audit_clean", F.lit(int(audit["clean"])).cast("int")
+        )
+        .withColumn(
+            "n_changed_buckets",
+            F.lit(len(audit["changed_buckets"])).cast("int"),
+        )
+        .withColumn(
+            "row_delta", F.lit(audit["row_delta"]).cast("bigint")
+        )
+    )
+
+
+MOR_MANIFEST_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 97 <> 0 OR o_orderkey % 178 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       1 AS audit_clean, 0 AS n_changed_buckets,
+       CAST(0 AS BIGINT) AS row_delta
+FROM final
+"""
+
+
 # --- write-audit-publish: no row readable before its audit (r12) ------------
 # operators/wap.py: a producer STAGES a candidate snapshot, AUDITS it
 # (every expectation folded into ONE aggregate pass — auditing 100 TB
@@ -2033,6 +2223,11 @@ QUERIES = {
     "streaming_audited_ingest": (streaming_audited_ingest, STREAM_EXPECT_SQL),
     "fuzzy_name_neighbors_k2": (fuzzy_name_neighbors_k2, FUZZY_NEIGHBORS_K2_SQL),
     "mor_time_travel_orders": (mor_time_travel_orders, MOR_TIME_TRAVEL_SQL),
+    "mor_schema_evolution": (mor_schema_evolution, MOR_EVOLUTION_SQL),
+    "mor_manifest_reconciliation": (
+        mor_manifest_reconciliation,
+        MOR_MANIFEST_SQL,
+    ),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,

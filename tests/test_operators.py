@@ -1125,9 +1125,16 @@ def test_mor_append_contract_refusals(spark, tmp_path):
         t.append_delta(
             2, upserts=spark.createDataFrame([(5, "e", 1.0)], ["k", "s", "x"])
         )
-    with pytest.raises(ValueError, match="schema"):
+    # a TYPE change on an existing column is refused with the
+    # schema_compat class that names the hazard (subset/superset
+    # schemas are accepted as evolution — see the evolution test)
+    with pytest.raises(ValueError, match="type of existing column"):
         t.append_delta(
-            3, upserts=spark.createDataFrame([(5, "e")], ["k", "s"])
+            3, upserts=spark.createDataFrame([(5, 7, 1.0)], ["k", "s", "x"])
+        )
+    with pytest.raises(ValueError, match="key column"):
+        t.append_delta(
+            3, upserts=spark.createDataFrame([("e", 1.0)], ["s", "x"])
         )
     with pytest.raises(ValueError, match="needs"):
         t.append_delta(3)
@@ -1226,9 +1233,18 @@ def test_mor_compact_folds_log_and_read_needs_no_window(spark, tmp_path):
     assert not os.path.isdir(t._delta_root)  # log folded away
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan  # base passthrough
-    # the table stays writable: a fresh log starts over
+    # the table stays writable, and versions are GLOBALLY increasing:
+    # re-using a folded version number is refused (it would alias a
+    # compacted-away history state), the next version works
+    import pytest
+
+    with pytest.raises(ValueError, match="compaction horizon"):
+        t.append_delta(
+            1,
+            upserts=spark.createDataFrame([(4, "d2", 44.0)], ["k", "s", "x"]),
+        )
     t.append_delta(
-        1, upserts=spark.createDataFrame([(4, "d2", 44.0)], ["k", "s", "x"])
+        3, upserts=spark.createDataFrame([(4, "d2", 44.0)], ["k", "s", "x"])
     )
     got = {r[0]: (r[1], r[2]) for r in t.read().collect()}
     assert got[4] == ("d2", 44.0) and got[1] == ("a2", 12.0)
@@ -1278,19 +1294,30 @@ def test_mor_compact_crash_after_promote_reaps_retired_base(
     t, _ = _mor_fixture(spark, tmp_path)
     expected = sorted(map(tuple, t.read().collect()))
     # simulate compact() crashing between its base swap and cleanup:
-    # merged snapshot staged, old base retired, staged promoted — then
-    # death before the delta log and retired copy are removed
+    # merged snapshot staged, horizon recorded, old base retired,
+    # staged promoted — then death before the subsumed delta versions
+    # and retired copy are removed. A CONCURRENT writer's v3 lands in
+    # the same window: it is above the horizon and must survive.
     t.read().write.parquet(t._staged)
+    t._write_meta(2)
     os.replace(t._base, os.path.join(t.path, "_retired_base.12345"))
     os.replace(t._staged, t._base)
     assert os.path.isdir(t._delta_root)  # crash left the log behind
+    t.append_delta(
+        3, upserts=spark.createDataFrame([(7, "w3", 70.0)], ["k", "s", "x"])
+    )
 
     t2 = MorTable(spark, t.path, "k")  # recovery runs in __init__
-    assert sorted(os.listdir(t2.path)) == ["base"]  # ONLY the base
-    assert sorted(map(tuple, t2.read().collect())) == expected
+    # subsumed versions (<= horizon) and the retired copy are reaped;
+    # the concurrent v3 append is NOT (r13 advice: it is committed
+    # data the merged base does not subsume)
+    assert sorted(os.listdir(t2.path)) == ["_mor_meta.json", "base", "delta"]
+    assert sorted(os.listdir(t2._delta_root)) == ["mor_v=3"]
+    expected_v3 = sorted(expected + [(7, "w3", 70.0)])
+    assert sorted(map(tuple, t2.read().collect())) == expected_v3
     # recovery is itself crash-safe to repeat
     t3 = MorTable(spark, t.path, "k")
-    assert sorted(map(tuple, t3.read().collect())) == expected
+    assert sorted(map(tuple, t3.read().collect())) == expected_v3
 
 
 def test_wap_vacuum_zero_retention_keeps_only_live_snapshot(
@@ -1414,10 +1441,138 @@ def test_mor_time_travel_reads_each_version_state(spark, tmp_path):
     assert latest == {r[0]: r[1] for r in t.read(as_of_version=2).collect()}
     with pytest.raises(ValueError, match="never committed"):
         t.read(as_of_version=3)
-    # compaction bounds the horizon: the log is folded away
+    # compaction bounds the horizon: folded versions raise "compacted
+    # away" (distinct from a typo'd never-committed version), and a
+    # post-compact append re-opens time travel ABOVE the horizon only
     t.compact()
-    with pytest.raises(ValueError, match="never committed"):
+    with pytest.raises(ValueError, match="compaction horizon"):
         t.read(as_of_version=1)
+    t.append_delta(
+        3, upserts=spark.createDataFrame([(4, "d3", 44.0)], ["k", "s", "x"])
+    )
+    assert {r[0]: r[1] for r in t.read(as_of_version=3).collect()} == {
+        r[0]: r[1] for r in t.read().collect()
+    }
+    with pytest.raises(ValueError, match="compaction horizon"):
+        t.read(as_of_version=2)
+
+
+def test_mor_schema_evolution_adds_nullable_columns(spark, tmp_path):
+    """r13 verdict item 6: real ingest adds nullable columns. A delta
+    may carry a SUPERSET of the table's columns (new columns become
+    nullable additions) or a SUBSET (absent columns null-padded, row
+    replacement semantics); both read paths work — latest shows the
+    evolved schema with nulls where no version supplied a value, and
+    an as-of read BEFORE the column existed carries the OLD schema."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(spark, str(tmp_path / "mor"), "k")
+    t.write_base(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "s"])
+    )
+    t.append_delta(
+        1, upserts=spark.createDataFrame([(1, "a1")], ["k", "s"])
+    )
+    # v2 ADDS `tag` (superset): visible from v2 on
+    t.append_delta(
+        2,
+        upserts=spark.createDataFrame(
+            [(2, "b2", "hot"), (5, "e", "new")], ["k", "s", "tag"]
+        ),
+    )
+    # v3 is a SUBSET upsert (only k): row replacement null-pads s AND tag
+    t.append_delta(
+        3, upserts=spark.createDataFrame([(3,)], ["k"])
+    )
+    latest = {
+        r["k"]: (r["s"], r["tag"]) for r in t.read().collect()
+    }
+    assert latest == {
+        1: ("a1", None),   # pre-evolution upsert: tag null
+        2: ("b2", "hot"),  # the version that introduced tag
+        3: (None, None),   # subset upsert replaced the whole row
+        5: ("e", "new"),   # insert with the new column
+    }
+    assert t.read().columns == ["k", "s", "tag"]  # base order, then added
+    # as-of BEFORE the evolution: old schema, no tag column at all
+    asof1 = t.read(as_of_version=1)
+    assert asof1.columns == ["k", "s"]
+    assert {r["k"]: r["s"] for r in asof1.collect()} == {
+        1: "a1", 2: "b", 3: "c"
+    }
+    # deletes keep working against the evolved schema
+    t.append_delta(
+        4, delete_keys=spark.createDataFrame([(5,)], ["k"])
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+    # a type change on an existing column is still refused
+    with pytest.raises(ValueError, match="type of existing column"):
+        t.append_delta(
+            5,
+            upserts=spark.createDataFrame(
+                [(1, 99)], ["k", "s"]
+            ).select("k", F.col("s").cast("int")),
+        )
+    # compaction folds the evolved state losslessly
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact()
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert t.read().columns == ["k", "s", "tag"]
+
+
+def test_mor_digest_manifest_rides_the_table(spark, tmp_path):
+    """r13 verdict item 7: with digest_manifest=True the reconciliation
+    sidecar rides the table format — write_base summarizes the
+    snapshot, each append_delta applies its own before/after images as
+    an O(changes) incremental update, compact leaves it untouched —
+    and the audit stays CLEAN across append→compact→append with no
+    separate scan discipline. Tampering (a state the writes never
+    produced) is still detected."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.operators.tablediff import (
+        audit_against_manifest,
+    )
+
+    t = MorTable(
+        spark, str(tmp_path / "mor"), "k", digest_manifest=True,
+        manifest_buckets=16,
+    )
+    t.write_base(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            ["k", "s", "x"],
+        )
+    )
+    assert audit_against_manifest(t.read(), t.path)["clean"]
+    # v1: update + delete + insert in one batch
+    t.append_delta(
+        1,
+        upserts=spark.createDataFrame(
+            [(1, "a1", 11.0), (9, "new", 90.0)], ["k", "s", "x"]
+        ),
+        delete_keys=spark.createDataFrame([(2,)], ["k"]),
+    )
+    assert audit_against_manifest(t.read(), t.path)["clean"]
+    # compaction changes layout, not state: manifest untouched, audit clean
+    t.compact()
+    assert audit_against_manifest(t.read(), t.path)["clean"]
+    # post-compact append keeps maintaining it
+    t.append_delta(
+        3,
+        upserts=spark.createDataFrame([(3, "c3", 33.0)], ["k", "s", "x"]),
+    )
+    assert audit_against_manifest(t.read(), t.path)["clean"]
+    # drift the writes never produced is detected and localized
+    tampered = t.read().withColumn(
+        "x", F.when(F.col("k") == 4, 41.0).otherwise(F.col("x"))
+    )
+    audit = audit_against_manifest(tampered, t.path)
+    assert not audit["clean"] and len(audit["changed_buckets"]) == 1
 
 
 def test_digest_manifest_incremental_update_equals_rescan(
