@@ -433,6 +433,123 @@ class MorTable:
             os.rmdir(self._delta_root)
         shutil.rmtree(old)
 
+    # --- change feed ----------------------------------------------------------
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """The CDC leg of time travel: one row per key whose state
+        differs between as-of ``from_version`` (exclusive) and as-of
+        ``to_version`` (inclusive; default latest), tagged
+        ``_change_type`` ∈ {insert, update, delete} — the delta log IS
+        the change feed, so no extra storage (Delta's CDF pays a
+        ``_change_data`` copy per commit for the same answer).
+
+        Semantics: ``insert`` = key absent at from_version, present at
+        to_version (post-image); ``update`` = present in both with the
+        LAST op in the window an upsert (post-image — an upsert writing
+        identical values still emits, matching CDF's contract that the
+        feed reflects commits, not value diffs); ``delete`` = present
+        at from_version, last op a delete (PRE-image values, so the
+        consumer sees what was removed). A key deleted and re-upserted
+        within the window collapses to its net effect, last-wins.
+
+        Cost shape: the log window shuffles O(|touched keys|) rows for
+        its last-op window; the pre-state leg is the normal as-of read
+        semi-filtered to touched keys via broadcast — never a
+        full-table diff. ``from_version`` may be the compaction horizon
+        (the base state); both endpoints must otherwise be committed,
+        un-compacted versions, same refusal rules as ``read``.
+
+        Columns added by versions inside the window exist in the
+        output (null in pre-image delete rows, like any pre-evolution
+        row)."""
+        have = self._existing_versions()
+        horizon = self._compacted_through()
+        if to_version is None:
+            if not have:
+                raise ValueError("empty delta log: no changes to read")
+            to_version = have[-1]
+
+        def _checkpointable(v: int, what: str) -> None:
+            if v == horizon or v in have:
+                return
+            if v < horizon:
+                raise ValueError(
+                    f"{what} {v} is below the compaction horizon "
+                    f"{horizon}: its state was folded into the base"
+                )
+            raise ValueError(
+                f"{what} {v} not in the delta log {have}: it never "
+                "committed"
+            )
+
+        _checkpointable(from_version, "from_version")
+        _checkpointable(to_version, "to_version")
+        if not from_version < to_version:
+            raise ValueError(
+                f"from_version {from_version} must precede to_version "
+                f"{to_version}"
+            )
+        window_vs = [v for v in have if from_version < v <= to_version]
+        deltas = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self._delta_root)
+            .parquet(
+                *[
+                    os.path.join(self._delta_root, f"mor_v={v}")
+                    for v in window_vs
+                ]
+            )
+            .withColumn(_VER, F.col("mor_v").cast("int"))
+            .drop("mor_v")
+        )
+        w = Window.partitionBy(self.key).orderBy(F.desc(_VER))
+        last = (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", _VER)
+        )
+        pre_state = (
+            self.spark.read.parquet(self._base)
+            if from_version == horizon
+            else self.read(as_of_version=from_version)
+        )
+        touched = deltas.select(self.key).distinct()
+        pre = pre_state.join(F.broadcast(touched), self.key, "left_semi")
+        pre_cols = [c for c in pre.columns if c != self.key]
+        pre_tagged = pre.select(
+            self.key,
+            *[F.col(c).alias(f"_pre_{c}") for c in pre_cols],
+            F.lit(True).alias("_pre_exists"),
+        )
+        joined = last.join(pre_tagged, self.key, "left")
+        existed = F.coalesce(F.col("_pre_exists"), F.lit(False))
+        is_upsert = F.col(_OP) == "U"
+        out_cols = [c for c in last.columns if c != _OP]
+        classified = joined.withColumn(
+            "_change_type",
+            F.when(is_upsert & existed, F.lit("update"))
+            .when(is_upsert & ~existed, F.lit("insert"))
+            .when(~is_upsert & existed, F.lit("delete")),
+        ).where(F.col("_change_type").isNotNull())
+        # post-image for insert/update; PRE-image for delete
+        return classified.select(
+            self.key,
+            *[
+                F.when(
+                    F.col("_change_type") == "delete",
+                    F.col(f"_pre_{c}")
+                    if f"_pre_{c}" in joined.columns
+                    else F.lit(None),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in out_cols
+                if c != self.key
+            ],
+            "_change_type",
+        )
+
     # --- read ---------------------------------------------------------------
     def read(self, as_of_version: int | None = None) -> DataFrame:
         """Latest state: base with all delta versions applied, last-wins.

@@ -1807,6 +1807,127 @@ FROM final
 """
 
 
+# --- MOR change feed: the delta log read back as CDC (r14) ------------------
+# operators/mor.py::changes(from, to): one row per key whose state
+# differs between the two as-of checkpoints — insert/update carry the
+# post-image, delete carries the PRE-image, and a delete-then-upsert
+# inside the window collapses to its net effect. The delta log IS the
+# feed (Delta's CDF pays a _change_data copy per commit for the same
+# answer); cost is O(touched keys) — the log window shuffles only
+# touched keys, the pre-state leg is a broadcast-semi-filtered as-of
+# read, never a full-table diff. The gate reads BOTH windows of the
+# shared MOR fixture and aggregates per (window, change_type); the
+# oracle replays the modulus classification declaratively, including
+# the corner where v2 upserts keys v1 had DELETED (%178∩%97 and %194
+# keys): absent at v1, so they are INSERTS with v2's payload.
+def mor_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _mor_orders_table(spark, sf_dir)
+
+    def rep(df: DataFrame, win: str) -> DataFrame:
+        return (
+            df.groupBy("_change_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                .cast("bigint")
+                .alias("price_cents"),
+            )
+            .withColumnRenamed("_change_type", "change_type")
+            .withColumn("win", F.lit(win))
+        )
+
+    return rep(table.changes(0, 1), "base_to_v1").unionByName(
+        rep(table.changes(1, 2), "v1_to_v2")
+    )
+
+
+MOR_CHANGE_FEED_SQL = """
+WITH w1 AS (
+  SELECT 'base_to_v1' AS win,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'delete'
+              ELSE 'update' END AS change_type,
+         o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0 OR o_orderkey % 89 = 0
+),
+w2 AS (
+  SELECT 'v1_to_v2' AS win,
+         CASE WHEN o_orderkey % 178 = 0 AND o_orderkey % 97 <> 0
+              THEN 'update' ELSE 'insert' END AS change_type,
+         o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 178 = 0 OR o_orderkey % 194 = 0
+)
+SELECT win, change_type, CAST(count(*) AS BIGINT) AS n_keys,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents
+FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+GROUP BY win, change_type
+"""
+
+
+# --- quarantine replay: the expectations loop closed (r14) ------------------
+# streaming/expectations.py quarantines rows per-batch with the names
+# of the checks they failed; replay_quarantine re-audits them under
+# RELAXED checks and releases exactly the now-passing rows into a
+# replay-tagged batch dir (original quarantine dirs stay immutable as
+# the audit trail; released rows carry the TABLE schema — the r13
+# verdict's partition-column leak is pinned fixed in pytest). The gate
+# ingests orders under a strict price cap + a key check, relaxes the
+# cap, replays, and reports the post-replay table aggregate plus the
+# released/still-retained counts — all four numbers declaratively
+# replayable: table = key_ok & price under the RELAXED cap; released =
+# key_ok rows between the caps; retained = quarantined minus released.
+def quarantine_replay_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.streaming.expectations import (
+        StreamingExpectations,
+        replay_quarantine,
+    )
+
+    base = cached_scratch_dir("squopt_qreplay_", sf_dir)
+    out, quar = os.path.join(base, "t"), os.path.join(base, "q")
+    orders = load_table(spark, sf_dir, "orders")
+    key_ok = F.col("o_orderkey") % 11 != 0
+    strict = {"price_cap": F.col("o_totalprice") < 300000, "key_ok": key_ok}
+    relaxed = {"price_cap": F.col("o_totalprice") < 400000, "key_ok": key_ok}
+    if not os.path.isdir(os.path.join(out, "batch=0")):
+        StreamingExpectations(strict, out, quar)(orders, 0)
+    rep = replay_quarantine(spark, quar, relaxed, out, replay_id="cap400k")
+    return (
+        spark.read.parquet(out)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumn("released", F.lit(rep["released"]).cast("bigint"))
+        .withColumn("retained", F.lit(rep["retained"]).cast("bigint"))
+    )
+
+
+QUARANTINE_REPLAY_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 11 <> 0
+          AND o_totalprice >= 300000 AND o_totalprice < 400000)
+         AS released,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE (o_totalprice >= 300000 OR o_orderkey % 11 = 0)
+          AND NOT (o_orderkey % 11 <> 0
+                   AND o_totalprice >= 300000 AND o_totalprice < 400000))
+         AS retained
+FROM orders
+WHERE o_orderkey % 11 <> 0 AND o_totalprice < 400000
+"""
+
+
 # --- write-audit-publish: no row readable before its audit (r12) ------------
 # operators/wap.py: a producer STAGES a candidate snapshot, AUDITS it
 # (every expectation folded into ONE aggregate pass — auditing 100 TB
@@ -2227,6 +2348,11 @@ QUERIES = {
     "mor_manifest_reconciliation": (
         mor_manifest_reconciliation,
         MOR_MANIFEST_SQL,
+    ),
+    "mor_change_feed_orders": (mor_change_feed_orders, MOR_CHANGE_FEED_SQL),
+    "quarantine_replay_release": (
+        quarantine_replay_release,
+        QUARANTINE_REPLAY_SQL,
     ),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
