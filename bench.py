@@ -221,6 +221,12 @@ EXTRA = [
     "matryoshka_recall_report",
     "k_anonymity_audit",
     "keyset_paginated_orders",
+    # round 14 heads
+    "mor_schema_evolution",
+    "mor_manifest_reconciliation",
+    "mor_change_feed_orders",
+    "mor_cdf_agg_maintenance",
+    "quarantine_replay_release",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

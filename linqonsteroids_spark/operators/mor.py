@@ -435,7 +435,10 @@ class MorTable:
 
     # --- change feed ----------------------------------------------------------
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """The CDC leg of time travel: one row per key whose state
         differs between as-of ``from_version`` (exclusive) and as-of
@@ -462,7 +465,15 @@ class MorTable:
 
         Columns added by versions inside the window exist in the
         output (null in pre-image delete rows, like any pre-evolution
-        row)."""
+        row).
+
+        ``include_preimages=True`` switches to the Delta-CDF row
+        protocol: updates emit TWO rows — ``update_preimage`` (old
+        values) and ``update_postimage`` (new values) — which is
+        exactly what downstream incremental view maintenance needs
+        (retract the old contribution, add the new one; see
+        ``streaming/incremental.py::apply_cdf_to_agg_mv``). insert and
+        delete rows are unchanged."""
         have = self._existing_versions()
         horizon = self._compacted_through()
         if to_version is None:
@@ -532,22 +543,72 @@ class MorTable:
             .when(is_upsert & ~existed, F.lit("insert"))
             .when(~is_upsert & existed, F.lit("delete")),
         ).where(F.col("_change_type").isNotNull())
-        # post-image for insert/update; PRE-image for delete
-        return classified.select(
-            self.key,
-            *[
-                F.when(
-                    F.col("_change_type") == "delete",
-                    F.col(f"_pre_{c}")
-                    if f"_pre_{c}" in joined.columns
-                    else F.lit(None),
+
+        def _image(df: DataFrame, pre: bool) -> DataFrame:
+            return df.select(
+                self.key,
+                *[
+                    (
+                        F.col(f"_pre_{c}")
+                        if pre and f"_pre_{c}" in joined.columns
+                        else F.lit(None)
+                        if pre
+                        else F.col(c)
+                    ).alias(c)
+                    for c in out_cols
+                    if c != self.key
+                ],
+                "_change_type",
+            )
+
+        if not include_preimages:
+            # post-image for insert/update; PRE-image for delete
+            return classified.select(
+                self.key,
+                *[
+                    F.when(
+                        F.col("_change_type") == "delete",
+                        F.col(f"_pre_{c}")
+                        if f"_pre_{c}" in joined.columns
+                        else F.lit(None),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in out_cols
+                    if c != self.key
+                ],
+                "_change_type",
+            )
+        # Delta-CDF protocol: updates fan out into pre+post rows
+        upd = classified.where(F.col("_change_type") == "update")
+        rest = classified.where(F.col("_change_type") != "update")
+        return (
+            _image(
+                rest.where(F.col("_change_type") == "insert"),
+                pre=False,
+            )
+            .unionByName(
+                _image(
+                    rest.where(F.col("_change_type") == "delete"),
+                    pre=True,
                 )
-                .otherwise(F.col(c))
-                .alias(c)
-                for c in out_cols
-                if c != self.key
-            ],
-            "_change_type",
+            )
+            .unionByName(
+                _image(
+                    upd.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ),
+                    pre=True,
+                )
+            )
+            .unionByName(
+                _image(
+                    upd.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    ),
+                    pre=False,
+                )
+            )
         )
 
     # --- read ---------------------------------------------------------------

@@ -1867,6 +1867,69 @@ GROUP BY win, change_type
 """
 
 
+# --- CDF-driven aggregate MV maintenance (r14) ------------------------------
+# The IVM composition the change feed exists for: a (sum, count)
+# aggregate MV maintained purely from
+# changes(include_preimages=True) — insert/update_postimage add,
+# delete/update_preimage retract
+# (streaming/incremental.py::apply_cdf_to_agg_mv) — with NO rescan of
+# the table. This is the leg IncrementalAggMV (append-only Δ) cannot
+# cover: the fixture's v1/v2 updates MOVE orders between priority
+# groups (the group key itself mutates), v1 deletes retract, and v2
+# resurrects deleted keys; the maintained MV after both windows must
+# hash-equal the oracle's from-scratch aggregate of the final state.
+# At 100 TB: per-ingest-batch MV maintenance costs O(|changes|) + a
+# merge keyed on touched groups, versus a full groupBy of the table.
+def mor_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linqonsteroids_spark.streaming.incremental import (
+        apply_cdf_to_agg_mv,
+    )
+
+    table = _mor_orders_table(spark, sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    mv = (
+        spark.read.parquet(table._base)
+        .withColumn("cents", cents)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cents").alias("price_cents"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    for win in ((0, 1), (1, 2)):
+        feed = table.changes(*win, include_preimages=True).withColumn(
+            "cents", cents
+        )
+        mv = apply_cdf_to_agg_mv(
+            mv,
+            feed,
+            ["o_orderpriority"],
+            {"price_cents": "cents"},
+            count_col="n_orders",
+        )
+    return mv
+
+
+MOR_CDF_MV_SQL = """
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 178 = 0 THEN o_orderpriority || '**'
+              WHEN o_orderkey % 194 = 0 THEN o_orderpriority || '+'
+              WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 97 <> 0 OR o_orderkey % 178 = 0 OR o_orderkey % 194 = 0
+)
+SELECT o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM final GROUP BY o_orderpriority
+"""
+
+
 # --- quarantine replay: the expectations loop closed (r14) ------------------
 # streaming/expectations.py quarantines rows per-batch with the names
 # of the checks they failed; replay_quarantine re-audits them under
@@ -2350,6 +2413,7 @@ QUERIES = {
         MOR_MANIFEST_SQL,
     ),
     "mor_change_feed_orders": (mor_change_feed_orders, MOR_CHANGE_FEED_SQL),
+    "mor_cdf_agg_maintenance": (mor_cdf_agg_maintenance, MOR_CDF_MV_SQL),
     "quarantine_replay_release": (
         quarantine_replay_release,
         QUARANTINE_REPLAY_SQL,

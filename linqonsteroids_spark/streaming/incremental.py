@@ -267,6 +267,77 @@ def local_put_if_absent(path: str, payload: str) -> bool:
     return put_if_absent(path, payload)
 
 
+def apply_cdf_to_agg_mv(
+    mv: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Maintain a sum/count aggregate MV from a Delta-CDF-protocol
+    change feed (``MorTable.changes(include_preimages=True)``) —
+    O(|changes|), no base rescan, correct under UPDATES AND DELETES
+    where :class:`IncrementalAggMV`'s append-only Δ rule is not.
+
+    The algebra is the classic retraction form of IVM over the
+    (sum, count) commutative group: insert / update_postimage rows
+    contribute +value, delete / update_preimage rows contribute
+    −value — so an update that MOVES a row between groups (the group
+    key itself changed) retracts from the old group and adds to the
+    new one with no special casing, and a group whose maintained count
+    reaches zero drops out of the MV entirely (sum-only state cannot
+    distinguish "no rows" from "rows summing to 0"; the count column
+    can, which is why it is mandatory). AVG-style aggregates derive
+    from (sum, count) downstream; MIN/MAX are NOT maintainable this
+    way (deleting the current extremum needs a rescan of its group) —
+    callers needing them use IncrementalAggMV's merge on append-only
+    feeds or recompute the touched groups.
+
+    ``mv`` must carry ``group_cols``, every ``sum_cols`` OUTPUT column,
+    and ``count_col`` (as produced by a prior groupBy/agg or a prior
+    call of this function). ``sum_cols``: output column → source value
+    column in the change feed. Plan shape: one O(|changes|) partial
+    aggregate, then a full-outer merge keyed on the MV's OWN group
+    columns — broadcastable when the change set touches few groups, and
+    never wider than |MV| + |touched groups|."""
+    from pyspark.sql import functions as SF
+
+    sign = SF.when(
+        SF.col("_change_type").isin("insert", "update_postimage"),
+        SF.lit(1),
+    ).otherwise(SF.lit(-1))
+    delta = (
+        changes.where(
+            SF.col("_change_type").isin(
+                "insert", "delete", "update_preimage", "update_postimage"
+            )
+        )
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                SF.sum(SF.col(src) * sign).alias(f"_d_{out}")
+                for out, src in sum_cols.items()
+            ],
+            SF.sum(sign).alias("_d_n"),
+        )
+    )
+    merged = mv.join(delta, group_cols, "full_outer").select(
+        *group_cols,
+        *[
+            (
+                SF.coalesce(SF.col(out), SF.lit(0))
+                + SF.coalesce(SF.col(f"_d_{out}"), SF.lit(0))
+            ).alias(out)
+            for out in sum_cols
+        ],
+        (
+            SF.coalesce(SF.col(count_col), SF.lit(0))
+            + SF.coalesce(SF.col("_d_n"), SF.lit(0))
+        ).alias(count_col),
+    )
+    return merged.where(SF.col(count_col) > 0)
+
+
 class IncrementalAggMV:
     """Externalized-state IVM for monoid aggregates — the reference's
     Δ(indexBy ∘ fold) rule (``derivation/Prototype.scala:32-49``) with the

@@ -1511,6 +1511,89 @@ def test_mor_change_feed_between_versions(spark, tmp_path):
     assert rows(t.changes(2, 3)) == [(4, "update", "d3", 44.0)]
 
 
+def test_mor_change_feed_plan_never_full_diffs(spark, tmp_path):
+    """The change feed's 100 TB contract: its plan is built from the
+    delta-log window plus a BROADCAST-filtered pre-state read — the
+    base table flows through broadcast hash joins only (the as-of
+    reader's anti/semi probes and the feed's own semi filter), never a
+    shuffled join keyed on the full base."""
+    t, _ = _mor_fixture(spark, tmp_path)
+    plan = (
+        t.changes(0, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_mor_cdf_preimages_and_agg_mv_maintenance(spark, tmp_path):
+    """changes(include_preimages=True) speaks the Delta-CDF row
+    protocol (update_preimage + update_postimage pairs), and
+    apply_cdf_to_agg_mv maintains a (sum, count) MV from it —
+    O(changes), correct under group-moving updates, deletes, and
+    groups draining to zero, proven equal to a fresh recompute."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.streaming.incremental import (
+        apply_cdf_to_agg_mv,
+    )
+
+    t = MorTable(spark, str(tmp_path / "mor"), "k")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        ["k", "grp", "x"],
+    )
+    t.write_base(base)
+    # v1: k=1 MOVES a->b with a new value, k=3 deleted, k=5 inserted
+    # into a BRAND-NEW group, k=2 updated in place
+    t.append_delta(
+        1,
+        upserts=spark.createDataFrame(
+            [(1, "b", 11), (2, "a", 25), (5, "c", 50)], ["k", "grp", "x"]
+        ),
+        delete_keys=spark.createDataFrame([(3,)], ["k"]),
+    )
+    feed = t.changes(0, 1, include_preimages=True)
+    got = sorted(
+        (r["k"], r["_change_type"], r["grp"], r["x"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, "update_postimage", "b", 11),
+        (1, "update_preimage", "a", 10),
+        (2, "update_postimage", "a", 25),
+        (2, "update_preimage", "a", 20),
+        (3, "delete", "b", 30),
+        (5, "insert", "c", 50),
+    ]
+    mv0 = base.groupBy("grp").agg(
+        F.sum("x").alias("sx"), F.count("*").cast("bigint").alias("n")
+    )
+    mv1 = apply_cdf_to_agg_mv(mv0, feed, ["grp"], {"sx": "x"})
+    expect = {
+        r["grp"]: (r["sx"], r["n"])
+        for r in t.read()
+        .groupBy("grp")
+        .agg(F.sum("x").alias("sx"), F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert {
+        r["grp"]: (r["sx"], r["n"]) for r in mv1.collect()
+    } == expect
+    # drain group b to zero: it must VANISH from the MV (count
+    # discipline — sum-only state can't tell empty from sums to 0)
+    t.append_delta(
+        2, delete_keys=spark.createDataFrame([(1,), (4,)], ["k"])
+    )
+    mv2 = apply_cdf_to_agg_mv(
+        mv1, t.changes(1, 2, include_preimages=True), ["grp"], {"sx": "x"}
+    )
+    assert sorted(r["grp"] for r in mv2.collect()) == ["a", "c"]
+
+
 def test_mor_schema_evolution_adds_nullable_columns(spark, tmp_path):
     """r13 verdict item 6: real ingest adds nullable columns. A delta
     may carry a SUPERSET of the table's columns (new columns become
