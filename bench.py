@@ -226,6 +226,7 @@ EXTRA = [
     "mor_manifest_reconciliation",
     "mor_change_feed_orders",
     "mor_cdf_agg_maintenance",
+    "mor_merge_into_orders",
     "quarantine_replay_release",
 ]
 

@@ -1867,6 +1867,93 @@ GROUP BY win, change_type
 """
 
 
+# --- MOR MERGE INTO: SQL merge compiled to one delta append (r14) -----------
+# operators/mor.py::merge_into — matched source rows update (or
+# delete), unmatched insert (or drop), ONE O(|source|) delta append
+# per merge, base never rewritten. Membership costs one column-pruned
+# table scan probed against the broadcast source key set; the matched
+# key set (bounded by |source|) is localCheckpointed so classification
+# never re-scans. The gate stages orders-without-%3 as the base, then
+# (1) a default update+insert merge of the even keys with '~'-tagged
+# priorities — %6 keys are absent from the base, so they exercise the
+# NOT MATCHED insert leg — and (2) a matched-delete merge of the %5
+# keys, whose absent members (%15 ∩ not-%6) exercise the no-op miss
+# leg. Output: final-state aggregate + the three merge stat counters
+# (persisted at build time; the oracle derives all of them from the
+# same modulus logic).
+def mor_merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_mormerge_", sf_dir)
+    path = os.path.join(base, "orders_merge")
+    stats_path = os.path.join(base, "merge_stats.json")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(stats_path):
+        table.write_base(orders.where(key % 3 != 0))
+        s1 = table.merge_into(
+            1,
+            orders.where(key % 2 == 0).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("~")),
+            ),
+        )
+        s2 = table.merge_into(
+            2,
+            orders.where(key % 5 == 0),
+            when_matched="delete",
+            when_not_matched=None,
+        )
+        with open(stats_path, "w") as f:
+            json.dump({"m1": s1, "m2": s2}, f)
+    with open(stats_path) as f:
+        st = json.load(f)
+    return (
+        table.read()
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumn(
+            "n_updated", F.lit(st["m1"]["updated"]).cast("bigint")
+        )
+        .withColumn(
+            "n_inserted", F.lit(st["m1"]["inserted"]).cast("bigint")
+        )
+        .withColumn(
+            "n_deleted", F.lit(st["m2"]["deleted"]).cast("bigint")
+        )
+    )
+
+
+MOR_MERGE_SQL = """
+WITH final AS (
+  SELECT o_totalprice
+  FROM orders
+  WHERE (o_orderkey % 3 <> 0 OR o_orderkey % 6 = 0)
+    AND o_orderkey % 5 <> 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0) AS n_updated,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 6 = 0) AS n_inserted,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 5 = 0
+          AND (o_orderkey % 3 <> 0 OR o_orderkey % 6 = 0)) AS n_deleted
+FROM final
+"""
+
+
 # --- CDF-driven aggregate MV maintenance (r14) ------------------------------
 # The IVM composition the change feed exists for: a (sum, count)
 # aggregate MV maintained purely from
@@ -2414,6 +2501,7 @@ QUERIES = {
     ),
     "mor_change_feed_orders": (mor_change_feed_orders, MOR_CHANGE_FEED_SQL),
     "mor_cdf_agg_maintenance": (mor_cdf_agg_maintenance, MOR_CDF_MV_SQL),
+    "mor_merge_into_orders": (mor_merge_into_orders, MOR_MERGE_SQL),
     "quarantine_replay_release": (
         quarantine_replay_release,
         QUARANTINE_REPLAY_SQL,

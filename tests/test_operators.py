@@ -1511,6 +1511,64 @@ def test_mor_change_feed_between_versions(spark, tmp_path):
     assert rows(t.changes(2, 3)) == [(4, "update", "d3", 44.0)]
 
 
+def test_mor_merge_into_actions_and_stats(spark, tmp_path):
+    """merge_into: SQL MERGE compiled to one delta append — matched
+    rows update (or delete), unmatched insert (or drop), stats
+    returned; an all-miss merge commits nothing and burns no version;
+    invalid action names refuse."""
+    import os
+
+    import pytest
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(spark, str(tmp_path / "mor"), "k")
+    t.write_base(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            ["k", "s", "x"],
+        )
+    )
+    # update + insert (the default MERGE)
+    stats = t.merge_into(
+        1,
+        spark.createDataFrame(
+            [(2, "B2", 22.0), (9, "new", 90.0)], ["k", "s", "x"]
+        ),
+    )
+    assert stats == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert {r["k"]: r["s"] for r in t.read().collect()} == {
+        1: "a", 2: "B2", 3: "c", 9: "new"
+    }
+    # matched-delete, unmatched dropped
+    stats = t.merge_into(
+        2,
+        spark.createDataFrame([(2, "_", 0.0), (7, "_", 0.0)], ["k", "s", "x"]),
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert stats == {"updated": 0, "deleted": 1, "inserted": 0}
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 9]
+    # an all-miss merge is a clean no-op: no delta dir appears, and the
+    # version number stays available for a real commit
+    stats = t.merge_into(
+        3,
+        spark.createDataFrame([(100, "_", 0.0)], ["k", "s", "x"]),
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert stats == {"updated": 0, "deleted": 0, "inserted": 0}
+    assert not os.path.isdir(os.path.join(t._delta_root, "mor_v=3"))
+    t.append_delta(
+        3, upserts=spark.createDataFrame([(1, "a3", 11.0)], ["k", "s", "x"])
+    )
+    assert {r["k"]: r["s"] for r in t.read().collect()}[1] == "a3"
+    with pytest.raises(ValueError, match="when_matched"):
+        t.merge_into(4, t.read(), when_matched="upsert")
+    with pytest.raises(ValueError, match="no-op"):
+        t.merge_into(4, t.read(), when_matched=None, when_not_matched=None)
+
+
 def test_mor_change_feed_plan_never_full_diffs(spark, tmp_path):
     """The change feed's 100 TB contract: its plan is built from the
     delta-log window plus a BROADCAST-filtered pre-state read — the
