@@ -227,6 +227,7 @@ EXTRA = [
     "mor_change_feed_orders",
     "mor_cdf_agg_maintenance",
     "mor_merge_into_orders",
+    "mor_stream_cdf_mv",
     "quarantine_replay_release",
 ]
 

@@ -2234,6 +2234,124 @@ def mor_stream_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("user_id", "event_type", "value_cents")
 
 
+# --- streaming MOR ingest + live CDF-driven MV maintenance (r14) -----------
+# The IVM loop RUNNING LIVE: each micro-batch appends one MOR delta
+# version, then maintains a (sum, count)-by-event_type MV purely from
+# that version's change feed (changes(v-1, v, include_preimages=True)
+# → apply_cdf_to_agg_mv) — per arrival the MV pays O(|batch|) + a
+# merge on touched groups, never a rescan of the table. The source
+# re-delivers the SAME upsert file twice (the foreachBatch
+# at-least-once contract), which proves a second invariance the batch
+# gate can't: a redelivered upsert's pre-image EQUALS its post-image,
+# so the retraction algebra nets to zero and the MV is
+# delivery-count-invariant by construction, not by dedup bookkeeping.
+# The final MV must hash-equal the oracle's from-scratch aggregate of
+# the latest-per-user truth.
+def mor_stream_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.streaming.incremental import (
+        apply_cdf_to_agg_mv,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+    def _one_per_user(df, descending):
+        order = (
+            [F.desc("ts"), F.desc("event_id")]
+            if descending
+            else [F.asc("ts"), F.asc("event_id")]
+        )
+        w = Window.partitionBy("user_id").orderBy(*order)
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    stale = _one_per_user(rows, descending=False)
+    latest = _one_per_user(rows, descending=True)
+
+    base = tempfile.mkdtemp(prefix="mor_cdf_stream_")
+    table = MorTable(spark, os.path.join(base, "t"), "user_id")
+    table.write_base(stale)
+
+    def _mv_of(df):
+        return df.groupBy("event_type").agg(
+            F.sum("value_cents").alias("sum_cents"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+
+    mv_holder = [_mv_of(spark.read.parquet(table._base))]
+
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    tmp = os.path.join(base, "z")
+    latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    for i in (0, 1):  # the same upsert set, delivered twice
+        shutil.copy(
+            os.path.join(tmp, part),
+            os.path.join(src, f"part-{i}-redelivery.parquet"),
+        )
+
+    versions: list[int] = []
+
+    def handle(df, _bid):
+        v = len(versions) + 1
+        versions.append(v)
+        table.append_delta(v, upserts=_one_per_user(df, descending=True))
+        feed = table.changes(v - 1, v, include_preimages=True)
+        mv_holder[0] = apply_cdf_to_agg_mv(
+            mv_holder[0],
+            feed,
+            ["event_type"],
+            {"sum_cents": "value_cents"},
+            count_col="n_users",
+        ).localCheckpoint(eager=True)  # cut lineage per micro-batch
+
+    (
+        spark.readStream.schema(latest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return mv_holder[0]
+
+
+MOR_STREAM_CDF_MV_SQL = """
+WITH latest AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+  FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT event_type, CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM latest GROUP BY event_type
+"""
+
+
 # --- streaming expectations: audit-before-append with quarantine (r13) -----
 # The streaming counterpart of wap_publish_orders' snapshot audits
 # (streaming/expectations.py): every micro-batch is checked row-wise in
@@ -2502,6 +2620,7 @@ QUERIES = {
     "mor_change_feed_orders": (mor_change_feed_orders, MOR_CHANGE_FEED_SQL),
     "mor_cdf_agg_maintenance": (mor_cdf_agg_maintenance, MOR_CDF_MV_SQL),
     "mor_merge_into_orders": (mor_merge_into_orders, MOR_MERGE_SQL),
+    "mor_stream_cdf_mv": (mor_stream_cdf_mv, MOR_STREAM_CDF_MV_SQL),
     "quarantine_replay_release": (
         quarantine_replay_release,
         QUARANTINE_REPLAY_SQL,
