@@ -123,11 +123,23 @@ class ConditionalPutBackend:
     does server-side.
     """
 
-    def __init__(self):
+    def __init__(self, lease_ttl_s: float | None = None):
         self._mutex = threading.Lock()
         self.generations: dict[str, int] = {}
         self.race_hook = None  # callable fired between check and publish
-        self.stats = {"conditional_losses": 0, "lease_retries": 0}
+        self.stats = {
+            "conditional_losses": 0,
+            "lease_retries": 0,
+            "lease_takeovers": 0,
+        }
+        #: lease expiry: None = leases never expire (a crashed holder
+        #: deadlocks the lock — the POSIX-flock behavior); a float
+        #: enables takeover of expired leases with FENCING (below)
+        self.lease_ttl_s = lease_ttl_s
+        #: per-lock monotonic fencing counter — bumps on every
+        #: acquisition and NEVER resets, so a taken-over holder's
+        #: token is permanently stale
+        self._fences: dict[str, int] = {}
 
     # -- internals ------------------------------------------------------------
     def _exists(self, key: str) -> bool:
@@ -184,29 +196,93 @@ class ConditionalPutBackend:
             self._bump(final_dir)
             return True
 
+    def _try_takeover(self, lease: str) -> bool:
+        """Reclaim an EXPIRED lease (one atomic conditional step, like
+        GCS's ifGenerationMatch delete): returns True when the caller
+        should retry its conditional create. A live lease is never
+        touched."""
+        import json
+        import time
+
+        with self._mutex:
+            try:
+                with open(lease) as f:
+                    payload = json.loads(f.read())
+            except (FileNotFoundError, ValueError):
+                return True  # released (or torn) since we lost — retry
+            expires = payload.get("expires")
+            if expires is None or time.time() < expires:
+                return False  # live holder — keep waiting
+            os.unlink(lease)
+            self.generations.pop(lease, None)
+            self.stats["lease_takeovers"] += 1
+            return True
+
     @contextlib.contextmanager
     def commit_lock(self, lock_path: str):
         # no flock on an object store: acquire a LEASE key via
-        # conditional-create, retry on loss, delete to release. (A
-        # production port adds a TTL/fencing token to survive a crashed
-        # holder; the contract exercised here is mutual exclusion.)
+        # conditional-create, retry on loss, delete to release. With
+        # lease_ttl_s set, a CRASHED holder's lease expires and is
+        # taken over — and every acquisition gets a monotonically
+        # increasing FENCING token (yielded to the holder), so a
+        # zombie that wakes up after its lease was reclaimed carries a
+        # permanently stale token and `fenced_put` refuses its writes:
+        # expiry alone is not safe (the zombie may still be mid-write);
+        # the fence is what makes takeover correct.
+        import json
         import time
         import uuid
 
         lease = lock_path + ".lease"
         me = uuid.uuid4().hex
         while True:
-            if self.put_if_absent(lease, me):
+            expires = (
+                time.time() + self.lease_ttl_s
+                if self.lease_ttl_s is not None
+                else None
+            )
+            if self.put_if_absent(
+                lease, json.dumps({"owner": me, "expires": expires})
+            ):
                 break
+            if self.lease_ttl_s is not None and self._try_takeover(lease):
+                continue
             self.stats["lease_retries"] += 1
             time.sleep(0.005)
+        with self._mutex:
+            fence = self._fences.get(lock_path, 0) + 1
+            self._fences[lock_path] = fence
         try:
-            yield
+            yield fence
         finally:
             with self._mutex:
-                if os.path.exists(lease):
-                    os.unlink(lease)
-                self.generations.pop(lease, None)
+                # release only OUR lease: a post-takeover zombie's
+                # release must not destroy the new holder's lease
+                try:
+                    with open(lease) as f:
+                        if json.loads(f.read()).get("owner") == me:
+                            os.unlink(lease)
+                            self.generations.pop(lease, None)
+                except (FileNotFoundError, ValueError):
+                    pass
+
+    def fenced_put(
+        self, path: str, payload: str, lock_path: str, fence: int
+    ) -> bool:
+        """Publish ``payload`` iff ``fence`` is the lock's CURRENT
+        fencing token — the write-side half of lease takeover (what a
+        production port implements as an If-Match precondition keyed on
+        the fence, or a log-store conditional write). A zombie holder
+        whose lease was reclaimed carries a stale token and loses here
+        instead of corrupting the new holder's state."""
+        with self._mutex:
+            if self._fences.get(lock_path) != fence:
+                self.stats["conditional_losses"] += 1
+                return False
+            with open(path, "w") as f:
+                f.write(payload)
+            self._bump(path)
+            return True
 
 
 _BACKEND = PosixBackend()

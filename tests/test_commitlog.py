@@ -191,6 +191,42 @@ def test_conditional_put_lease_lock_blocks_until_release(tmp_path):
     assert not os.path.exists(lock + ".lease")  # released
 
 
+def test_conditional_put_lease_ttl_takeover_and_fencing(tmp_path):
+    """With lease_ttl_s set, a CRASHED holder's lease expires and the
+    next claimant takes it over; fencing makes the takeover SAFE: the
+    zombie's token is permanently stale, so its late fenced_put loses
+    while the new holder's succeeds — expiry alone would let the
+    zombie corrupt state mid-write."""
+    import time
+
+    b = ConditionalPutBackend(lease_ttl_s=0.05)
+    lock = str(tmp_path / ".lock")
+    key = str(tmp_path / "commit.json")
+
+    # crashed holder: enter the lock and never exit
+    crashed = b.commit_lock(lock)
+    f1 = crashed.__enter__()
+    assert os.path.exists(lock + ".lease")
+
+    # a new claimant waits out the TTL, takes the lease over, and
+    # receives a STRICTLY HIGHER fencing token
+    t0 = time.time()
+    with b.commit_lock(lock) as f2:
+        assert time.time() - t0 >= 0.04  # really waited for expiry
+        assert f2 > f1
+        assert b.stats["lease_takeovers"] == 1
+        # the zombie wakes up and tries to publish: stale fence loses
+        assert not b.fenced_put(key, "zombie", lock, f1)
+        assert b.fenced_put(key, "current-holder", lock, f2)
+    assert open(key).read() == "current-holder"
+    # the zombie's late release must NOT destroy state it no longer
+    # owns: the new holder already released; a fresh claimant works
+    crashed.__exit__(None, None, None)
+    with b.commit_lock(lock) as f3:
+        assert f3 > f2
+    assert not os.path.exists(lock + ".lease")
+
+
 def test_lakehouse_operators_green_on_conditional_put_backend(
     spark, tmp_path
 ):
