@@ -105,21 +105,53 @@ def replay_quarantine(
     }
 
 
+class ExpectationBreach(RuntimeError):
+    """A check's per-batch violation RATE crossed its fail threshold —
+    the batch was aborted whole (nothing written to either sink).
+    Carries ``report``: [(check, n_violations, rate, threshold), ...]
+    for every breached check."""
+
+    def __init__(self, batch_id: int, report: list[tuple]):
+        self.batch_id = batch_id
+        self.report = report
+        super().__init__(
+            f"batch {batch_id} aborted: expectation breach {report}"
+        )
+
+
 class StreamingExpectations:
     """``foreachBatch`` handler: audit each micro-batch row-wise and
-    split it into table + quarantine appends (see module docstring)."""
+    split it into table + quarantine appends (see module docstring).
+
+    ``fail_thresholds`` (check name → max violation FRACTION per batch)
+    adds the circuit-breaker tier between "quarantine the bad rows" and
+    "trust the pipeline": a few malformed rows are data (quarantine
+    them, keep ingesting), but a batch where 40 % of rows fail a check
+    is a broken upstream DEPLOY — quarantining it would silently turn
+    the quarantine into the table. On breach the WHOLE batch aborts
+    (:class:`ExpectationBreach` raised before either sink is written,
+    so redelivery after the upstream fix reprocesses it cleanly), and
+    the breach check costs one extra aggregate-only pass over the
+    already-persisted batch — no second scan of the source."""
 
     def __init__(
         self,
         checks: dict[str, Column],
         out_path: str,
         quarantine_path: str,
+        fail_thresholds: dict[str, float] | None = None,
     ):
         if not checks:
             raise ValueError("at least one expectation is required")
+        unknown = set(fail_thresholds or ()) - set(checks)
+        if unknown:
+            raise ValueError(
+                f"fail_thresholds name unknown checks: {sorted(unknown)}"
+            )
         self.checks = checks
         self.out_path = out_path
         self.quarantine_path = quarantine_path
+        self.fail_thresholds = fail_thresholds or {}
 
     def _mark(self, df: DataFrame) -> DataFrame:
         # when(cond, NULL).otherwise(name): NULL-valued expectations fall
@@ -139,6 +171,27 @@ class StreamingExpectations:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         marked = self._mark(batch_df).persist()
         try:
+            if self.fail_thresholds:
+                row = marked.agg(
+                    F.count("*").alias("_n"),
+                    *[
+                        F.sum(
+                            F.array_contains("_violations", name).cast("int")
+                        ).alias(f"_v_{i}")
+                        for i, name in enumerate(self.fail_thresholds)
+                    ],
+                ).collect()[0]
+                n = row["_n"] or 0
+                breached = []
+                for i, (name, limit) in enumerate(
+                    self.fail_thresholds.items()
+                ):
+                    bad = row[f"_v_{i}"] or 0
+                    rate = bad / n if n else 0.0
+                    if rate > limit:
+                        breached.append((name, bad, round(rate, 4), limit))
+                if breached:
+                    raise ExpectationBreach(batch_id, breached)
             clean = marked.where(F.size("_violations") == 0).drop(
                 "_violations"
             )

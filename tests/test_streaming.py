@@ -910,6 +910,50 @@ def test_streaming_expectations_split_and_redelivery_idempotent(
     assert spark.read.parquet(quar).count() == 5
 
 
+def test_expectations_rate_threshold_circuit_breaker(spark, tmp_path):
+    """fail_thresholds: a check whose per-batch violation RATE crosses
+    its limit aborts the WHOLE batch before either sink is written (a
+    broken upstream deploy must not silently fill the quarantine);
+    under the limit the normal row-wise split proceeds; unknown
+    threshold names refuse at construction."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from linqonsteroids_spark.streaming.expectations import (
+        ExpectationBreach,
+        StreamingExpectations,
+    )
+
+    out, quar = str(tmp_path / "t"), str(tmp_path / "q")
+    checks = {"pos": F.col("x") > 0, "small": F.col("x") < 100}
+    schema = StructType([StructField("x", IntegerType(), True)])
+    batch = spark.createDataFrame([(5,), (-3,), (500,), (7,)], schema)
+    # 'pos' violation rate is 1/4; a 0.2 ceiling breaches, batch aborts
+    strict = StreamingExpectations(
+        checks, out, quar, fail_thresholds={"pos": 0.2}
+    )
+    with pytest.raises(ExpectationBreach) as e:
+        strict(batch, 0)
+    assert e.value.report == [("pos", 1, 0.25, 0.2)]
+    assert not os.path.exists(out) and not os.path.exists(quar)
+    # a 0.5 ceiling tolerates it: normal split, both sinks written
+    lenient = StreamingExpectations(
+        checks, out, quar, fail_thresholds={"pos": 0.5, "small": 0.5}
+    )
+    lenient(batch, 0)
+    assert sorted(
+        r["x"] for r in spark.read.parquet(out).collect()
+    ) == [5, 7]
+    assert spark.read.parquet(quar).count() == 2
+    with pytest.raises(ValueError, match="unknown checks"):
+        StreamingExpectations(
+            checks, out, quar, fail_thresholds={"typo": 0.1}
+        )
+
+
 def test_quarantine_replay_releases_only_now_passing_rows(
     spark, tmp_path
 ):
