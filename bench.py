@@ -228,6 +228,7 @@ EXTRA = [
     "mor_cdf_agg_maintenance",
     "mor_merge_into_orders",
     "mor_stream_cdf_mv",
+    "mor_log_compaction_orders",
     "quarantine_replay_release",
 ]
 

@@ -101,8 +101,35 @@ class MorTable:
         self._delta_root = os.path.join(path, "delta")
         self._staged = os.path.join(path, "_compact_staged")
         self._recover_interrupted_compact()
+        self._recover_interrupted_log_fold()
 
     # --- compaction horizon ---------------------------------------------------
+    def _folded_versions(self) -> set[int]:
+        """Versions removed by log compaction (``compact_log``): their
+        individual states are no longer reconstructible — the net
+        version at the fold target subsumes them — so as-of/changes
+        refuse them by name instead of claiming they never committed."""
+        meta = os.path.join(self.path, _META)
+        if not os.path.exists(meta):
+            return set()
+        with open(meta) as f:
+            return set(json.load(f).get("folded_versions", []))
+
+    def _read_meta(self) -> dict:
+        meta = os.path.join(self.path, _META)
+        if not os.path.exists(meta):
+            return {"compacted_through": 0}
+        with open(meta) as f:
+            return json.load(f)
+
+    def _write_meta_dict(self, m: dict) -> None:
+        from linqonsteroids_spark.sources.commitlog import atomic_replace
+
+        tmp = os.path.join(self.path, _META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        atomic_replace(tmp, os.path.join(self.path, _META))
+
     def _compacted_through(self) -> int:
         """Highest delta version folded into base by a compact().
 
@@ -112,19 +139,19 @@ class MorTable:
         in the latter case the base may already include later versions'
         effects — reconstructing an old prefix over it would be WRONG,
         so the horizon refuses rather than guesses."""
-        meta = os.path.join(self.path, _META)
-        if not os.path.exists(meta):
-            return 0
-        with open(meta) as f:
-            return int(json.load(f)["compacted_through"])
+        return int(self._read_meta().get("compacted_through", 0))
 
     def _write_meta(self, compacted_through: int) -> None:
-        from linqonsteroids_spark.sources.commitlog import atomic_replace
-
-        tmp = os.path.join(self.path, _META + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump({"compacted_through": compacted_through}, f)
-        atomic_replace(tmp, os.path.join(self.path, _META))
+        m = self._read_meta()
+        m["compacted_through"] = compacted_through
+        # versions at or below the horizon are refused by the horizon
+        # rule already; keep the folded list small
+        m["folded_versions"] = [
+            v
+            for v in m.get("folded_versions", [])
+            if v > compacted_through
+        ]
+        self._write_meta_dict(m)
 
     def _recover_interrupted_compact(self) -> None:
         """Finish a compact() that crashed between its renames.
@@ -572,6 +599,11 @@ class MorTable:
                     f"{what} {v} is below the compaction horizon "
                     f"{horizon}: its state was folded into the base"
                 )
+            if v in self._folded_versions():
+                raise ValueError(
+                    f"{what} {v} was folded by log compaction: its "
+                    "individual state is no longer reconstructible"
+                )
             raise ValueError(
                 f"{what} {v} not in the delta log {have}: it never "
                 "committed"
@@ -694,6 +726,135 @@ class MorTable:
             )
         )
 
+    # --- minor (log) compaction -----------------------------------------------
+    def compact_log(self) -> None:
+        """Fold ALL current delta versions into ONE net version at the
+        highest version number — the Hudi "log compaction" tier between
+        appending forever and :meth:`compact`'s full base rewrite: read
+        cost returns to O(one delta) while the 100 TB base is never
+        touched. The net is last-wins per key over the folded versions
+        with delete markers KEPT (a base key's deletion must survive
+        the fold; an insert-then-delete key keeps its marker too —
+        harmless, and deciding otherwise would cost a base scan).
+
+        The folded intermediate versions' individual states become
+        unreconstructible; as-of/changes refuse them with "folded by
+        log compaction" (recorded in ``_mor_meta.json``), while the
+        fold TARGET stays readable and ``changes(horizon, target)``
+        still yields the correct cumulative feed (the net version IS
+        that feed). The latest state is bit-identical by construction.
+
+        Crash safety (same conservative-refusal discipline as
+        :meth:`compact`): (1) a ``log_fold_pending`` record lands in
+        the meta first; (2) the net stages completely (with _SUCCESS);
+        (3) the old target dir is removed and the staged net renamed
+        in — a crash between is recovered by promoting the staged net
+        (which dominates the old target's content per key); (4) the
+        pending record flips to done; (5) intermediates are swept LAST,
+        safe in any order because every key they touch is dominated by
+        the net. Recovery (``_recover_interrupted_compact``) finishes
+        or aborts a crashed fold from the pending record alone; an
+        aborted fold (staged never completed) keeps every version and
+        only over-refuses as-of reads. Single-compactor assumption, as
+        for compact(); concurrent APPENDS above the fold target are
+        untouched by every step."""
+        import shutil
+
+        have = self._existing_versions()
+        horizon = self._compacted_through()
+        folded_now = [v for v in have if v > horizon]
+        if len(folded_now) < 2:
+            return
+        target = folded_now[-1]
+        staged = os.path.join(self.path, f"_log_compact_staged.v{target}")
+        m = self._read_meta()
+        m["log_fold_pending"] = {
+            "target": target,
+            "folded": folded_now[:-1],
+        }
+        self._write_meta_dict(m)
+        deltas = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self._delta_root)
+            .parquet(
+                *[
+                    os.path.join(self._delta_root, f"mor_v={v}")
+                    for v in folded_now
+                ]
+            )
+            .withColumn(_VER, F.col("mor_v").cast("int"))
+            .drop("mor_v")
+        )
+        w = Window.partitionBy(self.key).orderBy(F.desc(_VER))
+        net = (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", _VER)
+        )
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        net.write.mode("error").parquet(staged)
+        self._finish_log_fold(target, folded_now[:-1], staged)
+
+    def _finish_log_fold(
+        self, target: int, folded: list[int], staged: str
+    ) -> None:
+        """Steps (3)-(5) of compact_log, shared with crash recovery."""
+        import shutil
+
+        tdir = os.path.join(self._delta_root, f"mor_v={target}")
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir)  # net dominates the old target per key
+        os.rename(staged, tdir)
+        m = self._read_meta()
+        m["folded_versions"] = sorted(
+            set(m.get("folded_versions", [])) | set(folded)
+        )
+        m.pop("log_fold_pending", None)
+        self._write_meta_dict(m)
+        for v in folded:
+            d = os.path.join(self._delta_root, f"mor_v={v}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+    def _recover_interrupted_log_fold(self) -> None:
+        import glob
+        import shutil
+
+        m = self._read_meta()
+        pending = m.get("log_fold_pending")
+        if pending:
+            target, folded = pending["target"], pending["folded"]
+            staged = os.path.join(
+                self.path, f"_log_compact_staged.v{target}"
+            )
+            if os.path.isdir(staged) and os.path.exists(
+                os.path.join(staged, "_SUCCESS")
+            ):
+                # the net is complete: finish the fold exactly as the
+                # crashed process would have
+                self._finish_log_fold(target, folded, staged)
+            else:
+                # the net never completed: abort the fold — every
+                # version is still present, the table is untouched
+                if os.path.isdir(staged):
+                    shutil.rmtree(staged)
+                m.pop("log_fold_pending", None)
+                self._write_meta_dict(m)
+        else:
+            # a done fold's sweep may have been interrupted: folded
+            # versions still on disk are dominated debris
+            folded = self._folded_versions()
+            for v in self._existing_versions():
+                if v in folded:
+                    shutil.rmtree(
+                        os.path.join(self._delta_root, f"mor_v={v}")
+                    )
+            for d in glob.glob(
+                os.path.join(self.path, "_log_compact_staged.v*")
+            ):
+                shutil.rmtree(d)  # orphaned staging with no pending
+
     # --- read ---------------------------------------------------------------
     def read(self, as_of_version: int | None = None) -> DataFrame:
         """Latest state: base with all delta versions applied, last-wins.
@@ -722,6 +883,12 @@ class MorTable:
                     f"version {as_of_version} is at or below the "
                     f"compaction horizon {horizon}: it was folded into "
                     "the base and is no longer time-travelable"
+                )
+            if as_of_version in self._folded_versions():
+                raise ValueError(
+                    f"version {as_of_version} was folded by log "
+                    "compaction: its individual state is subsumed by "
+                    "the fold target and no longer reconstructible"
                 )
             if as_of_version not in have:
                 raise ValueError(

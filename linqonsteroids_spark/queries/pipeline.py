@@ -1867,6 +1867,90 @@ GROUP BY win, change_type
 """
 
 
+# --- MOR minor (log) compaction (r14) ---------------------------------------
+# operators/mor.py::compact_log — the Hudi log-compaction tier: all
+# current delta versions fold into ONE net version (last-wins per key,
+# delete markers kept) at the highest version number, the 100 TB base
+# is never read or rewritten, and read cost returns to O(one delta).
+# The gate builds its own orders MOR table (base + the two fixture
+# deltas), folds the log, appends a post-fold delete version, and
+# reports the final state aggregate plus the surviving log-dir count —
+# which the oracle states literally (2: the net + the post-fold
+# append), proving the fold actually collapsed the log rather than
+# merely reading through it.
+def mor_log_compaction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_morfold_", sf_dir)
+    path = os.path.join(base, "orders_fold")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(os.path.join(path, "base", "_SUCCESS")):
+        table.write_base(orders)
+        table.append_delta(
+            1,
+            upserts=orders.where((key % 89 == 0) & (key % 97 != 0)).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("*")),
+            ),
+            delete_keys=orders.where(key % 97 == 0).select("o_orderkey"),
+        )
+        table.append_delta(
+            2,
+            upserts=orders.where(key % 178 == 0)
+            .withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("**")),
+            )
+            .unionByName(
+                orders.where((key % 194 == 0) & (key % 178 != 0)).withColumn(
+                    "o_orderpriority",
+                    F.concat(F.col("o_orderpriority"), F.lit("+")),
+                )
+            ),
+        )
+        table.compact_log()
+        table.append_delta(
+            3, delete_keys=orders.where(key % 101 == 0).select("o_orderkey")
+        )
+    n_log_dirs = len(table._existing_versions())
+    return (
+        table.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumn("n_log_dirs", F.lit(n_log_dirs).cast("int"))
+    )
+
+
+MOR_LOG_COMPACTION_SQL = """
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 178 = 0 THEN o_orderpriority || '**'
+              WHEN o_orderkey % 194 = 0 THEN o_orderpriority || '+'
+              WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders
+  WHERE (o_orderkey % 97 <> 0 OR o_orderkey % 178 = 0
+         OR o_orderkey % 194 = 0)
+    AND o_orderkey % 101 <> 0
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       2 AS n_log_dirs
+FROM final GROUP BY o_orderpriority
+"""
+
+
 # --- MOR MERGE INTO: SQL merge compiled to one delta append (r14) -----------
 # operators/mor.py::merge_into — matched source rows update (or
 # delete), unmatched insert (or drop), ONE O(|source|) delta append
@@ -2620,6 +2704,10 @@ QUERIES = {
     "mor_change_feed_orders": (mor_change_feed_orders, MOR_CHANGE_FEED_SQL),
     "mor_cdf_agg_maintenance": (mor_cdf_agg_maintenance, MOR_CDF_MV_SQL),
     "mor_merge_into_orders": (mor_merge_into_orders, MOR_MERGE_SQL),
+    "mor_log_compaction_orders": (
+        mor_log_compaction_orders,
+        MOR_LOG_COMPACTION_SQL,
+    ),
     "mor_stream_cdf_mv": (mor_stream_cdf_mv, MOR_STREAM_CDF_MV_SQL),
     "quarantine_replay_release": (
         quarantine_replay_release,

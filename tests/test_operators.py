@@ -1511,6 +1511,135 @@ def test_mor_change_feed_between_versions(spark, tmp_path):
     assert rows(t.changes(2, 3)) == [(4, "update", "d3", 44.0)]
 
 
+def test_mor_compact_log_folds_versions_without_touching_base(
+    spark, tmp_path
+):
+    """compact_log: the Hudi log-compaction tier — all current delta
+    versions fold into ONE net version at the highest number, the base
+    is untouched, latest state is bit-identical, read cost returns to
+    one delta. Folded intermediates refuse as-of/changes by name; the
+    fold target stays readable and changes(horizon, target) still
+    yields the correct cumulative feed."""
+    import os
+
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)  # base + v1 + v2
+    before = sorted(map(tuple, t.read().collect()))
+    base_mtime = os.path.getmtime(t._base)
+    t.compact_log()
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert os.path.getmtime(t._base) == base_mtime  # base untouched
+    assert sorted(os.listdir(t._delta_root)) == ["mor_v=2"]
+    # target readable, intermediates refused BY NAME
+    assert sorted(map(tuple, t.read(as_of_version=2).collect())) == before
+    with pytest.raises(ValueError, match="folded by log compaction"):
+        t.read(as_of_version=1)
+    with pytest.raises(ValueError, match="folded by log compaction"):
+        t.changes(1, 2)
+    # the cumulative feed from the horizon is exactly the net version
+    feed = sorted(
+        (r["k"], r["_change_type"]) for r in t.changes(0, 2).collect()
+    )
+    assert feed == [
+        (1, "update"), (2, "delete"), (3, "update"), (9, "insert")
+    ]
+    # appends continue above the fold target; a second fold works
+    t.append_delta(
+        3, upserts=spark.createDataFrame([(4, "d3", 44.0)], ["k", "s", "x"])
+    )
+    t.append_delta(
+        4, delete_keys=spark.createDataFrame([(9,)], ["k"])
+    )
+    t.compact_log()
+    assert sorted(os.listdir(t._delta_root)) == ["mor_v=4"]
+    got = {r["k"]: r["s"] for r in t.read().collect()}
+    assert got == {1: "a2", 3: "c2", 4: "d3"}  # 9 deleted post-fold
+    # major compaction over a folded log still works and clears it
+    t.compact()
+    assert not os.path.isdir(t._delta_root)
+    assert {r["k"]: r["s"] for r in t.read().collect()} == got
+
+
+def test_mor_compact_log_crash_windows_recover(spark, tmp_path):
+    """compact_log's three crash windows: (a) net staged completely →
+    recovery finishes the fold; (b) net never completed → recovery
+    aborts, every version intact; (c) crash mid-sweep (fold done,
+    dominated intermediates still on disk) → recovery sweeps them."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    # (a) post-staging crash: pending recorded, net staged with
+    # _SUCCESS, nothing swapped yet
+    t, _ = _mor_fixture(spark, tmp_path)
+    expected = sorted(map(tuple, t.read().collect()))
+    m = t._read_meta()
+    m["log_fold_pending"] = {"target": 2, "folded": [1]}
+    t._write_meta_dict(m)
+    deltas = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", t._delta_root)
+        .parquet(*[os.path.join(t._delta_root, d) for d in ("mor_v=1", "mor_v=2")])
+        .withColumn("_v", F.col("mor_v").cast("int"))
+        .drop("mor_v")
+    )
+    w = W.partitionBy("k").orderBy(F.desc("_v"))
+    net = (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_v")
+    )
+    staged = os.path.join(t.path, "_log_compact_staged.v2")
+    net.write.parquet(staged)
+    t2 = MorTable(spark, t.path, "k")  # recovery finishes the fold
+    assert sorted(os.listdir(t2._delta_root)) == ["mor_v=2"]
+    assert sorted(map(tuple, t2.read().collect())) == expected
+    assert "log_fold_pending" not in t2._read_meta()
+
+    # (b) staging never completed: pending + incomplete staged dir
+    p2 = str(tmp_path / "mor_b")
+    tb = MorTable(spark, p2, "k")
+    tb.write_base(spark.createDataFrame([(1, "a")], ["k", "s"]))
+    tb.append_delta(
+        1, upserts=spark.createDataFrame([(1, "a1")], ["k", "s"])
+    )
+    tb.append_delta(
+        2, upserts=spark.createDataFrame([(2, "b")], ["k", "s"])
+    )
+    mb = tb._read_meta()
+    mb["log_fold_pending"] = {"target": 2, "folded": [1]}
+    tb._write_meta_dict(mb)
+    os.makedirs(os.path.join(p2, "_log_compact_staged.v2"))
+    tb2 = MorTable(spark, p2, "k")  # recovery aborts the fold
+    assert sorted(os.listdir(tb2._delta_root)) == ["mor_v=1", "mor_v=2"]
+    assert not os.path.isdir(os.path.join(p2, "_log_compact_staged.v2"))
+    assert "log_fold_pending" not in tb2._read_meta()
+    # nothing was folded, so v1 is still readable
+    assert {r["k"]: r["s"] for r in tb2.read(as_of_version=1).collect()} == {
+        1: "a1"
+    }
+
+    # (c) mid-sweep crash: fold done (meta records folded=[1]) but the
+    # dominated mor_v=1 dir survived — recovery sweeps it
+    t2.append_delta(
+        3, upserts=spark.createDataFrame([(7, "w", 0.0)], ["k", "s", "x"])
+    )
+    shutil.copytree(
+        os.path.join(t2._delta_root, "mor_v=2"),
+        os.path.join(t2._delta_root, "mor_v=1"),
+    )
+    t3 = MorTable(spark, t2.path, "k")
+    assert "mor_v=1" not in os.listdir(t3._delta_root)
+    assert sorted(map(tuple, t3.read().collect())) == sorted(
+        expected + [(7, "w", 0.0)]
+    )
+
+
 def test_mor_merge_into_actions_and_stats(spark, tmp_path):
     """merge_into: SQL MERGE compiled to one delta append — matched
     rows update (or delete), unmatched insert (or drop), stats
