@@ -229,6 +229,7 @@ EXTRA = [
     "mor_merge_into_orders",
     "mor_stream_cdf_mv",
     "mor_log_compaction_orders",
+    "mor_point_lookup_orders",
     "quarantine_replay_release",
 ]
 

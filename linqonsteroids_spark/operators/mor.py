@@ -215,13 +215,26 @@ class MorTable:
     #: be silently corrupted by withColumn/partition-dir shadowing
     _RESERVED = frozenset({_OP, _VER, "_rn", "mor_v"})
 
-    def write_base(self, df: DataFrame) -> None:
+    def write_base(self, df: DataFrame, stats_files: int | None = None) -> None:
+        """``stats_files`` range-clusters the base on the key into that
+        many files and records a per-file (min, max) key manifest
+        (``sources/fileindex.py``), enabling :meth:`lookup`'s
+        O(touched files) point reads; plain write otherwise."""
         clash = self._RESERVED & set(df.columns)
         if clash:
             raise ValueError(
                 f"base schema uses reserved MOR column names: {sorted(clash)}"
             )
-        df.write.mode("error").parquet(self._base)
+        if stats_files is not None:
+            from linqonsteroids_spark.sources.fileindex import (
+                write_with_stats,
+            )
+
+            write_with_stats(
+                df, self._base, [self.key], n_files=stats_files
+            )
+        else:
+            df.write.mode("error").parquet(self._base)
         if self.digest_manifest:
             from linqonsteroids_spark.operators.tablediff import (
                 write_digest_manifest,
@@ -529,7 +542,25 @@ class MorTable:
         merged = self.read()
         if os.path.isdir(self._staged):
             shutil.rmtree(self._staged)
-        merged.write.mode("error").parquet(self._staged)
+        stats_manifest = os.path.join(self._base, "_FILE_STATS.json")
+        if os.path.exists(stats_manifest):
+            # a stats-indexed base stays stats-indexed across compacts:
+            # restage through the same range-clustered writer so the
+            # manifest (and lookup's O(touched files) promise) rides
+            # the staged dir through the swap
+            import json as _json
+
+            from linqonsteroids_spark.sources.fileindex import (
+                write_with_stats,
+            )
+
+            with open(stats_manifest) as f:
+                n_files = len(_json.load(f)["files"])
+            write_with_stats(
+                merged, self._staged, [self.key], n_files=n_files
+            )
+        else:
+            merged.write.mode("error").parquet(self._staged)
         horizon = have[-1]
         self._write_meta(horizon)
         old = os.path.join(self.path, f"_retired_base.{os.getpid()}")
@@ -724,6 +755,74 @@ class MorTable:
                     pre=False,
                 )
             )
+        )
+
+    # --- point lookup -----------------------------------------------------------
+    def lookup(self, keys: list) -> DataFrame:
+        """Point reads — the SERVING path: resolve the current rows for
+        an explicit key list touching O(matching files + delta), not
+        the table. With a stats-indexed base (``write_base(...,
+        stats_files=N)``) the file list is pruned DRIVER-SIDE against
+        the per-file (min, max) key manifest in one pass for the whole
+        key set — at 100 TB a 20-key lookup plans a handful of file
+        reads instead of a full scan (and instead of even LISTING the
+        table: the manifest probe is one small JSON read). The delta
+        log is filtered to the same keys and resolved
+        latest-version-wins exactly as :meth:`read` does, so deletes
+        and recent upserts are honored. Without a manifest the lookup
+        degrades gracefully to ``read().where(key IN ...)`` — correct,
+        just unpruned. Keys should be a bounded list (it is broadcast
+        as an IN-list literal); for bulk key sets use a semi-join
+        against :meth:`read` instead."""
+        if not keys:
+            return self.read().limit(0)
+        isin = F.col(self.key).isin(list(keys))
+        manifest = os.path.join(self._base, "_FILE_STATS.json")
+        if os.path.exists(manifest):
+            from linqonsteroids_spark.sources.fileindex import (
+                prune_files_for_points,
+            )
+
+            kept, _total = prune_files_for_points(
+                self._base, self.key, list(keys)
+            )
+            base_hits = (
+                self.spark.read.parquet(*kept).where(isin)
+                if kept
+                else self.spark.read.parquet(self._base).limit(0)
+            )
+        else:
+            base_hits = self.spark.read.parquet(self._base).where(isin)
+        have = self._existing_versions()
+        if not have:
+            return base_hits
+        cols = base_hits.columns
+        deltas = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self._delta_root)
+            .parquet(
+                *[
+                    os.path.join(self._delta_root, f"mor_v={v}")
+                    for v in have
+                ]
+            )
+            .withColumn(_VER, F.col("mor_v").cast("int"))
+            .drop("mor_v")
+            .where(isin)
+        )
+        cols = cols + [
+            c
+            for c in deltas.columns
+            if c not in cols and c not in (_OP, _VER)
+        ]
+        w = Window.partitionBy(self.key).orderBy(F.desc(_VER))
+        return (
+            base_hits.withColumn(_OP, F.lit("U"))
+            .withColumn(_VER, F.lit(0))
+            .unionByName(deltas, allowMissingColumns=True)
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
+            .select(*cols)
         )
 
     # --- minor (log) compaction -----------------------------------------------

@@ -1867,6 +1867,71 @@ GROUP BY win, change_type
 """
 
 
+# --- MOR point lookup via the file-stats manifest (r14) ---------------------
+# operators/mor.py::lookup — the SERVING path: the base is written
+# range-clustered with a per-file (min, max) key manifest
+# (sources/fileindex.py), so a bounded key-list read prunes the file
+# list DRIVER-SIDE in one manifest pass and touches O(matching files
+# + delta), honoring deletes and recent upserts through the same
+# latest-version-wins resolution as read(). At 100 TB a 50-key lookup
+# plans a handful of file reads instead of listing the table. The key
+# list is derived deterministically (first 50 keys of the %503
+# cohort), spanning updated, deleted, and untouched keys; pruning
+# effectiveness is pinned in pytest (file counts are data-layout
+# facts, not oracle-portable).
+def mor_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_morlkp_", sf_dir)
+    path = os.path.join(base, "orders_lkp")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(os.path.join(path, "base", "_SUCCESS")):
+        table.write_base(orders, stats_files=16)
+        table.append_delta(
+            1,
+            upserts=orders.where((key % 89 == 0) & (key % 97 != 0)).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("*")),
+            ),
+            delete_keys=orders.where(key % 97 == 0).select("o_orderkey"),
+        )
+    keys = [
+        r["o_orderkey"]
+        for r in orders.where(key % 503 == 0)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(50)
+        .collect()
+    ]
+    return table.lookup(keys).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+MOR_POINT_LOOKUP_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+            THEN o_orderpriority || '*' ELSE o_orderpriority END
+         AS o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_orderkey % 97 <> 0
+  AND o_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderkey % 503 = 0
+                     ORDER BY o_orderkey LIMIT 50)
+"""
+
+
 # --- MOR minor (log) compaction (r14) ---------------------------------------
 # operators/mor.py::compact_log — the Hudi log-compaction tier: all
 # current delta versions fold into ONE net version (last-wins per key,
@@ -2704,6 +2769,10 @@ QUERIES = {
     "mor_change_feed_orders": (mor_change_feed_orders, MOR_CHANGE_FEED_SQL),
     "mor_cdf_agg_maintenance": (mor_cdf_agg_maintenance, MOR_CDF_MV_SQL),
     "mor_merge_into_orders": (mor_merge_into_orders, MOR_MERGE_SQL),
+    "mor_point_lookup_orders": (
+        mor_point_lookup_orders,
+        MOR_POINT_LOOKUP_SQL,
+    ),
     "mor_log_compaction_orders": (
         mor_log_compaction_orders,
         MOR_LOG_COMPACTION_SQL,

@@ -145,6 +145,35 @@ def prune_files(path: str, col: str, lo, hi) -> tuple[list[str], int]:
     return sorted(keep), len(stats["files"])
 
 
+def prune_files_for_points(
+    path: str, col: str, values: list
+) -> tuple[list[str], int]:
+    """File paths whose [min, max] for ``col`` contains ANY of the
+    point ``values`` (the point-lookup twin of :func:`prune_files` —
+    one manifest pass for the whole key set, not one per key), plus
+    the total file count. Same domain rules; a file with unknown stats
+    can never be excluded."""
+    stats = _load_stats(path)
+    if col not in stats["columns"]:
+        raise KeyError(f"no stats recorded for column {col!r}")
+    domain = stats.get("domains", {}).get(col, "numeric")
+    norm = float if domain == "numeric" else str
+    vals = sorted(norm(v) for v in values)
+    keep = []
+    for fname, cols in stats["files"].items():
+        mn, mx = cols[col]
+        if mn is None or mx is None:
+            keep.append(os.path.join(path, fname))
+            continue
+        mn_n, mx_n = norm(mn), norm(mx)
+        import bisect
+
+        i = bisect.bisect_left(vals, mn_n)
+        if i < len(vals) and vals[i] <= mx_n:
+            keep.append(os.path.join(path, fname))
+    return sorted(keep), len(stats["files"])
+
+
 def read_pruned(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> tuple[DataFrame, int, int]:

@@ -1511,6 +1511,64 @@ def test_mor_change_feed_between_versions(spark, tmp_path):
     assert rows(t.changes(2, 3)) == [(4, "update", "d3", 44.0)]
 
 
+def test_mor_point_lookup_prunes_files_and_honors_deltas(
+    spark, tmp_path
+):
+    """lookup(keys): the serving path — with a stats-indexed base the
+    file list prunes driver-side to the files whose key span contains
+    a sought key (pinned by counting), the delta log is filtered to
+    the same keys, and resolution honors updates, deletes, inserts,
+    and schema evolution exactly like read(); a compact() rebuilds the
+    stats manifest so the pruning survives; without a manifest the
+    lookup degrades to an unpruned read."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.sources.fileindex import (
+        prune_files_for_points,
+    )
+
+    t = MorTable(spark, str(tmp_path / "mor"), "k")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    t.write_base(base, stats_files=10)
+    t.append_delta(
+        1,
+        upserts=spark.createDataFrame([(5, "V5"), (2000, "NEW")], ["k", "s"]),
+        delete_keys=spark.createDataFrame([(763,)], ["k"]),
+    )
+    keys = [5, 42, 763, 2000, 31337]
+    got = {r["k"]: r["s"] for r in t.lookup(keys).collect()}
+    assert got == {5: "V5", 42: "v42", 2000: "NEW"}  # 763 deleted,
+    # 31337 never existed
+    # pruning really happens: 3 of the sought keys live in the base's
+    # 1000-key span, range-clustered into 10 files -> at most 3 files
+    kept, total = prune_files_for_points(t._base, "k", keys)
+    assert total == 10 and 1 <= len(kept) <= 3
+    # compact() rebuilds the manifest; pruning and values survive
+    t.compact()
+    kept2, total2 = prune_files_for_points(t._base, "k", keys)
+    assert total2 == 10 and 1 <= len(kept2) <= 3
+    assert {r["k"]: r["s"] for r in t.lookup(keys).collect()} == got
+    # evolution: a later delta adds a column; lookup carries it
+    t.append_delta(
+        3,
+        upserts=spark.createDataFrame([(42, "v42x", "hot")], ["k", "s", "tag"]),
+    )
+    got3 = {
+        r["k"]: (r["s"], r["tag"]) for r in t.lookup([5, 42]).collect()
+    }
+    assert got3 == {5: ("V5", None), 42: ("v42x", "hot")}
+    # empty key list and manifest-less table both stay correct
+    assert t.lookup([]).count() == 0
+    t_plain = MorTable(spark, str(tmp_path / "plain"), "k")
+    t_plain.write_base(base)
+    assert {r["k"]: r["s"] for r in t_plain.lookup([7]).collect()} == {
+        7: "v7"
+    }
+
+
 def test_mor_compact_log_folds_versions_without_touching_base(
     spark, tmp_path
 ):
