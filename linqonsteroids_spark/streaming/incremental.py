@@ -321,18 +321,31 @@ def apply_cdf_to_agg_mv(
             SF.sum(sign).alias("_d_n"),
         )
     )
-    merged = mv.join(delta, group_cols, "full_outer").select(
-        *group_cols,
+    # NULL-SAFE merge keys: a nullable group column (NULL is a
+    # legitimate group for groupBy) must match itself across the two
+    # sides — a plain USING join would leave NULL groups unmatched and
+    # split them into duplicate MV rows
+    import functools
+
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [mv[c].eqNullSafe(delta[c]) for c in group_cols],
+    )
+    merged = mv.join(delta, cond, "full_outer").select(
+        *[
+            SF.coalesce(mv[c], delta[c]).alias(c)
+            for c in group_cols
+        ],
         *[
             (
-                SF.coalesce(SF.col(out), SF.lit(0))
-                + SF.coalesce(SF.col(f"_d_{out}"), SF.lit(0))
+                SF.coalesce(mv[out], SF.lit(0))
+                + SF.coalesce(delta[f"_d_{out}"], SF.lit(0))
             ).alias(out)
             for out in sum_cols
         ],
         (
-            SF.coalesce(SF.col(count_col), SF.lit(0))
-            + SF.coalesce(SF.col("_d_n"), SF.lit(0))
+            SF.coalesce(mv[count_col], SF.lit(0))
+            + SF.coalesce(delta["_d_n"], SF.lit(0))
         ).alias(count_col),
     )
     return merged.where(SF.col(count_col) > 0)
