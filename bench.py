@@ -230,6 +230,7 @@ EXTRA = [
     "mor_stream_cdf_mv",
     "mor_log_compaction_orders",
     "mor_point_lookup_orders",
+    "mor_provenance_orders",
     "quarantine_replay_release",
 ]
 

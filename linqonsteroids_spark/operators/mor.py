@@ -213,7 +213,7 @@ class MorTable:
     # --- writes -------------------------------------------------------------
     #: names the reader claims for itself; a base schema using them would
     #: be silently corrupted by withColumn/partition-dir shadowing
-    _RESERVED = frozenset({_OP, _VER, "_rn", "mor_v"})
+    _RESERVED = frozenset({_OP, _VER, "_rn", "mor_v", "_last_version"})
 
     def write_base(self, df: DataFrame, stats_files: int | None = None) -> None:
         """``stats_files`` range-clusters the base on the key into that
@@ -288,6 +288,17 @@ class MorTable:
         far from the write that caused it. ``delete_keys`` needs only
         the key column; payload columns are null-padded so the reader
         never depends on a delete row's payload.
+
+        Digest-manifest cost note: with ``digest_manifest=True`` the
+        before-image is the pre-append state of the touched keys —
+        column-pruned to the manifest's key+compare columns and probed
+        via broadcast semi-joins (no table shuffle), but it IS one scan
+        of the base per append. The manifest's O(|changes|) claim is
+        about the METADATA update and the audit it replaces (a full
+        rescan compare); an ingest pipeline where even the scan is too
+        much should batch appends or maintain the manifest from its own
+        CDC before-images (``update_digest_manifest`` accepts any
+        before/after pair) instead of deriving them here.
         """
         from pyspark.sql.types import StructType
 
@@ -955,8 +966,23 @@ class MorTable:
                 shutil.rmtree(d)  # orphaned staging with no pending
 
     # --- read ---------------------------------------------------------------
-    def read(self, as_of_version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        as_of_version: int | None = None,
+        with_provenance: bool = False,
+    ) -> DataFrame:
         """Latest state: base with all delta versions applied, last-wins.
+
+        ``with_provenance=True`` appends ``_last_version``: the delta
+        version that last wrote each row (0 = the row is untouched
+        base, or predates the compaction horizon after a compact) —
+        the Hudi ``_hoodie_commit_time`` / Delta CDF ``_commit_version``
+        answer to "which ingest batch wrote this row", free here
+        because the resolution window already carries the winning
+        version before dropping it. After ``compact_log`` the fold
+        target stands in for the versions it subsumed, and after a full
+        ``compact()`` everything reports 0 — provenance is bounded by
+        the retained history, like every MOR format.
 
         ``as_of_version`` time-travels: only delta versions ``<= v``
         apply, reconstructing the table exactly as it stood after that
@@ -996,6 +1022,10 @@ class MorTable:
                 )
             have = [v for v in have if v <= as_of_version]
         if not have:
+            if with_provenance:
+                return base.withColumn(
+                    "_last_version", F.lit(0).cast("int")
+                )
             return base
         cols = base.columns
         deltas = (
@@ -1024,12 +1054,27 @@ class MorTable:
             .withColumn(_VER, F.lit(0))
         )
         w = Window.partitionBy(self.key).orderBy(F.desc(_VER))
-        latest = (
-            touched.unionByName(deltas, allowMissingColumns=True)
-            .withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
-            .select(*cols)
-        )
+        if with_provenance:
+            cols = cols + ["_last_version"]
+            latest = (
+                touched.unionByName(deltas, allowMissingColumns=True)
+                .withColumn("_rn", F.row_number().over(w))
+                .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
+                .withColumn(
+                    "_last_version", F.col(_VER).cast("int")
+                )
+                .select(*cols)
+            )
+            untouched = untouched.withColumn(
+                "_last_version", F.lit(0).cast("int")
+            )
+        else:
+            latest = (
+                touched.unionByName(deltas, allowMissingColumns=True)
+                .withColumn("_rn", F.row_number().over(w))
+                .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
+                .select(*cols)
+            )
         return untouched.unionByName(
             latest, allowMissingColumns=True
         ).select(*cols)

@@ -1867,6 +1867,50 @@ GROUP BY win, change_type
 """
 
 
+# --- MOR row provenance (r14) ------------------------------------------------
+# read(with_provenance=True) appends _last_version — the delta version
+# that last wrote each row, 0 for untouched base — the Hudi
+# _hoodie_commit_time / Delta CDF _commit_version answer to "which
+# ingest batch wrote this row", free because the resolution window
+# already carries the winning version. The gate reports per
+# (_last_version, priority-suffix class) counts over the shared MOR
+# fixture; the oracle derives the winning version from the same
+# modulus logic (v2 wins %178 and %194, v1 wins the remaining
+# %89-not-%97, everything else untouched base).
+def mor_provenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _mor_orders_table(spark, sf_dir)
+    return (
+        table.read(with_provenance=True)
+        .groupBy("_last_version")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumnRenamed("_last_version", "last_version")
+    )
+
+
+MOR_PROVENANCE_SQL = """
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 178 = 0 OR o_orderkey % 194 = 0 THEN 2
+              WHEN o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0 THEN 1
+              ELSE 0 END AS last_version,
+         o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 97 <> 0 OR o_orderkey % 178 = 0 OR o_orderkey % 194 = 0
+)
+SELECT last_version, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents
+FROM final GROUP BY last_version
+"""
+
+
 # --- MOR point lookup via the file-stats manifest (r14) ---------------------
 # operators/mor.py::lookup — the SERVING path: the base is written
 # range-clustered with a per-file (min, max) key manifest
@@ -2769,6 +2813,7 @@ QUERIES = {
     "mor_change_feed_orders": (mor_change_feed_orders, MOR_CHANGE_FEED_SQL),
     "mor_cdf_agg_maintenance": (mor_cdf_agg_maintenance, MOR_CDF_MV_SQL),
     "mor_merge_into_orders": (mor_merge_into_orders, MOR_MERGE_SQL),
+    "mor_provenance_orders": (mor_provenance_orders, MOR_PROVENANCE_SQL),
     "mor_point_lookup_orders": (
         mor_point_lookup_orders,
         MOR_POINT_LOOKUP_SQL,

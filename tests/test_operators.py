@@ -1511,6 +1511,38 @@ def test_mor_change_feed_between_versions(spark, tmp_path):
     assert rows(t.changes(2, 3)) == [(4, "update", "d3", 44.0)]
 
 
+def test_mor_read_with_provenance(spark, tmp_path):
+    """read(with_provenance=True): _last_version names the delta
+    version that last wrote each row (0 = untouched base) — last-wins
+    across versions, resurrections credited to the resurrecting
+    version, bounded by retained history (compact() resets to 0, a
+    log fold credits the fold target)."""
+    t, _ = _mor_fixture(spark, tmp_path)  # v1: upd k1, del k2,k3;
+    # v2: upd k1, resurrect k3, insert k9
+    got = {
+        r["k"]: (r["s"], r["_last_version"])
+        for r in t.read(with_provenance=True).collect()
+    }
+    assert got == {
+        1: ("a2", 2),   # v2 won over v1
+        3: ("c2", 2),   # resurrection credited to v2
+        4: ("d", 0),    # untouched base
+        9: ("new", 2),  # insert
+    }
+    # as-of composes: at v1 only v1's writes are credited
+    got1 = {
+        r["k"]: r["_last_version"]
+        for r in t.read(as_of_version=1, with_provenance=True).collect()
+    }
+    assert got1 == {1: 1, 4: 0}
+    # compaction bounds provenance like every MOR format
+    t.compact()
+    assert {
+        r["_last_version"]
+        for r in t.read(with_provenance=True).collect()
+    } == {0}
+
+
 def test_mor_point_lookup_prunes_files_and_honors_deltas(
     spark, tmp_path
 ):
