@@ -455,7 +455,15 @@ def _random_corpora(draw):
 @settings(
     max_examples=6,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # data_too_large: the corpora strategy draws 64-float vectors per
+    # row, so some SEEDS trip hypothesis's generation-size heuristic
+    # (observed r14: FailedHealthCheck with zero generated failures) —
+    # the domain itself is bounded (n <= the strategy's max), the
+    # check is advisory about generation efficiency, not correctness
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
     # one unreproduced suite-run failure was observed (r11) and its
     # example lost — print_blob makes any future failure replayable
     # straight from the CI log via @reproduce_failure
