@@ -302,6 +302,19 @@ def apply_cdf_to_agg_mv(
     never wider than |MV| + |touched groups|."""
     from pyspark.sql import functions as SF
 
+    # refuse the non-preimage protocol LOUDLY: a plain 'update' row
+    # carries only the post-image, so its old contribution cannot be
+    # retracted — silently skipping it would corrupt the MV, which is
+    # exactly the failure mode a maintenance primitive must not have.
+    # The probe is one short job over the (batch-sized) change set.
+    if not changes.where(
+        SF.col("_change_type") == "update"
+    ).isEmpty():
+        raise ValueError(
+            "change feed carries plain 'update' rows (post-image only) "
+            "— aggregate maintenance needs the pre-image protocol: "
+            "pass changes(..., include_preimages=True)"
+        )
     sign = SF.when(
         SF.col("_change_type").isin("insert", "update_postimage"),
         SF.lit(1),

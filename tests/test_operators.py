@@ -1860,6 +1860,12 @@ def test_mor_cdf_preimages_and_agg_mv_maintenance(spark, tmp_path):
     assert {
         r["grp"]: (r["sx"], r["n"]) for r in mv1.collect()
     } == expect
+    # feeding the NON-preimage protocol refuses loudly instead of
+    # silently dropping updates' retractions
+    import pytest
+
+    with pytest.raises(ValueError, match="include_preimages"):
+        apply_cdf_to_agg_mv(mv1, t.changes(0, 1), ["grp"], {"sx": "x"})
     # drain group b to zero: it must VANISH from the MV (count
     # discipline — sum-only state can't tell empty from sums to 0)
     t.append_delta(
