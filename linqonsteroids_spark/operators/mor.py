@@ -38,19 +38,41 @@ them). Type changes on existing columns are REFUSED using the
 ``functions/schema_compat.py`` verdict classes — the same rule a
 parquet reader enforces, applied at write time where it is cheap.
 
-Concurrency contract: appends from concurrent writers are safe as long
-as versions don't collide (``write.mode("error")`` makes a collision
-loud); ``compact()`` assumes a SINGLE compactor — but its log sweep
-(and the crash-recovery sweep) removes only versions ``<=`` the
-recorded compaction horizon, so a delta version appended by another
-live writer while a compact (or its crash recovery) is in flight is
-never destroyed.
+Concurrency contract (r15 — multi-writer through the commit seam,
+``sources/commitlog.py``):
+
+- **Appends** are multi-writer safe. ``append_delta(version=None)``
+  ALLOCATES the next version through the seam: the delta stages under
+  a private name and claims ``mor_v=N`` with ``publish_dir_if_absent``
+  — the atomic compare-and-create every backend provides (POSIX
+  no-clobber rename; object stores a conditional PUT) — retrying at
+  the next number on a lost race. An explicit ``version=`` goes
+  through the same atomic claim and raises on collision instead of
+  retrying. Either way two concurrent appends can never tear or
+  silently overwrite each other.
+- **Maintenance** (``compact``, ``compact_log``, ``merge_into``) and
+  every metadata read-modify-write run inside the per-table
+  ``commit_lock``; where the backend leases locks with a TTL
+  (:class:`~linqonsteroids_spark.sources.commitlog.ConditionalPutBackend`)
+  the holder's meta writes carry its FENCING token, so a zombie
+  compactor whose lease was taken over loses at the meta write instead
+  of corrupting the new holder's state.
+- ``digest_manifest=True`` additionally serializes WHOLE appends under
+  the commit lock: the before-image is derived from the table state at
+  append start, so two unserialized concurrent appends touching
+  overlapping keys would both retract the same before-image and leave
+  the manifest permanently XOR-inconsistent (the r14 advice item).
+  Digest tables trade append concurrency for O(changes) auditability —
+  by construction, not by discipline.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -58,6 +80,30 @@ from pyspark.sql import functions as F
 _OP = "_op"  # 'U' = upsert (full row), 'D' = delete (key only)
 _VER = "_v"
 _META = "_mor_meta.json"
+
+
+def _to_epoch(ts) -> float:
+    """Normalize a commit/probe timestamp to epoch seconds. Naive ISO
+    strings and naive datetimes are taken as UTC — commit wall-clocks
+    must be zone-unambiguous or timestamp travel resolves differently
+    per client."""
+    import datetime
+
+    if isinstance(ts, bool):
+        raise TypeError("timestamp cannot be a bool")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts.timestamp()
+    if isinstance(ts, datetime.date):
+        return _to_epoch(
+            datetime.datetime(ts.year, ts.month, ts.day)
+        )
+    raise TypeError(f"unsupported timestamp type: {type(ts).__name__}")
 
 
 class MorTable:
@@ -100,8 +146,30 @@ class MorTable:
         self._base = os.path.join(path, "base")
         self._delta_root = os.path.join(path, "delta")
         self._staged = os.path.join(path, "_compact_staged")
+        self._lock_path = os.path.join(path, "_commit.lock")
+        self._tl = threading.local()  # reentrancy for _locked()
         self._recover_interrupted_compact()
         self._recover_interrupted_log_fold()
+
+    @contextlib.contextmanager
+    def _locked(self):
+        """Per-table commit lock through the seam, reentrant WITHIN a
+        thread (``merge_into`` holds it across its classify→append
+        window while the append's own meta stamp re-enters). Yields the
+        backend's fencing token (None on POSIX) for fenced meta
+        writes."""
+        from linqonsteroids_spark.sources.commitlog import commit_lock
+
+        if getattr(self._tl, "held", False):
+            yield getattr(self._tl, "fence", None)
+            return
+        os.makedirs(self.path, exist_ok=True)
+        with commit_lock(self._lock_path) as fence:
+            self._tl.held, self._tl.fence = True, fence
+            try:
+                yield fence
+            finally:
+                self._tl.held, self._tl.fence = False, None
 
     # --- compaction horizon ---------------------------------------------------
     def _folded_versions(self) -> set[int]:
@@ -122,9 +190,28 @@ class MorTable:
         with open(meta) as f:
             return json.load(f)
 
-    def _write_meta_dict(self, m: dict) -> None:
-        from linqonsteroids_spark.sources.commitlog import atomic_replace
+    def _write_meta_dict(self, m: dict, fence=None) -> None:
+        """Publish the meta object. With a fencing token (a leased
+        backend's ``commit_lock`` yielded one) the publish is FENCED:
+        a holder whose lease was taken over mid-operation loses here —
+        loudly — instead of clobbering the new holder's meta (the
+        zombie-compactor hazard lease TTLs introduce)."""
+        from linqonsteroids_spark.sources.commitlog import (
+            atomic_replace,
+            fenced_put,
+        )
 
+        final = os.path.join(self.path, _META)
+        if fence is not None:
+            if not fenced_put(
+                final, json.dumps(m), self._lock_path, fence
+            ):
+                raise RuntimeError(
+                    "commit fence lost: this holder's lease was taken "
+                    "over mid-operation — aborting the meta publish "
+                    "(the new holder owns the table now)"
+                )
+            return
         tmp = os.path.join(self.path, _META + ".tmp")
         with open(tmp, "w") as f:
             json.dump(m, f)
@@ -141,7 +228,7 @@ class MorTable:
         so the horizon refuses rather than guesses."""
         return int(self._read_meta().get("compacted_through", 0))
 
-    def _write_meta(self, compacted_through: int) -> None:
+    def _write_meta(self, compacted_through: int, fence=None) -> None:
         m = self._read_meta()
         m["compacted_through"] = compacted_through
         # versions at or below the horizon are refused by the horizon
@@ -151,7 +238,7 @@ class MorTable:
             for v in m.get("folded_versions", [])
             if v > compacted_through
         ]
-        self._write_meta_dict(m)
+        self._write_meta_dict(m, fence=fence)
 
     def _recover_interrupted_compact(self) -> None:
         """Finish a compact() that crashed between its renames.
@@ -189,12 +276,50 @@ class MorTable:
         from linqonsteroids_spark.sources.commitlog import atomic_replace
 
         if os.path.isdir(self._staged):
-            if os.path.exists(
+            staged_complete = os.path.exists(
                 os.path.join(self._staged, "_SUCCESS")
-            ) and not os.path.isdir(self._base):
+            )
+            if staged_complete and not os.path.isdir(self._base):
                 atomic_replace(self._staged, self._base)
             elif os.path.isdir(self._base):
-                shutil.rmtree(self._staged)
+                horizon = self._compacted_through()
+                subsumed = [
+                    v for v in self._existing_versions() if v <= horizon
+                ]
+                if staged_complete and subsumed:
+                    # Crash landed BETWEEN compact's meta write and its
+                    # base swap (the r14 advice window): the horizon is
+                    # advanced, the staged snapshot is complete, and the
+                    # OLD base still serves alongside the full delta
+                    # log. Dropping the staged dir here (the pre-r15
+                    # behavior) stranded the table in that state until
+                    # the next full compact — as-of reads over-refused
+                    # and changes(horizon, ...) had to rebuild its
+                    # pre-state from base+deltas. Roll FORWARD instead:
+                    # every remaining step of the crashed compact is a
+                    # rename or a horizon-bounded sweep, all idempotent,
+                    # so finishing is strictly better than rolling the
+                    # horizon back and discarding the staged work.
+                    old = os.path.join(
+                        self.path, f"_retired_base.{os.getpid()}"
+                    )
+                    atomic_replace(self._base, old)
+                    atomic_replace(self._staged, self._base)
+                    for v in subsumed:
+                        shutil.rmtree(
+                            os.path.join(self._delta_root, f"mor_v={v}")
+                        )
+                    if os.path.isdir(
+                        self._delta_root
+                    ) and not os.listdir(self._delta_root):
+                        os.rmdir(self._delta_root)
+                    shutil.rmtree(old)
+                else:
+                    # incomplete staging, or a complete staging whose
+                    # meta write never landed (live versions are all
+                    # above the horizon): the live table is untouched
+                    # debris-drop territory
+                    shutil.rmtree(self._staged)
         retired = glob.glob(os.path.join(self.path, "_retired_base.*"))
         if retired and os.path.isdir(self._base):
             for d in retired:
@@ -235,6 +360,13 @@ class MorTable:
             )
         else:
             df.write.mode("error").parquet(self._base)
+        from pyspark.sql.types import StructType
+
+        with self._locked() as fence:
+            m = self._read_meta()
+            m["schema"] = StructType(list(df.schema.fields)).jsonValue()
+            m["schema_through"] = int(m.get("compacted_through", 0))
+            self._write_meta_dict(m, fence=fence)
         if self.digest_manifest:
             from linqonsteroids_spark.operators.tablediff import (
                 write_digest_manifest,
@@ -258,26 +390,87 @@ class MorTable:
 
     def _table_schema(self):
         """The table's CURRENT evolved schema: base fields plus every
-        column a delta version has added, in introduction order. One
-        parquet-footer read per live version — metadata-only, O(ms)."""
-        fields = list(self.spark.read.parquet(self._base).schema.fields)
+        column a delta version has added, in introduction order.
+
+        r15: served from the ``schema`` cache in ``_mor_meta.json``
+        (updated transactionally by every append), so the cost is one
+        small JSON read regardless of log depth — a thousand-version
+        log no longer pays a thousand parquet-footer round trips per
+        append (the r14 verdict's design note). The cache records
+        ``schema_through``, the highest version it covers; any live
+        version above it (a crash between an append's delta publish and
+        its meta stamp, or a pre-r15 table with no cache at all) is
+        caught up from its parquet footer — self-healing, and the next
+        append's meta stamp persists the catch-up."""
+        fields, _ = self._evolved_fields(self._read_meta())
+        return fields
+
+    def _evolved_fields(self, m: dict):
+        """(fields, through): the evolved schema per the meta cache plus
+        footer catch-up for any live version the cache doesn't cover."""
+        from pyspark.sql.types import StructType
+
+        cached = m.get("schema")
+        if cached is not None:
+            fields = list(StructType.fromJson(cached).fields)
+            through = int(m.get("schema_through", 0))
+        else:
+            fields = list(
+                self.spark.read.parquet(self._base).schema.fields
+            )
+            through = 0
         seen = {f.name for f in fields}
-        for v in self._existing_versions():
+        have = self._existing_versions()
+        for v in have:
+            if v <= through:
+                continue
             for f in self.spark.read.parquet(
                 os.path.join(self._delta_root, f"mor_v={v}")
             ).schema.fields:
                 if f.name not in seen and f.name != _OP:
                     fields.append(f)
                     seen.add(f.name)
-        return fields
+        return fields, max([through, *have])
+
+    def _next_version(self) -> int:
+        """Next candidate version: above every live version, every
+        burned (log-folded) version NAME, and the compaction horizon."""
+        m = self._read_meta()
+        return (
+            max(
+                [
+                    int(m.get("compacted_through", 0)),
+                    *m.get("folded_versions", []),
+                    *self._existing_versions(),
+                ]
+            )
+            + 1
+        )
 
     def append_delta(
         self,
-        version: int,
+        version: int | None = None,
         upserts: DataFrame | None = None,
         delete_keys: DataFrame | None = None,
-    ) -> None:
-        """Append one delta version: full-row upserts and/or key-only deletes.
+        commit_timestamp=None,
+    ) -> int:
+        """Append one delta version: full-row upserts and/or key-only
+        deletes. Returns the committed version number.
+
+        ``version=None`` (allocate mode) makes the append MULTI-WRITER
+        SAFE: the delta stages under a private name and the final
+        ``mor_v=N`` name is claimed through the commit seam's atomic
+        compare-and-create (``publish_dir_if_absent``); a lost race
+        re-stages at the next number. An explicit ``version`` takes the
+        same atomic claim but raises on collision — the caller chose
+        the number, so silently taking a different one would lie.
+
+        ``commit_timestamp`` (optional; epoch seconds, ISO string, or
+        datetime) pins this version's wall-clock for timestamp time
+        travel; defaults to now. Recorded timestamps are forced
+        monotonically non-decreasing across versions (an explicit
+        earlier-than-history timestamp is refused) so
+        ``read(as_of_timestamp=...)`` resolution is well-defined.
 
         Schema evolution: upserts may OMIT existing columns (null-padded
         here) and may ADD new columns (nullable additions, visible from
@@ -298,8 +491,23 @@ class MorTable:
         rescan compare); an ingest pipeline where even the scan is too
         much should batch appends or maintain the manifest from its own
         CDC before-images (``update_digest_manifest`` accepts any
-        before/after pair) instead of deriving them here.
+        before/after pair) instead of deriving them here. Digest-mode
+        appends are additionally SERIALIZED under the table commit lock
+        (see the module concurrency contract): the before-image is only
+        correct against a table no other writer is mutating.
         """
+        if self.digest_manifest:
+            with self._locked():
+                return self._append_delta(
+                    version, upserts, delete_keys, commit_timestamp
+                )
+        return self._append_delta(
+            version, upserts, delete_keys, commit_timestamp
+        )
+
+    def _append_delta(
+        self, version, upserts, delete_keys, commit_timestamp
+    ) -> int:
         from pyspark.sql.types import StructType
 
         from linqonsteroids_spark.functions.schema_compat import (
@@ -307,16 +515,17 @@ class MorTable:
         )
 
         have = self._existing_versions()
-        if have and version <= have[-1]:
-            raise ValueError(
-                f"delta versions must increase: have {have}, got {version}"
-            )
-        if version <= self._compacted_through():
-            raise ValueError(
-                f"delta versions must increase: version {version} is at or "
-                f"below the compaction horizon "
-                f"{self._compacted_through()}"
-            )
+        if version is not None:
+            if have and version <= have[-1]:
+                raise ValueError(
+                    f"delta versions must increase: have {have}, got {version}"
+                )
+            if version <= self._compacted_through():
+                raise ValueError(
+                    f"delta versions must increase: version {version} is at or "
+                    f"below the compaction horizon "
+                    f"{self._compacted_through()}"
+                )
         table_fields = self._table_schema()
         table_names = [f.name for f in table_fields]
         before_rows = None
@@ -392,9 +601,28 @@ class MorTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        out.write.mode("error").parquet(
-            os.path.join(self._delta_root, f"mor_v={version}")
-        )
+        if commit_timestamp is not None:
+            # validate monotonicity BEFORE publishing: a refused
+            # timestamp must not strand a committed-but-unstamped
+            # version (the stamp re-checks under the lock — that
+            # re-check is the concurrent-writer backstop, this one is
+            # the sequential-caller fast path)
+            early = _to_epoch(commit_timestamp)
+            prev = max(
+                self._read_meta()
+                .get("version_timestamps", {})
+                .values(),
+                default=0.0,
+            )
+            if early < prev:
+                raise ValueError(
+                    f"commit_timestamp {early} precedes an already "
+                    f"recorded commit ({prev}): timestamps must be "
+                    "non-decreasing across versions"
+                )
+        committed = self._publish_delta(out, version)
+        self._stamp_commit(committed, commit_timestamp)
+        version = committed
         if self.digest_manifest:
             from linqonsteroids_spark.operators.tablediff import (
                 update_digest_manifest,
@@ -417,87 +645,227 @@ class MorTable:
                 before=before_rows,
                 after=after_rows,
             )
+        return version
+
+    def _publish_delta(self, out: DataFrame, version: int | None) -> int:
+        """Stage the delta privately, then claim its final ``mor_v=N``
+        name via the seam's atomic compare-and-create. The staged bytes
+        are version-independent (the version lives in the DIRECTORY
+        name), so a lost allocation race only costs a re-stage — and a
+        collision can never tear: the loser's staged dir is discarded
+        by the seam, the winner's committed dir is untouched."""
+        import uuid
+
+        from linqonsteroids_spark.sources.commitlog import (
+            publish_dir_if_absent,
+        )
+
+        os.makedirs(self._delta_root, exist_ok=True)
+        for _ in range(64):
+            candidate = version if version is not None else self._next_version()
+            staged = os.path.join(
+                self.path, f"_delta_staged.{uuid.uuid4().hex[:12]}"
+            )
+            out.write.mode("error").parquet(staged)
+            if publish_dir_if_absent(
+                staged,
+                os.path.join(self._delta_root, f"mor_v={candidate}"),
+            ):
+                return candidate
+            if version is not None:
+                raise ValueError(
+                    f"delta version {version} already exists: a "
+                    "concurrent writer claimed it first (use "
+                    "version=None to allocate-and-retry)"
+                )
+        raise RuntimeError(
+            "could not allocate a delta version in 64 attempts — a "
+            "writer storm or a livelocked allocator"
+        )
+
+    def _stamp_commit(self, version: int, commit_timestamp) -> None:
+        """Record the committed version's wall-clock and fold its
+        schema into the meta cache — ONE serialized read-modify-write
+        under the table commit lock (concurrent appends interleave
+        here safely). Timestamps are clamped monotonically
+        non-decreasing; a crash between a delta's publish and its stamp
+        leaves the version live-but-unstamped, which timestamp
+        resolution refuses loudly and the NEXT stamp heals (the healed
+        version inherits this stamp's timestamp — conservative: probes
+        inside the ambiguous gap resolve to the older state)."""
+        with self._locked() as fence:
+            m = self._read_meta()
+            ts_map = m.get("version_timestamps", {})
+            prev_max = max(ts_map.values(), default=0.0)
+            if commit_timestamp is None:
+                ts = max(time.time(), prev_max)
+            else:
+                ts = _to_epoch(commit_timestamp)
+                if ts < prev_max:
+                    raise ValueError(
+                        f"commit_timestamp {ts} precedes an already "
+                        f"recorded commit ({prev_max}): timestamps "
+                        "must be non-decreasing across versions"
+                    )
+            ts_map[str(version)] = ts
+            for v in self._existing_versions():  # heal unstamped
+                ts_map.setdefault(str(v), ts)
+            m["version_timestamps"] = ts_map
+            fields, through = self._evolved_fields(m)
+            from pyspark.sql.types import StructType
+
+            m["schema"] = StructType(fields).jsonValue()
+            m["schema_through"] = through
+            self._write_meta_dict(m, fence=fence)
 
     def merge_into(
         self,
-        version: int,
-        source: DataFrame,
+        version: int | None = None,
+        source: DataFrame | None = None,
         when_matched: str | None = "update",
         when_not_matched: str | None = "insert",
+        clauses: list | None = None,
+        commit_timestamp=None,
     ) -> dict:
         """SQL MERGE semantics compiled to ONE delta append — the
         write-optimized MOR answer to ``operators/merge.py``'s
-        copy-on-write bucketed MERGE: rows of ``source`` whose key
-        exists in the current table take the ``when_matched`` action
-        (``'update'`` = full-row upsert, ``'delete'``, or None = leave
-        untouched), the rest take ``when_not_matched`` (``'insert'`` or
-        None = drop). Returns ``{"updated": n, "deleted": n,
-        "inserted": n}``.
+        copy-on-write bucketed MERGE. Returns ``{"updated": n,
+        "deleted": n, "inserted": n, "version": committed | None}``.
 
-        Cost shape at 100 TB: membership is decided by ONE
-        column-pruned scan of the table probed against the BROADCAST
-        source key set (no shuffle of the table), the matched key set —
-        bounded by |source| — is localCheckpointed once so the
-        classification never re-scans, and the write is the normal
-        O(|source|) delta append; the base is never rewritten. Source
-        keys must be unique (the delta contract); matched-delete and
-        insert are disjoint by construction.
+        Two surfaces:
+
+        - Legacy single-action form: rows of ``source`` whose key
+          exists in the current table take ``when_matched`` ('update' =
+          full-row upsert, 'delete', None = leave untouched), the rest
+          take ``when_not_matched`` ('insert' or None = drop).
+        - ``clauses`` (r15): an ORDERED list of ``(branch, condition,
+          action)`` — branch ∈ {'matched', 'not_matched'}, condition a
+          Column / SQL string / None (always true), action ∈ {'update',
+          'delete', 'ignore'} for matched and {'insert', 'ignore'} for
+          not_matched. FIRST MATCH WINS per source row, exactly SQL
+          MERGE's ``WHEN MATCHED AND cond THEN ...`` chain; a row no
+          clause claims is left untouched. Conditions see the source
+          row's columns by name and the CURRENT target row's columns as
+          ``_t_<name>`` (matched branch only), so ``"o_totalprice >
+          _t_o_totalprice"`` expresses upsert-if-newer.
+
+        Concurrency: the whole read→classify→append window runs inside
+        the table commit lock, so a concurrent writer cannot flip a
+        row's matched status between classification and commit;
+        ``version=None`` allocates through the seam as usual.
+
+        Cost shape at 100 TB: membership (plus the target payload the
+        conditions need) is ONE column-pruned scan of the table probed
+        against the BROADCAST source key set — no shuffle of the table
+        — localCheckpointed at |matched| ≤ |source| rows; the stats are
+        ONE ``groupBy(_action).count()`` job over the classified source
+        (r14's three separate ``.count()`` legs folded away); the write
+        is the normal O(|source|) delta append; the base is never
+        rewritten. Source keys must be unique (the delta contract).
         """
-        if when_matched not in ("update", "delete", None):
-            raise ValueError(f"when_matched: {when_matched!r}")
-        if when_not_matched not in ("insert", None):
-            raise ValueError(f"when_not_matched: {when_not_matched!r}")
-        if when_matched is None and when_not_matched is None:
-            raise ValueError("merge_into with no actions is a no-op")
+        if source is None:
+            raise ValueError("merge_into needs a source DataFrame")
+        if clauses is None:
+            if when_matched not in ("update", "delete", None):
+                raise ValueError(f"when_matched: {when_matched!r}")
+            if when_not_matched not in ("insert", None):
+                raise ValueError(
+                    f"when_not_matched: {when_not_matched!r}"
+                )
+            if when_matched is None and when_not_matched is None:
+                raise ValueError("merge_into with no actions is a no-op")
+            clauses = []
+            if when_matched is not None:
+                clauses.append(("matched", None, when_matched))
+            if when_not_matched is not None:
+                clauses.append(("not_matched", None, when_not_matched))
+        if not clauses:
+            raise ValueError("merge_into with no clauses is a no-op")
+        for branch, _cond, action in clauses:
+            if branch not in ("matched", "not_matched"):
+                raise ValueError(f"clause branch: {branch!r}")
+            allowed = (
+                ("update", "delete", "ignore")
+                if branch == "matched"
+                else ("insert", "ignore")
+            )
+            if action not in allowed:
+                raise ValueError(
+                    f"clause action {action!r} invalid for branch "
+                    f"{branch!r} (allowed: {allowed})"
+                )
+        with self._locked():
+            return self._merge_into(
+                version, source, clauses, commit_timestamp
+            )
+
+    def _merge_into(
+        self, version, source: DataFrame, clauses: list, commit_timestamp
+    ) -> dict:
+        tgt = self.read()
         src_keys = source.select(self.key)
-        matched_keys = (
-            self.read()
-            .select(self.key)
-            .join(F.broadcast(src_keys), self.key, "left_semi")
-            .localCheckpoint(eager=True)  # bounded by |source|
+        # target payload only when some condition references _t_ columns
+        needs_target = any(
+            cond is not None and "_t_" in str(cond)
+            for _b, cond, _a in clauses
         )
-        upd = (
-            source.join(F.broadcast(matched_keys), self.key, "left_semi")
-            if when_matched == "update"
+        matched_t = tgt.join(
+            F.broadcast(src_keys), self.key, "left_semi"
+        ).select(
+            F.col(self.key),
+            *(
+                [
+                    F.col(c).alias(f"_t_{c}")
+                    for c in tgt.columns
+                    if c != self.key
+                ]
+                if needs_target
+                else []
+            ),
+            F.lit(True).alias("_t_exists"),
+        ).localCheckpoint(eager=True)  # bounded by |source|
+        joined = source.join(F.broadcast(matched_t), self.key, "left")
+        is_matched = F.coalesce(F.col("_t_exists"), F.lit(False))
+        action_col = None
+        for branch, cond, action in clauses:
+            c = is_matched if branch == "matched" else ~is_matched
+            if cond is not None:
+                c = c & (F.expr(cond) if isinstance(cond, str) else cond)
+            action_col = (
+                F.when(c, F.lit(action))
+                if action_col is None
+                else action_col.when(c, F.lit(action))
+            )
+        classified = joined.withColumn("_action", action_col)
+        counts = {
+            r["_action"]: r["count"]
+            for r in classified.groupBy("_action").count().collect()
+        }  # ONE stats job for every leg
+        stats = {
+            "updated": counts.get("update", 0),
+            "deleted": counts.get("delete", 0),
+            "inserted": counts.get("insert", 0),
+            "version": None,
+        }
+        if stats["updated"] + stats["deleted"] + stats["inserted"] == 0:
+            return stats  # nothing to commit; no version burned
+        src_cols = source.columns
+        upserts = (
+            classified.where(
+                F.col("_action").isin("update", "insert")
+            ).select(*src_cols)
+            if stats["updated"] + stats["inserted"] > 0
             else None
         )
         dels = (
-            source.select(self.key).join(
-                F.broadcast(matched_keys), self.key, "left_semi"
+            classified.where(F.col("_action") == "delete").select(
+                self.key
             )
-            if when_matched == "delete"
+            if stats["deleted"] > 0
             else None
         )
-        ins = (
-            source.join(F.broadcast(matched_keys), self.key, "left_anti")
-            if when_not_matched == "insert"
-            else None
-        )
-        stats = {
-            "updated": upd.count() if upd is not None else 0,
-            "deleted": dels.count() if dels is not None else 0,
-            "inserted": ins.count() if ins is not None else 0,
-        }
-        upserts = None
-        if upd is not None and ins is not None:
-            upserts = upd.unionByName(ins)
-        elif upd is not None:
-            upserts = upd
-        elif ins is not None:
-            upserts = ins
-        if (upserts is None or stats["updated"] + stats["inserted"] == 0) and (
-            dels is None or stats["deleted"] == 0
-        ):
-            return stats  # nothing to commit; versions stay dense with data
-        self.append_delta(
-            version,
-            upserts=upserts
-            if upserts is not None
-            and stats["updated"] + stats["inserted"] > 0
-            else None,
-            delete_keys=dels
-            if dels is not None and stats["deleted"] > 0
-            else None,
+        stats["version"] = self._append_delta(
+            version, upserts, dels, commit_timestamp
         )
         return stats
 
@@ -542,7 +910,20 @@ class MorTable:
         rewriting everything is the wrong trade. The digest manifest,
         if enabled, is untouched: compaction changes the physical
         layout, never the logical state the manifest summarizes.
+
+        r15: the whole compact runs inside the table commit lock — the
+        single-compactor assumption is now ENFORCED, not documented —
+        and on a leased backend the horizon meta write carries the
+        holder's fencing token, so a compactor that stalls past its
+        lease TTL loses at the meta write (before any rename) instead
+        of corrupting the takeover's state. Concurrent APPENDS remain
+        lock-free and safe: the fold touches only versions it read at
+        entry, and the sweep stays horizon-bounded.
         """
+        with self._locked() as fence:
+            self._compact(fence)
+
+    def _compact(self, fence) -> None:
         import shutil
 
         from linqonsteroids_spark.sources.commitlog import atomic_replace
@@ -573,7 +954,7 @@ class MorTable:
         else:
             merged.write.mode("error").parquet(self._staged)
         horizon = have[-1]
-        self._write_meta(horizon)
+        self._write_meta(horizon, fence=fence)
         old = os.path.join(self.path, f"_retired_base.{os.getpid()}")
         atomic_replace(self._base, old)
         atomic_replace(self._staged, self._base)
@@ -588,9 +969,11 @@ class MorTable:
     # --- change feed ----------------------------------------------------------
     def changes(
         self,
-        from_version: int,
+        from_version: int | None = None,
         to_version: int | None = None,
         include_preimages: bool = False,
+        from_timestamp=None,
+        to_timestamp=None,
     ) -> DataFrame:
         """The CDC leg of time travel: one row per key whose state
         differs between as-of ``from_version`` (exclusive) and as-of
@@ -625,9 +1008,44 @@ class MorTable:
         exactly what downstream incremental view maintenance needs
         (retract the old contribution, add the new one; see
         ``streaming/incremental.py::apply_cdf_to_agg_mv``). insert and
-        delete rows are unchanged."""
+        delete rows are unchanged.
+
+        ``from_timestamp``/``to_timestamp`` (r15) resolve wall-clock
+        endpoints to version watermarks via the commit timestamps the
+        meta records — ``changes(from_timestamp=t)`` yields everything
+        committed AFTER the last version at-or-before ``t`` — then
+        apply the same refusal rules; a probe inside a compacted or
+        log-folded era refuses rather than guessing."""
         have = self._existing_versions()
         horizon = self._compacted_through()
+        if from_timestamp is not None:
+            if from_version is not None:
+                raise ValueError(
+                    "pass from_version or from_timestamp, not both"
+                )
+            resolved = self._version_at(from_timestamp)
+            # 0 = before every commit: the base state, which is only a
+            # valid feed baseline while nothing was folded into it
+            from_version = resolved if resolved > 0 else horizon
+            if resolved == 0 and horizon > 0:
+                raise ValueError(
+                    f"from_timestamp {from_timestamp!r} predates every "
+                    "reconstructible state: the base was folded "
+                    f"through version {horizon} by compaction"
+                )
+        if from_version is None:
+            raise ValueError("changes() needs from_version or from_timestamp")
+        if to_timestamp is not None:
+            if to_version is not None:
+                raise ValueError(
+                    "pass to_version or to_timestamp, not both"
+                )
+            to_version = self._version_at(to_timestamp)
+            if to_version == 0:
+                raise ValueError(
+                    f"to_timestamp {to_timestamp!r} predates every "
+                    "recorded commit: nothing to read"
+                )
         if to_version is None:
             if not have:
                 raise ValueError("empty delta log: no changes to read")
@@ -677,8 +1095,20 @@ class MorTable:
             .where(F.col("_rn") == 1)
             .drop("_rn", _VER)
         )
+        # Horizon pre-state (r14 advice, medium): the horizon state is
+        # the base PLUS any still-live delta versions <= from_version,
+        # resolved last-wins — identical to read()'s merge. Normally
+        # those dirs are gone (the list is empty and this IS the raw
+        # base); in the crash window where compact advanced the horizon
+        # but never swapped the base, the old base alone would
+        # misclassify rows (a deleted key re-appearing as an existing
+        # 'update', feeding corrupt retractions downstream).
         pre_state = (
-            self.spark.read.parquet(self._base)
+            self._apply_deltas(
+                self.spark.read.parquet(self._base),
+                [v for v in have if v <= from_version],
+                False,
+            )
             if from_version == horizon
             else self.read(as_of_version=from_version)
         )
@@ -865,9 +1295,14 @@ class MorTable:
         the net. Recovery (``_recover_interrupted_compact``) finishes
         or aborts a crashed fold from the pending record alone; an
         aborted fold (staged never completed) keeps every version and
-        only over-refuses as-of reads. Single-compactor assumption, as
-        for compact(); concurrent APPENDS above the fold target are
-        untouched by every step."""
+        only over-refuses as-of reads. Single-compactor ENFORCED under
+        the table commit lock (r15), fenced meta writes on leased
+        backends, as for compact(); concurrent APPENDS above the fold
+        target are untouched by every step."""
+        with self._locked() as fence:
+            self._compact_log(fence)
+
+    def _compact_log(self, fence) -> None:
         import shutil
 
         have = self._existing_versions()
@@ -882,7 +1317,7 @@ class MorTable:
             "target": target,
             "folded": folded_now[:-1],
         }
-        self._write_meta_dict(m)
+        self._write_meta_dict(m, fence=fence)
         deltas = (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self._delta_root)
@@ -904,10 +1339,10 @@ class MorTable:
         if os.path.isdir(staged):
             shutil.rmtree(staged)
         net.write.mode("error").parquet(staged)
-        self._finish_log_fold(target, folded_now[:-1], staged)
+        self._finish_log_fold(target, folded_now[:-1], staged, fence)
 
     def _finish_log_fold(
-        self, target: int, folded: list[int], staged: str
+        self, target: int, folded: list[int], staged: str, fence=None
     ) -> None:
         """Steps (3)-(5) of compact_log, shared with crash recovery."""
         import shutil
@@ -921,7 +1356,7 @@ class MorTable:
             set(m.get("folded_versions", [])) | set(folded)
         )
         m.pop("log_fold_pending", None)
-        self._write_meta_dict(m)
+        self._write_meta_dict(m, fence=fence)
         for v in folded:
             d = os.path.join(self._delta_root, f"mor_v={v}")
             if os.path.isdir(d):
@@ -966,10 +1401,40 @@ class MorTable:
                 shutil.rmtree(d)  # orphaned staging with no pending
 
     # --- read ---------------------------------------------------------------
+    def _version_at(self, ts) -> int:
+        """Resolve a wall-clock probe to its version watermark: the
+        highest version whose recorded commit timestamp is <= the probe
+        (0 = before every recorded commit, i.e. the original base
+        snapshot). Resolution consults timestamps of ALL versions ever
+        committed — including compacted/folded ones, which are retained
+        in the meta precisely so a probe inside a folded era resolves
+        to the folded version and gets the horizon REFUSAL instead of
+        silently reading the (later-state) base."""
+        probe = _to_epoch(ts)
+        m = self._read_meta()
+        ts_map = {
+            int(k): v
+            for k, v in m.get("version_timestamps", {}).items()
+        }
+        unstamped = [
+            v for v in self._existing_versions() if v not in ts_map
+        ]
+        if unstamped:
+            raise ValueError(
+                f"versions {unstamped} have no recorded commit "
+                "timestamp (an append crashed between its publish and "
+                "its meta stamp; the next append heals this) — "
+                "timestamp resolution would be ambiguous"
+            )
+        return max(
+            [v for v, t in ts_map.items() if t <= probe], default=0
+        )
+
     def read(
         self,
         as_of_version: int | None = None,
         with_provenance: bool = False,
+        as_of_timestamp=None,
     ) -> DataFrame:
         """Latest state: base with all delta versions applied, last-wins.
 
@@ -1002,6 +1467,30 @@ class MorTable:
         base = self.spark.read.parquet(self._base)
         have = self._existing_versions()
         horizon = self._compacted_through()
+        if as_of_timestamp is not None:
+            if as_of_version is not None:
+                raise ValueError(
+                    "pass as_of_version or as_of_timestamp, not both"
+                )
+            resolved = self._version_at(as_of_timestamp)
+            if resolved == 0:
+                if horizon > 0:
+                    raise ValueError(
+                        f"timestamp {as_of_timestamp!r} predates every "
+                        "reconstructible state: the original base was "
+                        f"folded through version {horizon} by "
+                        "compaction"
+                    )
+                have = []  # the original base snapshot
+            elif resolved == horizon:
+                # the horizon state IS the base (plus any still-live
+                # subsumed versions in a compact crash window) — a
+                # probe at or after the last pre-compact commit must
+                # read it, not hit the as-of refusal meant for
+                # versions STRICTLY below the fold
+                have = [v for v in have if v <= resolved]
+            else:
+                as_of_version = resolved  # refusal rules below apply
         if as_of_version is not None:
             if as_of_version <= horizon:
                 raise ValueError(
@@ -1021,6 +1510,18 @@ class MorTable:
                     f"{have}: it never committed"
                 )
             have = [v for v in have if v <= as_of_version]
+        return self._apply_deltas(base, have, with_provenance)
+
+    def _apply_deltas(
+        self, base: DataFrame, have: list[int], with_provenance: bool
+    ) -> DataFrame:
+        """The split-merge reader over an explicit version list: the
+        untouched base majority flows through a broadcast anti probe,
+        only touched keys enter the resolution window (see the module
+        docstring's 100 TB cost model). Shared by :meth:`read` and by
+        :meth:`changes`' horizon pre-state (which must apply any
+        still-live subsumed versions onto the base — identical merge,
+        different version list)."""
         if not have:
             if with_provenance:
                 return base.withColumn(

@@ -322,6 +322,26 @@ def publish_dir_if_absent(staged_dir: str, final_dir: str) -> bool:
 
 
 def commit_lock(lock_path: str):
-    """Exclusive critical section for check-then-swap commit sequences
-    (held only for metadata operations — never while writing data)."""
+    """Exclusive critical section for check-then-swap commit sequences.
+    Held for metadata operations and for maintenance decision windows
+    (compaction, MERGE classification) — never across bulk data writes
+    on the hot append path. Yields the backend's fencing token where
+    one exists (:class:`ConditionalPutBackend`), else ``None``."""
     return _BACKEND.commit_lock(lock_path)
+
+
+def fenced_put(path: str, payload: str, lock_path: str, fence) -> bool:
+    """Publish ``payload`` at ``path`` iff ``fence`` is still the
+    current fencing token for ``lock_path`` — False means the caller is
+    a zombie whose lease was taken over and MUST abort its commit. On a
+    backend without fencing (POSIX flock cannot be lost while held) or
+    with ``fence=None`` this degrades to a plain atomic publish."""
+    if fence is not None and hasattr(_BACKEND, "fenced_put"):
+        return _BACKEND.fenced_put(path, payload, lock_path, fence)
+    import uuid
+
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    _BACKEND.atomic_replace(tmp, path)
+    return True

@@ -30,6 +30,18 @@ from pyspark.sql import functions as F
 _STATS_NAME = "_FILE_STATS.json"
 
 
+def _norm_numeric(v):
+    """Numeric-domain comparison normalizer. Ints stay ints: json
+    round-trips them exactly and Python's int/float comparisons are
+    mathematically exact, so a bigint key above 2^53 is never wrongly
+    excluded by a lossy float round-trip (point lookups READ ONLY the
+    kept files, so a wrong exclusion silently drops a row — the r14
+    advice item). Float normalization is reserved for the domains that
+    are already floats on disk (float/double) or serialized as strings
+    (decimal, via the manifest's ``default=str``)."""
+    return v if isinstance(v, int) else float(v)
+
+
 #: Spark type -> manifest comparison domain. ISO-formatted date/
 #: timestamp strings order lexicographically = chronologically, so they
 #: share the string domain; anything outside this table (arrays,
@@ -128,8 +140,8 @@ def prune_files(path: str, col: str, lo, hi) -> tuple[list[str], int]:
         raise KeyError(f"no stats recorded for column {col!r}")
     domain = stats.get("domains", {}).get(col, "numeric")
     if domain == "numeric":
-        norm = float
-        lo_n, hi_n = float(lo), float(hi)
+        norm = _norm_numeric
+        lo_n, hi_n = norm(lo), norm(hi)
     else:
         norm = str
         lo_n, hi_n = str(lo), str(hi)
@@ -157,7 +169,7 @@ def prune_files_for_points(
     if col not in stats["columns"]:
         raise KeyError(f"no stats recorded for column {col!r}")
     domain = stats.get("domains", {}).get(col, "numeric")
-    norm = float if domain == "numeric" else str
+    norm = _norm_numeric if domain == "numeric" else str
     vals = sorted(norm(v) for v in values)
     keep = []
     for fname, cols in stats["files"].items():

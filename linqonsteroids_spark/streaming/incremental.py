@@ -364,6 +364,166 @@ def apply_cdf_to_agg_mv(
     return merged.where(SF.col(count_col) > 0)
 
 
+def apply_cdf_to_minmax_mv(
+    mv: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    minmax_cols: dict[str, tuple[str, str]],
+    table: DataFrame | None = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """Maintain a MIN/MAX aggregate MV from a pre-image-protocol change
+    feed — the documented gap in :func:`apply_cdf_to_agg_mv` closed
+    (r14 verdict item 5): extrema are not a group under retraction, so
+    deletes need a different rule than the (sum, count) algebra.
+
+    The asymmetry this exploits: an ADDITION (insert/update_postimage)
+    can only IMPROVE an extremum — ``least``/``greatest`` against the
+    feed's own per-group candidate, O(|changes|), no rescan. A
+    RETRACTION (delete/update_preimage) can only HURT it, and only when
+    the retracted value TIES the group's current extremum — every other
+    retraction leaves it untouched. So the merge classifies each
+    touched group driver-side (the touched-group set is batch-bounded)
+    and recomputes ONLY the groups whose extremum was actually
+    retracted, from ``table`` (the CURRENT post-change state, e.g.
+    ``MorTable.read()``), via a broadcast semi-join on the group keys.
+    Untouched groups never enter any scan; when NO extremum was
+    retracted the function never evaluates ``table`` at all — callers
+    that know their feed is retraction-free may pass ``table=None`` and
+    get a loud error if that assumption breaks.
+
+    ``minmax_cols``: output column → ('min' | 'max', source value
+    column in the feed). ``mv`` must carry ``group_cols``, every output
+    column, and ``count_col`` (group emptiness is undecidable from an
+    extremum alone; a group whose maintained count reaches zero drops
+    out). NULL feed values are ignored by min/max exactly as the
+    from-scratch aggregate ignores them.
+
+    Plan shape: one O(|changes|) partial aggregate; one full-outer
+    merge on the MV's group keys (null-safe — NULL is a legitimate
+    group); one bounded ``collect()`` of the rescan group set; and, only
+    when that set is non-empty, one semi-filtered aggregate over
+    ``table`` whose output is |rescan groups| rows."""
+    import functools
+
+    from pyspark.sql import functions as SF
+
+    if not changes.where(SF.col("_change_type") == "update").isEmpty():
+        raise ValueError(
+            "change feed carries plain 'update' rows (post-image only) "
+            "— extremum maintenance needs the pre-image protocol: "
+            "pass changes(..., include_preimages=True)"
+        )
+    for out, (op, _src) in minmax_cols.items():
+        if op not in ("min", "max"):
+            raise ValueError(f"minmax_cols[{out!r}]: op must be min|max")
+    is_add = SF.col("_change_type").isin("insert", "update_postimage")
+    is_ret = SF.col("_change_type").isin("delete", "update_preimage")
+    aggs = [
+        SF.sum(SF.when(is_add, 1).otherwise(-1)).alias("_d_n"),
+    ]
+    for out, (op, src) in minmax_cols.items():
+        fn = SF.min if op == "min" else SF.max
+        aggs.append(fn(SF.when(is_add, SF.col(src))).alias(f"_add_{out}"))
+        aggs.append(fn(SF.when(is_ret, SF.col(src))).alias(f"_ret_{out}"))
+    delta = (
+        changes.where(
+            SF.col("_change_type").isin(
+                "insert", "delete", "update_preimage", "update_postimage"
+            )
+        )
+        .groupBy(*group_cols)
+        .agg(*aggs)
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [mv[c].eqNullSafe(delta[c]) for c in group_cols],
+    )
+    hit = SF.lit(False)
+    for out, (op, _src) in minmax_cols.items():
+        cmp = (
+            delta[f"_ret_{out}"] <= mv[out]
+            if op == "min"
+            else delta[f"_ret_{out}"] >= mv[out]
+        )
+        hit = hit | (
+            delta[f"_ret_{out}"].isNotNull() & mv[out].isNotNull() & cmp
+        )
+    merged = mv.join(delta, cond, "full_outer").select(
+        *[SF.coalesce(mv[c], delta[c]).alias(c) for c in group_cols],
+        *[
+            (
+                (SF.least if op == "min" else SF.greatest)(
+                    mv[out], delta[f"_add_{out}"]
+                )
+            ).alias(out)
+            for out, (op, _src) in minmax_cols.items()
+        ],
+        (
+            SF.coalesce(mv[count_col], SF.lit(0))
+            + SF.coalesce(delta["_d_n"], SF.lit(0))
+        ).alias(count_col),
+        # only a group the MV already tracks can have its extremum
+        # retracted; brand-new groups are built from adds alone
+        (SF.coalesce(mv[count_col].isNotNull() & hit, SF.lit(False))).alias(
+            "_rescan"
+        ),
+    )
+    merged = merged.where(SF.col(count_col) > 0)
+    # classify the rescan set from a NARROW probe — MV broadcast-probed
+    # against the batch-sized delta, no shuffle, output bounded by the
+    # touched groups — so the fast path (no extremum retracted) costs
+    # one small job and table is NEVER scanned
+    rescan_rows = (
+        mv.join(SF.broadcast(delta), cond, "inner")
+        .where(hit)
+        .select(*[mv[c] for c in group_cols])
+        .collect()
+    )
+    if not rescan_rows:
+        return merged.drop("_rescan")
+    if table is None:
+        raise ValueError(
+            "an extremum was retracted for group(s) "
+            f"{[tuple(r) for r in rescan_rows[:5]]}... — recomputing "
+            "them needs `table` (the current post-change state)"
+        )
+    spark = mv.sparkSession
+    rg = spark.createDataFrame(
+        rescan_rows, mv.select(*group_cols).schema
+    )
+    scan_cond = functools.reduce(
+        lambda a, b: a & b,
+        [table[c].eqNullSafe(rg[c]) for c in group_cols],
+    )
+    rescanned = (
+        table.join(SF.broadcast(rg), scan_cond, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                (SF.min if op == "min" else SF.max)(SF.col(src)).alias(
+                    f"_rs_{out}"
+                )
+                for out, (op, src) in minmax_cols.items()
+            ]
+        )
+    )
+    rcond = functools.reduce(
+        lambda a, b: a & b,
+        [merged[c].eqNullSafe(rescanned[c]) for c in group_cols],
+    )
+    return merged.join(rescanned, rcond, "left").select(
+        *[merged[c].alias(c) for c in group_cols],
+        *[
+            SF.when(merged["_rescan"], rescanned[f"_rs_{out}"])
+            .otherwise(merged[out])
+            .alias(out)
+            for out in minmax_cols
+        ],
+        merged[count_col].alias(count_col),
+    )
+
+
 class IncrementalAggMV:
     """Externalized-state IVM for monoid aggregates — the reference's
     Δ(indexBy ∘ fold) rule (``derivation/Prototype.scala:32-49``) with the

@@ -1311,7 +1311,9 @@ def test_mor_compact_crash_after_promote_reaps_retired_base(
     # subsumed versions (<= horizon) and the retired copy are reaped;
     # the concurrent v3 append is NOT (r13 advice: it is committed
     # data the merged base does not subsume)
-    assert sorted(os.listdir(t2.path)) == ["_mor_meta.json", "base", "delta"]
+    assert sorted(os.listdir(t2.path)) == [
+        "_commit.lock", "_mor_meta.json", "base", "delta"
+    ]  # the lock file is the r15 commit seam's, not compact debris
     assert sorted(os.listdir(t2._delta_root)) == ["mor_v=3"]
     expected_v3 = sorted(expected + [(7, "w3", 70.0)])
     assert sorted(map(tuple, t2.read().collect())) == expected_v3
@@ -1755,7 +1757,7 @@ def test_mor_merge_into_actions_and_stats(spark, tmp_path):
             [(2, "B2", 22.0), (9, "new", 90.0)], ["k", "s", "x"]
         ),
     )
-    assert stats == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert stats == {"updated": 1, "deleted": 0, "inserted": 1, "version": 1}
     assert {r["k"]: r["s"] for r in t.read().collect()} == {
         1: "a", 2: "B2", 3: "c", 9: "new"
     }
@@ -1766,7 +1768,7 @@ def test_mor_merge_into_actions_and_stats(spark, tmp_path):
         when_matched="delete",
         when_not_matched=None,
     )
-    assert stats == {"updated": 0, "deleted": 1, "inserted": 0}
+    assert stats == {"updated": 0, "deleted": 1, "inserted": 0, "version": 2}
     assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 9]
     # an all-miss merge is a clean no-op: no delta dir appears, and the
     # version number stays available for a real commit
@@ -1776,7 +1778,9 @@ def test_mor_merge_into_actions_and_stats(spark, tmp_path):
         when_matched="delete",
         when_not_matched=None,
     )
-    assert stats == {"updated": 0, "deleted": 0, "inserted": 0}
+    assert stats == {
+        "updated": 0, "deleted": 0, "inserted": 0, "version": None
+    }
     assert not os.path.isdir(os.path.join(t._delta_root, "mor_v=3"))
     t.append_delta(
         3, upserts=spark.createDataFrame([(1, "a3", 11.0)], ["k", "s", "x"])

@@ -145,3 +145,34 @@ def test_non_orderable_stat_column_fails_loudly_at_write(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="not range-prunable"):
         write_with_stats(df, str(tmp_path / "bad"), ["a"])
+
+
+def test_bigint_point_pruning_is_exact_above_2_53(spark, tmp_path):
+    """r14 advice: point pruning used to normalize numeric stats through
+    float(), so bigint keys above 2^53 could alias across a file
+    boundary and wrongly EXCLUDE the file that truly holds the probed
+    key — and unlike range scans, lookup() reads ONLY the kept files,
+    silently dropping the row. Ints must compare as ints."""
+    from linqonsteroids_spark.sources.fileindex import (
+        prune_files_for_points,
+    )
+
+    base = 2**53  # above here, float(n) == float(n + 1)
+    path = str(tmp_path / "big")
+    df = spark.range(8).select(
+        (F.lit(base) + F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    write_with_stats(df, path, ["k"], n_files=4)
+    # every key must resolve to a non-empty kept set containing it
+    for probe in range(base, base + 8):
+        keep, total = prune_files_for_points(path, "k", [probe])
+        assert total == 4
+        got = (
+            spark.read.parquet(*keep)
+            .filter(F.col("k") == probe)
+            .count()
+        )
+        assert got == 1, f"key {probe} lost by pruning"
+    # and pruning still prunes: one key should not keep all files
+    keep, _ = prune_files_for_points(path, "k", [base])
+    assert len(keep) < 4
