@@ -232,6 +232,10 @@ EXTRA = [
     "mor_point_lookup_orders",
     "mor_provenance_orders",
     "quarantine_replay_release",
+    "mor_concurrent_writers",
+    "mor_timestamp_travel_orders",
+    "mor_multi_clause_merge",
+    "mor_minmax_mv_maintenance",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

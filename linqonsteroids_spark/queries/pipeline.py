@@ -2777,6 +2777,355 @@ FROM cells GROUP BY c_mktsegment
 """
 
 
+# --- MOR multi-writer: seam-allocated concurrent appends (r15) --------------
+# operators/mor.py r15: append_delta(version=None) ALLOCATES its
+# version through the commit seam — the delta stages privately and
+# claims mor_v=N via publish_dir_if_absent (atomic compare-and-create),
+# re-staging at the next number on a lost race. The gate runs TWO
+# writer threads, each with its own table handle, synchronized on a
+# barrier so both race the same allocation; disjoint key sets make the
+# final state order-independent, which is exactly what lets the oracle
+# state it declaratively. Pinned outputs: both writers' rows landed,
+# the versions allocated are DENSE (1 and 2 — nothing skipped, nothing
+# torn), and the base remains untouched.
+def mor_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import threading
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_morconc_", sf_dir)
+    path = os.path.join(base, "orders_conc")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    done = os.path.join(base, "_writers_done")
+    if not os.path.exists(done):
+        table.write_base(orders)
+        barrier = threading.Barrier(2)
+        errors: list[BaseException] = []
+
+        def writer(tag: str, mod: int):
+            try:
+                h = MorTable(spark, path, "o_orderkey")
+                ups = orders.where(key % 10 == mod).withColumn(
+                    "o_orderpriority",
+                    F.concat(F.col("o_orderpriority"), F.lit(f"#{tag}")),
+                )
+                barrier.wait(timeout=120)
+                h.append_delta(upserts=ups)  # allocate mode
+            except BaseException as e:  # surfaced after join
+                errors.append(e)
+
+        ths = [
+            threading.Thread(target=writer, args=("A", 1)),
+            threading.Thread(target=writer, args=("B", 2)),
+        ]
+        [t.start() for t in ths]
+        [t.join(600) for t in ths]
+        if errors:
+            raise errors[0]
+        with open(done, "w") as f:
+            f.write("ok")
+    versions = table._existing_versions()
+    return table.read().agg(
+        F.sum(
+            F.col("o_orderpriority").endswith("#A").cast("bigint")
+        ).alias("n_a"),
+        F.sum(
+            F.col("o_orderpriority").endswith("#B").cast("bigint")
+        ).alias("n_b"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.lit(len(versions)).cast("int").alias("n_versions"),
+        F.lit(max(versions)).cast("int").alias("max_version"),
+    )
+
+
+MOR_CONCURRENT_SQL = """
+SELECT CAST(sum(CASE WHEN o_orderkey % 10 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN o_orderkey % 10 = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       2 AS n_versions, 2 AS max_version
+FROM orders
+"""
+
+
+# --- MOR timestamp time travel (r15) -----------------------------------------
+# Every real MOR format resolves as-of TIMESTAMPS, not just version
+# numbers: operators/mor.py now records each version's commit
+# wall-clock in _mor_meta.json (monotonic, caller-pinnable for
+# determinism) and read(as_of_timestamp=)/changes(from/to_timestamp=)
+# resolve to the version watermark — the highest version committed at
+# or before the probe — then apply the same folded/horizon refusal
+# rules as version travel. The fixture pins v1 at 2026-01-01 and v2 at
+# 2026-02-01; a probe between them MUST reconstruct exactly the v1
+# state (same oracle as the version-based time-travel gate, by
+# design), and the timestamp-windowed change feed over (v1, v2] must
+# count exactly v2's touched keys.
+def _mor_ts_orders_table(spark: SparkSession, sf_dir: str):
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_morts_", sf_dir)
+    table = MorTable(spark, os.path.join(base, "orders_ts"), "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(
+        os.path.join(base, "orders_ts", "base", "_SUCCESS")
+    ):
+        table.write_base(orders)
+        table.append_delta(
+            1,
+            upserts=orders.where((key % 89 == 0) & (key % 97 != 0)).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("*")),
+            ),
+            delete_keys=orders.where(key % 97 == 0).select("o_orderkey"),
+            commit_timestamp="2026-01-01T00:00:00",
+        )
+        table.append_delta(
+            2,
+            upserts=orders.where(key % 178 == 0)
+            .withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("**")),
+            )
+            .unionByName(
+                orders.where((key % 194 == 0) & (key % 178 != 0)).withColumn(
+                    "o_orderpriority",
+                    F.concat(F.col("o_orderpriority"), F.lit("+")),
+                )
+            ),
+            commit_timestamp="2026-02-01T00:00:00",
+        )
+    return table
+
+
+def mor_timestamp_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _mor_ts_orders_table(spark, sf_dir)
+    n_changes = table.changes(
+        from_timestamp="2026-01-15T00:00:00",
+        to_timestamp="2026-03-01T00:00:00",
+    ).count()
+    return _mor_priority_report(
+        table.read(as_of_timestamp="2026-01-15T00:00:00")
+    ).withColumn("n_changes", F.lit(n_changes).cast("bigint"))
+
+
+MOR_TS_TRAVEL_SQL = """
+WITH v1_state AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 178 = 0 OR o_orderkey % 194 = 0) AS n_changes
+FROM v1_state GROUP BY o_orderpriority
+"""
+
+
+# --- MOR conditional multi-clause MERGE (r15) --------------------------------
+# SQL MERGE's full clause surface: WHEN MATCHED AND cond THEN UPDATE /
+# WHEN MATCHED AND cond THEN DELETE / WHEN NOT MATCHED THEN INSERT —
+# an ORDERED list, first-match-wins per source row, still compiled to
+# exactly ONE O(|source|) delta append (n_versions pins it), stats
+# from ONE groupBy job over the classified source (the r14 verdict's
+# triple-.count() folded away). The source carries matched rows (%7
+# keys, all present in the base) and guaranteed-new rows (%11 keys
+# mapped to -(k+1), injective into the negatives — plain negation
+# would map the testdata's key 0 onto itself and collide); clause
+# order makes %42 keys (divisible by both 3 and 2)
+# take the UPDATE, proving positional precedence. The oracle replays
+# the final state as CASE/filter logic and each stat as a modulus
+# count.
+def mor_multi_clause_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_mormc_", sf_dir)
+    path = os.path.join(base, "orders_mc")
+    stats_path = os.path.join(base, "mc_stats.json")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(stats_path):
+        table.write_base(orders)
+        tagged = F.concat(F.lit("M~"), F.col("o_orderpriority"))
+        source = (
+            orders.where(key % 7 == 0)
+            .withColumn("o_orderpriority", tagged)
+            .unionByName(
+                orders.where(key % 11 == 0)
+                .withColumn("o_orderkey", -(key + F.lit(1)))
+                .withColumn("o_orderpriority", tagged)
+            )
+        )
+        st = table.merge_into(
+            source=source,
+            clauses=[
+                ("matched", "o_orderkey % 3 = 0", "update"),
+                ("matched", "o_orderkey % 2 = 0", "delete"),
+                ("not_matched", None, "insert"),
+            ],
+        )
+        with open(stats_path, "w") as f:
+            json.dump(st, f)
+    with open(stats_path) as f:
+        st = json.load(f)
+    return (
+        table.read()
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumn("n_updated", F.lit(st["updated"]).cast("bigint"))
+        .withColumn("n_deleted", F.lit(st["deleted"]).cast("bigint"))
+        .withColumn("n_inserted", F.lit(st["inserted"]).cast("bigint"))
+        .withColumn(
+            "n_versions",
+            F.lit(len(table._existing_versions())).cast("int"),
+        )
+    )
+
+
+MOR_MULTI_CLAUSE_SQL = """
+WITH final AS (
+  SELECT o_totalprice FROM orders
+  WHERE NOT (o_orderkey % 14 = 0 AND o_orderkey % 3 <> 0)
+  UNION ALL
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 21 = 0) AS n_updated,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 14 = 0 AND o_orderkey % 3 <> 0) AS n_deleted,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 11 = 0) AS n_inserted,
+       1 AS n_versions
+FROM final
+"""
+
+
+# --- MIN/MAX MV maintenance under extremum deletes (r15) ---------------------
+# The leg apply_cdf_to_agg_mv documents as out of scope, closed:
+# extrema are not a group under retraction, so
+# streaming/incremental.py::apply_cdf_to_minmax_mv merges additions as
+# least/greatest (additions can only improve an extremum) and rescans
+# ONLY the groups whose current extremum was actually retracted — the
+# fixture's v2 deletes every per-group price MAXIMUM of the v1 state,
+# forcing the rescan leg for every group, while v1's group-moving
+# starred upserts exercise retract-from-old-group/add-to-new. The
+# maintained MV across both windows must hash-equal the oracle's
+# from-scratch aggregate of the final state. At 100 TB the rescan leg
+# is a broadcast-semi-filtered aggregate over exactly the hit groups;
+# the no-retraction fast path never evaluates the table at all
+# (pinned in pytest with table=None).
+def mor_minmax_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.streaming.incremental import (
+        apply_cdf_to_minmax_mv,
+    )
+
+    base = cached_scratch_dir("squopt_mormm_", sf_dir)
+    path = os.path.join(base, "orders_mm")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    if not os.path.exists(os.path.join(path, "base", "_SUCCESS")):
+        table.write_base(orders)
+        table.append_delta(
+            1,
+            upserts=orders.where(key % 89 == 0).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("*")),
+            ),
+        )
+        s1 = table.read(as_of_version=1).withColumn("cents", cents)
+        mx = s1.groupBy("o_orderpriority").agg(F.max("cents").alias("_m"))
+        dels = (
+            s1.join(F.broadcast(mx), "o_orderpriority")
+            .where(F.col("cents") == F.col("_m"))
+            .select("o_orderkey")
+        )
+        table.append_delta(2, delete_keys=dels)
+    mv = (
+        spark.read.parquet(table._base)
+        .withColumn("cents", cents)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("cents").alias("mn_cents"),
+            F.max("cents").alias("mx_cents"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    for win in ((0, 1), (1, 2)):
+        feed = table.changes(*win, include_preimages=True).withColumn(
+            "cents", cents
+        )
+        mv = apply_cdf_to_minmax_mv(
+            mv,
+            feed,
+            ["o_orderpriority"],
+            {"mn_cents": ("min", "cents"), "mx_cents": ("max", "cents")},
+            # the rescan leg aggregates the MV's VALUE column, so the
+            # post-window state must carry the same derived cents
+            table=table.read(as_of_version=win[1]).withColumn(
+                "cents", cents
+            ),
+            count_col="n_orders",
+        )
+    return mv
+
+
+MOR_MINMAX_MV_SQL = """
+WITH s1 AS (
+  SELECT CASE WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+),
+mx AS (SELECT o_orderpriority, max(cents) AS m FROM s1
+       GROUP BY o_orderpriority),
+s2 AS (SELECT s1.o_orderpriority, s1.cents
+       FROM s1 JOIN mx ON s1.o_orderpriority = mx.o_orderpriority
+       WHERE s1.cents < mx.m)
+SELECT o_orderpriority, min(cents) AS mn_cents, max(cents) AS mx_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM s2 GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "fuzzy_name_neighbors": (fuzzy_name_neighbors, FUZZY_NEIGHBORS_SQL),
     "mor_read_orders": (mor_read_orders, MOR_READ_SQL),
@@ -2826,6 +3175,16 @@ QUERIES = {
     "quarantine_replay_release": (
         quarantine_replay_release,
         QUARANTINE_REPLAY_SQL,
+    ),
+    "mor_concurrent_writers": (mor_concurrent_writers, MOR_CONCURRENT_SQL),
+    "mor_timestamp_travel_orders": (
+        mor_timestamp_travel_orders,
+        MOR_TS_TRAVEL_SQL,
+    ),
+    "mor_multi_clause_merge": (mor_multi_clause_merge, MOR_MULTI_CLAUSE_SQL),
+    "mor_minmax_mv_maintenance": (
+        mor_minmax_mv_maintenance,
+        MOR_MINMAX_MV_SQL,
     ),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
