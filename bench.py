@@ -236,6 +236,7 @@ EXTRA = [
     "mor_timestamp_travel_orders",
     "mor_multi_clause_merge",
     "mor_minmax_mv_maintenance",
+    "mor_retention_sync",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -739,15 +739,30 @@ class MorTable:
           full-row upsert, 'delete', None = leave untouched), the rest
           take ``when_not_matched`` ('insert' or None = drop).
         - ``clauses`` (r15): an ORDERED list of ``(branch, condition,
-          action)`` — branch ∈ {'matched', 'not_matched'}, condition a
-          Column / SQL string / None (always true), action ∈ {'update',
-          'delete', 'ignore'} for matched and {'insert', 'ignore'} for
-          not_matched. FIRST MATCH WINS per source row, exactly SQL
-          MERGE's ``WHEN MATCHED AND cond THEN ...`` chain; a row no
-          clause claims is left untouched. Conditions see the source
-          row's columns by name and the CURRENT target row's columns as
-          ``_t_<name>`` (matched branch only), so ``"o_totalprice >
-          _t_o_totalprice"`` expresses upsert-if-newer.
+          action)`` — branch ∈ {'matched', 'not_matched',
+          'not_matched_by_source'}, condition a Column / SQL string /
+          None (always true), action ∈ {'update', 'delete', 'ignore'}
+          for matched, {'insert', 'ignore'} for not_matched, and
+          {'delete', 'ignore'} for not_matched_by_source. FIRST MATCH
+          WINS per row, exactly SQL MERGE's ``WHEN ... AND cond THEN``
+          chain; a row no clause claims is left untouched. Matched /
+          not_matched clauses classify SOURCE rows and their
+          conditions see the source columns by name plus the CURRENT
+          target row's columns as ``_t_<name>`` ("o_totalprice >
+          _t_o_totalprice" = upsert-if-newer); not_matched_by_source
+          clauses classify TARGET rows absent from the source (the
+          snapshot-sync "delete what the source no longer has" branch)
+          and their conditions see the target columns by name. The
+          by-source branch costs one broadcast-anti-probed scan of the
+          table and its delete set is bounded by the unmatched target
+          rows, not by |source| — stats report it as
+          ``deleted_by_source``. A matched action may also be the SQL
+          UPDATE SET form ``('update', {col: expr})``: assigned columns
+          take the expression (source columns bare, target columns as
+          ``_t_<name>`` — so ``{"x": "_t_x + x"}`` is an increment
+          merge), every unassigned column KEEPS the target row's
+          current value; plain ``'update'`` remains a full-row replace
+          from the source.
 
         Concurrency: the whole read→classify→append window runs inside
         the table commit lock, so a concurrent writer cannot flip a
@@ -781,18 +796,38 @@ class MorTable:
                 clauses.append(("not_matched", None, when_not_matched))
         if not clauses:
             raise ValueError("merge_into with no clauses is a no-op")
+        _ALLOWED = {
+            "matched": ("update", "delete", "ignore"),
+            "not_matched": ("insert", "ignore"),
+            "not_matched_by_source": ("delete", "ignore"),
+        }
         for branch, _cond, action in clauses:
-            if branch not in ("matched", "not_matched"):
+            if branch not in _ALLOWED:
                 raise ValueError(f"clause branch: {branch!r}")
-            allowed = (
-                ("update", "delete", "ignore")
-                if branch == "matched"
-                else ("insert", "ignore")
-            )
-            if action not in allowed:
+            if isinstance(action, tuple):
+                # ("update", {col: expr}) — SQL's UPDATE SET form:
+                # assigned columns take the expression (source columns
+                # bare, target columns as _t_<name>), every OTHER
+                # column KEEPS the target row's current value — unlike
+                # plain "update", which is a full-row replace from the
+                # source
+                if branch != "matched" or len(action) != 2 or action[
+                    0
+                ] != "update":
+                    raise ValueError(
+                        f"tuple action {action!r}: only "
+                        "('update', {col: expr}) on the matched branch"
+                    )
+                if not isinstance(action[1], dict) or not action[1]:
+                    raise ValueError(
+                        "UPDATE SET needs a non-empty {column: "
+                        "expression} dict"
+                    )
+                continue
+            if action not in _ALLOWED[branch]:
                 raise ValueError(
                     f"clause action {action!r} invalid for branch "
-                    f"{branch!r} (allowed: {allowed})"
+                    f"{branch!r} (allowed: {_ALLOWED[branch]})"
                 )
         with self._locked():
             return self._merge_into(
@@ -804,10 +839,36 @@ class MorTable:
     ) -> dict:
         tgt = self.read()
         src_keys = source.select(self.key)
-        # target payload only when some condition references _t_ columns
-        needs_target = any(
+        src_clauses = [c for c in clauses if c[0] != "not_matched_by_source"]
+        nbs_clauses = [c for c in clauses if c[0] == "not_matched_by_source"]
+        # UPDATE SET legs: give each its own action id so the upsert
+        # projection can differ per clause; validate assignments here
+        # where the table schema is known
+        set_legs: list[tuple[str, dict]] = []
+        chain_clauses = []
+        for i, (branch, cond, action) in enumerate(src_clauses):
+            if isinstance(action, tuple):
+                sets = action[1]
+                bad = set(sets) - set(tgt.columns)
+                if bad:
+                    raise ValueError(
+                        f"UPDATE SET assigns unknown column(s) "
+                        f"{sorted(bad)} (table has {tgt.columns})"
+                    )
+                if self.key in sets:
+                    raise ValueError(
+                        "UPDATE SET cannot reassign the table key"
+                    )
+                aid = f"update#set{i}"
+                set_legs.append((aid, sets))
+                chain_clauses.append((branch, cond, aid))
+            else:
+                chain_clauses.append((branch, cond, action))
+        # target payload when some condition references _t_ columns, and
+        # ALWAYS for SET legs (unassigned columns keep target values)
+        needs_target = bool(set_legs) or any(
             cond is not None and "_t_" in str(cond)
-            for _b, cond, _a in clauses
+            for _b, cond, _a in src_clauses
         )
         matched_t = tgt.join(
             F.broadcast(src_keys), self.key, "left_semi"
@@ -826,37 +887,103 @@ class MorTable:
         ).localCheckpoint(eager=True)  # bounded by |source|
         joined = source.join(F.broadcast(matched_t), self.key, "left")
         is_matched = F.coalesce(F.col("_t_exists"), F.lit(False))
-        action_col = None
-        for branch, cond, action in clauses:
-            c = is_matched if branch == "matched" else ~is_matched
-            if cond is not None:
-                c = c & (F.expr(cond) if isinstance(cond, str) else cond)
-            action_col = (
-                F.when(c, F.lit(action))
-                if action_col is None
-                else action_col.when(c, F.lit(action))
-            )
-        classified = joined.withColumn("_action", action_col)
+
+        def _when_chain(rows_clauses, base_cond):
+            chain = None
+            for branch, cond, action in rows_clauses:
+                c = base_cond(branch)
+                if cond is not None:
+                    c = c & (
+                        F.expr(cond) if isinstance(cond, str) else cond
+                    )
+                chain = (
+                    F.when(c, F.lit(action))
+                    if chain is None
+                    else chain.when(c, F.lit(action))
+                )
+            return chain
+
+        src_chain = _when_chain(
+            chain_clauses,
+            lambda b: is_matched if b == "matched" else ~is_matched,
+        )
+        classified = joined.withColumn(
+            "_action",
+            src_chain
+            if src_chain is not None
+            else F.lit(None).cast("string"),
+        )
         counts = {
             r["_action"]: r["count"]
             for r in classified.groupBy("_action").count().collect()
-        }  # ONE stats job for every leg
+        }  # ONE stats job for every source-side leg
         stats = {
-            "updated": counts.get("update", 0),
+            "updated": counts.get("update", 0)
+            + sum(counts.get(aid, 0) for aid, _ in set_legs),
             "deleted": counts.get("delete", 0),
             "inserted": counts.get("insert", 0),
             "version": None,
         }
-        if stats["updated"] + stats["deleted"] + stats["inserted"] == 0:
+        nbs_dels = None
+        if nbs_clauses:
+            stats["deleted_by_source"] = 0
+            # target rows the source no longer carries: ONE scan of the
+            # table, broadcast-anti-probed on the source key set;
+            # conditions see the target columns by name
+            unmatched_t = tgt.join(
+                F.broadcast(src_keys), self.key, "left_anti"
+            ).withColumn(
+                "_action",
+                _when_chain(nbs_clauses, lambda b: F.lit(True)),
+            )
+            nbs_dels = unmatched_t.where(
+                F.col("_action") == "delete"
+            ).select(self.key)
+            stats["deleted_by_source"] = nbs_dels.count()
+            if stats["deleted_by_source"] == 0:
+                nbs_dels = None
+        if (
+            stats["updated"]
+            + stats["deleted"]
+            + stats["inserted"]
+            + stats.get("deleted_by_source", 0)
+            == 0
+        ):
             return stats  # nothing to commit; no version burned
         src_cols = source.columns
-        upserts = (
-            classified.where(
-                F.col("_action").isin("update", "insert")
-            ).select(*src_cols)
-            if stats["updated"] + stats["inserted"] > 0
-            else None
-        )
+        legs = []
+        if (
+            counts.get("update", 0) + counts.get("insert", 0) > 0
+        ):  # full-row legs carry the source schema verbatim
+            legs.append(
+                classified.where(
+                    F.col("_action").isin("update", "insert")
+                ).select(*src_cols)
+            )
+        for aid, sets in set_legs:
+            if not counts.get(aid, 0):
+                continue
+            proj = [F.col(self.key)]
+            for c in tgt.columns:
+                if c == self.key:
+                    continue
+                e = sets.get(c)
+                col = (
+                    (F.expr(e) if isinstance(e, str) else e)
+                    if e is not None
+                    else F.col(f"_t_{c}")  # unassigned: keep target
+                )
+                proj.append(col.alias(c))
+            legs.append(
+                classified.where(F.col("_action") == aid).select(*proj)
+            )
+        upserts = None
+        for leg in legs:
+            upserts = (
+                leg
+                if upserts is None
+                else upserts.unionByName(leg, allowMissingColumns=True)
+            )
         dels = (
             classified.where(F.col("_action") == "delete").select(
                 self.key
@@ -864,6 +991,12 @@ class MorTable:
             if stats["deleted"] > 0
             else None
         )
+        if nbs_dels is not None:
+            dels = (
+                dels.unionByName(nbs_dels)
+                if dels is not None
+                else nbs_dels
+            )
         stats["version"] = self._append_delta(
             version, upserts, dels, commit_timestamp
         )
@@ -885,9 +1018,28 @@ class MorTable:
         return out.distinct()
 
     # --- maintenance ----------------------------------------------------------
-    def compact(self) -> None:
+    def compact(
+        self,
+        through_version: int | None = None,
+        older_than_timestamp=None,
+    ) -> int:
         """Fold the delta log back into a fresh base; the read path's
         split/window cost returns to zero until the next append.
+        Returns the horizon folded through (0 = nothing to fold).
+
+        RETENTION (r15): by default the whole log folds. Passing
+        ``through_version=N`` — or ``older_than_timestamp=t``, which
+        resolves to the highest version committed at or before ``t`` —
+        folds ONLY versions ``<= N``: the new base is the table's state
+        as of N, newer deltas stay live and keep their time travel.
+        This is the production retention shape ("keep 7 days of time
+        travel, fold the rest"): the fold boundary snaps DOWN to the
+        largest live version at or below the requested one, so a
+        boundary inside an already-log-folded range folds less rather
+        than guessing. Correctness is the same idempotent-last-wins
+        argument as a full compact — the new base holds exactly the
+        as-of-N state, and every surviving delta version applies over
+        it unchanged.
 
         Swap order is chosen so NO intermediate state can serve wrong
         data: (1) the merged snapshot is staged completely (with
@@ -920,18 +1072,38 @@ class MorTable:
         lock-free and safe: the fold touches only versions it read at
         entry, and the sweep stays horizon-bounded.
         """
+        if through_version is not None and older_than_timestamp is not None:
+            raise ValueError(
+                "pass through_version or older_than_timestamp, not both"
+            )
         with self._locked() as fence:
-            self._compact(fence)
+            return self._compact(
+                fence, through_version, older_than_timestamp
+            )
 
-    def _compact(self, fence) -> None:
+    def _compact(
+        self, fence, through_version=None, older_than_timestamp=None
+    ) -> int:
         import shutil
 
         from linqonsteroids_spark.sources.commitlog import atomic_replace
 
         have = self._existing_versions()
         if not have:
-            return
-        merged = self.read()
+            return 0
+        if older_than_timestamp is not None:
+            through_version = self._version_at(older_than_timestamp)
+        if through_version is None:
+            through_version = have[-1]
+        folding = [v for v in have if v <= through_version]
+        if not folding:
+            return 0  # boundary predates every live version
+        effective = folding[-1]
+        merged = (
+            self.read()
+            if effective == have[-1]
+            else self.read(as_of_version=effective)
+        )
         if os.path.isdir(self._staged):
             shutil.rmtree(self._staged)
         stats_manifest = os.path.join(self._base, "_FILE_STATS.json")
@@ -953,18 +1125,19 @@ class MorTable:
             )
         else:
             merged.write.mode("error").parquet(self._staged)
-        horizon = have[-1]
+        horizon = effective
         self._write_meta(horizon, fence=fence)
         old = os.path.join(self.path, f"_retired_base.{os.getpid()}")
         atomic_replace(self._base, old)
         atomic_replace(self._staged, self._base)
-        for v in have:  # only the folded versions; newer appends survive
+        for v in folding:  # only the folded versions; newer appends
             shutil.rmtree(os.path.join(self._delta_root, f"mor_v={v}"))
         if os.path.isdir(self._delta_root) and not os.listdir(
             self._delta_root
         ):
             os.rmdir(self._delta_root)
         shutil.rmtree(old)
+        return horizon
 
     # --- change feed ----------------------------------------------------------
     def changes(

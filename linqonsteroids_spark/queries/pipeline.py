@@ -3126,6 +3126,111 @@ FROM s2 GROUP BY o_orderpriority
 """
 
 
+# --- MOR retention compaction + snapshot-sync MERGE (r15) --------------------
+# The remaining lifecycle steps a production table runs on a schedule:
+# (1) RETENTION — compact(older_than_timestamp=t) resolves the boundary
+# against recorded commit wall-clocks and folds ONLY versions at or
+# below it (the new base is the as-of state; newer deltas stay live
+# with their time travel — "keep N days of history" as one call); and
+# (2) SNAPSHOT SYNC — SQL MERGE's WHEN NOT MATCHED BY SOURCE branch:
+# target rows absent from a full-snapshot source are deleted (under a
+# target-row condition), in the SAME single delta append as the
+# update/insert legs. The fixture folds v1 (starred %89 upserts) behind
+# a timestamp boundary, keeps v2 (%97 deletes) live, then syncs against
+# the even-key snapshot with odd-%5 garbage collection; the oracle
+# replays the final state and every stat declaratively.
+def mor_retention_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_morret_", sf_dir)
+    path = os.path.join(base, "orders_ret")
+    stats_path = os.path.join(base, "ret_stats.json")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(stats_path):
+        table.write_base(orders)
+        table.append_delta(
+            1,
+            upserts=orders.where(key % 89 == 0).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("*")),
+            ),
+            commit_timestamp="2026-01-01T00:00:00",
+        )
+        table.append_delta(
+            2,
+            delete_keys=orders.where(key % 97 == 0).select("o_orderkey"),
+            commit_timestamp="2026-02-01T00:00:00",
+        )
+        folded = table.compact(
+            older_than_timestamp="2026-01-15T00:00:00"
+        )
+        st = table.merge_into(
+            source=orders.where(key % 2 == 0).withColumn(
+                "o_orderpriority",
+                F.concat(F.lit("S~"), F.col("o_orderpriority")),
+            ),
+            clauses=[
+                ("matched", None, "update"),
+                ("not_matched", None, "insert"),
+                ("not_matched_by_source", "o_orderkey % 5 = 0", "delete"),
+            ],
+            commit_timestamp="2026-03-01T00:00:00",
+        )
+        with open(stats_path, "w") as f:
+            json.dump({"folded": folded, **st}, f)
+    with open(stats_path) as f:
+        st = json.load(f)
+    return (
+        table.read()
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumn("n_updated", F.lit(st["updated"]).cast("bigint"))
+        .withColumn("n_inserted", F.lit(st["inserted"]).cast("bigint"))
+        .withColumn(
+            "n_del_by_source",
+            F.lit(st["deleted_by_source"]).cast("bigint"),
+        )
+        .withColumn("horizon", F.lit(st["folded"]).cast("int"))
+        .withColumn(
+            "n_live_versions",
+            F.lit(len(table._existing_versions())).cast("int"),
+        )
+    )
+
+
+MOR_RETENTION_SYNC_SQL = """
+WITH final AS (
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_totalprice FROM orders
+  WHERE o_orderkey % 2 <> 0 AND o_orderkey % 97 <> 0
+    AND o_orderkey % 5 <> 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 97 <> 0) AS n_updated,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 97 = 0) AS n_inserted,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 2 <> 0 AND o_orderkey % 5 = 0
+          AND o_orderkey % 97 <> 0) AS n_del_by_source,
+       1 AS horizon, 2 AS n_live_versions
+FROM final
+"""
+
+
 QUERIES = {
     "fuzzy_name_neighbors": (fuzzy_name_neighbors, FUZZY_NEIGHBORS_SQL),
     "mor_read_orders": (mor_read_orders, MOR_READ_SQL),
@@ -3186,6 +3291,7 @@ QUERIES = {
         mor_minmax_mv_maintenance,
         MOR_MINMAX_MV_SQL,
     ),
+    "mor_retention_sync": (mor_retention_sync, MOR_RETENTION_SYNC_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,

@@ -707,3 +707,182 @@ def test_minmax_mv_refuses_postimage_only_protocol(spark, tmp_path):
         apply_cdf_to_minmax_mv(
             mv0, t.changes(0, 1), ["grp"], {"mn": ("min", "x")}
         )
+
+
+# --- retention compaction + NOT MATCHED BY SOURCE -----------------------------
+
+
+def test_partial_compact_folds_only_through_boundary(spark, tmp_path):
+    """compact(through_version=N) folds versions <= N into the base and
+    KEEPS newer deltas live with their time travel — the production
+    retention shape. State equals the full-log read before and after."""
+    t = _mk(spark, tmp_path / "mor_ret")
+    t.append_delta(
+        1, upserts=spark.createDataFrame([(1, "a1", 11.0)], ["k", "s", "x"]),
+        commit_timestamp=1000.0,
+    )
+    t.append_delta(
+        2, delete_keys=spark.createDataFrame([(2,)], ["k"]),
+        commit_timestamp=2000.0,
+    )
+    t.append_delta(
+        3, upserts=spark.createDataFrame([(9, "n", 90.0)], ["k", "s", "x"]),
+        commit_timestamp=3000.0,
+    )
+    before = sorted(map(tuple, t.read().collect()))
+    folded = t.compact(through_version=2)
+    assert folded == 2
+    assert t._existing_versions() == [3]  # v3 survives
+    assert t._compacted_through() == 2
+    assert sorted(map(tuple, t.read().collect())) == before
+    # v3 is still time-travelable; v1/v2 refuse with the horizon rule
+    assert sorted(r["k"] for r in t.read(as_of_version=3).collect()) == [
+        1, 3, 9
+    ]
+    with pytest.raises(ValueError, match="compaction horizon"):
+        t.read(as_of_version=1)
+    # base now holds the as-of-2 state: k=2 gone, k=1 at a1
+    base = {r["k"]: r["s"] for r in spark.read.parquet(t._base).collect()}
+    assert base == {1: "a1", 3: "c"}
+
+
+def test_retention_compact_by_timestamp(spark, tmp_path):
+    """compact(older_than_timestamp=t) resolves the boundary via the
+    recorded commit wall-clocks, snapping DOWN to a live version; a
+    boundary before every commit is a no-op."""
+    t = _mk(spark, tmp_path / "mor_rett")
+    t.append_delta(
+        1, upserts=spark.createDataFrame([(1, "a1", 11.0)], ["k", "s", "x"]),
+        commit_timestamp=1000.0,
+    )
+    t.append_delta(
+        2, upserts=spark.createDataFrame([(9, "n", 90.0)], ["k", "s", "x"]),
+        commit_timestamp=2000.0,
+    )
+    assert t.compact(older_than_timestamp=500.0) == 0  # nothing that old
+    assert t._existing_versions() == [1, 2]
+    folded = t.compact(older_than_timestamp=1500.0)  # resolves to v1
+    assert folded == 1
+    assert t._existing_versions() == [2]
+    assert {r["k"]: r["s"] for r in t.read().collect()} == {
+        1: "a1", 2: "b", 3: "c", 9: "n"
+    }
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(through_version=2, older_than_timestamp=1.0)
+
+
+def test_merge_not_matched_by_source_deletes_gone_rows(spark, tmp_path):
+    """The snapshot-sync branch: target rows absent from the source are
+    deleted (optionally under a condition on the TARGET row), in the
+    same single delta append as the other clauses."""
+    t = _mk(spark, tmp_path / "mor_nbs")
+    # source snapshot: k=1 (update), k=9 (insert); k=2 and k=3 are gone
+    # from the snapshot — delete only the ones with x < 25
+    source = spark.createDataFrame(
+        [(1, "a1", 11.0), (9, "n", 90.0)], ["k", "s", "x"]
+    )
+    stats = t.merge_into(
+        source=source,
+        clauses=[
+            ("matched", None, "update"),
+            ("not_matched", None, "insert"),
+            ("not_matched_by_source", "x < 25", "delete"),
+        ],
+    )
+    assert stats == {
+        "updated": 1, "deleted": 0, "inserted": 1,
+        "deleted_by_source": 1, "version": 1,
+    }
+    # k=2 (x=20 < 25) deleted; k=3 (x=30) retained by the condition
+    assert {r["k"]: r["s"] for r in t.read().collect()} == {
+        1: "a1", 3: "c", 9: "n"
+    }
+    assert t._existing_versions() == [1]  # ONE delta for all legs
+
+
+def test_merge_nbs_only_and_validation(spark, tmp_path):
+    t = _mk(spark, tmp_path / "mor_nbs2")
+    empty = spark.createDataFrame([], "k bigint, s string, x double")
+    # full-sync delete against an empty snapshot clears the table
+    stats = t.merge_into(
+        source=empty,
+        clauses=[("not_matched_by_source", None, "delete")],
+    )
+    assert stats["deleted_by_source"] == 3 and stats["version"] == 1
+    assert t.read().count() == 0
+    with pytest.raises(ValueError, match="invalid for branch"):
+        t.merge_into(
+            source=empty,
+            clauses=[("not_matched_by_source", None, "insert")],
+        )
+
+
+def test_merge_update_set_expressions(spark, tmp_path):
+    """('update', {col: expr}) — SQL's UPDATE SET: assigned columns
+    evaluate over source (bare) + target (_t_) values, unassigned
+    columns KEEP the target's current value. The increment-merge shape
+    ledgers need, impossible with full-row replace."""
+    t = _mk(spark, tmp_path / "mor_set")
+    # source carries deltas to ADD to x; s should stay the target's
+    source = spark.createDataFrame(
+        [(1, "ignored", 5.0), (2, "ignored", 7.0), (9, "new", 90.0)],
+        ["k", "s", "x"],
+    )
+    stats = t.merge_into(
+        source=source,
+        clauses=[
+            ("matched", None, ("update", {"x": "_t_x + x"})),
+            ("not_matched", None, "insert"),
+        ],
+    )
+    assert stats == {
+        "updated": 2, "deleted": 0, "inserted": 1, "version": 1
+    }
+    state = {r["k"]: (r["s"], r["x"]) for r in t.read().collect()}
+    assert state == {
+        1: ("a", 15.0),   # x incremented, s KEPT from target
+        2: ("b", 27.0),
+        3: ("c", 30.0),   # untouched
+        9: ("new", 90.0),  # plain insert carries the source row
+    }
+
+
+def test_merge_update_set_validation_and_mixed_legs(spark, tmp_path):
+    t = _mk(spark, tmp_path / "mor_set2")
+    src = spark.createDataFrame([(1, "z", 1.0)], ["k", "s", "x"])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_into(
+            source=src,
+            clauses=[("matched", None, ("update", {"nope": "1"}))],
+        )
+    with pytest.raises(ValueError, match="reassign the table key"):
+        t.merge_into(
+            source=src,
+            clauses=[("matched", None, ("update", {"k": "k + 1"}))],
+        )
+    with pytest.raises(ValueError, match="matched branch"):
+        t.merge_into(
+            source=src,
+            clauses=[("not_matched", None, ("update", {"x": "1"}))],
+        )
+    # two SET clauses with different assignments + a full-row update,
+    # first-match-wins: %2 keys increment, %3 keys cap, rest replace
+    src2 = spark.createDataFrame(
+        [(1, "r", 100.0), (2, "r", 100.0), (3, "r", 100.0)],
+        ["k", "s", "x"],
+    )
+    stats = t.merge_into(
+        source=src2,
+        clauses=[
+            ("matched", "k % 2 = 0", ("update", {"x": "_t_x + 1"})),
+            ("matched", "k % 3 = 0", ("update", {"s": F.lit("capped")})),
+            ("matched", None, "update"),
+        ],
+    )
+    assert stats["updated"] == 3
+    state = {r["k"]: (r["s"], r["x"]) for r in t.read().collect()}
+    assert state == {
+        1: ("r", 100.0),      # full-row replace
+        2: ("b", 21.0),       # x += 1, s kept
+        3: ("capped", 30.0),  # s capped, x kept
+    }
