@@ -886,3 +886,63 @@ def test_merge_update_set_validation_and_mixed_legs(spark, tmp_path):
         2: ("b", 21.0),       # x += 1, s kept
         3: ("capped", 30.0),  # s capped, x kept
     }
+
+
+def test_concurrent_appenders_across_processes(spark, tmp_path):
+    """Two OS processes (separate JVMs, separate Python interpreters)
+    race allocate-mode appends on the same table path — the cross-
+    process half of the multi-writer contract that thread tests cannot
+    exercise (POSIX no-clobber rename and flock are per-process
+    primitives). Both must land under distinct versions; the parent's
+    read equals the serial application."""
+    import subprocess
+    import sys
+    import time
+
+    path = str(tmp_path / "mor_proc")
+    t = _mk(spark, path)
+    go = str(tmp_path / "go")  # start barrier: both wait for this file
+
+    script = r"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+path, tag, key, go = sys.argv[1:5]
+spark = (SparkSession.builder.master("local[2]")
+         .appName(f"w{tag}")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+from linqonsteroids_spark.operators.mor import MorTable
+h = MorTable(spark, path, "k")
+df = spark.createDataFrame([(int(key), tag, float(key))], ["k", "s", "x"])
+df.collect()  # warm the session before the race
+while not os.path.exists(go):
+    time.sleep(0.02)
+v = h.append_delta(upserts=df)
+print(f"VERSION={v}", flush=True)
+spark.stop()
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, path, tag, key, go],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for tag, key in (("P1", "201"), ("P2", "202"))
+    ]
+    time.sleep(20)  # let both sessions boot before releasing the race
+    open(go, "w").write("go")
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    versions = sorted(
+        int(line.split("=")[1])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("VERSION=")
+    )
+    assert versions == [1, 2], outs  # distinct and dense
+    state = {r["k"]: r["s"] for r in t.read().collect()}
+    assert state[201] == "P1" and state[202] == "P2"
+    assert state[1] == "a"
