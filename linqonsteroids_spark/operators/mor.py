@@ -726,6 +726,7 @@ class MorTable:
         when_not_matched: str | None = "insert",
         clauses: list | None = None,
         commit_timestamp=None,
+        broadcast_source: bool = True,
     ) -> dict:
         """SQL MERGE semantics compiled to ONE delta append — the
         write-optimized MOR answer to ``operators/merge.py``'s
@@ -777,6 +778,14 @@ class MorTable:
         (r14's three separate ``.count()`` legs folded away); the write
         is the normal O(|source|) delta append; the base is never
         rewritten. Source keys must be unique (the delta contract).
+
+        ``broadcast_source=False`` is the BULK-merge escape hatch: when
+        the source is itself too large to broadcast (a backfill, a
+        full-snapshot sync), the broadcast hints and the eager matched-
+        set checkpoint are dropped — Catalyst plans shuffle joins
+        co-partitioned on the key, and the classification is simply
+        recomputed by the stats job and the write (two passes instead
+        of one plus materialized state that would not fit).
         """
         if source is None:
             raise ValueError("merge_into needs a source DataFrame")
@@ -831,12 +840,19 @@ class MorTable:
                 )
         with self._locked():
             return self._merge_into(
-                version, source, clauses, commit_timestamp
+                version, source, clauses, commit_timestamp,
+                broadcast_source,
             )
 
     def _merge_into(
-        self, version, source: DataFrame, clauses: list, commit_timestamp
+        self,
+        version,
+        source: DataFrame,
+        clauses: list,
+        commit_timestamp,
+        broadcast_source: bool = True,
     ) -> dict:
+        bc = F.broadcast if broadcast_source else (lambda df: df)
         tgt = self.read()
         src_keys = source.select(self.key)
         src_clauses = [c for c in clauses if c[0] != "not_matched_by_source"]
@@ -871,7 +887,7 @@ class MorTable:
             for _b, cond, _a in src_clauses
         )
         matched_t = tgt.join(
-            F.broadcast(src_keys), self.key, "left_semi"
+            bc(src_keys), self.key, "left_semi"
         ).select(
             F.col(self.key),
             *(
@@ -884,8 +900,12 @@ class MorTable:
                 else []
             ),
             F.lit(True).alias("_t_exists"),
-        ).localCheckpoint(eager=True)  # bounded by |source|
-        joined = source.join(F.broadcast(matched_t), self.key, "left")
+        )
+        if broadcast_source:
+            # bounded by |source|; skipped for bulk merges where the
+            # matched set would not fit executor storage
+            matched_t = matched_t.localCheckpoint(eager=True)
+        joined = source.join(bc(matched_t), self.key, "left")
         is_matched = F.coalesce(F.col("_t_exists"), F.lit(False))
 
         def _when_chain(rows_clauses, base_cond):
@@ -931,7 +951,7 @@ class MorTable:
             # table, broadcast-anti-probed on the source key set;
             # conditions see the target columns by name
             unmatched_t = tgt.join(
-                F.broadcast(src_keys), self.key, "left_anti"
+                bc(src_keys), self.key, "left_anti"
             ).withColumn(
                 "_action",
                 _when_chain(nbs_clauses, lambda b: F.lit(True)),

@@ -946,3 +946,38 @@ spark.stop()
     state = {r["k"]: r["s"] for r in t.read().collect()}
     assert state[201] == "P1" and state[202] == "P2"
     assert state[1] == "a"
+
+
+def test_merge_bulk_mode_equals_broadcast_mode(spark, tmp_path):
+    """broadcast_source=False (the bulk-merge escape hatch: no
+    broadcast hints, no eager matched-set checkpoint — shuffle joins,
+    two classification passes) must produce byte-identical state and
+    stats to the default broadcast path."""
+    src = spark.createDataFrame(
+        [(1, "u", 99.0), (2, "d", 0.0), (9, "n", 9.0)], ["k", "s", "x"]
+    )
+    clauses = [
+        ("matched", "x > _t_x", "update"),
+        ("matched", None, "delete"),
+        ("not_matched", None, "insert"),
+        ("not_matched_by_source", "x > 25", "delete"),
+    ]
+    results = {}
+    for mode in (True, False):
+        t = _mk(spark, tmp_path / f"mor_bulk_{mode}")
+        stats = t.merge_into(
+            source=src, clauses=clauses, broadcast_source=mode
+        )
+        results[mode] = (
+            stats,
+            sorted(map(tuple, t.read().collect())),
+        )
+    assert results[True] == results[False]
+    stats, state = results[True]
+    # sanity on the fixture itself: k1 updated (99>10), k2 deleted,
+    # k9 inserted, k3 (x=30>25) garbage-collected by source absence
+    assert stats == {
+        "updated": 1, "deleted": 1, "inserted": 1,
+        "deleted_by_source": 1, "version": 1,
+    }
+    assert [r[0] for r in state] == [1, 9]
