@@ -150,6 +150,34 @@ class MorTable:
         self._tl = threading.local()  # reentrancy for _locked()
         self._recover_interrupted_compact()
         self._recover_interrupted_log_fold()
+        self._sweep_orphaned_delta_staging()
+
+    def _sweep_orphaned_delta_staging(self) -> None:
+        """Reclaim staged delta dirs stranded by a crashed append (died
+        between its staged write and the atomic claim) — without this,
+        every such crash leaks a delta-sized copy forever, the same
+        debris class as the r12 retired-base leak. Staged names carry
+        the writer's pid; ONLY dirs whose pid is dead are swept, so a
+        LIVE concurrent appender mid-publish is never yanked out from
+        under its rename. Pid liveness is a single-host signal — a
+        multi-host object-store deployment reclaims orphaned staging
+        with storage lifecycle rules instead (age-based, exactly what
+        Delta/Iceberg docs prescribe for their _tmp prefixes)."""
+        import glob
+        import shutil
+
+        for d in glob.glob(os.path.join(self.path, "_delta_staged.*")):
+            parts = os.path.basename(d).split(".")
+            try:
+                pid = int(parts[1])
+            except (IndexError, ValueError):
+                continue  # unknown layout: leave it for a human
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(d, ignore_errors=True)
+            except PermissionError:
+                pass  # pid exists under another uid: alive, keep
 
     @contextlib.contextmanager
     def _locked(self):
@@ -663,8 +691,12 @@ class MorTable:
         os.makedirs(self._delta_root, exist_ok=True)
         for _ in range(64):
             candidate = version if version is not None else self._next_version()
+            # pid-tagged so a crashed appender's orphaned staging is
+            # identifiable and reclaimed by the next construction's
+            # sweep (_sweep_orphaned_delta_staging)
             staged = os.path.join(
-                self.path, f"_delta_staged.{uuid.uuid4().hex[:12]}"
+                self.path,
+                f"_delta_staged.{os.getpid()}.{uuid.uuid4().hex[:12]}",
             )
             out.write.mode("error").parquet(staged)
             if publish_dir_if_absent(

@@ -981,3 +981,25 @@ def test_merge_bulk_mode_equals_broadcast_mode(spark, tmp_path):
         "deleted_by_source": 1, "version": 1,
     }
     assert [r[0] for r in state] == [1, 9]
+
+
+def test_orphaned_append_staging_is_swept_dead_pid_only(spark, tmp_path):
+    """A crashed append strands its staged delta dir; the next handle
+    construction reclaims it — but ONLY when the staging writer's pid
+    is dead, so a live concurrent appender mid-publish is untouched."""
+    import os
+
+    t = _mk(spark, tmp_path / "mor_orphan")
+    dead = os.path.join(t.path, "_delta_staged.999999999.deadbeef0000")
+    live = os.path.join(
+        t.path, f"_delta_staged.{os.getpid()}.cafecafe0000"
+    )
+    odd = os.path.join(t.path, "_delta_staged.not-a-pid")
+    for d in (dead, live, odd):
+        os.makedirs(d)
+        open(os.path.join(d, "part-0.parquet"), "w").write("x")
+    t2 = MorTable(spark, t.path, "k")  # sweep runs in __init__
+    assert not os.path.isdir(dead), "dead writer's staging reclaimed"
+    assert os.path.isdir(live), "live writer's staging untouched"
+    assert os.path.isdir(odd), "unparseable layout left for a human"
+    assert t2.read().count() == 3  # table itself unharmed
