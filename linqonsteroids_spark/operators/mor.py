@@ -179,6 +179,34 @@ class MorTable:
             except PermissionError:
                 pass  # pid exists under another uid: alive, keep
 
+    def _assert_fence_valid(self) -> None:
+        """Abort if this thread's held lease was taken over (the fence
+        is stale). Maintenance ops hold the commit lock across Spark
+        jobs; on a leased backend a job outlasting the TTL makes the
+        holder a ZOMBIE, and fencing only guards META writes — a
+        zombie merge could still publish a delta classified against a
+        pre-takeover state (lost-update write skew). This probe is a
+        fenced no-op put checked immediately before the decision's
+        publish, shrinking the unguarded window to probe→publish; a
+        real object-store port closes even that by making the delta
+        publish itself a fenced conditional PUT of the manifest key."""
+        from linqonsteroids_spark.sources.commitlog import fenced_put
+
+        fence = getattr(self._tl, "fence", None)
+        if fence is None:
+            return  # non-leased backend: the lock cannot be lost
+        if not fenced_put(
+            os.path.join(self.path, "_fence_probe"),
+            str(fence),
+            self._lock_path,
+            fence,
+        ):
+            raise RuntimeError(
+                "commit fence lost mid-operation: this holder's lease "
+                "was taken over — aborting before publishing a "
+                "decision made against a pre-takeover state"
+            )
+
     @contextlib.contextmanager
     def _locked(self):
         """Per-table commit lock through the seam, reentrant WITHIN a
@@ -1049,6 +1077,8 @@ class MorTable:
                 if dels is not None
                 else nbs_dels
             )
+        self._assert_fence_valid()  # a zombie merge must lose HERE,
+        # before its pre-takeover classification is published
         stats["version"] = self._append_delta(
             version, upserts, dels, commit_timestamp
         )

@@ -1003,3 +1003,48 @@ def test_orphaned_append_staging_is_swept_dead_pid_only(spark, tmp_path):
     assert os.path.isdir(live), "live writer's staging untouched"
     assert os.path.isdir(odd), "unparseable layout left for a human"
     assert t2.read().count() == 3  # table itself unharmed
+
+
+def test_zombie_merge_loses_after_lease_takeover(spark, tmp_path):
+    """A merge whose lease expires mid-classification must ABORT before
+    publishing (its classification is against a pre-takeover state) —
+    the fence probe immediately before the append is what catches it,
+    because fencing on meta writes alone would fire only AFTER the
+    delta landed."""
+    import threading
+    import time
+
+    path = str(tmp_path / "mor_zombie")
+    be = ConditionalPutBackend(lease_ttl_s=0.05)
+    with use_backend(be):
+        t = _mk(spark, path)
+        src = spark.createDataFrame([(1, "z", 99.0)], ["k", "s", "x"])
+
+        taken = threading.Event()
+
+        def usurper():
+            h = MorTable(spark, path, "k")
+            time.sleep(0.2)  # let the zombie's lease expire
+            with h._locked():  # takeover bumps the fence
+                taken.set()
+
+        # simulate the zombie: hold the lock, let the TTL lapse and the
+        # usurper take over, then attempt the guarded append path
+        th = threading.Thread(target=usurper)
+        with t._locked():
+            th.start()
+            assert taken.wait(30)
+            with pytest.raises(RuntimeError, match="fence lost"):
+                t._merge_into(
+                    None,
+                    src,
+                    [("matched", None, "update")],
+                    None,
+                    True,
+                )
+        th.join(30)
+        # nothing published: the table is untouched
+        assert t._existing_versions() == []
+        assert {r["s"] for r in t.read().where("k = 1").collect()} == {
+            "a"
+        }
