@@ -1104,6 +1104,7 @@ class MorTable:
         self,
         through_version: int | None = None,
         older_than_timestamp=None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Fold the delta log back into a fresh base; the read path's
         split/window cost returns to zero until the next append.
@@ -1122,6 +1123,12 @@ class MorTable:
         argument as a full compact — the new base holds exactly the
         as-of-N state, and every surviving delta version applies over
         it unchanged.
+
+        ``zorder_by=[cols]`` (r15) restages the fold along the Morton
+        curve of the given columns — Delta's OPTIMIZE ZORDER BY as a
+        compaction option: the rewrite the compact already pays buys
+        multi-column data skipping for every scan after it. Exclusive
+        with a key-range stats manifest (one physical order).
 
         Swap order is chosen so NO intermediate state can serve wrong
         data: (1) the merged snapshot is staged completely (with
@@ -1160,11 +1167,15 @@ class MorTable:
             )
         with self._locked() as fence:
             return self._compact(
-                fence, through_version, older_than_timestamp
+                fence, through_version, older_than_timestamp, zorder_by
             )
 
     def _compact(
-        self, fence, through_version=None, older_than_timestamp=None
+        self,
+        fence,
+        through_version=None,
+        older_than_timestamp=None,
+        zorder_by=None,
     ) -> int:
         import shutil
 
@@ -1189,7 +1200,26 @@ class MorTable:
         if os.path.isdir(self._staged):
             shutil.rmtree(self._staged)
         stats_manifest = os.path.join(self._base, "_FILE_STATS.json")
-        if os.path.exists(stats_manifest):
+        if zorder_by is not None:
+            # OPTIMIZE ZORDER BY: restage the fold along the Morton
+            # curve of the given columns, so post-compact scans skip
+            # files on EVERY z-ordered column (sources/zorder.py). The
+            # key-range stats manifest describes a different layout —
+            # the two clustering choices are exclusive by construction.
+            if os.path.exists(stats_manifest):
+                raise ValueError(
+                    "zorder_by conflicts with this table's key-range "
+                    "stats manifest (write_base(stats_files=...)): one "
+                    "physical order cannot serve both; pick one layout"
+                )
+            from linqonsteroids_spark.sources.zorder import (
+                write_zordered,
+            )
+
+            write_zordered(
+                merged, self._staged, zorder_by, mode="error"
+            )
+        elif os.path.exists(stats_manifest):
             # a stats-indexed base stays stats-indexed across compacts:
             # restage through the same range-clustered writer so the
             # manifest (and lookup's O(touched files) promise) rides

@@ -1048,3 +1048,59 @@ def test_zombie_merge_loses_after_lease_takeover(spark, tmp_path):
         assert {r["s"] for r in t.read().where("k = 1").collect()} == {
             "a"
         }
+
+
+def test_compact_zorder_by_restages_along_morton_curve(spark, tmp_path):
+    """compact(zorder_by=[...]) — OPTIMIZE ZORDER BY as a compaction
+    option: state identical to a plain compact, and the new base's
+    parquet footers carry narrow per-file spans on BOTH z-ordered
+    columns (the data-skipping property the rewrite buys)."""
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(spark, str(tmp_path / "mor_z"), "k")
+    n = 4000
+    base = spark.range(n).selectExpr(
+        "id AS k",
+        "CAST(id % 97 AS DOUBLE) AS x",
+        "CAST((id * 37) % 89 AS DOUBLE) AS y",
+    )
+    t.write_base(base)
+    t.append_delta(
+        1, delete_keys=spark.createDataFrame([(7,), (8, )], ["k"])
+    )
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact(zorder_by=["x", "y"])
+    assert t._existing_versions() == []
+    assert sorted(map(tuple, t.read().collect())) == before
+    # skipping property: per-file spans on each z column are a small
+    # fraction of the domain for MOST files (a plain write gives every
+    # file the full span)
+    stats = (
+        spark.read.parquet(t._base)
+        .groupBy(F.col("_metadata.file_name"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(stats) > 4
+    narrow = [r for r in stats if r["sx"] < 97 * 0.7 and r["sy"] < 89 * 0.7]
+    assert len(narrow) >= len(stats) // 2, (
+        [(round(r['sx']), round(r['sy'])) for r in stats]
+    )
+
+
+def test_compact_zorder_refuses_stats_manifest_conflict(spark, tmp_path):
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(spark, str(tmp_path / "mor_zc"), "k")
+    t.write_base(
+        spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x"),
+        stats_files=4,
+    )
+    t.append_delta(1, delete_keys=spark.createDataFrame([(5,)], ["k"]))
+    with pytest.raises(ValueError, match="one physical order"):
+        t.compact(zorder_by=["x"])
+    t.compact()  # the stats-preserving path still works
+    assert t._compacted_through() == 1
