@@ -237,6 +237,7 @@ EXTRA = [
     "mor_multi_clause_merge",
     "mor_minmax_mv_maintenance",
     "mor_retention_sync",
+    "takedown_lsh_maintenance",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -227,6 +227,7 @@ sig AS (
 bands AS ({bands_sql})
 """
     signatures = base + "SELECT * FROM sig"
+    bands_all = base + "SELECT * FROM bands"
     pairs = (
         base
         + """
@@ -320,9 +321,75 @@ GROUP BY d.doc_id
     )
     return {
         "signatures": signatures,
+        "bands": bands_all,
         "pairs": pairs,
         "clusters": clusters,
         "survivors": survivors,
         "incremental": incremental,
         "incremental_vs_corpus": incremental_vs_corpus,
     }
+
+
+def banded_index_rows(docs, id_col: str = "doc_id", key_col: str = "bk"):
+    """``(bk, doc_id, band, band_key)`` rows for a MOR-backed band
+    index: ``bk = <doc_id>#<band>`` is the table key. Band NUMBERS are
+    a fixed set per document, so a re-crawled document's fresh rows
+    UPSERT over its old ones with no tombstone bookkeeping — only true
+    takedowns need deletes."""
+    from pyspark.sql import functions as F
+
+    return _banded(minhash_signatures(docs, id_col=id_col), id_col).select(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("band").cast("string")
+        ).alias(key_col),
+        F.col(id_col),
+        "band",
+        "band_key",
+    )
+
+
+def maintain_band_index(
+    table,
+    arrivals=None,
+    takedown_ids=None,
+    id_col: str = "doc_id",
+) -> int | None:
+    """Maintain an LSH band index stored AS a merge-on-read table
+    (``operators/mor.py``) — the takedown-compliance shape a training
+    corpus needs: removing a document from the corpus must also remove
+    its signatures from the dedup index, or future near-dup decisions
+    keep matching against data that is contractually gone.
+
+    One O(changes) delta append per maintenance batch: ``arrivals``
+    (new or re-crawled docs) are hashed in O(|batch|) and UPSERT their
+    ``<doc>#<band>`` rows (band numbers are stable per doc, so
+    re-crawls overwrite in place); ``takedown_ids``' existing rows are
+    resolved to delete keys by ONE column-pruned scan of the index
+    probed against the broadcast takedown set — the 100 TB index never
+    shuffles, and the base file set is never rewritten until the next
+    compact folds the log. Returns the committed version (None if
+    nothing to do). Multi-writer safety, time travel ("which index
+    state produced last week's dedup verdicts"), and the change feed
+    all come free from the table format underneath.
+    """
+    from pyspark.sql import functions as F
+
+    ups = (
+        banded_index_rows(arrivals, id_col=id_col, key_col=table.key)
+        if arrivals is not None
+        else None
+    )
+    dels = None
+    if takedown_ids is not None:
+        dels = (
+            table.read()
+            .join(
+                F.broadcast(takedown_ids.select(id_col)),
+                id_col,
+                "left_semi",
+            )
+            .select(table.key)
+        )
+    if ups is None and dels is None:
+        return None
+    return table.append_delta(upserts=ups, delete_keys=dels)

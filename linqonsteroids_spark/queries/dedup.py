@@ -625,8 +625,99 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# --- takedown-aware band-index maintenance (r15) ----------------------------
+# The compliance shape of incremental dedup: when documents are taken
+# DOWN from a corpus, their signatures must leave the dedup index too,
+# or future near-dup verdicts keep matching against contractually-gone
+# data. The band index is stored AS a merge-on-read table
+# (dedup/minhash.py::maintain_band_index over operators/mor.py — key
+# <doc>#<band>): arrivals UPSERT their rows (band numbers are stable
+# per doc, so re-crawls overwrite in place), takedowns resolve to
+# delete keys via ONE column-pruned scan probed against the broadcast
+# takedown set, and everything lands in ONE O(changes) delta append —
+# the index base is never rewritten, and time travel ("which index
+# state produced last week's verdicts") comes free from the format.
+# The oracle rebuilds the band relation from scratch over the final
+# corpus (arrivals ∪ corpus − takedowns) with the shared md5 hash
+# family; equality of per-band row/key counts pins that maintenance
+# converged to the rebuild.
+_TAKEDOWN_MOD = 31
+
+
+def takedown_lsh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.dedup.minhash import (
+        INCREMENTAL_BATCH_MOD,
+        banded_index_rows,
+        maintain_band_index,
+    )
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_dir = cached_scratch_dir("squopt_lshmor_", sf_dir)
+    path = os.path.join(base_dir, "band_index")
+    done = os.path.join(base_dir, "_maintained")
+    table = MorTable(spark, path, "bk")
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    if not os.path.exists(done):
+        corpus0 = docs.filter(~is_batch)
+        table.write_base(banded_index_rows(corpus0))
+        v = maintain_band_index(
+            table,
+            arrivals=docs.filter(is_batch),
+            takedown_ids=corpus0.filter(
+                F.col("doc_id") % _TAKEDOWN_MOD == 0
+            ).select("doc_id"),
+        )
+        with open(done, "w") as f:
+            f.write(str(v))
+    return (
+        table.read()
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("band_key").cast("bigint").alias("n_keys"),
+        )
+        .withColumn(
+            "n_versions",
+            F.lit(len(table._existing_versions())).cast("int"),
+        )
+    )
+
+
+def _takedown_lsh_sql() -> str:
+    from linqonsteroids_spark.dedup.minhash import (
+        INCREMENTAL_BATCH_MOD,
+        minhash_oracle_sql,
+    )
+
+    final_corpus = (
+        "(SELECT * FROM documents WHERE "
+        f"doc_id % {INCREMENTAL_BATCH_MOD} = 0 "
+        f"OR doc_id % {_TAKEDOWN_MOD} <> 0)"
+    )
+    return (
+        minhash_oracle_sql(final_corpus)["bands"]
+        .replace(
+            "SELECT * FROM bands",
+            """
+SELECT band, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
+       1 AS n_versions
+FROM bands GROUP BY band
+""",
+        )
+    )
+
+
 QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, minhash_oracle_sql()["pairs"]),
+    "takedown_lsh_maintenance": (
+        takedown_lsh_maintenance,
+        _takedown_lsh_sql(),
+    ),
     "dedup_incremental_lsh": (
         dedup_incremental_lsh,
         minhash_oracle_sql()["incremental"],
