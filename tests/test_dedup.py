@@ -336,3 +336,46 @@ def test_simhash_64bit_tier_frozen_values(spark):
     # a single-token doc's signature IS its token hash (every bit wins
     # its own vote) — pins the two's-complement assembly end to end
     assert frozen[4] == hmap["single"]
+
+
+def test_maintain_band_index_recrawl_and_takedown(spark, tmp_path):
+    """dedup/minhash.py::maintain_band_index on a MOR-backed band
+    index: a re-crawled doc's fresh rows UPSERT over its old ones (band
+    numbers are stable per doc — no tombstone bookkeeping), a takedown
+    removes every band row of the doc, and the maintained index equals
+    a from-scratch rebuild over the final corpus."""
+    from linqonsteroids_spark.dedup.minhash import (
+        banded_index_rows,
+        maintain_band_index,
+    )
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    def docs(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    corpus0 = docs(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+        ]
+    )
+    t = MorTable(spark, str(tmp_path / "bandidx"), "bk")
+    t.write_base(banded_index_rows(corpus0))
+    recrawl = docs([(1, "an entirely different crawl of document one")])
+    v = maintain_band_index(
+        t,
+        arrivals=recrawl,
+        takedown_ids=docs([(2, "")]).select("doc_id"),
+    )
+    assert v == 1
+    maintained = sorted(
+        map(tuple, t.read().select("bk", "doc_id", "band", "band_key")
+            .collect())
+    )
+    rebuilt = sorted(
+        map(tuple, banded_index_rows(recrawl).collect())
+    )
+    assert maintained == rebuilt  # doc 2 gone, doc 1 fully re-keyed
+    # nothing-to-do call burns no version
+    assert maintain_band_index(t) is None
+    assert t._existing_versions() == [1]
