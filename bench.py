@@ -238,6 +238,8 @@ EXTRA = [
     "mor_minmax_mv_maintenance",
     "mor_retention_sync",
     "takedown_lsh_maintenance",
+    "mor_tagged_reads",
+    "mor_consumer_feed_mv",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

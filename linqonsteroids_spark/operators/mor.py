@@ -778,6 +778,234 @@ class MorTable:
             m["schema_through"] = through
             self._write_meta_dict(m, fence=fence)
 
+    # --- named refs (tags) ------------------------------------------------------
+    def tag(self, name: str, version: int | None = None, timestamp=None) -> int:
+        """Pin a reconstructible state under a NAME — Iceberg's tag refs
+        (``CREATE TAG``) re-expressed on the delta-log history: a tag is
+        one ``{name: version}`` meta entry, so creating one costs a
+        metadata write, never a data copy. ``read(tag=name)`` reads the
+        pinned state forever after ("the corpus snapshot we trained
+        run X on"), and RETENTION RESPECTS TAGS: :meth:`compact` /
+        :meth:`compact_log` REFUSE to fold a tagged version's state
+        away — the caller must ``delete_tag`` first, making history
+        destruction a two-step, named, auditable act instead of a side
+        effect of routine maintenance (exactly Iceberg's
+        expire-snapshots-respects-refs rule).
+
+        ``version=None`` with no ``timestamp`` tags the LATEST state
+        (the newest live version, or the compaction horizon when the
+        log is empty — i.e. the base snapshot). A ``timestamp`` resolves
+        through the recorded commit wall-clocks like
+        ``read(as_of_timestamp=)``. The resolved version must be
+        reconstructible NOW (same refusal taxonomy as ``read``: below
+        the horizon / log-folded / never committed all refuse), so a
+        tag can never be born dead. Re-tagging an existing name is
+        idempotent at the same version and refused at a different one
+        (tags are immutable pins; move = ``delete_tag`` + ``tag``).
+        Returns the pinned version."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version or timestamp, not both")
+        with self._locked() as fence:
+            m = self._read_meta()
+            have = self._existing_versions()
+            horizon = int(m.get("compacted_through", 0))
+            if timestamp is not None:
+                version = self._version_at(timestamp)
+                if version == 0 and horizon > 0:
+                    raise ValueError(
+                        f"timestamp {timestamp!r} predates every "
+                        "reconstructible state: the base was folded "
+                        f"through version {horizon} by compaction"
+                    )
+            if version is None:
+                version = have[-1] if have else horizon
+            version = int(version)
+            if not (version == horizon or version in have):
+                if version < horizon:
+                    raise ValueError(
+                        f"cannot tag version {version}: it is below the "
+                        f"compaction horizon {horizon} — its state was "
+                        "folded into the base"
+                    )
+                if version in set(m.get("folded_versions", [])):
+                    raise ValueError(
+                        f"cannot tag version {version}: it was folded "
+                        "by log compaction and is no longer "
+                        "reconstructible"
+                    )
+                raise ValueError(
+                    f"cannot tag version {version}: not in the delta "
+                    f"log {have} — it never committed"
+                )
+            tags = m.get("tags", {})
+            prior = tags.get(name)
+            if prior is not None:
+                if int(prior) == version:
+                    return version  # idempotent re-pin
+                raise ValueError(
+                    f"tag {name!r} already pins version {prior}: tags "
+                    "are immutable — delete_tag() first to move it"
+                )
+            tags[name] = version
+            m["tags"] = tags
+            self._write_meta_dict(m, fence=fence)
+            return version
+
+    def tags(self) -> dict[str, int]:
+        """Live tag refs, ``{name: pinned version}``."""
+        return {
+            k: int(v) for k, v in self._read_meta().get("tags", {}).items()
+        }
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag ref — the explicit step that releases its pinned
+        state back to retention (compaction can fold past it only after
+        this). Unknown names refuse loudly: a typo must not silently
+        'succeed' and leave the real tag still blocking retention."""
+        with self._locked() as fence:
+            m = self._read_meta()
+            tags = m.get("tags", {})
+            if name not in tags:
+                raise ValueError(f"tag {name!r} does not exist")
+            del tags[name]
+            m["tags"] = tags
+            self._write_meta_dict(m, fence=fence)
+
+    def _tags_blocking(self, lost_versions: set[int]) -> dict[str, int]:
+        """Tags whose pinned state a maintenance op is about to destroy."""
+        return {
+            n: v
+            for n, v in self.tags().items()
+            if v in lost_versions
+        }
+
+    # --- change-feed consumers (durable checkpoints) -----------------------------
+    def consumer_position(self, consumer_id: str) -> int:
+        """The version this consumer last acknowledged (its feed
+        baseline), or -1 if it was never registered."""
+        pos = self._read_meta().get("consumers", {}).get(consumer_id)
+        return -1 if pos is None else int(pos)
+
+    def consume_changes(
+        self,
+        consumer_id: str,
+        start: str = "earliest",
+        include_preimages: bool = False,
+    ):
+        """The Kafka-consumer shape on the MOR change feed: a durable,
+        named checkpoint per downstream consumer, stored in the table
+        meta and advanced ONLY by an explicit :meth:`ack_changes` —
+        process-then-ack, so a consumer that crashes mid-apply re-reads
+        the SAME window on restart instead of silently skipping it
+        (at-least-once delivery; pair it with a versioned apply — the
+        gate's agg-MV records ``applied_through`` — for exactly-once
+        effect).
+
+        Returns ``(feed, through_version)``: the CDC rows from the
+        checkpoint (exclusive) through the current latest version
+        (inclusive), and the version to pass to ``ack_changes`` after
+        the feed is durably applied. ``(None, position)`` when there is
+        nothing new. First consume registers the checkpoint:
+        ``start='earliest'`` baselines at the compaction horizon (the
+        base state — the consumer sees every change still
+        reconstructible), ``start='latest'`` at the newest version
+        (only future changes). ``include_preimages`` passes through to
+        :meth:`changes` for retraction-algebra consumers.
+
+        Retention integrates exactly like tags: :meth:`compact` /
+        :meth:`compact_log` REFUSE to fold a registered consumer's
+        unread window away (``drop_consumer`` is the explicit release),
+        so a lagging consumer can always resume — the feed can be
+        behind, never broken."""
+        if start not in ("earliest", "latest"):
+            raise ValueError(
+                f"start must be 'earliest' or 'latest', got {start!r}"
+            )
+        with self._locked() as fence:
+            m = self._read_meta()
+            consumers = m.get("consumers", {})
+            have = self._existing_versions()
+            horizon = int(m.get("compacted_through", 0))
+            latest = have[-1] if have else horizon
+            if consumer_id not in consumers:
+                consumers[consumer_id] = (
+                    horizon if start == "earliest" else latest
+                )
+                m["consumers"] = consumers
+                self._write_meta_dict(m, fence=fence)
+            pos = int(consumers[consumer_id])
+        if pos >= latest:
+            return None, pos
+        feed = self.changes(
+            from_version=pos,
+            to_version=latest,
+            include_preimages=include_preimages,
+        )
+        return feed, latest
+
+    def ack_changes(self, consumer_id: str, through_version: int) -> None:
+        """Advance a consumer's checkpoint to ``through_version`` —
+        call AFTER the consumed feed is durably applied. Monotonic:
+        moving backwards refuses (an ack is a promise the window was
+        applied; un-promising it would re-deliver into a state that
+        already absorbed it). The target must be an ackable feed
+        endpoint: a live version, or the consumer's current position
+        (a no-op re-ack after an idempotent retry)."""
+        through_version = int(through_version)
+        with self._locked() as fence:
+            m = self._read_meta()
+            consumers = m.get("consumers", {})
+            if consumer_id not in consumers:
+                raise ValueError(
+                    f"consumer {consumer_id!r} was never registered "
+                    "(consume_changes registers on first read)"
+                )
+            pos = int(consumers[consumer_id])
+            if through_version < pos:
+                raise ValueError(
+                    f"ack would move consumer {consumer_id!r} backwards "
+                    f"({pos} -> {through_version}): acks are monotonic"
+                )
+            if (
+                through_version != pos
+                and through_version not in self._existing_versions()
+            ):
+                raise ValueError(
+                    f"ack target {through_version} is not a live "
+                    "version: a consumer can only checkpoint at a feed "
+                    "endpoint it could have read"
+                )
+            consumers[consumer_id] = through_version
+            m["consumers"] = consumers
+            self._write_meta_dict(m, fence=fence)
+
+    def drop_consumer(self, consumer_id: str) -> None:
+        """Deregister a consumer — the explicit step that releases its
+        unread window back to retention (compaction can fold past its
+        checkpoint only after this). Unknown ids refuse loudly."""
+        with self._locked() as fence:
+            m = self._read_meta()
+            consumers = m.get("consumers", {})
+            if consumer_id not in consumers:
+                raise ValueError(
+                    f"consumer {consumer_id!r} does not exist"
+                )
+            del consumers[consumer_id]
+            m["consumers"] = consumers
+            self._write_meta_dict(m, fence=fence)
+
+    def _consumers_blocking(self, boundary: int) -> dict[str, int]:
+        """Consumers whose unread window a fold through ``boundary``
+        would destroy (checkpoint strictly below it: versions they
+        haven't acked would fold). A consumer checkpointed exactly AT
+        the boundary is safe — the new horizon IS its baseline and
+        ``changes(from_version=horizon)`` stays readable."""
+        return {
+            c: p
+            for c, p in self._read_meta().get("consumers", {}).items()
+            if int(p) < boundary
+        }
+
     def merge_into(
         self,
         version: int | None = None,
@@ -1192,6 +1420,28 @@ class MorTable:
         if not folding:
             return 0  # boundary predates every live version
         effective = folding[-1]
+        # retention respects tags (Iceberg's expire-snapshots rule):
+        # every state STRICTLY below the fold boundary becomes
+        # unreconstructible (a tag AT the boundary survives — the new
+        # base IS that state), so a tag inside the fold refuses the
+        # compact before any data is staged. delete_tag() first.
+        blocking = self._tags_blocking(
+            {v for v in self.tags().values() if v < effective}
+        )
+        if blocking:
+            raise ValueError(
+                f"compact through version {effective} would destroy "
+                f"tagged state(s) {blocking}: delete_tag() first — "
+                "retention respects tags"
+            )
+        lagging = self._consumers_blocking(effective)
+        if lagging:
+            raise ValueError(
+                f"compact through version {effective} would fold "
+                f"change-feed window(s) consumer(s) {lagging} have not "
+                "acknowledged: drop_consumer() first — retention "
+                "respects consumers"
+            )
         merged = (
             self.read()
             if effective == have[-1]
@@ -1596,6 +1846,28 @@ class MorTable:
         if len(folded_now) < 2:
             return
         target = folded_now[-1]
+        # retention respects tags: the intermediates' individual states
+        # are destroyed by the fold (the target survives), so a tag on
+        # any of them refuses the fold before the pending record lands.
+        blocking = self._tags_blocking(set(folded_now[:-1]))
+        if blocking:
+            raise ValueError(
+                f"compact_log would fold tagged version(s) {blocking} "
+                "into the net: delete_tag() first — retention respects "
+                "tags"
+            )
+        lagging = {
+            c: p
+            for c, p in self._read_meta().get("consumers", {}).items()
+            if int(p) in set(folded_now[:-1])
+        }
+        if lagging:
+            raise ValueError(
+                f"compact_log would fold consumer checkpoint(s) "
+                f"{lagging} into the net — their next feed baseline "
+                "would be unreconstructible: ack to the fold target or "
+                "drop_consumer() first"
+            )
         staged = os.path.join(self.path, f"_log_compact_staged.v{target}")
         m = self._read_meta()
         m["log_fold_pending"] = {
@@ -1720,6 +1992,7 @@ class MorTable:
         as_of_version: int | None = None,
         with_provenance: bool = False,
         as_of_timestamp=None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Latest state: base with all delta versions applied, last-wins.
 
@@ -1748,10 +2021,35 @@ class MorTable:
         different state. Old-time reads also carry the OLD schema:
         columns added by later versions don't exist in the included
         files, so they don't appear in the result.
+
+        ``tag=name`` (r15) reads the state a :meth:`tag` pinned —
+        stable across any amount of later history, and guaranteed
+        readable because retention refuses to fold a tagged state away
+        (a tag sitting exactly ON the compaction horizon reads the
+        base, which IS its state; tags cannot sit below it).
         """
         base = self.spark.read.parquet(self._base)
         have = self._existing_versions()
         horizon = self._compacted_through()
+        if tag is not None:
+            if as_of_version is not None or as_of_timestamp is not None:
+                raise ValueError(
+                    "pass tag, as_of_version, or as_of_timestamp — "
+                    "they are exclusive ways to name one state"
+                )
+            pinned = self.tags().get(tag)
+            if pinned is None:
+                raise ValueError(
+                    f"tag {tag!r} does not exist: "
+                    f"{sorted(self.tags())} are the live tags"
+                )
+            if pinned == horizon:
+                # the tagged state IS the base (tags survive a compact
+                # whose boundary lands exactly on them) — plus any
+                # still-live subsumed versions in a compact crash window
+                have = [v for v in have if v <= pinned]
+            else:
+                as_of_version = pinned  # refusal rules below apply
         if as_of_timestamp is not None:
             if as_of_version is not None:
                 raise ValueError(

@@ -3231,6 +3231,226 @@ FROM final
 """
 
 
+# --- MOR named refs (tags) + retention-respects-tags (r15) --------------------
+# Iceberg's tag refs on the MOR table: tag() pins a reconstructible
+# state under a name as ONE meta entry (no data copy), read(tag=)
+# serves it forever after, and retention RESPECTS tags — compact()
+# refuses to fold a tagged state away (delete_tag is the explicit,
+# auditable release), while a retention boundary landing exactly ON
+# the tag is allowed because the new base IS the tagged state. The
+# gate drives the whole lifecycle: tag v1, append v2, verify the full
+# compact refuses, retention-compact TO the tag (it survives and now
+# reads from the base), and report the pinned state — the oracle
+# replays v1 declaratively (the same %89-update/%97-delete algebra as
+# the time-travel gates) plus each lifecycle stat as a literal.
+def mor_tagged_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_mortag_", sf_dir)
+    path = os.path.join(base, "orders_tagged")
+    stats_path = os.path.join(base, "tag_stats.json")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    if not os.path.exists(stats_path):
+        table.write_base(orders)
+        table.append_delta(
+            1,
+            upserts=orders.where((key % 89 == 0) & (key % 97 != 0)).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("*")),
+            ),
+            delete_keys=orders.where(key % 97 == 0).select("o_orderkey"),
+        )
+        pinned = table.tag("post-cleanup")  # pins latest = v1
+        table.append_delta(
+            2,
+            upserts=orders.where(key % 178 == 0).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("**")),
+            ),
+        )
+        try:  # the full fold would destroy the tagged v1 state
+            table.compact()
+            refused = False
+        except ValueError:
+            refused = True
+        # retention TO the tag: allowed, the new base IS v1's state
+        folded_through = table.compact(through_version=1)
+        with open(stats_path, "w") as f:
+            json.dump(
+                {
+                    "pinned": pinned,
+                    "refused": refused,
+                    "folded_through": folded_through,
+                },
+                f,
+            )
+    with open(stats_path) as f:
+        st = json.load(f)
+    return (
+        _mor_priority_report(table.read(tag="post-cleanup"))
+        .withColumn("pinned_version", F.lit(st["pinned"]).cast("int"))
+        .withColumn("full_compact_refused", F.lit(st["refused"]))
+        .withColumn(
+            "folded_through", F.lit(st["folded_through"]).cast("int")
+        )
+        .withColumn("n_tags", F.lit(len(table.tags())).cast("int"))
+    )
+
+
+# --- MOR change-feed consumers: durable checkpoints + exactly-once MV (r15) ---
+# The Kafka-consumer shape on the MOR change feed: consume_changes()
+# reads from a durable named checkpoint in the table meta,
+# ack_changes() advances it only after the window is applied —
+# process-then-ack, so a crash between apply and ack REDELIVERS the
+# same window, and the downstream MV's own applied_through guard makes
+# the redelivery a no-op (exactly-once EFFECT from at-least-once
+# delivery, the standard consumer-offset contract). The gate drives
+# two consume→apply→ack cycles across two appends with a simulated
+# crash-redelivery between them, maintains a (sum, count) agg MV via
+# the retraction algebra (streaming/incremental.apply_cdf_to_agg_mv),
+# and the oracle recomputes the SAME aggregate from the final state
+# declaratively — hash-equality proves the incrementally-maintained MV
+# converged to the from-scratch answer and the redelivery was applied
+# exactly once. Retention respects checkpoints (compact refuses to
+# fold an unacked window; pinned in pytest).
+def mor_consumer_feed_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.streaming.incremental import (
+        apply_cdf_to_agg_mv,
+    )
+
+    base = cached_scratch_dir("squopt_morconsumer_", sf_dir)
+    path = os.path.join(base, "orders_feed")
+    mv_path = os.path.join(base, "mv_final")
+    stats_path = os.path.join(base, "consumer_stats.json")
+    table = MorTable(spark, path, "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    if not os.path.exists(stats_path):
+        table.write_base(orders)
+
+        def build_mv(df):
+            return df.groupBy("o_orderpriority").agg(
+                F.sum(cents).alias("sum_cents"),
+                F.count("*").cast("bigint").alias("n_orders"),
+            )
+
+        mv = build_mv(orders)
+        applied_through, skipped = 0, 0
+        table.append_delta(
+            1,
+            upserts=orders.where((key % 89 == 0) & (key % 97 != 0)).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("*")),
+            ),
+            delete_keys=orders.where(key % 97 == 0).select("o_orderkey"),
+        )
+        for attempt in range(2):  # attempt 0 applies; a simulated
+            # crash loses the ack; attempt 1 redelivers the SAME
+            # window and the applied_through guard skips it
+            feed, thr = table.consume_changes(
+                "downstream-mv", include_preimages=True
+            )
+            if feed is None or thr <= applied_through:
+                skipped += 1
+                continue
+            mv = apply_cdf_to_agg_mv(
+                mv,
+                feed.withColumn("price_cents_src", cents),
+                ["o_orderpriority"],
+                {"sum_cents": "price_cents_src"},
+                count_col="n_orders",
+            ).localCheckpoint()
+            applied_through = thr
+        table.ack_changes("downstream-mv", applied_through)
+        table.append_delta(
+            2,
+            upserts=orders.where((key % 178 == 0) & (key % 97 != 0)).withColumn(
+                "o_orderpriority",
+                F.concat(F.col("o_orderpriority"), F.lit("**")),
+            ),
+        )
+        feed, thr = table.consume_changes(
+            "downstream-mv", include_preimages=True
+        )
+        mv = apply_cdf_to_agg_mv(
+            mv,
+            feed.withColumn("price_cents_src", cents),
+            ["o_orderpriority"],
+            {"sum_cents": "price_cents_src"},
+            count_col="n_orders",
+        )
+        table.ack_changes("downstream-mv", thr)
+        mv.write.mode("overwrite").parquet(mv_path)
+        with open(stats_path, "w") as f:
+            json.dump(
+                {
+                    "position": table.consumer_position("downstream-mv"),
+                    "redeliveries_skipped": skipped,
+                },
+                f,
+            )
+    with open(stats_path) as f:
+        st = json.load(f)
+    return (
+        spark.read.parquet(mv_path)
+        .withColumn("position", F.lit(st["position"]).cast("int"))
+        .withColumn(
+            "redeliveries_skipped",
+            F.lit(st["redeliveries_skipped"]).cast("int"),
+        )
+    )
+
+
+MOR_CONSUMER_FEED_SQL = """
+WITH final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 178 = 0 THEN o_orderpriority || '**'
+              WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       2 AS position, 1 AS redeliveries_skipped
+FROM final GROUP BY o_orderpriority
+"""
+
+
+MOR_TAGGED_READS_SQL = """
+WITH v1_state AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_orderpriority || '*'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS price_cents,
+       1 AS pinned_version, TRUE AS full_compact_refused,
+       1 AS folded_through, 1 AS n_tags
+FROM v1_state GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "fuzzy_name_neighbors": (fuzzy_name_neighbors, FUZZY_NEIGHBORS_SQL),
     "mor_read_orders": (mor_read_orders, MOR_READ_SQL),
@@ -3292,6 +3512,8 @@ QUERIES = {
         MOR_MINMAX_MV_SQL,
     ),
     "mor_retention_sync": (mor_retention_sync, MOR_RETENTION_SYNC_SQL),
+    "mor_tagged_reads": (mor_tagged_reads, MOR_TAGGED_READS_SQL),
+    "mor_consumer_feed_mv": (mor_consumer_feed_mv, MOR_CONSUMER_FEED_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,

@@ -2122,3 +2122,239 @@ def test_digest_manifest_concurrent_updates_both_land(spark, tmp_path):
     )
     assert not audit_against_manifest(one_only, path)["clean"]
 
+
+
+# --- MOR named refs (tags) -- r15 --------------------------------------------
+def test_mor_tag_reads_pinned_state(spark, tmp_path):
+    """A tag is one meta entry pinning a reconstructible state:
+    read(tag=) equals the as-of read it pins, forever, regardless of
+    later appends; tag() with no version pins the latest state."""
+    t, _ = _mor_fixture(spark, tmp_path)  # base + v1 + v2
+    assert t.tag("pre-enrichment", version=1) == 1
+    assert t.tag("run-x") == 2  # default: latest
+    assert t.tags() == {"pre-enrichment": 1, "run-x": 2}
+    via_tag = sorted(map(tuple, t.read(tag="pre-enrichment").collect()))
+    via_ver = sorted(map(tuple, t.read(as_of_version=1).collect()))
+    assert via_tag == via_ver
+    # later history does not move the pin
+    t.append_delta(
+        3, upserts=spark.createDataFrame([(1, "a3", 13.0)], ["k", "s", "x"])
+    )
+    assert (
+        sorted(map(tuple, t.read(tag="pre-enrichment").collect())) == via_ver
+    )
+
+
+def test_mor_tag_contract_refusals(spark, tmp_path):
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="never committed"):
+        t.tag("ghost", version=7)
+    t.tag("a", version=1)
+    assert t.tag("a", version=1) == 1  # idempotent re-pin
+    with pytest.raises(ValueError, match="immutable"):
+        t.tag("a", version=2)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(tag="nope")
+    with pytest.raises(ValueError, match="exclusive"):
+        t.read(tag="a", as_of_version=1)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.delete_tag("nope")
+    with pytest.raises(ValueError, match="not both"):
+        t.tag("b", version=1, timestamp="2026-01-01")
+
+
+def test_mor_tag_by_timestamp_and_base_state(spark, tmp_path):
+    """timestamp resolution mirrors read(as_of_timestamp=); a probe
+    before every commit tags the original base snapshot (version 0 ==
+    horizon 0), which read(tag=) serves as the bare base."""
+    t, _ = _mor_fixture(spark, tmp_path)
+    assert t.tag("genesis", timestamp="2000-01-01T00:00:00") == 0
+    got = sorted(map(tuple, t.read(tag="genesis").collect()))
+    assert got == [
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)
+    ]
+    assert t.tag("now", timestamp="2100-01-01T00:00:00") == 2
+
+
+def test_mor_retention_respects_tags(spark, tmp_path):
+    """Iceberg's expire-snapshots-respects-refs rule: compaction
+    refuses to fold a tagged state away; a tag exactly ON the fold
+    boundary survives (the new base IS its state) and keeps reading
+    it; delete_tag releases the state back to retention."""
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    t.tag("keep-v1", version=1)
+    want_v1 = sorted(map(tuple, t.read(as_of_version=1).collect()))
+    with pytest.raises(ValueError, match="retention respects tags"):
+        t.compact()  # would fold v1's state strictly below v2
+    # boundary ON the tag is allowed: the new base IS the tagged state
+    assert t.compact(through_version=1) == 1
+    assert sorted(map(tuple, t.read(tag="keep-v1").collect())) == want_v1
+    with pytest.raises(ValueError, match="retention respects tags"):
+        t.compact()  # tag now sits strictly below the full-fold boundary
+    t.delete_tag("keep-v1")
+    assert t.compact() == 2
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(tag="keep-v1")
+
+
+def test_mor_compact_log_respects_tags(spark, tmp_path):
+    """Log folding destroys the intermediates' individual states, so a
+    tag on one refuses the fold; after delete_tag the fold proceeds and
+    the latest state is unchanged."""
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    t.tag("mid", version=1)
+    want = sorted(map(tuple, t.read().collect()))
+    with pytest.raises(ValueError, match="retention respects tags"):
+        t.compact_log()
+    t.delete_tag("mid")
+    t.compact_log()
+    assert sorted(map(tuple, t.read().collect())) == want
+    assert t._existing_versions() == [2]
+
+
+# --- MOR change-feed consumers (durable checkpoints) -- r15 -------------------
+def test_mor_consumer_consume_ack_resume(spark, tmp_path):
+    """The Kafka-consumer shape on the change feed: first consume
+    baselines at earliest, ack advances the durable checkpoint, the
+    next consume sees ONLY newer changes, and a caught-up consumer
+    gets (None, position)."""
+    t, _ = _mor_fixture(spark, tmp_path)  # base + v1 + v2
+    feed, through = t.consume_changes("mv-builder")
+    assert through == 2 and t.consumer_position("mv-builder") == 0
+    keys = {r["k"] for r in feed.collect()}
+    # net effect of v1+v2 over the base: k1 updated, k2 deleted, k3
+    # delete-then-resurrect collapses to an update, k9 inserted
+    assert keys == {1, 2, 3, 9}
+    t.ack_changes("mv-builder", through)
+    assert t.consumer_position("mv-builder") == 2
+    none_feed, pos = t.consume_changes("mv-builder")
+    assert none_feed is None and pos == 2
+    t.append_delta(
+        3, upserts=spark.createDataFrame([(4, "d3", 44.0)], ["k", "s", "x"])
+    )
+    feed, through = t.consume_changes("mv-builder")
+    assert through == 3
+    assert {r["k"] for r in feed.collect()} == {4}
+
+
+def test_mor_consumer_redelivery_without_ack(spark, tmp_path):
+    """Crash-between-apply-and-ack: an unacked consume re-delivers the
+    identical window — at-least-once, never silently skipped."""
+    t, _ = _mor_fixture(spark, tmp_path)
+    first, thr1 = t.consume_changes("crashy")
+    again, thr2 = t.consume_changes("crashy")
+    assert thr1 == thr2 == 2
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_mor_consumer_latest_start_and_refusals(spark, tmp_path):
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    none_feed, pos = t.consume_changes("tail-reader", start="latest")
+    assert none_feed is None and pos == 2  # only future changes
+    with pytest.raises(ValueError, match="earliest.*latest"):
+        t.consume_changes("x", start="middle")
+    with pytest.raises(ValueError, match="never registered"):
+        t.ack_changes("ghost", 2)
+    t.consume_changes("mv")
+    t.ack_changes("mv", 2)
+    with pytest.raises(ValueError, match="monotonic"):
+        t.ack_changes("mv", 1)
+    with pytest.raises(ValueError, match="not a live version"):
+        t.ack_changes("mv", 7)
+    t.ack_changes("mv", 2)  # idempotent re-ack at the position
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_consumer("ghost")
+
+
+def test_mor_retention_respects_consumers(spark, tmp_path):
+    """compact refuses to fold a consumer's unread window; acking to
+    the boundary (or dropping the consumer) releases it; a consumer
+    checkpointed AT the fold boundary resumes cleanly from the new
+    horizon."""
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    t.consume_changes("lagging")  # checkpoint 0, nothing acked
+    with pytest.raises(ValueError, match="retention respects consumers"):
+        t.compact(through_version=1)
+    feed, thr = t.consume_changes("lagging")
+    t.ack_changes("lagging", 1)  # applied through v1 only
+    assert t.compact(through_version=1) == 1  # boundary AT checkpoint ok
+    feed, thr = t.consume_changes("lagging")  # resumes from new horizon
+    assert thr == 2 and {r["k"] for r in feed.collect()} == {1, 3, 9}
+    with pytest.raises(ValueError, match="retention respects consumers"):
+        t.compact()  # v2 still unacked
+    t.drop_consumer("lagging")
+    assert t.compact() == 2
+
+
+def test_mor_compact_log_respects_consumer_checkpoints(spark, tmp_path):
+    """A checkpoint on a would-be-folded intermediate refuses the log
+    fold (its feed baseline would become unreconstructible); a
+    checkpoint at the horizon survives — the net version IS its
+    cumulative feed."""
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    t.consume_changes("at-horizon")  # checkpoint 0 == horizon: safe
+    t.consume_changes("mid")
+    t.ack_changes("mid", 1)  # checkpoint on the intermediate v1
+    with pytest.raises(ValueError, match="unreconstructible"):
+        t.compact_log()
+    t.drop_consumer("mid")
+    t.compact_log()
+    feed, thr = t.consume_changes("at-horizon")
+    assert thr == 2
+    assert {r["k"] for r in feed.collect()} == {1, 2, 3, 9}
+
+
+def test_mor_consumer_exactly_once_mv_effect(spark, tmp_path):
+    """The exactly-once pattern the checkpoint exists for: the MV
+    records applied_through; a redelivered window (crash before ack)
+    is skipped by that guard, so the MV equals the from-scratch
+    aggregate after crash-retry — retractions never applied twice."""
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.streaming.incremental import (
+        apply_cdf_to_agg_mv,
+    )
+
+    t, _ = _mor_fixture(spark, tmp_path)
+    mv = (
+        spark.read.parquet(str(tmp_path / "mor" / "base"))
+        .groupBy()
+        .agg(F.sum("x").alias("sum_x"), F.count("*").alias("n"))
+        .withColumn("g", F.lit("all"))
+        .select("g", "sum_x", "n")
+    )
+    applied_through = 0
+    for _attempt in range(2):  # second pass = crash-retry redelivery
+        feed, thr = t.consume_changes("agg-mv", include_preimages=True)
+        if feed is None or thr <= applied_through:
+            continue  # the exactly-once guard: window already applied
+        mv = apply_cdf_to_agg_mv(
+            mv,
+            feed.withColumn("g", F.lit("all")),
+            ["g"],
+            {"sum_x": "x"},
+            count_col="n",
+        )
+        applied_through = thr
+        # crash HERE on attempt 0: no ack — attempt 1 redelivers and
+        # the applied_through guard must skip it
+    t.ack_changes("agg-mv", applied_through)
+    got = mv.collect()[0]
+    want = t.read().agg(
+        F.sum("x").alias("sum_x"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (got["sum_x"], got["n"]) == (want["sum_x"], want["n"])
