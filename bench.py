@@ -240,6 +240,7 @@ EXTRA = [
     "takedown_lsh_maintenance",
     "mor_tagged_reads",
     "mor_consumer_feed_mv",
+    "mor_txn_takedown",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -148,6 +148,7 @@ class MorTable:
         self._staged = os.path.join(path, "_compact_staged")
         self._lock_path = os.path.join(path, "_commit.lock")
         self._tl = threading.local()  # reentrancy for _locked()
+        self._sweep_txn_markers()
         self._recover_interrupted_compact()
         self._recover_interrupted_log_fold()
         self._sweep_orphaned_delta_staging()
@@ -435,7 +436,10 @@ class MorTable:
                 n_buckets=self.manifest_buckets,
             )
 
-    def _existing_versions(self) -> list[int]:
+    def _all_claimed_versions(self) -> list[int]:
+        """Every claimed version DIRECTORY, visible or not — the
+        allocation view (a new version number must not collide with an
+        in-flight transactional claim)."""
         if not os.path.isdir(self._delta_root):
             return []
         return sorted(
@@ -443,6 +447,40 @@ class MorTable:
             for d in os.listdir(self._delta_root)
             if d.startswith("mor_v=")
         )
+
+    def _existing_versions(self) -> list[int]:
+        """COMMITTED (reader-visible) versions. A version dir carrying
+        a ``_TXN`` marker is visible only if its transaction's decision
+        record says ``commit`` (operators/mortxn.py) — in-flight and
+        aborted transactional versions are invisible to every read,
+        feed, maintenance, and schema path, which all route through
+        here. Unmarked versions pay one ``exists`` probe and nothing
+        else."""
+        from linqonsteroids_spark.operators.mortxn import (
+            version_visibility,
+        )
+
+        out = []
+        for v in self._all_claimed_versions():
+            d = os.path.join(self._delta_root, f"mor_v={v}")
+            if version_visibility(d) == "visible":
+                out.append(v)
+        return out
+
+    def _inflight_versions(self) -> list[int]:
+        """Claimed versions whose transaction is still undecided."""
+        from linqonsteroids_spark.operators.mortxn import (
+            version_visibility,
+        )
+
+        return [
+            v
+            for v in self._all_claimed_versions()
+            if version_visibility(
+                os.path.join(self._delta_root, f"mor_v={v}")
+            )
+            == "in-flight"
+        ]
 
     def _table_schema(self):
         """The table's CURRENT evolved schema: base fields plus every
@@ -497,7 +535,7 @@ class MorTable:
                 [
                     int(m.get("compacted_through", 0)),
                     *m.get("folded_versions", []),
-                    *self._existing_versions(),
+                    *self._all_claimed_versions(),
                 ]
             )
             + 1
@@ -509,6 +547,7 @@ class MorTable:
         upserts: DataFrame | None = None,
         delete_keys: DataFrame | None = None,
         commit_timestamp=None,
+        txn=None,
     ) -> int:
         """Append one delta version: full-row upserts and/or key-only
         deletes. Returns the committed version number.
@@ -551,18 +590,34 @@ class MorTable:
         appends are additionally SERIALIZED under the table commit lock
         (see the module concurrency contract): the before-image is only
         correct against a table no other writer is mutating.
+        ``txn`` (r15, ``operators/mortxn.py``) makes this append part
+        of a MULTI-TABLE ATOMIC transaction: the published version dir
+        carries the transaction marker and stays INVISIBLE to every
+        reader of every table until the transaction's single
+        decision-record CAS commits them all together. Transactional
+        appends may not add new columns and may not target a
+        digest-manifest table (refused loudly — see the mortxn module
+        contract for why).
         """
+        if txn is not None and self.digest_manifest:
+            raise ValueError(
+                "transactional appends are not supported on a "
+                "digest_manifest table: the manifest applies images at "
+                "append time, so an aborted transaction would leave "
+                "them applied — maintain the manifest from the "
+                "committed change feed instead"
+            )
         if self.digest_manifest:
             with self._locked():
                 return self._append_delta(
                     version, upserts, delete_keys, commit_timestamp
                 )
         return self._append_delta(
-            version, upserts, delete_keys, commit_timestamp
+            version, upserts, delete_keys, commit_timestamp, txn
         )
 
     def _append_delta(
-        self, version, upserts, delete_keys, commit_timestamp
+        self, version, upserts, delete_keys, commit_timestamp, txn=None
     ) -> int:
         from pyspark.sql.types import StructType
 
@@ -609,6 +664,14 @@ class MorTable:
             if clash:
                 raise ValueError(
                     f"upsert adds reserved MOR column names: {sorted(clash)}"
+                )
+            if txn is not None and new_cols:
+                raise ValueError(
+                    "transactional appends may not add new columns "
+                    f"({[f.name for f in new_cols]}): a late-committed "
+                    "version numbered below the schema cache watermark "
+                    "would evade the catch-up scan — evolve the schema "
+                    "in a non-transactional append first"
                 )
             common_table = StructType(
                 [f for f in table_fields if f.name in set(upserts.columns)]
@@ -676,7 +739,12 @@ class MorTable:
                     f"recorded commit ({prev}): timestamps must be "
                     "non-decreasing across versions"
                 )
-        committed = self._publish_delta(out, version)
+        committed = self._publish_delta(out, version, txn)
+        if txn is not None:
+            # invisible until the txn's decision CAS; the stamp (and
+            # with it, visibility metadata) happens at commit-finalize
+            txn.enlist(self, committed)
+            return committed
         self._stamp_commit(committed, commit_timestamp)
         version = committed
         if self.digest_manifest:
@@ -703,7 +771,9 @@ class MorTable:
             )
         return version
 
-    def _publish_delta(self, out: DataFrame, version: int | None) -> int:
+    def _publish_delta(
+        self, out: DataFrame, version: int | None, txn=None
+    ) -> int:
         """Stage the delta privately, then claim its final ``mor_v=N``
         name via the seam's atomic compare-and-create. The staged bytes
         are version-independent (the version lives in the DIRECTORY
@@ -727,6 +797,12 @@ class MorTable:
                 f"_delta_staged.{os.getpid()}.{uuid.uuid4().hex[:12]}",
             )
             out.write.mode("error").parquet(staged)
+            if txn is not None:
+                # the marker rides the directory rename: no reader can
+                # ever see the version without seeing it is
+                # transactional (operators/mortxn.py protocol step 2)
+                with open(os.path.join(staged, "_TXN"), "w") as f:
+                    f.write(txn.marker_payload())
             if publish_dir_if_absent(
                 staged,
                 os.path.join(self._delta_root, f"mor_v={candidate}"),
@@ -742,6 +818,45 @@ class MorTable:
             "could not allocate a delta version in 64 attempts — a "
             "writer storm or a livelocked allocator"
         )
+
+    def _finalize_txn_version(self, version: int, commit_timestamp=None) -> None:
+        """Post-decision cleanup for one committed transactional
+        version: drop the ``_TXN`` marker (visibility no longer needs
+        the decision probe) and stamp the commit wall-clock. Idempotent
+        — ``MorTxn.commit`` runs it inline and any later construction's
+        ``_sweep_txn_markers`` replays it after a crash. Marker first:
+        a crash between the two leaves the version live-but-unstamped,
+        exactly the append crash window the stamp machinery already
+        refuses loudly and heals."""
+        marker = os.path.join(
+            self._delta_root, f"mor_v={version}", "_TXN"
+        )
+        if os.path.exists(marker):
+            os.remove(marker)
+        self._stamp_commit(version, commit_timestamp)
+
+    def _sweep_txn_markers(self) -> None:
+        """Construction-time transactional recovery: finalize committed
+        versions a crashed committer never cleaned up (their decision
+        record IS the commit — this just retires the per-read decision
+        probe), sweep aborted version dirs, and leave in-flight ones
+        strictly alone (their writer may be racing toward its decision
+        CAS right now; only an explicit ``force_abort`` may kill them)."""
+        import shutil
+
+        from linqonsteroids_spark.operators.mortxn import (
+            version_visibility,
+        )
+
+        for v in self._all_claimed_versions():
+            d = os.path.join(self._delta_root, f"mor_v={v}")
+            if not os.path.exists(os.path.join(d, "_TXN")):
+                continue
+            state = version_visibility(d)
+            if state == "visible":
+                self._finalize_txn_version(v)
+            elif state == "aborted":
+                shutil.rmtree(d)
 
     def _stamp_commit(self, version: int, commit_timestamp) -> None:
         """Record the committed version's wall-clock and fold its
@@ -1442,6 +1557,15 @@ class MorTable:
                 "acknowledged: drop_consumer() first — retention "
                 "respects consumers"
             )
+        inflight = [v for v in self._inflight_versions() if v <= effective]
+        if inflight:
+            raise ValueError(
+                f"compact through version {effective} would strand "
+                f"in-flight transactional version(s) {inflight}: if "
+                "their transaction later commits they would land below "
+                "the horizon, unreadable and unfolded — wait for the "
+                "decision or force_abort the transaction"
+            )
         merged = (
             self.read()
             if effective == have[-1]
@@ -1867,6 +1991,14 @@ class MorTable:
                 f"{lagging} into the net — their next feed baseline "
                 "would be unreconstructible: ack to the fold target or "
                 "drop_consumer() first"
+            )
+        inflight = [v for v in self._inflight_versions() if v <= target]
+        if inflight:
+            raise ValueError(
+                f"compact_log would fold past in-flight transactional "
+                f"version(s) {inflight}: a later commit would land "
+                "them below the fold target with their effects absent "
+                "from the net — wait for the decision or force_abort"
             )
         staged = os.path.join(self.path, f"_log_compact_staged.v{target}")
         m = self._read_meta()

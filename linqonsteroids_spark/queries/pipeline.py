@@ -3303,6 +3303,106 @@ def mor_tagged_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-table atomic transactions across MOR tables (r15) ------------------
+# The serving tier's cross-table guarantee: a takedown deletes a
+# document from the corpus table AND its row from the fingerprint
+# index inside ONE transaction (operators/mortxn.py — presumed-abort,
+# commit point = a single put_if_absent CAS on the decision record;
+# readers resolve any _TXN-marked version against it, so both tables
+# flip visible together or not at all). The gate runs the full
+# lifecycle: a committed takedown (%13 docs leave BOTH tables), an
+# ABORTED takedown (%17 docs — its staged deltas are swept, nothing
+# leaks into either table), and an in-flight transaction left
+# undecided at read time (claimed on disk, invisible, pinned by the
+# claimed-vs-visible version counts). Consistency is proven
+# relationally — corpus keys == index keys via an inner join count —
+# and the oracle replays the final state as one WHERE clause.
+def mor_txn_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.operators.mortxn import MorTxnLog
+    from linqonsteroids_spark.session import cached_scratch_dir
+
+    base = cached_scratch_dir("squopt_mortxn_", sf_dir)
+    stats_path = os.path.join(base, "txn_stats.json")
+    corpus = MorTable(spark, os.path.join(base, "corpus"), "doc_id")
+    index = MorTable(spark, os.path.join(base, "fp_index"), "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    if not os.path.exists(stats_path):
+        log = MorTxnLog(os.path.join(base, "txnlog"))
+        corpus.write_base(docs.select("doc_id", "lang", "source", "n_chars"))
+        index.write_base(
+            docs.select(
+                "doc_id", F.md5(F.col("text")).alias("fingerprint")
+            )
+        )
+
+        def takedown(txn, cond):
+            dk = docs.where(cond).select("doc_id")
+            corpus.append_delta(delete_keys=dk, txn=txn)
+            index.append_delta(delete_keys=dk, txn=txn)
+
+        committed = log.begin()
+        takedown(committed, key % 13 == 0)
+        committed.commit()
+        aborted = log.begin()
+        takedown(aborted, key % 17 == 0)
+        aborted.abort()
+        inflight = log.begin()
+        takedown(inflight, key % 19 == 0)  # left undecided on purpose
+        with open(stats_path, "w") as f:
+            json.dump(
+                {
+                    "claimed": len(corpus._all_claimed_versions()),
+                    "visible": len(corpus._existing_versions()),
+                },
+                f,
+            )
+    with open(stats_path) as f:
+        st = json.load(f)
+    c = corpus.read()
+    i = index.read()
+    # bounded driver-side scalars (single-row aggregates), embedded as
+    # literal columns so the one-row result needs no 1x1 cross join —
+    # the differential still validates them against the oracle
+    n_index = i.count()
+    n_joined = c.join(i, "doc_id", "inner").count()
+    return (
+        c.agg(
+            F.count("*").cast("bigint").alias("n_corpus"),
+            F.sum("doc_id").cast("bigint").alias("sum_corpus_keys"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("n_index", F.lit(n_index).cast("bigint"))
+        .withColumn("n_joined", F.lit(n_joined).cast("bigint"))
+        .withColumn(
+            "consistent",
+            (F.col("n_corpus") == F.col("n_index"))
+            & (F.col("n_index") == F.col("n_joined")),
+        )
+        .withColumn("claimed_versions", F.lit(st["claimed"]).cast("int"))
+        .withColumn("visible_versions", F.lit(st["visible"]).cast("int"))
+    )
+
+
+MOR_TXN_TAKEDOWN_SQL = """
+WITH final AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+       CAST(sum(doc_id) AS BIGINT) AS sum_corpus_keys,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(*) AS BIGINT) AS n_index,
+       CAST(count(*) AS BIGINT) AS n_joined,
+       TRUE AS consistent,
+       2 AS claimed_versions, 1 AS visible_versions
+FROM final
+"""
+
+
 # --- MOR change-feed consumers: durable checkpoints + exactly-once MV (r15) ---
 # The Kafka-consumer shape on the MOR change feed: consume_changes()
 # reads from a durable named checkpoint in the table meta,
@@ -3514,6 +3614,7 @@ QUERIES = {
     "mor_retention_sync": (mor_retention_sync, MOR_RETENTION_SYNC_SQL),
     "mor_tagged_reads": (mor_tagged_reads, MOR_TAGGED_READS_SQL),
     "mor_consumer_feed_mv": (mor_consumer_feed_mv, MOR_CONSUMER_FEED_SQL),
+    "mor_txn_takedown": (mor_txn_takedown, MOR_TXN_TAKEDOWN_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,
