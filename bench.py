@@ -241,6 +241,7 @@ EXTRA = [
     "mor_tagged_reads",
     "mor_consumer_feed_mv",
     "mor_txn_takedown",
+    "mor_bloom_fingerprint_lookup",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

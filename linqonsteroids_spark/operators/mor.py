@@ -137,12 +137,14 @@ class MorTable:
         key: str,
         digest_manifest: bool = False,
         manifest_buckets: int = 256,
+        bloom_ndv: dict[str, int] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key = key
         self.digest_manifest = digest_manifest
         self.manifest_buckets = manifest_buckets
+        self._bloom_param = bloom_ndv
         self._base = os.path.join(path, "base")
         self._delta_root = os.path.join(path, "delta")
         self._staged = os.path.join(path, "_compact_staged")
@@ -401,22 +403,39 @@ class MorTable:
         """``stats_files`` range-clusters the base on the key into that
         many files and records a per-file (min, max) key manifest
         (``sources/fileindex.py``), enabling :meth:`lookup`'s
-        O(touched files) point reads; plain write otherwise."""
+        O(touched files) point reads; plain write otherwise.
+
+        With ``bloom_ndv`` configured on the table, every data file is
+        additionally stamped with parquet split-block bloom filters on
+        those columns (``sources/bloomfilters.py``) — the skipping
+        signal for :meth:`lookup_by` point reads on SECONDARY columns,
+        which key-range statistics cannot prune (an unclustered
+        column's [min, max] spans every file). The setting is recorded
+        in the table meta so compaction restages keep stamping it from
+        any handle. Blooms are layout-independent and compose with the
+        key-range manifest."""
         clash = self._RESERVED & set(df.columns)
         if clash:
             raise ValueError(
                 f"base schema uses reserved MOR column names: {sorted(clash)}"
             )
+        bloom = self._bloom_ndv()
         if stats_files is not None:
             from linqonsteroids_spark.sources.fileindex import (
                 write_with_stats,
             )
 
             write_with_stats(
-                df, self._base, [self.key], n_files=stats_files
+                df, self._base, [self.key], n_files=stats_files,
+                bloom_ndv=bloom or None,
             )
         else:
-            df.write.mode("error").parquet(self._base)
+            self._write_parquet(df, self._base, mode="error")
+        if bloom:
+            with self._locked() as fence:
+                m = self._read_meta()
+                m["bloom_ndv"] = {c: int(n) for c, n in bloom.items()}
+                self._write_meta_dict(m, fence=fence)
         from pyspark.sql.types import StructType
 
         with self._locked() as fence:
@@ -435,6 +454,30 @@ class MorTable:
                 [self.key],
                 n_buckets=self.manifest_buckets,
             )
+
+    def _bloom_ndv(self) -> dict[str, int]:
+        """Effective bloom-filter config: the constructor parameter, or
+        the setting ``write_base`` recorded in the meta (so a fresh
+        handle's compact keeps stamping the filters)."""
+        if self._bloom_param is not None:
+            return {c: int(n) for c, n in self._bloom_param.items()}
+        return {
+            c: int(n)
+            for c, n in self._read_meta().get("bloom_ndv", {}).items()
+        }
+
+    def _write_parquet(self, df: DataFrame, path: str, mode: str) -> None:
+        """The table's one parquet-writing seam: stamps the configured
+        bloom filters on every data file (base, staged compact
+        snapshots, and delta versions alike — a delta big enough to
+        matter prunes too)."""
+        w = df.write.mode(mode)
+        for c, ndv in self._bloom_ndv().items():
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            w = w.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+            )
+        w.parquet(path)
 
     def _all_claimed_versions(self) -> list[int]:
         """Every claimed version DIRECTORY, visible or not — the
@@ -796,7 +839,7 @@ class MorTable:
                 self.path,
                 f"_delta_staged.{os.getpid()}.{uuid.uuid4().hex[:12]}",
             )
-            out.write.mode("error").parquet(staged)
+            self._write_parquet(out, staged, "error")
             if txn is not None:
                 # the marker rides the directory rename: no reader can
                 # ever see the version without seeing it is
@@ -1580,6 +1623,14 @@ class MorTable:
             # files on EVERY z-ordered column (sources/zorder.py). The
             # key-range stats manifest describes a different layout —
             # the two clustering choices are exclusive by construction.
+            if self._bloom_ndv():
+                raise ValueError(
+                    "zorder_by on a bloom-stamped table would silently "
+                    "drop the bloom filters from the restaged base, "
+                    "degrading every lookup_by to a full scan — the "
+                    "zorder writer does not stamp them (yet); pick one "
+                    "skipping structure"
+                )
             if os.path.exists(stats_manifest):
                 raise ValueError(
                     "zorder_by conflicts with this table's key-range "
@@ -1607,10 +1658,11 @@ class MorTable:
             with open(stats_manifest) as f:
                 n_files = len(_json.load(f)["files"])
             write_with_stats(
-                merged, self._staged, [self.key], n_files=n_files
+                merged, self._staged, [self.key], n_files=n_files,
+                bloom_ndv=self._bloom_ndv() or None,
             )
         else:
-            merged.write.mode("error").parquet(self._staged)
+            self._write_parquet(merged, self._staged, "error")
         horizon = effective
         self._write_meta(horizon, fence=fence)
         old = os.path.join(self.path, f"_retired_base.{os.getpid()}")
@@ -1925,6 +1977,25 @@ class MorTable:
             .select(*cols)
         )
 
+    def lookup_by(self, col: str, values: list) -> DataFrame:
+        """Point lookup on a SECONDARY (non-key) column — the serving
+        query :meth:`lookup`'s key-range manifest cannot help with,
+        because an unclustered column's per-file [min, max] spans the
+        whole domain. The filter is expressed declaratively over the
+        normal merge-on-read plan, and physical skipping comes from the
+        parquet split-block bloom filters the table stamps at write
+        time (``bloom_ndv``): Catalyst pushes the IN predicate through
+        the union into the untouched-base leg's scan, parquet-mr probes
+        each row group's bloom before reading it, and at 100 TB the
+        scan touches only the row groups that may contain a probed
+        value — no false negatives by construction, bounded
+        false-positive reads. The touched/delta leg stays O(delta) and
+        is filtered after last-wins resolution, so a row whose
+        secondary value was UPDATED into (or out of) the probed set is
+        classified by its CURRENT value, exactly like the SQL the plan
+        expresses. Works unstamped too — correct, just unpruned."""
+        return self.read().where(F.col(col).isin(values))
+
     # --- minor (log) compaction -----------------------------------------------
     def compact_log(self) -> None:
         """Fold ALL current delta versions into ONE net version at the
@@ -2027,7 +2098,7 @@ class MorTable:
         )
         if os.path.isdir(staged):
             shutil.rmtree(staged)
-        net.write.mode("error").parquet(staged)
+        self._write_parquet(net, staged, "error")
         self._finish_log_fold(target, folded_now[:-1], staged, fence)
 
     def _finish_log_fold(

@@ -3303,6 +3303,135 @@ def mor_tagged_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MOR secondary-column bloom lookup: content-hash serving (r15) ------------
+# "Does this exact content already exist?" — the content-addressed
+# lookup every ingest dedup path serves — on a LIVE MOR corpus: the
+# fingerprint is a secondary column, so the key-range manifest cannot
+# prune it (an unclustered md5's per-file [min, max] spans everything);
+# the table's bloom_ndv config stamps parquet split-block bloom
+# filters on fingerprint at every write (base, deltas, compaction
+# restages via the meta-persisted setting), and lookup_by pushes the
+# IN probe through the merge-on-read plan to the base scan, where
+# parquet-mr's bloom probe skips every row group that cannot hold a
+# probed hash. The gate re-crawls one doc (its fingerprint LEAVES the
+# probe set) and plagiarizes another (a second doc ENTERS it), so the
+# result is classified by CURRENT values through the MOR merge — and
+# it RAISES in-build unless the filters are stamped on every base
+# file, the probe is pushed, and row groups were physically skipped.
+# Oracle: DuckDB's md5 over the same texts replays the final
+# fingerprint state declaratively.
+def mor_bloom_fingerprint_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.sources.bloomfilters import (
+        bloom_columns_per_file,
+        scan_output_rows,
+    )
+
+    base = cached_scratch_dir("squopt_morbloom_", sf_dir)
+    path = os.path.join(base, "corpus_fp")
+    table = MorTable(
+        spark, path, "doc_id", bloom_ndv={"fingerprint": 100_000}
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("fingerprint"), "n_chars"
+    )
+    if not os.path.exists(os.path.join(path, "base", "_SUCCESS")):
+        table.write_base(corpus.repartition(8))
+        d1, d2, d3 = [
+            r["doc_id"]
+            for r in docs.select("doc_id")
+            .orderBy("doc_id")
+            .limit(3)
+            .collect()
+        ]
+        recrawl = (
+            docs.where(F.col("doc_id") == d1)
+            .select(
+                "doc_id",
+                F.md5(F.concat(F.col("text"), F.lit("!"))).alias(
+                    "fingerprint"
+                ),
+                "n_chars",
+            )
+        )
+        d2_text = docs.where(F.col("doc_id") == d2).select("text")
+        plagiarize = (
+            docs.where(F.col("doc_id") == d3)
+            .crossJoin(d2_text.withColumnRenamed("text", "src_text"))
+            .select(
+                "doc_id",
+                F.md5(F.col("src_text")).alias("fingerprint"),
+                "n_chars",
+            )
+        )
+        table.append_delta(1, upserts=recrawl.unionByName(plagiarize))
+    stamped = bloom_columns_per_file(spark, os.path.join(path, "base"))
+    missing = [
+        f for f, cols in stamped.items() if "fingerprint" not in cols
+    ]
+    if not stamped or missing:
+        raise RuntimeError(
+            f"bloom filter missing on fingerprint in base files: {missing}"
+        )
+    probe_fps = [
+        r["fingerprint"]
+        for r in corpus.orderBy("doc_id").limit(2).collect()
+    ]
+    q = table.lookup_by("fingerprint", probe_fps)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]
+    ]
+    if not any("In(fingerprint" in s for s in pushed):
+        raise RuntimeError(
+            f"fingerprint probe not pushed to the base scan: {pushed}"
+        )
+    direct = spark.read.parquet(os.path.join(path, "base")).where(
+        F.col("fingerprint") == probe_fps[1]
+    )
+    rows_read = scan_output_rows(direct)
+    total = docs.count()
+    if rows_read * 2 > total:
+        raise RuntimeError(
+            f"bloom row-group skipping did not engage: scan read "
+            f"{rows_read} of {total} rows on a fingerprint probe"
+        )
+    return q.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
+        F.countDistinct("fingerprint").cast("bigint").alias("n_fps"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+MOR_BLOOM_FP_SQL = """
+WITH ranked AS (
+  SELECT doc_id, text, n_chars,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+), probe AS (
+  SELECT md5(text) AS fp FROM ranked WHERE rn <= 2
+), final AS (
+  SELECT r.doc_id, r.n_chars,
+         CASE WHEN r.rn = 1 THEN md5(r.text || '!')
+              WHEN r.rn = 3 THEN (SELECT md5(text) FROM ranked WHERE rn = 2)
+              ELSE md5(r.text) END AS fingerprint
+  FROM ranked r
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fps,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM final WHERE fingerprint IN (SELECT fp FROM probe)
+"""
+
+
 # --- multi-table atomic transactions across MOR tables (r15) ------------------
 # The serving tier's cross-table guarantee: a takedown deletes a
 # document from the corpus table AND its row from the fingerprint
@@ -3615,6 +3744,10 @@ QUERIES = {
     "mor_tagged_reads": (mor_tagged_reads, MOR_TAGGED_READS_SQL),
     "mor_consumer_feed_mv": (mor_consumer_feed_mv, MOR_CONSUMER_FEED_SQL),
     "mor_txn_takedown": (mor_txn_takedown, MOR_TXN_TAKEDOWN_SQL),
+    "mor_bloom_fingerprint_lookup": (
+        mor_bloom_fingerprint_lookup,
+        MOR_BLOOM_FP_SQL,
+    ),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,

@@ -68,7 +68,11 @@ def _stat_domain(simple_type: str) -> str:
 
 
 def write_with_stats(
-    df: DataFrame, path: str, stat_cols: list[str], n_files: int = 16
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str],
+    n_files: int = 16,
+    bloom_ndv: dict[str, int] | None = None,
 ) -> None:
     """Write ``df`` range-clustered on ``stat_cols[0]`` and record
     per-file (min, max) for every stat column in a sidecar manifest.
@@ -80,17 +84,27 @@ def write_with_stats(
     HERE — a non-orderable column fails the write loudly instead of
     blowing up ``prune_files`` at plan time — and recorded in the
     manifest so the prune compares in the column's native domain.
+
+    ``bloom_ndv`` additionally stamps parquet split-block bloom filters
+    on the given columns (column -> expected per-row-group NDV) — the
+    two skipping structures compose: range stats prune on the clustered
+    key, blooms prune point lookups on unclustered columns.
     """
     domains = {
         c: _stat_domain(df.schema[c].dataType.simpleString())
         for c in stat_cols
     }
-    (
+    w = (
         df.repartitionByRange(n_files, stat_cols[0])
         .sortWithinPartitions(stat_cols[0])
         .write.mode("error")
-        .parquet(path)
     )
+    for c, ndv in (bloom_ndv or {}).items():
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+        )
+    w.parquet(path)
     spark = df.sparkSession
     aggs = []
     for c in stat_cols:

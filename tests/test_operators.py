@@ -2358,3 +2358,110 @@ def test_mor_consumer_exactly_once_mv_effect(spark, tmp_path):
         F.sum("x").alias("sum_x"), F.count("*").alias("n")
     ).collect()[0]
     assert (got["sum_x"], got["n"]) == (want["sum_x"], want["n"])
+
+
+# --- MOR secondary-column bloom lookups -- r15 --------------------------------
+def test_mor_bloom_secondary_lookup_stamps_and_prunes(spark, tmp_path):
+    """bloom_ndv stamps parquet split-block bloom filters on every MOR
+    write path (base, delta, compacted base via the meta-persisted
+    setting), the lookup_by predicate reaches the base scan as a
+    pushed IN filter through the merge-on-read plan, and the filters
+    physically skip row groups on a point probe."""
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.sources.bloomfilters import (
+        bloom_columns_per_file,
+        scan_output_rows,
+    )
+
+    t = MorTable(
+        spark, str(tmp_path / "mor"), "k", bloom_ndv={"g": 1000}
+    )
+    rows = [(i, 1000 + i, float(i)) for i in range(64)]
+    base = spark.createDataFrame(rows, ["k", "g", "x"]).repartition(4)
+    t.write_base(base)
+    # every base file carries the filter on g
+    stamped = bloom_columns_per_file(spark, str(tmp_path / "mor" / "base"))
+    assert stamped and all("g" in cols for cols in stamped.values())
+    # delta: move k=1 OUT of the probed g, k=2 INTO it, delete k=1063's row
+    t.append_delta(
+        1,
+        upserts=spark.createDataFrame(
+            [(1, 9999, 1.0), (2, 1003, 2.0)], ["k", "g", "x"]
+        ),
+        delete_keys=spark.createDataFrame([(63,)], ["k"]),
+    )
+    stamped_d = bloom_columns_per_file(
+        spark, str(tmp_path / "mor" / "delta")
+    )
+    # delete-marker files carry an all-null g column chunk, for which
+    # parquet writes no bloom (nothing to probe); the upsert data files
+    # must carry it
+    assert stamped_d and any("g" in c for c in stamped_d.values())
+    got = sorted(
+        (r["k"], r["g"]) for r in t.lookup_by("g", [1001, 1003]).collect()
+    )
+    # k=1's current g is 9999 (updated out), k=2's is 1003 (updated in)
+    assert got == [(2, 1003), (3, 1003)]
+    plan = (
+        t.lookup_by("g", [1001, 1003])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = [
+        s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("In(g" in s for s in pushed), pushed
+    # physical row-group skipping on a point probe of the stamped base
+    probe = spark.read.parquet(str(tmp_path / "mor" / "base")).where(
+        F.col("g") == 1007
+    )
+    assert scan_output_rows(probe) < 64
+    # compact from a FRESH handle (no constructor param): the
+    # meta-persisted setting keeps the restaged base stamped
+    t2 = MorTable(spark, str(tmp_path / "mor"), "k")
+    assert t2._bloom_ndv() == {"g": 1000}
+    t2.compact()
+    stamped2 = bloom_columns_per_file(
+        spark, str(tmp_path / "mor" / "base")
+    )
+    assert stamped2 and all("g" in c for c in stamped2.values())
+
+
+def test_mor_bloom_zorder_conflict_refused(spark, tmp_path):
+    import pytest
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(
+        spark, str(tmp_path / "mor"), "k", bloom_ndv={"g": 100}
+    )
+    t.write_base(
+        spark.createDataFrame([(1, 10, 1.0), (2, 20, 2.0)], ["k", "g", "x"])
+    )
+    t.append_delta(
+        1, upserts=spark.createDataFrame([(1, 11, 1.5)], ["k", "g", "x"])
+    )
+    with pytest.raises(ValueError, match="bloom"):
+        t.compact(zorder_by=["g", "x"])
+
+
+def test_mor_bloom_composes_with_stats_manifest(spark, tmp_path):
+    """Key-range manifest (lookup on the key) and bloom filters
+    (lookup_by on a secondary column) on the same base files."""
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.sources.bloomfilters import (
+        bloom_columns_per_file,
+    )
+
+    t = MorTable(
+        spark, str(tmp_path / "mor"), "k", bloom_ndv={"g": 100}
+    )
+    rows = [(i, 500 + (i * 7) % 50, float(i)) for i in range(40)]
+    t.write_base(
+        spark.createDataFrame(rows, ["k", "g", "x"]), stats_files=4
+    )
+    stamped = bloom_columns_per_file(spark, str(tmp_path / "mor" / "base"))
+    assert stamped and all("g" in c for c in stamped.values())
+    hit = t.lookup([5]).collect()  # key-manifest path still works
+    assert [r["k"] for r in hit] == [5]
