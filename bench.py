@@ -242,6 +242,7 @@ EXTRA = [
     "mor_consumer_feed_mv",
     "mor_txn_takedown",
     "mor_bloom_fingerprint_lookup",
+    "mor_stream_txn_ingest",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

@@ -3303,6 +3303,120 @@ def mor_tagged_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming ingest under multi-table transactions (r15) --------------------
+# The ingest pipeline's end-to-end atomicity story: each micro-batch
+# upserts the corpus table AND its fingerprint index inside ONE
+# transaction (operators/mortxn.py) from a foreachBatch handler — a
+# batch that fails its quality gate (here: a too-short-docs ceiling,
+# the expectations shape from streaming/expectations.py) is ABORTED
+# after both appends, and the decision CAS guarantees neither table
+# ever shows it; a batch that passes commits both sides together. The
+# gate streams two batches (one passes, one fails), then proves the
+# invariant relationally: corpus keys == index keys (inner-join
+# count), only the committed batch's docs present, the aborted
+# batch's staged deltas swept (claimed == visible == 1 version).
+# Oracle: the final state is one modulus WHERE clause. Timing note:
+# micro-batch startup dominates at toy SF (the documented streaming
+# floor); the per-batch table work is one O(batch) append per table
+# plus an O(1) decision write.
+def mor_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.operators.mortxn import MorTxnLog
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    corpus_cols = ["doc_id", "lang", "n_chars"]
+
+    base = tempfile.mkdtemp(prefix="mor_txn_stream_")
+    corpus = MorTable(spark, os.path.join(base, "corpus"), "doc_id")
+    index = MorTable(spark, os.path.join(base, "fp_index"), "doc_id")
+    log = MorTxnLog(os.path.join(base, "txnlog"))
+    with_fp = docs.select(
+        *corpus_cols, F.md5(F.col("text")).alias("fingerprint")
+    )
+    seed = with_fp.where(key % 3 == 0)
+    corpus.write_base(seed.select(*corpus_cols))
+    index.write_base(seed.select("doc_id", "fingerprint"))
+
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for tag, m in (("good", 1), ("bad", 2)):
+        with_fp.where(key % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(src, f"batch={tag}"))
+
+    def handle(df, _bid):
+        txn = log.begin()
+        corpus.append_delta(upserts=df.select(*corpus_cols), txn=txn)
+        index.append_delta(
+            upserts=df.select("doc_id", "fingerprint"), txn=txn
+        )
+        # quality gate AFTER both appends: the decision record is the
+        # only thing deciding — the %3==2 cohort fails by construction
+        bad = df.agg(
+            F.sum((key % 3 == 2).cast("int")).alias("n")
+        ).collect()[0]["n"]
+        if bad:
+            txn.abort()
+        else:
+            txn.commit()
+
+    (
+        spark.readStream.schema(with_fp.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    c = corpus.read()
+    i = index.read()
+    n_index = i.count()
+    n_joined = c.join(i, "doc_id", "inner").count()
+    return (
+        c.agg(
+            F.count("*").cast("bigint").alias("n_corpus"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("n_index", F.lit(n_index).cast("bigint"))
+        .withColumn("n_joined", F.lit(n_joined).cast("bigint"))
+        .withColumn(
+            "consistent",
+            (F.col("n_corpus") == F.col("n_index"))
+            & (F.col("n_index") == F.col("n_joined")),
+        )
+        .withColumn(
+            "visible_versions",
+            F.lit(len(corpus._existing_versions())).cast("int"),
+        )
+        .withColumn(
+            "claimed_versions",
+            F.lit(len(corpus._all_claimed_versions())).cast("int"),
+        )
+    )
+
+
+MOR_STREAM_TXN_SQL = """
+WITH final AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(*) AS BIGINT) AS n_index,
+       CAST(count(*) AS BIGINT) AS n_joined,
+       TRUE AS consistent,
+       1 AS visible_versions, 1 AS claimed_versions
+FROM final
+"""
+
+
 # --- MOR secondary-column bloom lookup: content-hash serving (r15) ------------
 # "Does this exact content already exist?" — the content-addressed
 # lookup every ingest dedup path serves — on a LIVE MOR corpus: the
@@ -3748,6 +3862,7 @@ QUERIES = {
         mor_bloom_fingerprint_lookup,
         MOR_BLOOM_FP_SQL,
     ),
+    "mor_stream_txn_ingest": (mor_stream_txn_ingest, MOR_STREAM_TXN_SQL),
     "compaction_event_stats": (compaction_event_stats, COMPACTION_STATS_SQL),
     "partition_compaction_stats": (
         partition_compaction_stats,
