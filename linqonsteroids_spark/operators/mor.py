@@ -1977,6 +1977,51 @@ class MorTable:
             .select(*cols)
         )
 
+    def table_status(self) -> dict:
+        """One operational snapshot of everything an operator needs
+        before maintenance (DESCRIBE DETAIL / DESCRIBE HISTORY in one
+        driver-side dict, O(listing) with zero data reads): live and
+        in-flight versions, the compaction horizon and log-folded
+        names, every retention pin (tags, consumer checkpoints), the
+        schema-cache watermark, bloom config, and on-disk debris
+        classes the recovery sweeps would reclaim (orphaned staging,
+        retired bases) — so "why did compact refuse" and "what is
+        holding retention back" are answerable without reading code."""
+        import glob
+
+        m = self._read_meta()
+        return {
+            "versions": self._existing_versions(),
+            "inflight_versions": self._inflight_versions(),
+            "compacted_through": int(m.get("compacted_through", 0)),
+            "folded_versions": sorted(m.get("folded_versions", [])),
+            "tags": {k: int(v) for k, v in m.get("tags", {}).items()},
+            "consumers": {
+                k: int(v) for k, v in m.get("consumers", {}).items()
+            },
+            "version_timestamps": {
+                int(k): v
+                for k, v in m.get("version_timestamps", {}).items()
+            },
+            "schema_through": int(m.get("schema_through", 0)),
+            "bloom_ndv": self._bloom_ndv(),
+            "debris": {
+                "staged_deltas": sorted(
+                    os.path.basename(d)
+                    for d in glob.glob(
+                        os.path.join(self.path, "_delta_staged.*")
+                    )
+                ),
+                "retired_bases": sorted(
+                    os.path.basename(d)
+                    for d in glob.glob(
+                        os.path.join(self.path, "_retired_base.*")
+                    )
+                ),
+                "compact_staged": os.path.isdir(self._staged),
+            },
+        }
+
     def lookup_by(self, col: str, values: list) -> DataFrame:
         """Point lookup on a SECONDARY (non-key) column — the serving
         query :meth:`lookup`'s key-range manifest cannot help with,

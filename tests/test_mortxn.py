@@ -213,3 +213,40 @@ def test_txn_commit_stamps_timestamp_travel(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 3}
+
+
+@pytest.mark.parametrize("backend", ["posix", "condput"])
+def test_txn_lifecycle_on_both_seam_backends(spark, tmp_path, backend):
+    """The decision CAS is a plain seam put_if_absent, so the whole
+    protocol must conform on the object-store-semantics backend too —
+    commit flips both tables together, the decision race has one
+    winner, and a double-resolve refuses."""
+    from linqonsteroids_spark.operators.mortxn import MorTxnLog
+    from linqonsteroids_spark.sources.commitlog import (
+        ConditionalPutBackend,
+        PosixBackend,
+        use_backend,
+    )
+
+    b = (
+        PosixBackend()
+        if backend == "posix"
+        else ConditionalPutBackend()
+    )
+    with use_backend(b):
+        corpus, index = _two_tables(spark, tmp_path)
+        log = MorTxnLog(str(tmp_path / "txnlog"))
+        txn = log.begin()
+        _takedown(txn, corpus, index, spark, 2)
+        assert corpus._existing_versions() == []
+        txn.commit()
+        assert {r["doc_id"] for r in corpus.read().collect()} == {1, 3}
+        assert {r["doc_id"] for r in index.read().collect()} == {1, 3}
+        with pytest.raises(RuntimeError, match="already committed"):
+            log.force_abort(txn.id)
+        t2 = log.begin()
+        _takedown(t2, corpus, index, spark, 3)
+        log.force_abort(t2.id)
+        with pytest.raises(RuntimeError, match="force_abort"):
+            t2.commit()
+        assert {r["doc_id"] for r in corpus.read().collect()} == {1, 3}

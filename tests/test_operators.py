@@ -2465,3 +2465,38 @@ def test_mor_bloom_composes_with_stats_manifest(spark, tmp_path):
     assert stamped and all("g" in c for c in stamped.values())
     hit = t.lookup([5]).collect()  # key-manifest path still works
     assert [r["k"] for r in hit] == [5]
+
+
+def test_mor_table_status_snapshot(spark, tmp_path):
+    """table_status answers 'what is holding retention back' without
+    reading code: versions, horizon, pins (tags/consumers), in-flight
+    transactional claims, and debris classes, in one listing-cost
+    dict."""
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.operators.mortxn import MorTxnLog
+
+    t, _ = _mor_fixture(spark, tmp_path)  # base + v1 + v2
+    t.tag("pin", version=1)
+    t.consume_changes("mv")
+    log = MorTxnLog(str(tmp_path / "log"))
+    txn = log.begin()
+    t.append_delta(
+        upserts=spark.createDataFrame([(7, "t", 7.0)], ["k", "s", "x"]),
+        txn=txn,
+    )
+    st = t.table_status()
+    assert st["versions"] == [1, 2]
+    assert st["inflight_versions"] == [3]
+    assert st["compacted_through"] == 0
+    assert st["tags"] == {"pin": 1}
+    assert st["consumers"] == {"mv": 0}
+    assert set(st["version_timestamps"]) == {1, 2}
+    assert st["debris"] == {
+        "staged_deltas": [],
+        "retired_bases": [],
+        "compact_staged": False,
+    }
+    txn.commit()
+    st2 = MorTable(spark, str(tmp_path / "mor"), "k").table_status()
+    assert st2["versions"] == [1, 2, 3]
+    assert st2["inflight_versions"] == []
