@@ -243,6 +243,7 @@ EXTRA = [
     "mor_txn_takedown",
     "mor_bloom_fingerprint_lookup",
     "mor_stream_txn_ingest",
+    "ann_takedown_search",
 ]
 
 # -- timing-coverage allowlist (r11) ------------------------------------------

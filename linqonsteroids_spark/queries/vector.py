@@ -570,17 +570,110 @@ def _ann_pairs_sql(n_probe: int = _ANN_NPROBE, m_sub: int | None = None) -> str:
 """
 
 
-def _ann_prelude_sql() -> str:
+def _ann_prelude_sql(corpus_where: str = "") -> str:
+    """``corpus_where`` narrows the corpus CTE (e.g. the takedown
+    gate's deletion predicate) — queries are drawn FROM the corpus, so
+    the filter must keep the query cohort intact."""
     return f"""
 ann_cent AS (
   SELECT * FROM (VALUES {_centroid_values_sql()}) AS t(cell, cvec, cc)
 ), ann_corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+  {corpus_where}
 )"""
 
 
 ANN_ADC_SQL = f"""
 WITH {_ann_prelude_sql()}
+SELECT query_id, rnk, neighbor_id, round(adc, 4) + 0.0 AS adc_dist
+FROM ({_ann_pairs_sql(_ANN_NPROBE)})
+WHERE rnk <= {_ANN_K}
+"""
+
+
+# --- ANN takedown: tombstones + inverted-list compaction (r15) ---------------
+# The right-to-be-forgotten story for the similarity tier, completing
+# the set (corpus: MOR delete deltas; LSH band index: takedown-aware
+# maintenance; ANN index: THIS). delete_from_ivfpq_index lands the
+# deleted ids as (id, cell) tombstones beside the artifact — O(batch),
+# cells derived from the same nearest-cell assignment that indexed
+# them, zero artifact reads — read_ivfpq_index masks them with one
+# broadcast anti-join, and compact_ivfpq_index rewrites ONLY the
+# inverted-list directories that held deleted entries (dynamic
+# partition overwrite; emptied cells removed outright). The gate runs
+# the whole lifecycle in-build and RAISES unless the tombstone-masked
+# search and the post-compaction plain search agree row-for-row;
+# the oracle replays the IVF-PQ pipeline over the corpus minus the
+# taken-down ids — a deleted vector must be unservable by VALUE, not
+# just by filter. Takedown cohort %7 excludes the %50 query cohort so
+# the query set is identical on both sides.
+def ann_takedown_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from linqonsteroids_spark.session import cached_scratch_dir
+    from linqonsteroids_spark.similarity.ann import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        read_ivfpq_index,
+    )
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = cached_scratch_dir("ivfpq_takedown_", sf_dir)
+    path = os.path.join(base, "index")
+    marker = os.path.join(base, "takedown_done.json")
+
+    def search(index):
+        return ivfpq_index_topk(
+            index,
+            _ann_queries(emb),
+            None,
+            IVF_CENTROIDS,
+            k=_ANN_K,
+            n_probe=_ANN_NPROBE,
+        ).select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            (F.round("adc_dist", 4) + 0.0).alias("adc_dist"),
+        )
+
+    if not os.path.exists(marker):
+        build_ivfpq_index(emb, path, IVF_CENTROIDS)
+        dead = emb.filter(
+            (F.col("vec_id") % 7 == 0)
+            & (F.col("vec_id") % _ANN_QUERY_MOD != 0)
+        )
+        dead_ids = [r["vec_id"] for r in dead.select("vec_id").collect()]
+        n = delete_from_ivfpq_index(
+            spark, path, dead_ids, vectors=emb, centroids=IVF_CENTROIDS
+        )
+        if n != len(dead_ids):
+            raise RuntimeError(
+                f"tombstoned {n} of {len(dead_ids)} takedown ids"
+            )
+        masked = sorted(
+            map(tuple, search(read_ivfpq_index(spark, path)).collect())
+        )
+        cells = compact_ivfpq_index(spark, path)
+        plain = sorted(map(tuple, search(spark.read.parquet(path)).collect()))
+        if masked != plain:
+            raise RuntimeError(
+                "tombstone-masked search and post-compaction search "
+                "disagree: the compaction rewrote the wrong rows"
+            )
+        with open(marker, "w") as f:
+            json.dump({"n_deleted": n, "cells_rewritten": cells}, f)
+    return search(spark.read.parquet(path))
+
+
+ANN_TAKEDOWN_SQL = f"""
+WITH {_ann_prelude_sql(
+    f"WHERE NOT (vec_id % 7 = 0 AND vec_id % {_ANN_QUERY_MOD} <> 0)"
+)}
 SELECT query_id, rnk, neighbor_id, round(adc, 4) + 0.0 AS adc_dist
 FROM ({_ann_pairs_sql(_ANN_NPROBE)})
 WHERE rnk <= {_ANN_K}
@@ -1113,6 +1206,7 @@ QUERIES = {
     "ann_matryoshka_adc": (ann_matryoshka_adc, ANN_MATRYOSHKA_ADC_SQL),
     # same oracle by design: the persisted artifact must not change values
     "ann_index_persisted": (ann_index_persisted, ANN_ADC_SQL),
+    "ann_takedown_search": (ann_takedown_search, ANN_TAKEDOWN_SQL),
     # same oracle again: streamed ingest must equal the batch build
     "streaming_ann_ingest": (streaming_ann_ingest, ANN_ADC_SQL),
     "dedup_pq_sdc_pairs": (dedup_pq_sdc_pairs, DEDUP_PQ_SDC_SQL),

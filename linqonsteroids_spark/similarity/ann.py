@@ -70,6 +70,8 @@ build brief (similarity search over embedding columns at 100 TB).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -290,14 +292,126 @@ def append_to_ivfpq_index(
     so a search over (build(A) + append(B)) equals a search over
     build(A ∪ B) exactly (pinned in tests). At 100 TB this is the daily
     ingest path: cost is O(new batch), touching at most the cells the
-    batch maps to. (Deletes are the usual inverted-file tombstone /
-    compaction story — compose with the MERGE machinery in
-    streaming/incremental.py if needed; not implemented here.)"""
+    batch maps to. Deletes are the tombstone/compaction pair below."""
     encode_corpus(new_vectors, centroids, corpus_id, corpus_vec).drop(
         *[f"err2_{s}" for s in range(PQ_M)]
     ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
         path
     )
+
+
+def delete_from_ivfpq_index(
+    spark,
+    path: str,
+    ids: list,
+    vectors: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> int:
+    """Takedown from a persisted index — the inverted-file tombstone
+    story: the deleted ids land as (neighbor_id, cell) rows under
+    ``path/_tombstones`` (an underscore dir, so every plain parquet
+    read of the index ignores it automatically), and
+    :func:`read_ivfpq_index` masks them with one broadcast anti-join.
+    Nothing in the index artifact is rewritten: a takedown batch costs
+    O(batch), like the MOR tier's delete deltas.
+
+    With ``vectors`` (the deleted ids' embeddings) and ``centroids``
+    the tombstone cells come from the same nearest-cell assignment
+    that indexed them — zero reads of the artifact. Without them, one
+    pushed-IN scan of the index recovers (id, cell); returns the
+    number of index entries tombstoned (0 = ids not present)."""
+    if (vectors is None) != (centroids is None):
+        raise ValueError("pass vectors AND centroids, or neither")
+    if vectors is not None:
+        rows = (
+            vectors.where(F.col(corpus_id).isin(ids))
+            .select(
+                F.col(corpus_id).alias("neighbor_id"),
+                assign_nearest_cell(corpus_vec, centroids).alias("cell"),
+            )
+        )
+    else:
+        rows = (
+            spark.read.parquet(path)
+            .where(F.col("neighbor_id").isin(ids))
+            .select("neighbor_id", F.col("cell").cast("int"))
+        )
+    rows = rows.localCheckpoint(eager=True)  # pin before the append
+    n = rows.count()
+    if n:
+        rows.write.mode("append").parquet(
+            os.path.join(path, "_tombstones")
+        )
+    return n
+
+
+def read_ivfpq_index(spark, path: str) -> DataFrame:
+    """The tombstone-aware read of a persisted index: identical to
+    ``spark.read.parquet(path)`` plus one broadcast anti-join against
+    the (small) tombstone set — a taken-down vector can never be
+    served, whether or not compaction has run yet."""
+    idx = spark.read.parquet(path)
+    tomb = os.path.join(path, "_tombstones")
+    if os.path.isdir(tomb) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb)
+    ):
+        dead = (
+            spark.read.parquet(tomb).select("neighbor_id").distinct()
+        )
+        idx = idx.join(F.broadcast(dead), "neighbor_id", "left_anti")
+    return idx
+
+
+def compact_ivfpq_index(spark, path: str) -> list[int]:
+    """Fold the tombstones into the artifact: rewrite ONLY the cell
+    directories holding tombstoned entries (dynamic partition
+    overwrite — untouched inverted lists are never read or written;
+    a cell left empty is removed outright since dynamic overwrite
+    cannot replace a partition with zero rows), then clear the
+    tombstone set. O(touched cells); a crash between the rewrite and
+    the clear is harmless — re-applying tombstones to already-clean
+    cells anti-joins to nothing, and the next compact finishes the
+    clear. Returns the rewritten cell ids."""
+    import shutil
+
+    tomb = os.path.join(path, "_tombstones")
+    if not (
+        os.path.isdir(tomb)
+        and any(f.endswith(".parquet") for f in os.listdir(tomb))
+    ):
+        return []
+    dead = spark.read.parquet(tomb)
+    cells = sorted(
+        r["cell"] for r in dead.select("cell").distinct().collect()
+    )  # bounded: <= n_lists values
+    touched = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    survivors = touched.join(
+        F.broadcast(dead.select("neighbor_id").distinct()),
+        "neighbor_id",
+        "left_anti",
+    ).localCheckpoint(eager=True)  # materialize BEFORE overwriting inputs
+    alive_cells = {
+        r["cell"]
+        for r in survivors.select("cell").distinct().collect()
+    }
+    if alive_cells:
+        (
+            survivors.where(F.col("cell").isin(sorted(alive_cells)))
+            .repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    for c in cells:
+        if c not in alive_cells:
+            shutil.rmtree(
+                os.path.join(path, f"cell={c}"), ignore_errors=True
+            )
+    shutil.rmtree(tomb)
+    return cells
 
 
 def ivfpq_index_topk(

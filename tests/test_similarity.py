@@ -586,3 +586,151 @@ def test_matryoshka_prefix_adc_mechanism(spark):
                 lut += (qsub[i] - book[code][i]) ** 2
             expect += lut
         assert abs(r["adc_dist"] - expect) < 1e-9, (r, expect)
+
+
+def test_ivfpq_takedown_tombstones_and_compaction(spark, tmp_path):
+    """Takedown contract: delete(X) then search must equal a fresh
+    build over corpus − X — first through the tombstone mask (no
+    artifact rewrite), then again after compaction folds the
+    tombstones into the touched cell directories only. Both tombstone
+    derivations (from the deleted vectors + centroids, and from a
+    pushed-IN scan of the artifact) must agree."""
+    import os
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.ann import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        read_ivfpq_index,
+    )
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dead_ids = [
+        r["vec_id"]
+        for r in emb.filter(
+            (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 100 != 0)
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kwargs = dict(k=5, n_probe=3)
+
+    main_path = str(tmp_path / "main")
+    ref_path = str(tmp_path / "ref")
+    scan_path = str(tmp_path / "scan")
+    build_ivfpq_index(emb, main_path, IVF_CENTROIDS)
+    build_ivfpq_index(emb, scan_path, IVF_CENTROIDS)
+    build_ivfpq_index(
+        emb.filter(~F.col("vec_id").isin(dead_ids)), ref_path, IVF_CENTROIDS
+    )
+
+    # vectors+centroids derivation (zero artifact reads) vs pushed-IN
+    # scan derivation: same tombstone set
+    n1 = delete_from_ivfpq_index(
+        spark, main_path, dead_ids,
+        vectors=emb, centroids=IVF_CENTROIDS,
+    )
+    n2 = delete_from_ivfpq_index(spark, scan_path, dead_ids)
+    assert n1 == n2 == len(dead_ids)
+    t1 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(main_path, "_tombstones"))
+            .collect(),
+        )
+    )
+    t2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(scan_path, "_tombstones"))
+            .collect(),
+        )
+    )
+    assert t1 == t2
+
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark.read.parquet(ref_path), q, None, IVF_CENTROIDS,
+                **kwargs,
+            ).collect(),
+        )
+    )
+    masked = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                read_ivfpq_index(spark, main_path), q, None,
+                IVF_CENTROIDS, **kwargs,
+            ).collect(),
+        )
+    )
+    assert masked == want
+
+    cells = compact_ivfpq_index(spark, main_path)
+    assert cells  # some inverted lists held deleted entries
+    assert not os.path.isdir(os.path.join(main_path, "_tombstones"))
+    # post-compaction: the PLAIN read serves the takedown state, and
+    # no deleted id survives anywhere in the artifact
+    plain = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark.read.parquet(main_path), q, None, IVF_CENTROIDS,
+                **kwargs,
+            ).collect(),
+        )
+    )
+    assert plain == want
+    leftover = (
+        spark.read.parquet(main_path)
+        .where(F.col("neighbor_id").isin(dead_ids))
+        .count()
+    )
+    assert leftover == 0
+    assert compact_ivfpq_index(spark, main_path) == []  # idempotent
+
+
+def test_ivfpq_takedown_empties_a_cell(spark, tmp_path):
+    """Deleting EVERY entry of a cell removes its directory outright
+    (dynamic overwrite cannot replace a partition with zero rows — the
+    silent-stale-partition trap this pin exists for)."""
+    import os
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.ann import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        read_ivfpq_index,
+    )
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, IVF_CENTROIDS)
+    idx = spark.read.parquet(path)
+    cell_counts = idx.groupBy("cell").count().collect()
+    victim = min(cell_counts, key=lambda r: (r["count"], r["cell"]))
+    dead = [
+        r["neighbor_id"]
+        for r in idx.where(F.col("cell") == victim["cell"])
+        .select("neighbor_id")
+        .collect()
+    ]
+    delete_from_ivfpq_index(spark, path, dead)
+    compact_ivfpq_index(spark, path)
+    assert not os.path.isdir(os.path.join(path, f"cell={victim['cell']}"))
+    remaining = read_ivfpq_index(spark, path)
+    assert remaining.where(F.col("cell") == victim["cell"]).count() == 0
+    assert remaining.count() == emb.count() - len(dead)
