@@ -169,15 +169,39 @@ class MorTxn:
         The finalize loop after it (marker removal + timestamp stamp
         per version) is idempotent; a crash inside it leaves versions
         visible-by-decision, and each table's next construction
-        replays the finalize (``_sweep_txn_markers``)."""
-        verdict = self.log._decide(self.id, "commit")
-        if verdict != "commit":
-            raise RuntimeError(
-                f"transaction {self.id} was aborted (a force_abort "
-                "won the decision race): nothing committed"
-            )
-        for table, version in self._enlisted:
-            table._finalize_txn_version(version, commit_timestamp)
+        replays the finalize (``_sweep_txn_markers``).
+
+        The CAS runs while HOLDING every enlisted table's commit lock
+        (acquired in sorted-path order — the global ordering plus
+        single-lock maintenance holders makes this deadlock-free), so
+        a concurrent ``merge_into``/``compact`` on any enlisted table
+        either sees the whole transaction or none of it inside its own
+        locked read→decide→publish window — without this, a merge
+        classifying during the visibility flip could lose the
+        transaction's rows (write skew). Readers need no lock: the
+        decision file is the atomic point for them regardless."""
+        import contextlib
+
+        # dedup by PATH: two handles of one table must not acquire its
+        # lock twice (reentrancy is per-instance, the second acquire
+        # would self-deadlock)
+        uniq = {os.path.abspath(t.path): t for t, _v in self._enlisted}
+        with contextlib.ExitStack() as stack:
+            for path in sorted(uniq):
+                stack.enter_context(uniq[path]._locked())
+            verdict = self.log._decide(self.id, "commit")
+            if verdict != "commit":
+                raise RuntimeError(
+                    f"transaction {self.id} was aborted (a force_abort "
+                    "won the decision race): nothing committed"
+                )
+            for table, version in self._enlisted:
+                # route through the handle HOLDING the lock — a second
+                # handle of the same path would re-acquire and
+                # self-deadlock (reentrancy is per-instance)
+                uniq[os.path.abspath(table.path)]._finalize_txn_version(
+                    version, commit_timestamp
+                )
 
     def abort(self) -> None:
         """Decide ``abort`` and sweep the enlisted dirs. Refuses if a

@@ -250,3 +250,49 @@ def test_txn_lifecycle_on_both_seam_backends(spark, tmp_path, backend):
         with pytest.raises(RuntimeError, match="force_abort"):
             t2.commit()
         assert {r["doc_id"] for r in corpus.read().collect()} == {1, 3}
+
+
+def test_txn_commit_serializes_under_table_locks(spark, tmp_path):
+    """commit() CASes the decision while holding every enlisted
+    table's commit lock: a maintenance op inside its own locked window
+    delays the flip (no write skew against merge/compact decision
+    windows), and enlisting two HANDLES of one table path must not
+    self-deadlock (path-level dedup)."""
+    import threading
+    import time
+
+    from linqonsteroids_spark.operators.mor import MorTable
+    from linqonsteroids_spark.operators.mortxn import MorTxnLog
+
+    corpus, index = _two_tables(spark, tmp_path)
+    log = MorTxnLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    _takedown(txn, corpus, index, spark, 2)
+    # a second handle of the SAME corpus path enlists one more delta —
+    # commit must dedup the lock by path or deadlock against itself
+    corpus2 = MorTable(spark, str(tmp_path / "corpus"), "doc_id")
+    corpus2.append_delta(
+        upserts=spark.createDataFrame(
+            [(4, "delta")], ["doc_id", "text"]
+        ),
+        txn=txn,
+    )
+
+    order = []
+
+    def hold_lock():
+        with corpus._locked():
+            order.append("locked")
+            time.sleep(1.0)
+            order.append("released")
+
+    t = threading.Thread(target=hold_lock)
+    t.start()
+    while not order:  # wait until the maintenance window is open
+        time.sleep(0.01)
+    txn.commit()
+    order.append("committed")
+    t.join()
+    assert order == ["locked", "released", "committed"]
+    assert {r["doc_id"] for r in corpus.read().collect()} == {1, 3, 4}
+    assert {r["doc_id"] for r in index.read().collect()} == {1, 3}
