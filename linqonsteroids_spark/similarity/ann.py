@@ -377,12 +377,22 @@ def compact_ivfpq_index(spark, path: str) -> list[int]:
     import shutil
 
     tomb = os.path.join(path, "_tombstones")
-    if not (
-        os.path.isdir(tomb)
-        and any(f.endswith(".parquet") for f in os.listdir(tomb))
-    ):
+    # pin the tombstone FILES now and clear exactly these at the end —
+    # a takedown batch appended mid-compaction must survive into the
+    # next compact, not be swept unfolded (removing the whole dir
+    # would serve its vectors again)
+    tomb_files = (
+        sorted(
+            os.path.join(tomb, f)
+            for f in os.listdir(tomb)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(tomb)
+        else []
+    )
+    if not tomb_files:
         return []
-    dead = spark.read.parquet(tomb)
+    dead = spark.read.parquet(*tomb_files)
     cells = sorted(
         r["cell"] for r in dead.select("cell").distinct().collect()
     )  # bounded: <= n_lists values
@@ -410,7 +420,15 @@ def compact_ivfpq_index(spark, path: str) -> list[int]:
             shutil.rmtree(
                 os.path.join(path, f"cell={c}"), ignore_errors=True
             )
-    shutil.rmtree(tomb)
+    for f in tomb_files:  # only the files this fold consumed
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    if os.path.isdir(tomb) and not any(
+        f.endswith(".parquet") for f in os.listdir(tomb)
+    ):
+        shutil.rmtree(tomb, ignore_errors=True)
     return cells
 
 

@@ -734,3 +734,58 @@ def test_ivfpq_takedown_empties_a_cell(spark, tmp_path):
     remaining = read_ivfpq_index(spark, path)
     assert remaining.where(F.col("cell") == victim["cell"]).count() == 0
     assert remaining.count() == emb.count() - len(dead)
+
+
+def test_ivfpq_compaction_spares_concurrent_tombstones(spark, tmp_path):
+    """A takedown batch appended while a compaction is mid-fold must
+    survive into the next compact — the fold clears exactly the
+    tombstone FILES it consumed, never the whole set (sweeping the
+    dir would serve the new batch's vectors again)."""
+    import os
+
+    from linqonsteroids_spark.catalog import load_table
+    from linqonsteroids_spark.similarity.ann import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        read_ivfpq_index,
+    )
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, IVF_CENTROIDS)
+    first = [r["vec_id"] for r in emb.select("vec_id").limit(3).collect()]
+    later = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.desc("vec_id"))
+        .limit(3)
+        .collect()
+    ]
+    delete_from_ivfpq_index(spark, path, first)
+    # simulate the race: the "mid-compaction" arrival is a second
+    # tombstone file the fold below did not list (os.listdir pins the
+    # file set before this append in the racy interleaving; here we
+    # exercise the contract by appending between two compacts and
+    # asserting the second batch is never lost)
+    compact_ivfpq_index(spark, path)
+    delete_from_ivfpq_index(spark, path, later)
+    assert os.path.isdir(os.path.join(path, "_tombstones"))
+    # the masked read already hides the new batch pre-compaction
+    served = {
+        r["neighbor_id"]
+        for r in read_ivfpq_index(spark, path)
+        .select("neighbor_id")
+        .collect()
+    }
+    assert not (set(first) | set(later)) & served
+    cells2 = compact_ivfpq_index(spark, path)
+    assert cells2
+    assert (
+        spark.read.parquet(path)
+        .where(F.col("neighbor_id").isin(first + later))
+        .count()
+        == 0
+    )
