@@ -591,6 +591,7 @@ class MorTable:
         delete_keys: DataFrame | None = None,
         commit_timestamp=None,
         txn=None,
+        check_unique: bool = True,
     ) -> int:
         """Append one delta version: full-row upserts and/or key-only
         deletes. Returns the committed version number.
@@ -653,14 +654,17 @@ class MorTable:
         if self.digest_manifest:
             with self._locked():
                 return self._append_delta(
-                    version, upserts, delete_keys, commit_timestamp
+                    version, upserts, delete_keys, commit_timestamp,
+                    check_unique=check_unique,
                 )
         return self._append_delta(
-            version, upserts, delete_keys, commit_timestamp, txn
+            version, upserts, delete_keys, commit_timestamp, txn,
+            check_unique=check_unique,
         )
 
     def _append_delta(
-        self, version, upserts, delete_keys, commit_timestamp, txn=None
+        self, version, upserts, delete_keys, commit_timestamp, txn=None,
+        check_unique=True,
     ) -> int:
         from pyspark.sql.types import StructType
 
@@ -763,6 +767,33 @@ class MorTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
+        if check_unique:
+            # one key, one outcome per version: two rows of the same
+            # key WITHIN a version (upsert twice, or upsert + delete)
+            # would make last-wins resolution order-dependent — the
+            # read would pick whichever row the shuffle happened to
+            # order first, a nondeterminism no refusal downstream can
+            # catch. SQL MERGE refuses multi-matched sources for the
+            # same reason (Delta's "multiple source rows matched").
+            # One O(batch) aggregate over the delta being published;
+            # callers that guarantee uniqueness by construction (e.g.
+            # a keyed micro-batch) pass check_unique=False.
+            dup = (
+                out.groupBy(self.key)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(5)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "delta batch carries multiple rows for key(s) "
+                    f"{[r[self.key] for r in dup]} within ONE version "
+                    "— last-wins would be order-dependent; dedupe the "
+                    "batch (or split upsert and delete of a key into "
+                    "separate versions), or pass check_unique=False "
+                    "if uniqueness is guaranteed by construction"
+                )
         if commit_timestamp is not None:
             # validate monotonicity BEFORE publishing: a refused
             # timestamp must not strand a committed-but-unstamped

@@ -2500,3 +2500,48 @@ def test_mor_table_status_snapshot(spark, tmp_path):
     st2 = MorTable(spark, str(tmp_path / "mor"), "k").table_status()
     assert st2["versions"] == [1, 2, 3]
     assert st2["inflight_versions"] == []
+
+
+def test_mor_append_refuses_intra_version_duplicate_keys(spark, tmp_path):
+    """One key, one outcome per version: a batch upserting the same
+    key twice — or upserting AND deleting it — would make last-wins
+    order-dependent, so the append refuses loudly (the SQL MERGE
+    multi-matched-source rule); check_unique=False opts out for
+    batches unique by construction, and a duplicate-keyed MERGE
+    source hits the same wall through its compiled append."""
+    import pytest
+
+    from linqonsteroids_spark.operators.mor import MorTable
+
+    t = MorTable(spark, str(tmp_path / "mor"), "k")
+    t.write_base(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["k", "s", "x"])
+    )
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        t.append_delta(
+            1,
+            upserts=spark.createDataFrame(
+                [(1, "first", 1.1), (1, "second", 1.2)], ["k", "s", "x"]
+            ),
+        )
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        t.append_delta(
+            1,
+            upserts=spark.createDataFrame([(1, "u", 1.1)], ["k", "s", "x"]),
+            delete_keys=spark.createDataFrame([(1,)], ["k"]),
+        )
+    assert t._existing_versions() == []  # refused before any publish
+    # opt-out for construction-guaranteed unique batches still lands
+    v = t.append_delta(
+        upserts=spark.createDataFrame([(1, "u", 1.1)], ["k", "s", "x"]),
+        check_unique=False,
+    )
+    assert v == 1
+    # MERGE with a duplicate-keyed source refuses through its append
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        t.merge_into(
+            source=spark.createDataFrame(
+                [(2, "m1", 2.1), (2, "m2", 2.2)], ["k", "s", "x"]
+            ),
+            clauses=[("matched", None, "update"), ("not_matched", None, "insert")],
+        )
