@@ -371,6 +371,12 @@ def maintain_band_index(
     nothing to do). Multi-writer safety, time travel ("which index
     state produced last week's dedup verdicts"), and the change feed
     all come free from the table format underneath.
+
+    A doc appearing in BOTH ``arrivals`` and ``takedown_ids`` in one
+    batch refuses through the table's intra-version uniqueness guard
+    (its band keys would be upserted and deleted in the same version —
+    an order-dependent outcome): the caller must resolve the intent by
+    splitting the batches, takedown first.
     """
     from pyspark.sql import functions as F
 

@@ -2405,7 +2405,11 @@ def mor_stream_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def handle(df, _bid):
         v = len(versions) + 1
         versions.append(v)
-        table.append_delta(v, upserts=_one_per_user(df, descending=True))
+        table.append_delta(
+            v,
+            upserts=_one_per_user(df, descending=True),
+            check_unique=False,  # _one_per_user dedupes by construction
+        )
 
     (
         spark.readStream.schema(latest.schema)
@@ -2505,7 +2509,11 @@ def mor_stream_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     def handle(df, _bid):
         v = len(versions) + 1
         versions.append(v)
-        table.append_delta(v, upserts=_one_per_user(df, descending=True))
+        table.append_delta(
+            v,
+            upserts=_one_per_user(df, descending=True),
+            check_unique=False,  # _one_per_user dedupes by construction
+        )
         feed = table.changes(v - 1, v, include_preimages=True)
         mv_holder[0] = apply_cdf_to_agg_mv(
             mv_holder[0],
