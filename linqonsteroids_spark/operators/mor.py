@@ -1716,6 +1716,8 @@ class MorTable:
         include_preimages: bool = False,
         from_timestamp=None,
         to_timestamp=None,
+        from_tag: str | None = None,
+        to_tag: str | None = None,
     ) -> DataFrame:
         """The CDC leg of time travel: one row per key whose state
         differs between as-of ``from_version`` (exclusive) and as-of
@@ -1760,6 +1762,29 @@ class MorTable:
         log-folded era refuses rather than guessing."""
         have = self._existing_versions()
         horizon = self._compacted_through()
+        # tag endpoints (r15): "what changed since the snapshot run X
+        # trained on" — each tag resolves to its pinned version, then
+        # the normal refusal rules apply (a tag on the horizon is the
+        # base state, a valid feed baseline by the rule below)
+        for tag_name, target in ((from_tag, "from"), (to_tag, "to")):
+            if tag_name is None:
+                continue
+            if (target == "from" and from_version is not None) or (
+                target == "to" and to_version is not None
+            ):
+                raise ValueError(
+                    f"pass {target}_tag or {target}_version, not both"
+                )
+            pinned = self.tags().get(tag_name)
+            if pinned is None:
+                raise ValueError(
+                    f"tag {tag_name!r} does not exist: "
+                    f"{sorted(self.tags())} are the live tags"
+                )
+            if target == "from":
+                from_version = pinned
+            else:
+                to_version = pinned
         if from_timestamp is not None:
             if from_version is not None:
                 raise ValueError(

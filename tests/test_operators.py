@@ -2545,3 +2545,25 @@ def test_mor_append_refuses_intra_version_duplicate_keys(spark, tmp_path):
             ),
             clauses=[("matched", None, "update"), ("not_matched", None, "insert")],
         )
+
+
+def test_mor_changes_between_tags(spark, tmp_path):
+    """Tag-addressed feed endpoints: changes(from_tag, to_tag) equals
+    the version-addressed feed the tags pin — 'what changed since the
+    snapshot run X trained on' without bookkeeping version numbers."""
+    import pytest
+
+    t, _ = _mor_fixture(spark, tmp_path)  # base + v1 + v2
+    t.tag("run-a", version=1)
+    t.tag("run-b", version=2)
+    via_tags = sorted(
+        map(tuple, t.changes(from_tag="run-a", to_tag="run-b").collect())
+    )
+    via_vers = sorted(
+        map(tuple, t.changes(from_version=1, to_version=2).collect())
+    )
+    assert via_tags == via_vers and via_tags
+    with pytest.raises(ValueError, match="does not exist"):
+        t.changes(from_tag="nope")
+    with pytest.raises(ValueError, match="not both"):
+        t.changes(from_tag="run-a", from_version=1)
