@@ -51,6 +51,7 @@ def pagerank(
     damping_num: int = DAMPING_NUM,
     damping_den: int = DAMPING_DEN,
     bucket_edges: bool = False,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) edge relation.
 
@@ -59,7 +60,19 @@ def pagerank(
     ``rank = base + damping * sum(contributions)`` after ``n_iterations``
     synchronous rounds from the uniform start ``scale div |V|``, where
     ``base = (scale * (den - num) div den) div |V|`` and every division is
-    integer floor division."""
+    integer floor division.
+
+    ``checkpoint_every`` bounds lineage depth: rank lineage is truncated
+    after every that-many rounds (and never for a shorter run). Each
+    round's plan references the previous round exactly once, so a few
+    un-truncated rounds plan as ONE query — fewer sequential
+    materialization jobs and the engine reuses the static side's scan
+    across rounds — while deep runs still cap their DAG (r15; results
+    are integer-exact either way)."""
+    # the upstream edge pipeline feeds degree counting, the static join
+    # side AND the node set — materialize it once instead of re-running
+    # it per consumer (r15; same fix as triangles.py)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -74,22 +87,26 @@ def pagerank(
     edged = _persist_edges(edges.join(deg, "src"), bucket=bucket_edges, key="src")
     base = (scale * (damping_den - damping_num) // damping_den) // n
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
-    for _ in range(n_iterations):
+    for i in range(n_iterations):
         contribs = edged.join(
             ranks.withColumnRenamed("node", "src"), "src"
         ).select("dst", F.expr("rank div out_deg").alias("contrib"))
         in_mass = contribs.groupBy("dst").agg(F.sum("contrib").alias("in_mass"))
-        ranks = (
-            nodes.join(in_mass.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"{damping_num} * coalesce(in_mass, 0L) div {damping_den}"
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(
+            in_mass.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"{damping_num} * coalesce(in_mass, 0L) div {damping_den}"
+                )
+            ).alias("rank"),
         )
-    return ranks
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    # final materialization: the un-truncated tail rounds execute as ONE
+    # query here; it also keeps the result a computed relation (a bare
+    # lazy plan would let a downstream count() prune the rank arithmetic
+    # via left-join elimination — the rounds must actually run)
+    return ranks.localCheckpoint()
