@@ -53,8 +53,19 @@ def orient_edges(edges: DataFrame) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Count triangles in an undirected graph given as canonical (lo, hi)
-    distinct edges. Returns a 1-row (n_triangles) DataFrame."""
-    oriented = orient_edges(edges)
+    distinct edges. Returns a 1-row (n_triangles) DataFrame.
+
+    The edge relation is consumed THREE times (degree counting, the
+    orientation join, the closing semi-join) and the oriented relation
+    twice (both wedge sides). Catalyst does not reuse a subtree across
+    different join sides — measured on the co-order gate, the upstream
+    edge-generation pipeline appeared 22x in the physical plan (112
+    Exchanges / 44 scans for one count) — so both relations are
+    materialized once with ``localCheckpoint`` and every consumer scans
+    the materialized rows (r15; plan drops to the 6 genuinely distinct
+    Exchanges)."""
+    edges = edges.localCheckpoint(eager=True)
+    oriented = orient_edges(edges).localCheckpoint(eager=True)
     a = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("b"))
     c = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("c"))
     # each unordered out-neighbor pair once; orientation makes the wedge

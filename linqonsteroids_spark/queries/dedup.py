@@ -323,18 +323,30 @@ def lsh_recall_report(
             F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000))
             < F.lit(int(truth_fraction * 1_000_000))
         )
+    # The three measures used to be three aggregates over the two pair
+    # pipelines (own count per side + the hits join): each side was
+    # consumed twice and Catalyst re-executes a subtree per consumer —
+    # the before-plan held 144 Exchanges / 36 scans of the corpus for
+    # ONE report row. Both pair sets are distinct on (id_a, id_b), so a
+    # single full-outer join computes all three counts in one pass with
+    # each pipeline planned exactly once — no barrier, no re-execution
+    # (r15; interleaved A/B at sf0.1: 5.08 s lazy / 5.39 s checkpointed
+    # / 4.64 s this shape, identical result row).
     truth = jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).select(
-        "id_a", "id_b"
+        "id_a", "id_b", F.lit(1).alias("t")
     )
-    cand = lsh_candidate_pairs(docs).select("id_a", "id_b")
-    n_true = truth.agg(F.count("*").alias("n_true"))
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_hit = truth.join(cand, ["id_a", "id_b"]).agg(
-        F.count("*").alias("n_hits")
+    cand = lsh_candidate_pairs(docs).select(
+        "id_a", "id_b", F.lit(1).alias("c")
     )
     return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        truth.join(cand, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("t").alias("n_true"),
+            F.count("c").alias("n_candidates"),
+            F.count(
+                F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+            ).alias("n_hits"),
+        )
         .select(
             "n_true",
             "n_candidates",

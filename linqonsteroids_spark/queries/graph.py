@@ -230,10 +230,22 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    a, b = op.alias("a"), op.alias("b")
+    # co-order pairs via per-order grouping + row-local i<j expansion (the
+    # lsh_candidate_pairs pattern) instead of a sort-merge self-join on
+    # ``o``: one Exchange on the order key and per-order work bounded by
+    # order size, vs two sorted join sides over the same subtree (r15).
+    buckets = op.groupBy("o").agg(F.array_sort(F.collect_list("p")).alias("ps"))
+    pairs = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps) - i - 1), "
+            "y -> struct(x AS lo, y AS hi)))"
+        )
+    )
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("lo"), F.col("b.p").alias("hi"))
+        buckets.filter(F.size("ps") > 1)
+        .select(F.explode(pairs).alias("e"))
+        .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
         .distinct()
     )
     return triangle_count(edges)
