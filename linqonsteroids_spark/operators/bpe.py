@@ -62,27 +62,28 @@ _PAIRS = F.when(
 ).otherwise(F.expr("CAST(array() AS array<struct<a string, b string>>)"))
 
 
+def _merge_syms(syms, a: str, b: str):
+    """Column expression: apply one merge (a, b) to a symbol array,
+    left-to-right non-overlapping — IN THE JVM, no Python boundary (r15;
+    the old mapInPandas round shipped the whole vocabulary to Python and
+    back once per learned merge — 16 boundary crossings per training
+    run, the dominant cost of train_bpe).
+
+    Encoding: frame every symbol with single spaces (double space
+    between symbols — symbols never contain whitespace, they come from a
+    \\s+ split), then one ``replace``: SQL replace scans left-to-right
+    non-overlapping and resumes AFTER the replacement, exactly the BPE
+    merge loop's semantics — the same equivalence the bpe_encode oracle
+    replay is built on, and pinned bit-exact against the pure-Python
+    reference in tests/test_operators.py."""
+    framed = F.concat(F.lit(" "), F.array_join(syms, "  "), F.lit(" "))
+    merged = F.replace(framed, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.split(F.trim(merged), "  ")
+
+
 def _merge_round(words: DataFrame, a: str, b: str) -> DataFrame:
     """Apply one learned merge (a, b) → left-to-right non-overlapping."""
-
-    def apply(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            merged = []
-            for syms in pdf["syms"]:
-                out, i, n = [], 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                merged.append(out)
-            pdf["syms"] = merged
-            yield pdf
-
-    return words.mapInPandas(apply, words.schema)
+    return words.withColumn("syms", _merge_syms(F.col("syms"), a, b))
 
 
 def apply_merges(
@@ -148,5 +149,10 @@ def train_bpe(
             break
         a, b, pf = best[0]["a"], best[0]["b"], best[0]["pair_freq"]
         merges.append((a, b, int(pf)))
-        state = _merge_round(state, a, b).localCheckpoint(eager=True)
+        # the merge is now one codegen'd string replace (r15): chaining k
+        # of them lazily costs k cheap vocab-local passes inside the next
+        # argmax job, far less than an eager materialization per round —
+        # so no per-round localCheckpoint; the initial state stays the
+        # only materialization and the plan depth is bounded by n_merges.
+        state = _merge_round(state, a, b)
     return merges

@@ -177,14 +177,31 @@ def deletion_neighborhood_pairs(
         .distinct()
         .select("_s", F.explode(F.expr(variants)).alias("_v"))
     )
-    left, right = v.alias("L"), v.alias("R")
-    cand = (
-        left.join(
-            right,
-            (F.col("L._v") == F.col("R._v"))
-            & (F.col("L._s") < F.col("R._s")),
+    # Candidate generation is a groupBy on the variant key with row-local
+    # i<j pair expansion, not a self-join: the old self-join planned the
+    # distinct-names + variant-explosion subtree TWICE (once per side)
+    # and Catalyst pushed the levenshtein verify INTO the join condition
+    # — below the pair distinct() — so the O(L²) edit distance ran once
+    # per (pair, shared variant): ~L-fold redundancy at k=1, ~L²/2-fold
+    # at k=2, the dominant cost of the operator. Bucket sizes are
+    # bounded by how many strings share one deletion variant (alphabet-
+    # sized), so the expansion is row-local and skew-free (r15).
+    buckets = v.groupBy("_v").agg(F.array_sort(F.collect_set("_s")).alias("ss"))
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(ss, (x, i) -> "
+            "transform(slice(ss, i + 2, size(ss) - i - 1), "
+            "y -> struct(x AS a, y AS b)))"
         )
-        .select(F.col("L._s").alias("a"), F.col("R._s").alias("b"))
+    )
+    cand = (
+        buckets.where(F.size("ss") > 1)
+        .select(F.explode(pair_expr).alias("e"))
+        .select("e.a", "e.b")
         .distinct()
+        # barrier: materialize the DISTINCT pair set so the verify below
+        # cannot be pushed beneath the dedup — each surviving pair pays
+        # for exactly ONE levenshtein evaluation
+        .localCheckpoint(eager=True)
     )
     return cand.where(F.levenshtein("a", "b") <= k)

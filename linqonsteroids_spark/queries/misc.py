@@ -1023,31 +1023,42 @@ FROM iv a JOIN iv b
 def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # One row per order with its sorted distinct brand set: collect_set
+    # folds the old separate distinct() into the same shuffle, and the
+    # relation is materialized ONCE — the old shape re-executed the
+    # lineitem-scan + broadcast-join + distinct subtree for each of its
+    # four consumers (pair self-join a/b sides, per-brand counts, order
+    # total: 8 scans / 10 Exchanges in the before-plan), plus a
+    # sort-merge self-join on l_orderkey. Pairs now expand row-locally
+    # (i<j over the ≤25-brand array — the same C(25,2) bound as the old
+    # a.brand < b.brand join), so the whole query is ONE shuffle on the
+    # order key plus three scans of the tiny materialized relation (r15).
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(brands, (x, i) -> "
+            "transform(slice(brands, i + 2, size(brands) - i - 1), "
+            "y -> struct(x AS brand_a, y AS brand_b)))"
+        )
     )
     pairs = (
-        ob.alias("a")
-        .join(
-            ob.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
+        ob.select(F.explode(pair_expr).alias("e"))
+        .select("e.brand_a", "e.brand_b")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count("*").cast("bigint").alias("n_both"))
         .where(F.col("n_both") >= 2)
     )
-    per_brand = ob.groupBy("p_brand").agg(
-        F.count("*").cast("bigint").alias("n")
+    per_brand = (
+        ob.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
-    total = ob.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
-    )
+    total = ob.agg(F.count("*").cast("bigint").alias("n_orders"))
     return (
         pairs.join(
             F.broadcast(per_brand).withColumnRenamed("p_brand", "brand_a"),

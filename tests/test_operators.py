@@ -826,9 +826,11 @@ def test_interval_overlap_join_equals_bruteforce(spark):
 
 def test_deletion_neighborhood_join_is_hash_not_cartesian(spark):
     """The lossless fuzzy join's 100 TB contract: candidates come from
-    ONE equi-join on the variant key — the executed plan must contain a
-    real join operator keyed on the neighborhood, never a
-    CartesianProduct/BroadcastNestedLoop scan of all pairs."""
+    variant-key blocking — since r15 a groupBy on the neighborhood key
+    with row-local i<j expansion (one hash Exchange, bucket-bounded
+    work) — never a CartesianProduct/BroadcastNestedLoop scan of all
+    pairs, and never a join that re-plans the variant pipeline per
+    side."""
     from pyspark.sql import functions as F
 
     from linqonsteroids_spark.operators.linkage import (
@@ -844,7 +846,10 @@ def test_deletion_neighborhood_join_is_hash_not_cartesian(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
         plan[:2000]
     )
-    assert "Join" in plan
+    # the verify runs ABOVE the materialized distinct candidate set —
+    # exactly one levenshtein per surviving pair (Catalyst would push it
+    # below the dedup otherwise; the checkpoint barrier is load-bearing)
+    assert "levenshtein" in plan and "ExistingRDD" in plan, plan[:2000]
     # sanity: item-000009 / item-000010 differ by 2 edits (no pair);
     # crafted distance-1 values must appear
     df2 = spark.createDataFrame(
