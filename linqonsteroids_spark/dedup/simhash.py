@@ -157,6 +157,12 @@ def simhash_pairs_from_signatures(
     block_bits = n_bits // n_blocks
     k = _combo_size(max_hamming, n_blocks)
     combos = list(combinations(range(n_blocks), k))
+    # the signature relation feeds BOTH join sides; Catalyst re-plans the
+    # subtree per side (the before-plan executed the corpus scan + token
+    # distinct + 64-bit-sum signature aggregate twice, once under the
+    # broadcast). Materialize signatures once — both sides then re-derive
+    # only the cheap block-key explode from the materialized rows (r15).
+    sig = sig.localCheckpoint(eager=True)
     # canonical combination per touched-block mask: the first combo fully
     # disjoint from the mask (-1 = none; only possible past the
     # completeness bound, where the hamming filter rejects the pair anyway)

@@ -40,7 +40,12 @@ def power_iteration_top_component(
     iterations: int = 3,
 ) -> tuple[list[float], float]:
     """Returns (unit eigenvector as list[d], ||X v|| of the last step)."""
-    x = emb.select(F.transform(F.col(vec_col), lambda c: c.cast("double")).alias("x"))
+    # materialized ONCE: every iteration re-scanned the parquet + cast
+    # otherwise (r15); the matrix is the loop's static side, exactly the
+    # pagerank/triangles pattern
+    x = emb.select(
+        F.transform(F.col(vec_col), lambda c: c.cast("double")).alias("x")
+    ).localCheckpoint(eager=True)
     dim = len(x.first()["x"])
     v = [1.0 / math.sqrt(dim)] * dim
     norm_xv = 0.0
@@ -51,15 +56,20 @@ def power_iteration_top_component(
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
-        scaled = x.select(
-            F.posexplode(F.transform("x", lambda c: c * s)).alias("pos", "val")
-        )
-        w_rows = (
-            scaled.groupBy("pos").agg(F.sum("val").alias("w")).collect()
-        )  # exactly d rows of driver traffic
-        w = [0.0] * dim
-        for r in w_rows:
-            w[r["pos"]] = r["w"]
+        # w = X'(Xv) as ONE map-side-combined aggregate with d sum
+        # columns: the old posexplode + groupBy(pos) shuffled d*N rows
+        # per round to produce d doubles; partial aggregation reduces
+        # that to (n_partitions x d) — the shuffle disappears from the
+        # cost model entirely (r15; same 64-sum-columns shape as the
+        # simhash signature aggregate)
+        row = x.select(s.alias("s"), "x")
+        w_row = row.agg(
+            *[
+                F.sum(F.col("x")[i] * F.col("s")).alias(f"w{i}")
+                for i in range(dim)
+            ]
+        ).first()
+        w = [w_row[i] for i in range(dim)]
         nw = math.sqrt(sum(c * c for c in w))
         # ||Xv||^2 = v . (X'X v) = v . w  (w computed BEFORE normalization)
         norm_xv = math.sqrt(max(sum(a * b for a, b in zip(v, w)), 0.0))
