@@ -47,15 +47,20 @@ def fix(
     ``step`` receives the frontier (rows added last round) and returns
     candidate new rows; iteration stops when no new rows appear.
     """
-    acc = initial.distinct().localCheckpoint(eager=True)
-    frontier = acc
+    # acc is kept as a LAZY union of eagerly-checkpointed frontiers: the
+    # old per-round ``acc.union(frontier).localCheckpoint`` re-copied the
+    # whole accumulated set every round (O(D·|acc|) materialized bytes
+    # over a D-round run); the union of materialized pieces costs the
+    # same one shuffle wherever acc is consumed, with no re-copy (r15).
+    frontier = initial.distinct().localCheckpoint(eager=True)
+    acc = frontier
     for _ in range(max_iterations):
         candidates = step(frontier).distinct()
         frontier = candidates.join(acc, on=list(acc.columns), how="left_anti")
         frontier = frontier.localCheckpoint(eager=True)
         if frontier.isEmpty():
             return acc
-        acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+        acc = acc.unionByName(frontier)
     return acc
 
 
@@ -133,9 +138,20 @@ def connected_components(
     for _ in range(max_iterations):
         iterations += 1
         neigh = _neighbor_min(edges, labels)
-        cand = labels.join(neigh, labels.node == neigh.src, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+        # cand feeds BOTH sides of the pointer-jump join below on
+        # DIFFERENT keys (label vs node), so Catalyst cannot share the
+        # exchange and would execute the neighbor-min join+agg twice per
+        # round — materialize it once instead (r15)
+        cand = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.col("label").alias("__prev"),
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
         # pointer jump: follow the label one hop (label is always a node id
         # in the same component, so the lookup join is total; left+coalesce
@@ -143,11 +159,19 @@ def connected_components(
         ptr = cand.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
         new_labels = (
             cand.join(ptr, cand.label == ptr.p_node, "left")
-            .select("node", F.coalesce("p_label", "label").alias("label"))
+            .select(
+                "node", "__prev", F.coalesce("p_label", "label").alias("label")
+            )
             .localCheckpoint(eager=True)
         )
-        changed = not new_labels.join(labels, ["node", "label"], "left_anti").isEmpty()
-        labels = new_labels
+        # labels are monotone non-increasing, so carrying last round's
+        # label through the round turns the convergence check into one
+        # shuffle-free filter scan of the checkpointed result — the old
+        # left_anti join shuffled both label relations every round (r15)
+        changed = not new_labels.where(
+            F.col("label") != F.col("__prev")
+        ).isEmpty()
+        labels = new_labels.select("node", "label")
         if not changed:
             break
     if stats is not None:
@@ -218,7 +242,13 @@ def transitive_closure(
                 edges, max_iterations, "seminaive", bucket_edges
             )
         name = f"tc_edges_rcte_{next(_EDGE_TABLE_IDS)}"
-        edges.select("src", "dst").distinct().createOrReplaceTempView(name)
+        # the recursion references the view once per level, and a temp
+        # view is a logical plan — each level would re-run the upstream
+        # scan + distinct shuffle. Materialize the edge relation once so
+        # every recursion level scans in-memory rows (r15).
+        edges.select("src", "dst").distinct().localCheckpoint(
+            eager=True
+        ).createOrReplaceTempView(name)
         return spark.sql(
             f"""
             WITH RECURSIVE tc(src, dst) AS (
@@ -234,8 +264,12 @@ def transitive_closure(
         base = _persist_edges(
             edges.select("src", "dst").distinct(), bucket=bucket_edges, key="src"
         )
-        acc = base.localCheckpoint(eager=True)
-        frontier = acc
+        # lazy union-of-checkpointed-frontiers accumulator (see fix());
+        # base is already materialized by _persist_edges (checkpoint or
+        # bucketed table), so it seeds the accumulator as-is — the old
+        # extra localCheckpoint(acc) re-copied it for nothing
+        frontier = base
+        acc = base
         for _ in range(max_iterations):
             new_pairs = (
                 frontier.select(F.col("src").alias("f_src"), F.col("dst").alias("f_dst"))
@@ -248,7 +282,7 @@ def transitive_closure(
             ).localCheckpoint(eager=True)
             if frontier.isEmpty():
                 return acc
-            acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+            acc = acc.unionByName(frontier)
         return acc
 
     acc = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
@@ -265,5 +299,6 @@ def transitive_closure(
         )
         if delta.isEmpty():
             return acc
-        acc = acc.unionByName(delta).localCheckpoint(eager=True)
+        # lazy union-of-checkpointed-deltas accumulator (see fix())
+        acc = acc.unionByName(delta)
     return acc
