@@ -2188,7 +2188,10 @@ def mor_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_orderpriority"],
             {"price_cents": "cents"},
             count_col="n_orders",
-        )
+        # the persisted-MV boundary between maintenance windows (r15;
+        # see mor_minmax_mv_maintenance) — window 2 must merge into
+        # materialized state, not re-execute window 1's plan
+        ).localCheckpoint(eager=True)
     return mv
 
 
@@ -3111,7 +3114,12 @@ def mor_minmax_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents", cents
             ),
             count_col="n_orders",
-        )
+        # materialize the MV state between maintenance windows — in
+        # production the merged MV is PERSISTED after each batch; a
+        # lazy chain makes window 2's merge (which consumes the MV on
+        # both the join and the rescan-classification probe) re-execute
+        # window 1's whole plan per consumer (r15)
+        ).localCheckpoint(eager=True)
     return mv
 
 

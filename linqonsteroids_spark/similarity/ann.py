@@ -541,12 +541,16 @@ def _topk_from_coded(
     shortlist = ranked.filter(F.col("rnk") <= refine).select(
         query_id, "neighbor_id"
     )
-    # attach the query vector to the (|Q| x R) shortlist — tiny x tiny —
-    # then ONE broadcast join fetches the true vectors from the corpus.
+    # fetch the true vectors with an ID-ONLY broadcast of the (|Q| x R)
+    # shortlist, then attach the query vector from a second |Q|-row
+    # broadcast: the old shape joined the query vector onto the
+    # shortlist FIRST, so the broadcast payload duplicated every query
+    # vector R times (R x |Q| x vector bytes instead of R x |Q| ids —
+    # two orders of magnitude more broadcast bytes at the production
+    # refine fraction). The corpus still never shuffles (r15).
     qv = queries.select(
         query_id, F.col(query_vec).alias("_qv")
     ).withColumn("_qn", l2_norm(F.col("_qv")))
-    pairs = shortlist.join(qv, query_id)
     corp = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("_nv"),
@@ -558,7 +562,8 @@ def _topk_from_coded(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        corp.join(F.broadcast(pairs), "neighbor_id")
+        corp.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), query_id)
         .withColumn("cos_sim", cos)
         .withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)

@@ -302,38 +302,43 @@ def apply_cdf_to_agg_mv(
     never wider than |MV| + |touched groups|."""
     from pyspark.sql import functions as SF
 
-    # refuse the non-preimage protocol LOUDLY: a plain 'update' row
-    # carries only the post-image, so its old contribution cannot be
-    # retracted — silently skipping it would corrupt the MV, which is
-    # exactly the failure mode a maintenance primitive must not have.
-    # The probe is one short job over the (batch-sized) change set.
-    if not changes.where(
-        SF.col("_change_type") == "update"
-    ).isEmpty():
-        raise ValueError(
-            "change feed carries plain 'update' rows (post-image only) "
-            "— aggregate maintenance needs the pre-image protocol: "
-            "pass changes(..., include_preimages=True)"
-        )
-    sign = SF.when(
-        SF.col("_change_type").isin("insert", "update_postimage"),
-        SF.lit(1),
-    ).otherwise(SF.lit(-1))
+    # One pass over the feed (r15): the protocol check used to be its
+    # own isEmpty job over the raw feed — a second full execution of the
+    # changes() plan before the delta aggregate ran. The 'update'-row
+    # count now rides the same aggregate (guarded sign: rows outside the
+    # pre-image protocol contribute NULL, which sum skips), and the
+    # delta — bounded by the touched-group count — is materialized once,
+    # so the check, the merge and any further consumer read rows instead
+    # of re-planning the feed.
+    is_add = SF.col("_change_type").isin("insert", "update_postimage")
+    is_ret = SF.col("_change_type").isin(
+        "delete", "update_preimage"
+    )
+    sign = SF.when(is_add, SF.lit(1)).when(is_ret, SF.lit(-1))
     delta = (
-        changes.where(
-            SF.col("_change_type").isin(
-                "insert", "delete", "update_preimage", "update_postimage"
-            )
-        )
-        .groupBy(*group_cols)
+        changes.groupBy(*group_cols)
         .agg(
             *[
                 SF.sum(SF.col(src) * sign).alias(f"_d_{out}")
                 for out, src in sum_cols.items()
             ],
             SF.sum(sign).alias("_d_n"),
+            SF.count(
+                SF.when(SF.col("_change_type") == "update", 1)
+            ).alias("_n_upd"),
         )
+        .localCheckpoint(eager=True)
     )
+    # refuse the non-preimage protocol LOUDLY: a plain 'update' row
+    # carries only the post-image, so its old contribution cannot be
+    # retracted — silently skipping it would corrupt the MV, which is
+    # exactly the failure mode a maintenance primitive must not have.
+    if not delta.where(SF.col("_n_upd") > 0).isEmpty():
+        raise ValueError(
+            "change feed carries plain 'update' rows (post-image only) "
+            "— aggregate maintenance needs the pre-image protocol: "
+            "pass changes(..., include_preimages=True)"
+        )
     # NULL-SAFE merge keys: a nullable group column (NULL is a
     # legitimate group for groupBy) must match itself across the two
     # sides — a plain USING join would leave NULL groups unmatched and
@@ -408,33 +413,37 @@ def apply_cdf_to_minmax_mv(
 
     from pyspark.sql import functions as SF
 
-    if not changes.where(SF.col("_change_type") == "update").isEmpty():
-        raise ValueError(
-            "change feed carries plain 'update' rows (post-image only) "
-            "— extremum maintenance needs the pre-image protocol: "
-            "pass changes(..., include_preimages=True)"
-        )
     for out, (op, _src) in minmax_cols.items():
         if op not in ("min", "max"):
             raise ValueError(f"minmax_cols[{out!r}]: op must be min|max")
     is_add = SF.col("_change_type").isin("insert", "update_postimage")
     is_ret = SF.col("_change_type").isin("delete", "update_preimage")
+    # one pass over the feed + one materialization of the touched-group
+    # delta (r15): the protocol check rode its own feed execution and
+    # the delta fed BOTH the merge and the rescan-classification probe,
+    # so the whole changes() plan executed three times per call;
+    # everything downstream now reads the checkpointed delta rows
     aggs = [
-        SF.sum(SF.when(is_add, 1).otherwise(-1)).alias("_d_n"),
+        SF.sum(SF.when(is_add, 1).when(is_ret, -1)).alias("_d_n"),
+        SF.count(
+            SF.when(SF.col("_change_type") == "update", 1)
+        ).alias("_n_upd"),
     ]
     for out, (op, src) in minmax_cols.items():
         fn = SF.min if op == "min" else SF.max
         aggs.append(fn(SF.when(is_add, SF.col(src))).alias(f"_add_{out}"))
         aggs.append(fn(SF.when(is_ret, SF.col(src))).alias(f"_ret_{out}"))
     delta = (
-        changes.where(
-            SF.col("_change_type").isin(
-                "insert", "delete", "update_preimage", "update_postimage"
-            )
-        )
-        .groupBy(*group_cols)
+        changes.groupBy(*group_cols)
         .agg(*aggs)
+        .localCheckpoint(eager=True)
     )
+    if not delta.where(SF.col("_n_upd") > 0).isEmpty():
+        raise ValueError(
+            "change feed carries plain 'update' rows (post-image only) "
+            "— extremum maintenance needs the pre-image protocol: "
+            "pass changes(..., include_preimages=True)"
+        )
     cond = functools.reduce(
         lambda a, b: a & b,
         [mv[c].eqNullSafe(delta[c]) for c in group_cols],
