@@ -27,18 +27,44 @@ def jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(id_a < id_b, jaccard) for pairs with Jaccard ≥ threshold."""
-    sh = shingles_df(docs, id_col, text_col).distinct()
+    # The (doc, shingle) relation feeds several consumers (DF counts +
+    # the cap join; sizes + the pair side), and Catalyst re-executes a
+    # subtree per consumer — the before-plan ran the corpus scan +
+    # shingle explode + distinct EIGHT times for one pair set.
+    # Materialize it once (r15); downstream consumers re-read the
+    # checkpoint, not the parquet. (Measured: checkpointing the capped
+    # relation too is a net loss at sf0.1 — it is nearly as large as the
+    # shingle relation and its recompute from the checkpoint is cheap.)
+    # The DF cap still runs count-only BEFORE any per-shingle
+    # collection, so a stop-shingle never accumulates an unbounded
+    # bucket.
+    sh = shingles_df(docs, id_col, text_col).distinct().localCheckpoint(
+        eager=True
+    )
     # doc-frequency cap (see module docstring)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     kept = sh.join(
         df_counts.filter(F.col("df") <= df_cap).select("shingle"), "shingle"
     )
     sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = kept.select(F.col("shingle"), F.col(id_col).alias("id_a"))
-    b = kept.select(F.col("shingle").alias("shingle_b"), F.col(id_col).alias("id_b"))
+    # co-occurrence via per-shingle grouping + row-local i<j expansion
+    # (the fuzzy-blocking pattern): bucket size is bounded by df_cap, so
+    # the expansion is bounded by C(df_cap, 2) per shingle — one shuffle
+    # on the shingle key instead of a sort-merge self-join over two more
+    # re-executions of the capped relation
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b)))"
+        )
+    )
     inter = (
-        a.join(b, (a.shingle == b.shingle_b) & (a.id_a < b.id_b))
-        .groupBy("id_a", "id_b")
+        kept.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.id_a").alias("id_a"), F.col("e.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
