@@ -239,16 +239,29 @@ def _run_stream_to_memory(
     name: str,
     output_mode: str,
     state_partitions: int = 8,
+    no_data_batches: bool = True,
 ) -> None:
     """Execute a stateful streaming query to a memory sink with state
     partitions sized to the stream's key volume: each stateful operator
     opens one state store per shuffle partition, and at these key counts
     store setup dominates wall time ~4x at 32 partitions. Per-query knob —
     a real deployment scales it back up with the data; the session default
-    is untouched for everything else."""
+    is untouched for everything else.
+
+    ``no_data_batches=False`` skips the trailing zero-row micro-batch the
+    engine otherwise appends to advance the watermark (r15). ONLY valid
+    for queries whose every output row is emitted by a DATA batch —
+    dropDuplicatesWithinWatermark in append mode emits on arrival and
+    uses the watermark purely for state eviction. Queries whose output
+    depends on watermark-driven finalization (outer-join null padding,
+    append-mode window finals) MUST keep it on or they lose rows."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    nkey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_ndb = spark.conf.get(nkey)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if not no_data_batches:
+            spark.conf.set(nkey, "false")
         (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -259,6 +272,7 @@ def _run_stream_to_memory(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(nkey, old_ndb)
 
 
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,8 +450,9 @@ def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 # seen). The gate stages the source as two files — the events file, then
 # a far-future sentinel pair (one per side, user -1, which can never
 # match and, being right-side-unmatched / still-in-state, never appears
-# in output) — so the second micro-batch's watermark passes every real
-# row and the append sink receives the complete outer result. The
+# in output) — so the data batch's closing watermark passes every real
+# row and the engine's watermark-advance batch hands the append sink
+# the complete outer result. The
 # oracle is the equivalent batch LEFT JOIN. State: watermark + interval
 # bound both buffers, O(rows in window), exactly as the inner variant.
 def streaming_outer_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,10 +504,16 @@ def _run_outer_join_staged(spark, sf_dir, base, ts_dtype, stage):
             shutil.move(f"{stage}/z/{f}", f"{stage}/part-9-sentinel.parquet")
     shutil.rmtree(f"{stage}/z")
 
+    # no maxFilesPerTrigger (r15): event-time semantics do not depend on
+    # arrival order within a batch, so the events file and the sentinel
+    # file land in ONE data batch — the watermark computed at its end
+    # already passes every real row (the sentinel is far-future), and the
+    # engine's trailing no-data batch flushes the outer null-padded rows
+    # exactly as before. Was three micro-batches (events, sentinel,
+    # no-data flush) at ~3.3 s addBatch each; now two. Output identical:
+    # inner matches emit from the data batch, outer rows from the flush.
     events = normalize_events_ts(
-        spark.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
+        spark.readStream.schema(base.schema).parquet(stage)
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -582,7 +603,15 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     name = f"mv_dedup_{next(_MV_IDS)}"
-    _run_stream_to_memory(spark, stream, name, "append")
+    # no_data_batches=False (r15): the trailing watermark-advance batch
+    # re-ran the whole stateful plan for zero input rows and cost nearly
+    # as much as the data batch (addBatch 1.8-3.7 s vs 2.6-5 s measured);
+    # dedup emits first-seen rows in the data batch itself, so the
+    # no-data batch only evicted state this terminating query never
+    # reuses. Output rows are identical by construction.
+    _run_stream_to_memory(
+        spark, stream, name, "append", no_data_batches=False
+    )
     return (
         spark.table(name)
         .groupBy("event_type")

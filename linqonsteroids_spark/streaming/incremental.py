@@ -1322,9 +1322,17 @@ class StreamingIndex:
         #: the small aggregated result per refresh.
         self.post_transform = post_transform
 
-    def refresh_available(self) -> None:
+    def refresh_available(self, state_partitions: int | None = 8) -> None:
         """Process all data not yet seen (Trigger.AvailableNow), update the
-        MV, and stop — incremental batch refresh driven by the stream log."""
+        MV, and stop — incremental batch refresh driven by the stream log.
+
+        ``state_partitions`` bounds the stateful aggregate's shuffle/state
+        partitioning for the refresh (r15): each stateful operator opens
+        one state store per shuffle partition and at MV-sized key counts
+        store setup dominates the batch (the same knob every other
+        streaming gate already routes through ``_run_stream_to_memory``).
+        ``None`` leaves the session conf untouched; a deployment scales
+        it with the keyed state volume."""
         reader = self.spark.readStream.schema(self.schema)
         if self.path_glob:
             reader = reader.option("pathGlobFilter", self.path_glob)
@@ -1335,14 +1343,21 @@ class StreamingIndex:
             out = self.post_transform(batch_df) if self.post_transform else batch_df
             out.write.mode("overwrite").parquet(self.mv_path)
 
-        (
-            maintained.writeStream.foreachBatch(_sink)
-            .outputMode("complete")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        key = "spark.sql.shuffle.partitions"
+        old = self.spark.conf.get(key)
+        try:
+            if state_partitions is not None:
+                self.spark.conf.set(key, str(state_partitions))
+            (
+                maintained.writeStream.foreachBatch(_sink)
+                .outputMode("complete")
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            self.spark.conf.set(key, old)
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.mv_path)
