@@ -1898,23 +1898,6 @@ class MorTable:
             .when(~is_upsert & existed, F.lit("delete")),
         ).where(F.col("_change_type").isNotNull())
 
-        def _image(df: DataFrame, pre: bool) -> DataFrame:
-            return df.select(
-                self.key,
-                *[
-                    (
-                        F.col(f"_pre_{c}")
-                        if pre and f"_pre_{c}" in joined.columns
-                        else F.lit(None)
-                        if pre
-                        else F.col(c)
-                    ).alias(c)
-                    for c in out_cols
-                    if c != self.key
-                ],
-                "_change_type",
-            )
-
         if not include_preimages:
             # post-image for insert/update; PRE-image for delete
             return classified.select(
@@ -1933,36 +1916,49 @@ class MorTable:
                 ],
                 "_change_type",
             )
-        # Delta-CDF protocol: updates fan out into pre+post rows
-        upd = classified.where(F.col("_change_type") == "update")
-        rest = classified.where(F.col("_change_type") != "update")
-        return (
-            _image(
-                rest.where(F.col("_change_type") == "insert"),
-                pre=False,
+        # Delta-CDF protocol: updates fan out into pre+post rows. Emitted
+        # ROW-LOCALLY via array+explode (r15): the previous four-way
+        # unionByName re-planned the whole classified subtree (delta
+        # window + pre-state as-of read + joins) once PER BRANCH — the
+        # feed plan carried 24 parquet scans and 4 window passes for one
+        # consumer. One when() builds each row's image list in place
+        # (insert → post, delete → pre, update → pre+post), so the
+        # subtree plans exactly once and the fan-out costs one narrow
+        # generator — same rows, same columns, at any scale.
+        value_cols = [c for c in out_cols if c != self.key]
+
+        def _img(pre: bool, tag: str):
+            return F.struct(
+                *[
+                    (
+                        F.col(f"_pre_{c}")
+                        if pre and f"_pre_{c}" in joined.columns
+                        else F.lit(None).cast(dict(last.dtypes)[c])
+                        if pre
+                        else F.col(c)
+                    ).alias(c)
+                    for c in value_cols
+                ],
+                F.lit(tag).alias("_change_type"),
             )
-            .unionByName(
-                _image(
-                    rest.where(F.col("_change_type") == "delete"),
-                    pre=True,
+
+        ct = F.col("_change_type")
+        images = (
+            F.when(ct == F.lit("insert"), F.array(_img(False, "insert")))
+            .when(ct == F.lit("delete"), F.array(_img(True, "delete")))
+            .otherwise(
+                F.array(
+                    _img(True, "update_preimage"),
+                    _img(False, "update_postimage"),
                 )
             )
-            .unionByName(
-                _image(
-                    upd.withColumn(
-                        "_change_type", F.lit("update_preimage")
-                    ),
-                    pre=True,
-                )
-            )
-            .unionByName(
-                _image(
-                    upd.withColumn(
-                        "_change_type", F.lit("update_postimage")
-                    ),
-                    pre=False,
-                )
-            )
+        )
+        return classified.select(
+            self.key, F.explode(images).alias("_img")
+        ).select(
+            self.key,
+            *[F.col(f"_img.{c}").alias(c) for c in value_cols],
+            F.col("_img._change_type").alias("_change_type"),
         )
 
     # --- point lookup -----------------------------------------------------------
