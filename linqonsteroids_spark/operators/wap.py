@@ -71,6 +71,41 @@ class WapTable:
         )
         return staging_id
 
+    def stage_audited(
+        self, df: DataFrame, checks: dict[str, Column]
+    ) -> tuple[str, list[dict]]:
+        """Stage AND audit in one pass: the audit aggregates ride the
+        staging write itself via ``Observation`` metrics, so the staged
+        snapshot is never re-scanned just to count violations — at 100 TB
+        that halves the write-path I/O versus ``stage()`` + ``audit()``.
+        The counts are computed over exactly the rows the write
+        materialized (observe metrics are collected from the same tasks),
+        so the report is identical to a post-hoc ``audit()`` of the staged
+        files. The report is also persisted next to the data
+        (``_audit.json``) so ``publish(report=...)`` can verify it belongs
+        to this staging."""
+        from pyspark.sql import Observation
+
+        staging_id = uuid.uuid4().hex[:16]
+        obs = Observation(f"wap_audit_{staging_id}")
+        aggs = [
+            F.sum(F.when(cond, 0).otherwise(1)).cast("bigint").alias(name)
+            for name, cond in checks.items()
+        ]
+        df.observe(obs, *aggs).write.mode("error").parquet(
+            os.path.join(self._staged_root, staging_id)
+        )
+        row = obs.get
+        report = [
+            {"audit": name, "n_violations": int(row[name] or 0)}
+            for name in checks
+        ]
+        with open(
+            os.path.join(self._staged_root, staging_id, "_audit.json"), "w"
+        ) as f:
+            json.dump(report, f)
+        return staging_id, report
+
     def _staged_df(self, staging_id: str) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self._staged_root, staging_id)
@@ -105,6 +140,7 @@ class WapTable:
         staging_id: str,
         checks: dict[str, Column] | None = None,
         expect=_UNSET,
+        report: list[dict] | None = None,
     ) -> list[dict]:
         """Atomically make a staged snapshot the published one.
 
@@ -128,7 +164,22 @@ class WapTable:
             commit_lock,
         )
 
-        report = self.audit(staging_id, checks) if checks else []
+        if report is not None:
+            # a stage_audited() report: accept it only if it provably
+            # belongs to this staging (persisted by the same pass that
+            # wrote the data) — otherwise fall back to a fresh audit
+            audit_path = os.path.join(
+                self._staged_root, staging_id, "_audit.json"
+            )
+            try:
+                with open(audit_path) as f:
+                    stored = json.load(f)
+            except FileNotFoundError:
+                stored = None
+            if stored != report:
+                report = self.audit(staging_id, checks) if checks else []
+        else:
+            report = self.audit(staging_id, checks) if checks else []
         if any(r["n_violations"] > 0 for r in report):
             raise AuditFailure(report)
         staged_dir = os.path.join(self._staged_root, staging_id)

@@ -452,36 +452,53 @@ def corpus_wash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = hashed.withColumn(
         "keep_id", F.min("doc_id").over(Window.partitionBy("content_hash"))
     ).filter(F.col("doc_id") == F.col("keep_id"))
+    # the dedup-count and the scrub report both consume `deduped` — fold
+    # them into ONE aggregate over ONE window pass (the scan + the
+    # content_hash shuffle previously executed once per consumer). The
+    # survival test and the scrub metrics are row-local, so they ride the
+    # same pass under when(): regexes still evaluate only for survivors.
     quality = (
         deduped.withColumn("n_punct", punct_chars(F.col("text")).cast("long"))
         .withColumn("text_len", F.length("text").cast("long"))
         .withColumn("punct_ppm", F.expr("n_punct * 1000000L div text_len"))
         .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
     )
-    kept = quality.filter(
-        (F.col("punct_ppm") < _WASH_MAX_PUNCT_PPM)
-        & (F.col("n_tokens") >= _WASH_MIN_TOKENS)
+    survives = (F.col("punct_ppm") < _WASH_MAX_PUNCT_PPM) & (
+        F.col("n_tokens") >= _WASH_MIN_TOKENS
     )
     no_email = F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
     clean = F.regexp_replace(no_email, _NUM_RE, "<NUM>")
-    scrubbed = kept.select(
-        "doc_id",
+    per_row = quality.select(
         "source",
-        F.length(clean).cast("long").alias("clean_len"),
-        F.conv(F.substring(F.md5(clean), 1, 12), 16, 10)
-        .cast("long")
-        .alias("clean_h"),
+        survives.alias("survives"),
+        F.when(survives, F.length(clean).cast("long")).alias("clean_len"),
+        F.when(
+            survives,
+            F.conv(F.substring(F.md5(clean), 1, 12), 16, 10).cast("long"),
+        ).alias("clean_h"),
+    )
+    report = (
+        per_row.groupBy("source")
+        .agg(
+            F.count("*").alias("n_after_dedup"),
+            F.sum(F.when(F.col("survives"), 1).otherwise(0))
+            .alias("n_surviving"),
+            F.sum("clean_len").alias("clean_chars"),
+            F.expr("bit_xor(clean_h)").alias("content_digest"),
+        )
+        # the pre-fusion shape inner-joined a report grouped over
+        # survivors only: a source whose every deduped doc fails the
+        # wash had no report row and dropped out — replicated exactly
+        .filter(F.col("n_surviving") > 0)
     )
     n_in = hashed.groupBy("source").agg(F.count("*").alias("n_docs_in"))
-    n_dedup = deduped.groupBy("source").agg(F.count("*").alias("n_after_dedup"))
-    report = scrubbed.groupBy("source").agg(
-        F.count("*").alias("n_surviving"),
-        F.sum("clean_len").alias("clean_chars"),
-        F.expr("bit_xor(clean_h)").alias("content_digest"),
-    )
-    return (
-        n_in.join(F.broadcast(n_dedup), "source")
-        .join(F.broadcast(report), "source")
+    return n_in.join(F.broadcast(report), "source").select(
+        "source",
+        "n_docs_in",
+        "n_after_dedup",
+        "n_surviving",
+        "clean_chars",
+        "content_digest",
     )
 
 
@@ -2299,18 +2316,20 @@ def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_positive": F.col("o_totalprice") > 0,
         "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
     }
-    s1 = t.stage(orders)
-    t.publish(s1, checks, expect=None)  # CAS: nothing published yet
+    # audit rides the staging write (one pass, no re-scan of the staged
+    # snapshot) — same report, same publish/reject semantics
+    s1, rep1 = t.stage_audited(orders, checks)
+    t.publish(s1, checks, expect=None, report=rep1)  # CAS: nothing published
     corrupted = orders.withColumn(
         "o_totalprice",
         F.when(key % 7 == 0, -F.col("o_totalprice")).otherwise(
             F.col("o_totalprice")
         ),
     )
-    s2 = t.stage(corrupted)
+    s2, rep2 = t.stage_audited(corrupted, checks)
     n_bad = None
     try:
-        t.publish(s2, checks)
+        t.publish(s2, checks, report=rep2)
     except AuditFailure as e:
         n_bad = next(
             r["n_violations"] for r in e.report if r["audit"] == "price_positive"

@@ -133,11 +133,13 @@ FROM sketch s JOIN exact e USING (event_type)
 # 100 TB you'd drop both, exactly like kmv_distinct_users' exact column.
 def kmv_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # materialized once: three consumers below (merged / direct / exact)
+    # would otherwise each re-run the scan + distinct
     du = (
         events.select("event_type", "user_id")
         .distinct()
         .withColumn("h", _hash_frac(_KMV_SEED, F.col("user_id")))
-    )
+    ).localCheckpoint(eager=True)
     # per-group sketches: k smallest hashes per event_type
     per_group = du.withColumn(
         "rn",
@@ -145,26 +147,27 @@ def kmv_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("event_type").orderBy("h", "user_id")
         ),
     ).filter(F.col("rn") <= KMV_K)
+    # global k-min via sort+limit, NOT row_number over an unpartitioned
+    # window: the window form shuffles EVERY row to one partition; the
+    # limit form takes per-partition top-k and merges k-row slices.
+    # (h, user_id) is unique per distinct row, so top-k is deterministic
+    # and row-identical to the rn <= k filter.
     # merge: global k-min over the union of the per-group sketches.
     # (user_id, h) pairs repeat across groups — the merged sketch is over
     # DISTINCT values, exactly as a re-scan would see them.
     merged = (
         per_group.select("user_id", "h")
         .distinct()
-        .withColumn(
-            "mrn", F.row_number().over(Window.orderBy("h", "user_id"))
-        )
-        .filter(F.col("mrn") <= KMV_K)
+        .orderBy("h", "user_id")
+        .limit(KMV_K)
         .agg(F.count(F.lit(1)).alias("m_kept"), F.max("h").alias("m_kth"))
     )
     # direct: global k-min over the raw distinct values
     direct = (
         du.select("user_id", "h")
         .distinct()
-        .withColumn(
-            "drn", F.row_number().over(Window.orderBy("h", "user_id"))
-        )
-        .filter(F.col("drn") <= KMV_K)
+        .orderBy("h", "user_id")
+        .limit(KMV_K)
         .agg(F.count(F.lit(1)).alias("d_kept"), F.max("h").alias("d_kth"))
     )
     exact = du.select("user_id").distinct().agg(

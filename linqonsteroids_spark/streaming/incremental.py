@@ -644,11 +644,15 @@ class IncrementalAggMV:
 
     def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
         merge_ops = {"sum": F.sum, "min": F.min, "max": F.max}
+        # materialize the batch partial ONCE: both consumers below — the
+        # touched-bucket probe and the merge itself — would otherwise each
+        # re-execute the batch scan + aggregate (foreachBatch plans have no
+        # cross-action reuse), doubling the per-batch source pass
         partial = (
             batch_df.groupBy(self.key)
             .agg(*[v.alias(n) for n, (_, v) in self.aggs.items()])
             .withColumn("mv_bucket", self._bucket())
-        )
+        ).localCheckpoint(eager=True)
         old = self._read_mv_or_none()
         if old is None:
             self._write_meta()
@@ -854,11 +858,13 @@ class VersionedAggMV(IncrementalAggMV):
 
     def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
         merge_ops = {"sum": F.sum, "min": F.min, "max": F.max}
+        # materialized once — reused by the touched probe and the merge
+        # (see IncrementalAggMV._merge)
         partial = (
             batch_df.groupBy(self.key)
             .agg(*[v.alias(n) for n, (_, v) in self.aggs.items()])
             .withColumn("mv_bucket", self._bucket())
-        )
+        ).localCheckpoint(eager=True)
         vs = self.versions()
         prev = self._read_manifest(vs[-1]) if vs else {}
         if not vs:
@@ -888,7 +894,11 @@ class VersionedAggMV(IncrementalAggMV):
         version = (vs[-1] if vs else 0) + 1
         gen_dir = os.path.join(self.mv_path, "data", f"g{version}")
         (
-            merged.write.mode("overwrite")
+            # bucket-aligned tasks: writing straight from the agg's shuffle
+            # partitions opens one file per (task x touched bucket) per
+            # generation — the small-file problem compact() exists to repair
+            merged.repartition(F.col("mv_bucket"))
+            .write.mode("overwrite")
             .partitionBy("mv_bucket")
             .parquet(gen_dir)
         )
@@ -1174,6 +1184,10 @@ class CdcUpsertMV(IncrementalAggMV):
         return agg.select(self.key, "mv_bucket", "_last.*", "n_changes")
 
     def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        # NOT checkpointed (unlike IncrementalAggMV._merge): the touched
+        # probe column-prunes the max_by(struct) payload away, so the
+        # "duplicate" execution is a cheap keys-only pass — measured
+        # A/B, materializing the full struct reduce eagerly is a net loss
         partial = self._reduce(
             batch_df.withColumn("mv_bucket", self._bucket()).withColumn(
                 "n_changes", F.lit(1).cast("long")
@@ -1226,6 +1240,7 @@ class VersionedCdcMV(CdcUpsertMV, VersionedAggMV):
     resolves a manifest (time travel) then filters tombstones (CDC)."""
 
     def _merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        # NOT checkpointed — see CdcUpsertMV._merge
         partial = self._reduce(
             batch_df.withColumn("mv_bucket", self._bucket()).withColumn(
                 "n_changes", F.lit(1).cast("long")
@@ -1249,7 +1264,14 @@ class VersionedCdcMV(CdcUpsertMV, VersionedAggMV):
             merged = partial
         version = (vs[-1] if vs else 0) + 1
         gen_dir = os.path.join(self.mv_path, "data", f"g{version}")
-        merged.write.mode("overwrite").partitionBy("mv_bucket").parquet(gen_dir)
+        (
+            # bucket-aligned tasks — one file per touched bucket, not one
+            # per (task x bucket); see VersionedAggMV._merge
+            merged.repartition(F.col("mv_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("mv_bucket")
+            .parquet(gen_dir)
+        )
         manifest = dict(prev)
         new_files = self._list_bucket_files(gen_dir)
         for b in touched:

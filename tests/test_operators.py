@@ -1206,6 +1206,47 @@ def test_wap_failed_audit_keeps_prior_snapshot_and_reports_counts(
     assert t.read().count() == 2  # published snapshot survives vacuum
 
 
+def test_wap_stage_audited_single_pass_matches_post_hoc_audit(
+    spark, tmp_path
+):
+    """stage_audited() computes the audit DURING the staging write (one
+    pass); its report must equal a post-hoc audit() of the staged files,
+    publish(report=...) must honor it — including the reject path — and
+    a report that does not match the persisted one must be ignored in
+    favor of a fresh audit (no way to sneak bad data past the gate)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from linqonsteroids_spark.operators.wap import AuditFailure, WapTable
+
+    t = WapTable(spark, str(tmp_path / "wap"))
+    checks = {"nonneg": F.col("x") >= 0, "small": F.col("x") < 100}
+    good = spark.createDataFrame([(1,), (2,)], ["x"])
+    s1, rep1 = t.stage_audited(good, checks)
+    assert rep1 == t.audit(s1, checks)
+    assert t.publish(s1, checks, report=rep1) == rep1
+    assert t.published_id() == s1
+    bad = spark.createDataFrame([(-1,), (5,), (-7,), (200,)], ["x"])
+    s2, rep2 = t.stage_audited(bad, checks)
+    assert rep2 == [
+        {"audit": "nonneg", "n_violations": 2},
+        {"audit": "small", "n_violations": 1},
+    ]
+    with pytest.raises(AuditFailure) as exc:
+        t.publish(s2, checks, report=rep2)
+    assert exc.value.report == rep2
+    assert t.published_id() == s1
+    # a forged all-clear report disagrees with the persisted one → fresh
+    # audit runs and still rejects
+    forged = [
+        {"audit": "nonneg", "n_violations": 0},
+        {"audit": "small", "n_violations": 0},
+    ]
+    with pytest.raises(AuditFailure):
+        t.publish(s2, checks, report=forged)
+    assert t.published_id() == s1
+
+
 def test_wap_publish_is_compare_and_swap(spark, tmp_path):
     """Optimistic concurrency: a writer whose expectation went stale
     loses with PublishConflict (manifest untouched); re-reading the
