@@ -53,7 +53,12 @@ def shingles_array(text_col: str = "text") -> F.Column:
     )
 
 
-def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingles_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_doc_distinct: bool = False,
+) -> DataFrame:
     """(id, shingle) — one row per 3-gram shingle occurrence (not distinct).
 
     Produced in one Arrow-batched ``mapInPandas`` stage: the JVM
@@ -61,7 +66,14 @@ def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     transform lambdas (concat_ws + slice per element — measured ~0.7 s
     for 260k shingles at sf0.1, the dedup family's shared bottleneck);
     the Python tokenizer emits identical strings (same whitespace split,
-    ASCII-safe lower) at Arrow speed. Zero shuffle either way."""
+    ASCII-safe lower) at Arrow speed. Zero shuffle either way.
+
+    ``per_doc_distinct=True`` dedupes WITHIN each document row-locally
+    (first occurrence kept — row order is not meaningful downstream),
+    the kernel form of ``array_distinct(shingles_array(...))``:
+    consumers that count per-doc distinct shingles get the dedup for
+    free instead of paying a (doc, shingle) shuffle or countDistinct
+    expand."""
     out_type = dict(docs.dtypes)[id_col]
     schema = f"{id_col} {out_type}, shingle string"
 
@@ -78,9 +90,14 @@ def shingles_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
                 if not isinstance(text, str):
                     continue  # NULL text: no shingles (JVM lower(trim(NULL)) parity)
                 toks = [t for t in ws.split(text.strip().lower()) if t]
-                for i in range(len(toks) - (SHINGLE_N - 1)):
-                    ids.append(doc_id)
-                    shingles.append(" ".join(toks[i : i + SHINGLE_N]))
+                grams = [
+                    " ".join(toks[i : i + SHINGLE_N])
+                    for i in range(len(toks) - (SHINGLE_N - 1))
+                ]
+                if per_doc_distinct:
+                    grams = list(dict.fromkeys(grams))
+                ids.extend([doc_id] * len(grams))
+                shingles.extend(grams)
             if ids:
                 yield pd.DataFrame({id_col: ids, "shingle": shingles})
 

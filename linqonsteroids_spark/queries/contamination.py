@@ -32,11 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linqonsteroids_spark.catalog import load_table
-from linqonsteroids_spark.dedup.shingles import (
-    DUCK_SHINGLES,
-    DUCK_TOKS,
-    shingles_array,
-)
+from linqonsteroids_spark.dedup.shingles import DUCK_SHINGLES, DUCK_TOKS
 
 # --- benchmark contamination ------------------------------------------------
 # Eval set: every 97th document plays the held-out benchmark whose n-grams
@@ -53,15 +49,22 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle array — distinctness never needs a shuffle.  The eval-gram side
     is distinct-ed and broadcast; the only exchange is the final per-doc
     count aggregate (map-side combined, one row per doc)."""
+    from linqonsteroids_spark.dedup.shingles import shingles_df
+
     docs = load_table(spark, sf_dir, "documents")
+    # shingle via the Arrow kernel, not the interpreted transform-lambda
+    # array (guide §4.2; the dedup family's measured shared bottleneck —
+    # see shingles_df). Identical strings by the module's tokenization
+    # contract; per-doc dedup happens row-locally in the kernel exactly
+    # as array_distinct did.
     eval_grams = (
-        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode(shingles_array("text")).alias("shingle"))
+        shingles_df(docs.filter(F.col("doc_id") % EVAL_MOD == 0))
+        .select("shingle")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        "doc_id", F.explode(F.array_distinct(shingles_array("text"))).alias("shingle")
+    train = shingles_df(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0), per_doc_distinct=True
     )
     agg = (
         train.join(F.broadcast(eval_grams), "shingle", "left")

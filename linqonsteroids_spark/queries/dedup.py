@@ -587,13 +587,17 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             shutil.rmtree(tmp)
 
+        # resolved ONCE, not once per micro-batch: re-calling
+        # read.parquet inside the handler re-lists and re-infers the
+        # index per batch (guide §1.2)
+        idx_df = spark.read.parquet(idx)
+
         def handle(df, _bid):
             nb = _banded(minhash_signatures(df), "doc_id").select(
                 F.col("doc_id").alias("new_id"), "band", "band_key"
             )
             hits = (
-                spark.read.parquet(idx)
-                .join(F.broadcast(nb), ["band", "band_key"])
+                idx_df.join(F.broadcast(nb), ["band", "band_key"])
                 .groupBy("new_id")
                 .agg(
                     F.countDistinct("doc_id")
@@ -614,6 +618,9 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "is_dup"
                     ),
                 )
+                # one verdict file per batch, not one per shuffle task —
+                # the verdict set is O(|micro-batch|) rows (guide §6)
+                .coalesce(1)
                 .write.mode("append")
                 .parquet(out)
             )

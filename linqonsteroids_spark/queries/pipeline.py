@@ -1435,6 +1435,11 @@ def digest_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linqonsteroids_spark.session import cached_scratch_dir
 
     v1, v2 = _snapshot_diff_versions(spark, sf_dir)
+    # materialized once each: v1 feeds the diff + the before-image semi
+    # join, v2 feeds two audits + the diff + the after-image semi join —
+    # each execution re-scans orders (twice for v2, a two-branch union)
+    v1 = v1.localCheckpoint(eager=True)
+    v2 = v2.localCheckpoint(eager=True)
     bucket = F.pmod(F.col("o_orderkey"), F.lit(64))
     stale = os.path.join(
         cached_scratch_dir("squopt_digestinc_", sf_dir), "v1_manifest"
@@ -1445,8 +1450,10 @@ def digest_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             v1, stale, ["o_orderkey"], n_buckets=64, bucket_expr=bucket
         )
     stale_report = audit_against_manifest(v2, stale, bucket_expr=bucket)
-    # the change set, derived by the diff operator itself
-    diff = snapshot_diff(v1, v2, ["o_orderkey"])
+    # the change set, derived by the diff operator itself — materialized
+    # once: its full-outer join would otherwise re-execute per broadcast
+    # (the removed- and added-key sets below)
+    diff = snapshot_diff(v1, v2, ["o_orderkey"]).localCheckpoint(eager=True)
     removed_or_changed = diff.where(
         F.col("change_type").isin("removed", "changed")
     ).select("o_orderkey")
@@ -3372,29 +3379,53 @@ def mor_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_fp = docs.select(
         *corpus_cols, F.md5(F.col("text")).alias("fingerprint")
     )
-    seed = with_fp.where(key % 3 == 0)
+    # materialized once: the seed feeds BOTH base writes (each would
+    # re-scan documents + re-hash), and both staged batches
+    seed = with_fp.where(key % 3 == 0).localCheckpoint(eager=True)
     corpus.write_base(seed.select(*corpus_cols))
     index.write_base(seed.select("doc_id", "fingerprint"))
 
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for tag, m in (("good", 1), ("bad", 2)):
-        with_fp.where(key % 3 == m).coalesce(1).write.mode(
-            "append"
-        ).parquet(os.path.join(src, f"batch={tag}"))
+    # ONE pass stages both batches (partitioned write), not one
+    # filtered scan per batch file
+    (
+        with_fp.where(key % 3 != 0)
+        .withColumn(
+            "batch", F.when(key % 3 == 1, "good").otherwise("bad")
+        )
+        .repartition(F.col("batch"))
+        .write.mode("append")
+        .partitionBy("batch")
+        .parquet(src)
+    )
 
     def handle(df, _bid):
+        from pyspark.sql import Observation
+
         txn = log.begin()
-        corpus.append_delta(upserts=df.select(*corpus_cols), txn=txn)
+        # the quality gate rides the first append's write job as an
+        # observe metric — no third pass over the batch; doc_id is
+        # unique per batch by construction (disjoint slices of a
+        # unique-keyed table), so the per-version uniqueness job is
+        # skipped (check_unique=False)
+        obs = Observation()
+        observed = df.observe(
+            obs, F.sum((key % 3 == 2).cast("int")).alias("n")
+        )
+        corpus.append_delta(
+            upserts=observed.select(*corpus_cols),
+            txn=txn,
+            check_unique=False,
+        )
         index.append_delta(
-            upserts=df.select("doc_id", "fingerprint"), txn=txn
+            upserts=df.select("doc_id", "fingerprint"),
+            txn=txn,
+            check_unique=False,
         )
         # quality gate AFTER both appends: the decision record is the
         # only thing deciding — the %3==2 cohort fails by construction
-        bad = df.agg(
-            F.sum((key % 3 == 2).cast("int")).alias("n")
-        ).collect()[0]["n"]
-        if bad:
+        if obs.get["n"]:
             txn.abort()
         else:
             txn.commit()
@@ -3409,8 +3440,10 @@ def mor_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    c = corpus.read()
-    i = index.read()
+    # each read() is a base+deltas last-wins merge; materialize once —
+    # c feeds the join AND the final aggregate, i the count AND the join
+    c = corpus.read().localCheckpoint(eager=True)
+    i = index.read().localCheckpoint(eager=True)
     n_index = i.count()
     n_joined = c.join(i, "doc_id", "inner").count()
     return (

@@ -216,7 +216,8 @@ def ivfpq_topk(
         n = corpus.count()  # one bounded scalar, the n_docs class
         refine = max(k, math.ceil(n * refine_frac))
     coded = encode_corpus(
-        corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec
+        corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        m_sub=m_sub,
     )
     return _topk_from_coded(
         coded,
@@ -240,11 +241,17 @@ def encode_corpus(
     centroids: list[list[float]],
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    m_sub: int = PQ_M,
 ) -> DataFrame:
-    """(neighbor_id, cell, code_0..code_{M-1}, err2_*): the IVF-PQ index
+    """(neighbor_id, cell, code_0..code_{m_sub-1}): the IVF-PQ index
     payload — nearest-cell assignment (JVM literals) + PQ codes (Arrow
     kernel, cell passed through). One projection + one mapInPandas
-    stage, zero shuffle."""
+    stage, zero shuffle. err2 columns are never emitted: no search or
+    index consumer reads them (the index writers used to drop them
+    post-hoc, paying the kernel + Arrow cost anyway), and ``m_sub``
+    bounds the encode to the subspaces the caller's ADC will read —
+    the matryoshka prefix search encodes half the codebook, not all of
+    it."""
     return pq_encode(
         corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
@@ -253,6 +260,8 @@ def encode_corpus(
         vec_col="_cv",
         id_col="neighbor_id",
         passthrough=[("cell", "int")],
+        m_sub=m_sub,
+        with_err2=False,
     )
 
 
@@ -271,8 +280,8 @@ def build_ivfpq_index(
     (PartitionFilters — see ivfpq_index_topk). repartition("cell")
     before partitionBy keeps it to one file per cell instead of one per
     (task x cell) — the measured small-files trap."""
-    encode_corpus(corpus, centroids, corpus_id, corpus_vec).drop(
-        *[f"err2_{s}" for s in range(PQ_M)]
+    encode_corpus(
+        corpus, centroids, corpus_id, corpus_vec
     ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         path
     )
@@ -293,8 +302,8 @@ def append_to_ivfpq_index(
     build(A ∪ B) exactly (pinned in tests). At 100 TB this is the daily
     ingest path: cost is O(new batch), touching at most the cells the
     batch maps to. Deletes are the tombstone/compaction pair below."""
-    encode_corpus(new_vectors, centroids, corpus_id, corpus_vec).drop(
-        *[f"err2_{s}" for s in range(PQ_M)]
+    encode_corpus(
+        new_vectors, centroids, corpus_id, corpus_vec
     ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
         path
     )
