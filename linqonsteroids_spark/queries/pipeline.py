@@ -1794,9 +1794,13 @@ def mor_manifest_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("o_orderpriority"), F.lit("**")),
             ),
         )
-    audit = audit_against_manifest(table.read(), path)
+    # ONE base+deltas merge feeds both the audit and the final
+    # aggregate — table.read() re-executes the last-wins window per
+    # consumer otherwise
+    snap = table.read().localCheckpoint(eager=True)
+    audit = audit_against_manifest(snap, path)
     return (
-        table.read()
+        snap
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
@@ -2614,15 +2618,22 @@ def streaming_audited_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stream_expect_")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    for i, half in enumerate((0, 1)):  # two files -> two micro-batches
-        tmp = os.path.join(base, f"z{i}")
-        rows.where(F.col("event_id") % 2 == half).coalesce(1).write.parquet(
-            tmp
-        )
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    # ONE pass stages both halves (partitioned write moved flat into
+    # src), not one filtered scan per micro-batch file
+    tmp = os.path.join(base, "z")
+    (
+        rows.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .repartition(F.col("half"))
+        .write.partitionBy("half")
+        .parquet(tmp)
+    )
+    for i in (0, 1):  # two files -> two micro-batches
+        hdir = os.path.join(tmp, f"half={i}")
+        part = next(f for f in os.listdir(hdir) if f.endswith(".parquet"))
         shutil.copy(
-            os.path.join(tmp, part), os.path.join(src, f"part-{i}.parquet")
+            os.path.join(hdir, part), os.path.join(src, f"part-{i}.parquet")
         )
+    shutil.rmtree(tmp)
     out = os.path.join(base, "table")
     quarantine = os.path.join(base, "quarantine")
     sink = StreamingExpectations(
