@@ -92,7 +92,11 @@ def sorted_neighborhood_pairs(
     ``{c}_a`` / ``{c}_b`` for ``id_col``, ``key`` and ``extra_cols``.
 
     Candidate count ≤ N * window by construction (linear in N)."""
-    ranked = global_rank(df, key, id_col, bucket_len=bucket_len)
+    # both block sides below re-derive the ranked relation; materialize
+    # it once so the scan + rank window executes once, not twice (r15)
+    ranked = global_rank(df, key, id_col, bucket_len=bucket_len).localCheckpoint(
+        eager=True
+    )
     cols = (id_col, key, *extra_cols)
     blk = (F.col("rn") / window).cast("long")
     a = ranked.select(

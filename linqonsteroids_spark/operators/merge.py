@@ -103,8 +103,13 @@ class BucketedMergeTable:
                 f"target and source share non-key columns {sorted(overlap)}; "
                 f"rename the source side so merge expressions are unambiguous"
             )
-        src = source.withColumn("_src_bucket", self._bucket()).withColumn(
-            "_s_present", F.lit(1)
+        # materialized once: the source plan (often an aggregate) feeds
+        # BOTH the touched-bucket collect and the merge join below —
+        # without the checkpoint it executes twice per merge (r15)
+        src = (
+            source.withColumn("_src_bucket", self._bucket())
+            .withColumn("_s_present", F.lit(1))
+            .localCheckpoint(eager=True)
         )
         # <= n_buckets ints of driver traffic, independent of source size
         touched = [

@@ -151,13 +151,15 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 2).alias("priority"),
     )
     w = Window.partitionBy("component").orderBy("priority", "doc_id")
+    # cluster size as count(*) OVER the same component partition: shares
+    # the rank window's single Exchange instead of re-planning the whole
+    # members subtree (components + docs join) under a second aggregate
+    # and joining the two back with an SMJ (r15; plan: 2 members
+    # executions + 1 join -> 1 execution, 0 joins)
     return (
         members.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component")))
         .filter(F.col("rnk") == 1)
-        .join(
-            members.groupBy("component").agg(F.count("*").alias("n_members")),
-            "component",
-        )
         .select(
             "component",
             F.col("doc_id").alias("keep_id"),
