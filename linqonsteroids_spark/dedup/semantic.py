@@ -65,6 +65,10 @@ def semantic_dedup_reps(
     # where |v|² no longer cancels — cdist must be the true squared L2
     # (score + v·v), or the election would favor large-norm members
     # (caught by tests/test_dedup.py::test_semantic_dedup_reps_semantics)
+    # materialized once: the assignment (n_centroids x d multiply-adds
+    # per vector, the dominant per-row cost) feeds BOTH the rep election
+    # and the comparison fact side — without the checkpoint it executes
+    # twice per call (r15; same fix as the SimHash signature relation)
     assigned = (
         emb.select(F.col(id_col), v.alias("v"))
         .withColumn("_s", F.array_min(_centroid_scores(F.col("v"), centroids)))
@@ -74,6 +78,7 @@ def semantic_dedup_reps(
             F.col("_s.cell").alias("cell"),
             (F.col("_s.score") + dot(F.col("v"), F.col("v"))).alias("cdist"),
         )
+        .localCheckpoint(eager=True)
     )
     # representative election: lexicographic struct min == ORDER BY cdist
     # ASC, id ASC (ids are unique, so the trailing vector never compares)

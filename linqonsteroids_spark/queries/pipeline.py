@@ -3685,8 +3685,12 @@ def mor_txn_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     with open(stats_path) as f:
         st = json.load(f)
-    c = corpus.read()
-    i = index.read()
+    # each merged snapshot feeds two of the three consistency jobs below
+    # (count / join / agg) — checkpoint once per table so the base+delta
+    # last-wins merge runs once, not twice, per invocation (r15; same
+    # fix as mor_stream_txn_ingest's consistency section)
+    c = corpus.read().localCheckpoint(eager=True)
+    i = index.read().localCheckpoint(eager=True)
     # bounded driver-side scalars (single-row aggregates), embedded as
     # literal columns so the one-row result needs no 1x1 cross join —
     # the differential still validates them against the oracle

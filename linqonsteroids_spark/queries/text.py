@@ -788,16 +788,24 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(_toks) - 2),"
         " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
     )
+    # tokenize ONCE: the token relation feeds the bigram fact side, the
+    # bigram count table AND the unigram table — without materialization
+    # the scan + regexp tokenize executes three times per run (r15)
+    toked = docs.select("doc_id", toks.alias("_toks")).localCheckpoint(eager=True)
     bg = (
-        docs.select("doc_id", toks.alias("_toks"))
-        .filter(F.size("_toks") >= 2)
+        toked.filter(F.size("_toks") >= 2)
         .select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # vocab-sized; materialized so the bigram aggregate runs once, not
+    # once per consumer (probe-join broadcast + context-count rollup)
+    bg_counts = (
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     uni = (
-        docs.select(F.explode(toks).alias("w"))
+        toked.select(F.explode("_toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
     )
