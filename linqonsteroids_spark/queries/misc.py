@@ -802,6 +802,12 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
 
+    # fk_check keeps the anti-join + separate count shape DELIBERATELY
+    # (r15): the n_rows "duplicate scan" is a zero-column count-star
+    # served from parquet row-group metadata, and the measured one-pass
+    # alternative (left join against DISTINCT parent keys) was
+    # consistently ~8 % SLOWER in two interleaved A/Bs — the distinct
+    # costs a real aggregate to save a free scan.
     def fk_check(name, child, child_key, parent, parent_key):
         orphans = child.join(
             parent.select(F.col(parent_key).alias(child_key)),
@@ -816,15 +822,19 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def unique_check(name, df, key):
-        dup = (
+        return (
             df.groupBy(key)
             .agg(F.count("*").alias("c"))
-            .filter(F.col("c") > 1)
-            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_violations"))
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_violations"),
+            )
         )
-        return df.agg(
-            F.lit(name).alias("check_name"), F.count("*").alias("n_rows")
-        ).crossJoin(F.broadcast(dup))
 
     checks = [
         fk_check("fk_lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),

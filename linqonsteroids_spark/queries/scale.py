@@ -203,8 +203,18 @@ _BANDS = [(0, 0, 50), (1, 50, 100), (2, 100, 200), (3, 200, 350), (4, 350, 500)]
 def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     bands = spark.createDataFrame(_BANDS, "band_id int, lo int, hi int")
+    # broadcast the 5-row band relation DELIBERATELY (guide §3): the
+    # Python-RDD-backed local table carries no size stats, so the planner
+    # otherwise sizes it at the default-huge estimate and broadcasts the
+    # O(N) EVENTS side instead (BuildLeft in the r15 before-plan) — an
+    # inversion that cannot survive scale
     joined = range_join(
-        events.select("event_id", "value"), bands, "value", "lo", "hi", bin_width=50
+        events.select("event_id", "value"),
+        F.broadcast(bands),
+        "value",
+        "lo",
+        "hi",
+        bin_width=50,
     )
     return joined.groupBy("band_id").agg(
         F.count("*").alias("n_events"),
@@ -431,8 +441,15 @@ def streaming_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     name = f"mv_ssjoin_{next(_MV_IDS)}"
     # a stream-stream join is the worst case: FOUR state stores per shuffle
     # partition (key→count + key+index→row per side), so halve the state
-    # partitions again relative to single-store queries
-    _run_stream_to_memory(spark, joined, name, "append", state_partitions=4)
+    # partitions again relative to single-store queries.
+    # no_data_batches=False (r15): an INNER stream-stream join emits each
+    # pair in the data micro-batch where both sides arrive — the trailing
+    # watermark-advance batch only evicts state a terminating query never
+    # reuses (same argument as the append-mode dedup gate; the OUTER
+    # variant below MUST keep it for null-padding finalization)
+    _run_stream_to_memory(
+        spark, joined, name, "append", state_partitions=4, no_data_batches=False
+    )
     return spark.table(name).select(
         "purchase_id", "click_id", F.round("value", 4).alias("click_value")
     )

@@ -952,13 +952,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # document frequency as count(*) OVER (PARTITION BY term): tf has
+    # exactly one row per (doc, term), so the windowed count IS df — and
+    # it rides the tf relation directly instead of re-planning the whole
+    # scan+tokenize+aggregate subtree under a second aggregate and
+    # joining back (r15; same fix as dedup_source_priority)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TFIDF_TOPK)
         .select(

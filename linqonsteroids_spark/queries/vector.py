@@ -1061,22 +1061,29 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_ANN_NPROBE_R,
         refine_frac=_ANN_REFINE_FRAC,
     ).select("query_id", "neighbor_id")
-    n_true = truth.agg(F.count("*").alias("n_true"))
-    n_ann = ann.agg(F.count("*").alias("n_ann"))
-    n_hit = truth.join(ann, ["query_id", "neighbor_id"]).agg(
-        F.count("*").alias("n_hits")
+    # ONE full-outer join computes |truth|, |ann| and |hits| in a single
+    # pass (the lsh_recall_report fix, r15): both pair sets are distinct
+    # on (query_id, neighbor_id) by top-k construction, so the counts are
+    # exactly the flag counts — without this, the brute-force window and
+    # the IVFxPQ search (9 duplicate scans / 18 Windows / 4 Python stages
+    # in the before-plan) each executed TWICE, once per count and once
+    # under the hit join
+    matched = truth.withColumn("_t", F.lit(1)).join(
+        ann.withColumn("_a", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "full_outer",
     )
-    return (
-        n_true.crossJoin(F.broadcast(n_ann))
-        .crossJoin(F.broadcast(n_hit))
-        .select(
-            "n_true",
-            "n_ann",
-            "n_hits",
-            F.expr("n_hits * 1000000L div greatest(n_true, 1L)").alias(
-                "recall_ppm"
-            ),
-        )
+    return matched.agg(
+        F.count("_t").alias("n_true"),
+        F.count("_a").alias("n_ann"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_a").isNotNull(), 1)).alias(
+            "n_hits"
+        ),
+    ).select(
+        "n_true",
+        "n_ann",
+        "n_hits",
+        F.expr("n_hits * 1000000L div greatest(n_true, 1L)").alias("recall_ppm"),
     )
 
 
@@ -1140,11 +1147,19 @@ def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = brute_force_topk(q_half, c_half, k=5, exclude_self=True).select(
         "query_id", "neighbor_id"
     )
-    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
-    n_hit = truth.join(cand, ["query_id", "neighbor_id"]).agg(
-        F.count("*").cast("bigint").alias("n_hits")
+    # ONE left join from truth computes |truth| and |hits| in a single
+    # pass (r15, the recall-report family fix): pair sets are distinct on
+    # (query_id, neighbor_id) by top-k construction, so the full-dim
+    # brute-force scoring plans exactly once instead of twice
+    matched = truth.join(
+        cand.withColumn("_c", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
     )
-    return n_true.crossJoin(F.broadcast(n_hit)).select(
+    return matched.agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        F.count("_c").cast("bigint").alias("n_hits"),
+    ).select(
         "n_true",
         "n_hits",
         F.expr("n_hits * 1000000L div greatest(n_true, 1L)").alias(
