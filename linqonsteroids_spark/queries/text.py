@@ -368,6 +368,12 @@ _BM25_B = 0.75
 
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # left in the lazy 4-consumer shape DELIBERATELY (r15): both the
+    # full-token checkpoint and the small dl/tf checkpoints were
+    # interleaved-A/B'd and measured consistently SLOWER (0.63-0.77 ->
+    # 0.75-0.90 s across five runs) — the duplicate tokenize passes run
+    # concurrently inside one job, while eager checkpoints serialize it
+    # into three
     exploded = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
@@ -727,10 +733,20 @@ BPE_ENCODE_SQL = _bpe_encode_sql()
 # — it grows sublinearly with the corpus) and one map-side-combined mean.
 def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    ).filter(F.col("token") != "")
-    freqs = exploded.groupBy("token").agg(F.count("*").alias("freq"))
+    # tokenize ONCE (r15; same fix as bigram_surprisal): the token
+    # relation feeds the freq table AND the scoring join — and the
+    # vocab-sized freq table feeds the total AND the broadcast side —
+    # so without materialization the scan + tokenize executes 3x
+    exploded = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=True)
+    )
+    freqs = (
+        exploded.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
     # scalar attach: the 1-row total rides a broadcast nested-loop join
     # onto the (broadcast-sized) freq table — bounded by construction and
     # allowlisted in tools/plan_audit.py; a constant-key equi-join gets
