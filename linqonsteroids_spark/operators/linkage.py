@@ -208,4 +208,8 @@ def deletion_neighborhood_pairs(
         # for exactly ONE levenshtein evaluation
         .localCheckpoint(eager=True)
     )
-    return cand.where(F.levenshtein("a", "b") <= k)
+    # thresholded levenshtein (Spark >= 3.5): the banded kernel computes
+    # O((2k+1)·L) cells instead of the full O(L²) matrix and returns -1
+    # past the threshold, so `>= 0` is exactly `distance <= k` — same
+    # early-exit form fuzzy_part_pairs already uses (r15)
+    return cand.where(F.levenshtein("a", "b", k) >= 0)
