@@ -73,16 +73,33 @@ def pagerank(
     # side AND the node set — materialize it once instead of re-running
     # it per consumer (r15; same fix as triangles.py)
     edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # one endpoint aggregate yields the node set AND the out-degrees:
+    # each edge contributes (src, 1) and (dst, 0) row-locally, so one
+    # grouped pass replaces the union-distinct node pass plus the
+    # separate groupBy(src) degree pass — one Exchange over partially
+    # aggregated endpoints instead of two over raw ones (r16). A node
+    # has out_deg > 0 iff it occurs as src, so the filtered projection
+    # is exactly the old inner-join degree relation.
+    endpoints = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("is_src")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("is_src")),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.node").alias("node"))
+        .agg(F.sum("e.is_src").alias("out_deg"))
         .localCheckpoint()
     )
-    n = nodes.count()  # one driver scalar — the only collect in the operator
+    nodes = endpoints.select("node")
+    n = endpoints.count()  # one driver scalar — the only collect in the operator
     from linqonsteroids_spark.operators.fixpoint import _persist_edges
 
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg = endpoints.filter(F.col("out_deg") > 0).select(
+        F.col("node").alias("src"), "out_deg"
+    )
     # static iteration side: persisted once; bucketed → Exchange-free rounds
     edged = _persist_edges(edges.join(deg, "src"), bucket=bucket_edges, key="src")
     base = (scale * (damping_den - damping_num) // damping_den) // n

@@ -139,6 +139,13 @@ _PR_ITERS = 3
 
 
 def _order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both directions fan out ROW-LOCALLY from one distinct pass (r16):
+    # the union-of-two-selects form referenced the distinct subtree from
+    # two branches, and Spark has no cross-branch CSE — the lineitem
+    # scan + distinct shuffle executed TWICE inside the one job that
+    # materializes the edges. The explode form runs it once; fwd and rev
+    # rows are identical to the union's (parity encoding keeps the two
+    # directions disjoint, so no cross-direction duplicates exist).
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -147,9 +154,14 @@ def _order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    fwd = li.select(F.col("o").alias("src"), F.col("p").alias("dst"))
-    rev = li.select(F.col("p").alias("src"), F.col("o").alias("dst"))
-    return fwd.union(rev)
+    return li.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("o").alias("src"), F.col("p").alias("dst")),
+                F.struct(F.col("p").alias("src"), F.col("o").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

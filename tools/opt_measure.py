@@ -1,4 +1,4 @@
-"""Round-15 optimization measurement harness.
+"""Round-15/16 optimization measurement harness.
 
 Usage:
   python tools/opt_measure.py <query1,query2,...|top> [--sf DIR] [--plans SUFFIX]
@@ -6,7 +6,7 @@ Usage:
 
 For each named query: warm-up run, then N timed runs of (a) the bench's
 `.count()` action and (b) the guide-§1.4 noop sink (computes every column,
-no result pruning). Prints medians and writes `plans/r15/<name>_<SUFFIX>.txt`
+no result pruning). Prints medians and writes `plans/r16/<name>_<SUFFIX>.txt`
 with the `.explain("formatted")` output when --plans is given.
 
 This is a measurement tool only — it never touches the bench contract.
@@ -53,7 +53,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        "r16",
     )
     os.makedirs(plans_dir, exist_ok=True)
 
