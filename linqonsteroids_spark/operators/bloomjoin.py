@@ -111,6 +111,15 @@ def bloom_semi_reduce(
     words = [0] * (BLOOM_M // BLOOM_WORD)
     for r in rows:
         words[r["word"]] = r["bits"]
+    # the words are inlined into a parsed SQL literal below — a non-int
+    # (None/float from a changed bloom_bitmap) would become a parse error
+    # or a silently wrong literal at the py4j boundary; fail loudly here
+    # instead (r15 ADVICE)
+    bad = [w for w in words if not isinstance(w, int)]
+    if bad:
+        raise TypeError(
+            f"bloom_bitmap produced non-int bitmap words: {bad[:3]!r}"
+        )
     # one folded constant, indexed per row. Built as ONE parsed SQL
     # expression: F.lit(list) issues one py4j call PER ELEMENT (measured
     # 1.4 s for m/64 = 2048 longs — 2/3 of the whole gate's wall time);

@@ -94,6 +94,19 @@ class BucketedMergeTable:
         matched_delete: Column | None = None,
         insert_values: dict[str, Column] | None = None,
     ) -> None:
+        """Merge ``source`` into the bucketed table.
+
+        Cluster caveat (r15 ADVICE): the source is EAGERLY
+        localCheckpointed (it feeds both the touched-bucket collect and
+        the merge join, and would otherwise execute twice per merge).
+        localCheckpoint pins unreplicated executor-storage blocks that
+        are only freed when the DataFrame is garbage-collected, so many
+        merges in one long-lived session accumulate storage, and on a
+        real cluster an executor loss makes the checkpointed blocks
+        unrecoverable (no lineage fallback — the merge must be retried
+        from the caller). Acceptable for batch merges; for a long-lived
+        service, persist the source to durable storage instead.
+        """
         self._check_meta()
         target = self.spark.read.parquet(self.path)
         tcols = [c for c in target.columns if c != "mv_bucket"]

@@ -495,6 +495,34 @@ def test_ivfpq_degenerate_equals_bruteforce_random(spark, vecs):
     assert a == e
 
 
+def test_topk_outputs_are_distinct_pairs(spark):
+    """The single-pass full-outer recall reports (ann_recall_report,
+    matryoshka_recall_report) count |truth|/|ann|/|hits| as flag counts
+    over one join on (query_id, neighbor_id) — correct ONLY while both
+    top-k outputs are duplicate-free on that pair. Enforce the invariant
+    here so a future top-k variant cannot silently inflate the recall
+    counts (r15 ADVICE). Corpus includes exact-duplicate vectors (the
+    tie case most likely to tempt a variant into emitting a pair twice).
+    """
+    from linqonsteroids_spark.similarity.ann import ivfpq_topk
+    from linqonsteroids_spark.similarity.pretrained import IVF_CENTROIDS
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) + 0.1 for _ in range(64)]) for i in range(40)]
+    rows[1] = (1, list(rows[0][1]))  # exact duplicate pair
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    for out in (
+        brute_force_topk(q, corpus, k=5, exclude_self=True),
+        ivfpq_topk(q, corpus, IVF_CENTROIDS, k=5, n_probe=2),
+    ):
+        pairs = out.select("query_id", "neighbor_id")
+        assert pairs.count() == pairs.distinct().count()
+
+
 def test_sdc_tables_consistent_with_codebook():
     """The SDC lookup tables are a pure derived artifact: symmetric,
     zero diagonal, and every entry equals the sequential squared-L2
