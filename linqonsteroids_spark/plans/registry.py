@@ -716,7 +716,18 @@ class IndexRepository:
         }
         self._reuse_or_build(
             "dir", path, meta,
-            lambda: src.df.write.mode("overwrite").partitionBy(key_col).parquet(path),
+            # REBALANCE on the partition key before partitionBy: without
+            # it every scan task writes one file into every key directory
+            # (tasks × keys files), and every warm probe then pays that
+            # many per-file opens — the r15 driver measured the probe
+            # gates 2-5× SLOWER at 32 cores than 8 for exactly this
+            # reason. The AQE rebalance clusters rows by key and splits
+            # oversized keys, so file count per directory is O(1) at any
+            # core count and stays size-bounded at scale (guide §6).
+            lambda: src.df.hint("rebalance", key_col)
+            .write.mode("overwrite")
+            .partitionBy(key_col)
+            .parquet(path),
         )
         entry = IndexEntry(
             name, table, key_col, path, 0, layout="dir",
@@ -833,7 +844,13 @@ class IndexRepository:
         e = self._by_name[name]
         old_meta = self._sidecar_of(e)
         if e.layout == "dir":
-            df.write.mode("overwrite").partitionBy(e.key_col).parquet(e.path)
+            # same rebalance-before-partitionBy as the build (guide §6)
+            (
+                df.hint("rebalance", e.key_col)
+                .write.mode("overwrite")
+                .partitionBy(e.key_col)
+                .parquet(e.path)
+            )
             sidecar = os.path.join(e.path, _SIDECAR)
         elif e.layout == "table":
             from linqonsteroids_spark.sources.parquet import write_bucketed_table
