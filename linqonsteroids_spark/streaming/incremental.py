@@ -478,15 +478,19 @@ def apply_cdf_to_minmax_mv(
             "_rescan"
         ),
     )
-    merged = merged.where(SF.col(count_col) > 0)
-    # classify the rescan set from a NARROW probe — MV broadcast-probed
-    # against the batch-sized delta, no shuffle, output bounded by the
-    # touched groups — so the fast path (no extremum retracted) costs
-    # one small job and table is NEVER scanned
+    # materialize the merge ONCE and classify the rescan set from its own
+    # _rescan column (r16): the previous shape ran a separate
+    # mv⋈broadcast(delta) probe job for the classification and left
+    # `merged` lazy, so the MV plan executed twice per call — once under
+    # the probe, once under the caller's consumer. One eager checkpoint
+    # halves the MV executions; the collect below reads checkpointed
+    # rows, bounded by the touched groups. (A group whose count reaches
+    # zero is dropped by the filter and never rescanned — recomputing an
+    # empty group's extremum from `table` would find no rows anyway.)
+    merged = merged.where(SF.col(count_col) > 0).localCheckpoint(eager=True)
     rescan_rows = (
-        mv.join(SF.broadcast(delta), cond, "inner")
-        .where(hit)
-        .select(*[mv[c] for c in group_cols])
+        merged.where(SF.col("_rescan"))
+        .select(*group_cols)
         .collect()
     )
     if not rescan_rows:
