@@ -33,11 +33,20 @@ def flagship_order_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = F.broadcast(
         customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
     )
+    # aggregate BEFORE the join (guide §2.3, r16): o_orderkey is unique in
+    # orders, so grouping the joined rows by (o_orderkey, c_name) counts
+    # exactly the lineitems of each orderkey — counting them on lineitem
+    # alone first shuffles narrow partial counts (map-side combined,
+    # O(distinct keys)) instead of every joined row carrying the c_name
+    # payload through the aggregate exchange. The inner join keeps the
+    # same survivor set (an orderkey without lineitems has no count row
+    # and no joined rows either way).
+    li_counts = lineitem.groupBy("l_orderkey").agg(
+        (F.count("*") - F.lit(1)).alias("n_coitems")
+    )
     return (
         orders.join(building, orders.o_custkey == building.c_custkey)
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .groupBy("o_orderkey", "c_name")
-        .agg((F.count("*") - F.lit(1)).alias("n_coitems"))
+        .join(li_counts, orders.o_orderkey == li_counts.l_orderkey)
         .select("o_orderkey", "c_name", "n_coitems")
     )
 
@@ -108,6 +117,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-03-15").cast("timestamp")
+    # NOTE (r16): the flagship-style aggregate-before-join rewrite was
+    # A/B'd here and REVERTED on measurement (0.85 → 1.04 s): the
+    # MACHINERY+date filters are selective, so the broadcast join prunes
+    # most lineitem rows BEFORE the aggregate — pre-aggregating instead
+    # sums revenue for every orderkey only to discard most at the join.
     return (
         customer.filter(F.col("c_mktsegment") == "MACHINERY")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
