@@ -81,21 +81,30 @@ def simhash_signatures(
     toks = tokens_df(docs, id_col, text_col).distinct()
     toks = toks.select(F.col(id_col), _hash_col(n_bits).alias("h"))
     # bit j: majority vote — popcount(tokens with bit set) * 2 >= n_tokens
-    # (zero-fill shift: h is negative in the 64-bit xxhash64 tier)
-    bit_sums = [
-        F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
-        for j in range(n_bits)
-    ]
-    agg = toks.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
-    sig = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"b{j}") * 2 >= F.col("n"), _bit_term(j)).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(n_bits),
-        F.lit(0).cast("long"),
+    # (zero-fill shift: h is negative in the 64-bit xxhash64 tier).
+    # Built as TWO parsed SQL expressions instead of ~200 Column calls
+    # (r16; the bloom-literal lesson applied to plan construction): the
+    # per-bit popcounts ride one array() aggregate and the vote-sum is a
+    # flat HOF, so the py4j/analyzer cost no longer scales with n_bits —
+    # the old per-bit Column chain spent ~1 s of DRIVER time per
+    # invocation building and analyzing the 48-column plan. The vote sum
+    # adds long terms in the same ascending-j order as before
+    # (shiftleft(1L, 63) wraps to the two's-complement sign weight
+    # exactly as _bit_term did); integer arithmetic, bit-identical.
+    bs = ",".join(
+        f"sum((shiftrightunsigned(h, {j}) & 1))" for j in range(n_bits)
     )
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    agg = toks.groupBy(id_col).agg(
+        F.expr("count(*)").alias("n"), F.expr(f"array({bs})").alias("bs")
+    )
+    return agg.select(
+        F.col(id_col),
+        F.expr(
+            f"aggregate(sequence(0, {n_bits - 1}), 0L, (acc, j) -> "
+            "acc + IF(element_at(bs, j + 1) * 2 >= n, "
+            "shiftleft(1L, j), 0L))"
+        ).alias("simhash"),
+    )
 
 
 def _combo_size(max_hamming: int, n_blocks: int = N_BLOCKS) -> int:
