@@ -60,16 +60,16 @@ def power_iteration_top_component(
         # columns: the old posexplode + groupBy(pos) shuffled d*N rows
         # per round to produce d doubles; partial aggregation reduces
         # that to (n_partitions x d) — the shuffle disappears from the
-        # cost model entirely (r15; same 64-sum-columns shape as the
-        # simhash signature aggregate)
+        # cost model entirely (r15). The d sums ride one parsed array()
+        # expression (r16): built per-column they cost ~4 py4j calls per
+        # dimension PER ROUND of pure driver time (the simhash
+        # plan-construction lesson); values are unchanged — each array
+        # element is the same independent sum.
         row = x.select(s.alias("s"), "x")
-        w_row = row.agg(
-            *[
-                F.sum(F.col("x")[i] * F.col("s")).alias(f"w{i}")
-                for i in range(dim)
-            ]
-        ).first()
-        w = [w_row[i] for i in range(dim)]
+        w_expr = "array(" + ",".join(
+            f"sum(x[{i}] * s)" for i in range(dim)
+        ) + ")"
+        w = list(row.agg(F.expr(w_expr).alias("w")).first()["w"])
         nw = math.sqrt(sum(c * c for c in w))
         # ||Xv||^2 = v . (X'X v) = v . w  (w computed BEFORE normalization)
         norm_xv = math.sqrt(max(sum(a * b for a, b in zip(v, w)), 0.0))
