@@ -524,13 +524,19 @@ def _topk_from_coded(
         *[f"lut_{s}" for s in range(m_sub)],
     )
     # ADC: element_at is 1-based; codes are 0-based argmins. Left-assoc
-    # `+` chain matches the oracle's `lut[code+1] + ...` chain exactly.
-    # m_sub < PQ_M reads only the first m_sub code columns — against the
-    # persisted columnar index that is literal column pruning, so the
-    # matryoshka prefix pass scans half the code bytes at m_sub = M/2.
-    adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
-    for s in range(1, m_sub):
-        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+    # `+` chain matches the oracle's `lut[code+1] + ...` chain exactly
+    # (the SQL parser folds the chain left-associatively too, so float
+    # addition order is bit-identical). One parsed expression instead of
+    # ~3 py4j calls per subspace per invocation (r16; the simhash
+    # plan-construction lesson). m_sub < PQ_M reads only the first m_sub
+    # code columns — against the persisted columnar index that is
+    # literal column pruning, so the matryoshka prefix pass scans half
+    # the code bytes at m_sub = M/2.
+    adc = F.expr(
+        " + ".join(
+            f"element_at(lut_{s}, code_{s} + 1)" for s in range(m_sub)
+        )
+    )
     cand = coded.join(F.broadcast(probes), "cell")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col(query_id))
